@@ -1,0 +1,1 @@
+"""(filled in per SURVEY §7 build plan)"""

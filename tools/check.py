@@ -1,0 +1,131 @@
+"""Local replica of the driver's t2 correctness gate.
+
+For every registered query: run the Spark implementation and the DuckDB
+oracle at the given SF, compare row-count + (sorted) column names +
+order-insensitive values. Stricter than the driver on floats: exact
+equality after canonicalization, with a max-abs-diff report on mismatch
+so rounding conventions can be fixed precisely.
+
+Usage:
+    python tools/check.py [--sf /root/testdata/sf0.01] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from insight_patents_spark import registry  # noqa: E402
+from insight_patents_spark.session import get_spark  # noqa: E402
+from insight_patents_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        row = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append("<NULL>")
+            elif isinstance(v, float):
+                row.append(repr(v))
+            elif hasattr(v, "isoformat"):
+                row.append(v.isoformat())
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                row.append(repr([repr(float(x)) if isinstance(x, float) else x for x in v]))
+            else:
+                row.append(repr(v))
+        rows.append(tuple(row))
+    return sorted(rows)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        problems.append(f"columns: spark={scols} oracle={ocols}")
+        return problems
+    srows, orows = canon(sdf), canon(odf)
+    if srows != orows:
+        n_bad = sum(1 for a, b in zip(srows, orows) if a != b) + abs(
+            len(srows) - len(orows)
+        )
+        problems.append(f"values: {n_bad} differing rows (of {len(srows)})")
+        for a, b in zip(srows, orows):
+            if a != b:
+                problems.append(f"  spark : {a}")
+                problems.append(f"  oracle: {b}")
+                break
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    specs = registry.load_all()
+    names = args.queries or sorted(specs)
+    spark = get_spark("ips-check")
+    con = duck_connect(args.sf)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            status = "ROWS" if len(sdf) >= 0 else "FAIL"
+            n_rows_only += 1
+            print(f"{status} {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(spec.oracle).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"   {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
