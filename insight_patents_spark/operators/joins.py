@@ -1,1 +1,329 @@
-"""(filled in per SURVEY §7 build plan)"""
+"""Join operators (SURVEY §2.3).
+
+Reference parity: the citation network is built by joining patent records
+to citation pairs (SURVEY §0.1 step 3, [PK-M]); `join_self_2hop` is the
+exact traversal pattern (edges ⋈ edges) the citation graph uses.
+
+Scale notes:
+- Dim tables (region/nation/supplier) are broadcast explicitly — zero
+  shuffle on the fact side regardless of fact size.
+- Big-big equi joins (lineitem ⋈ orders) shuffle on the join key; AQE
+  handles skew splitting at large SF.
+- Non-equi joins (theta/range) are kept sub-quadratic with an equi
+  blocking key (brand, user) so the planner produces a shuffled
+  hash/sort-merge join on the block key with the range predicate as a
+  post-join filter, not a full BNLJ cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.stable import dsum, sql_dsum
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "join_inner_equi",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi join over the fact chain, aggregated so the result
+    stays small while every join row is exercised."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name <> 'EUROPE'
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dims: nation and region ship to every executor, so
+    the customer side never shuffles for the join."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") != "EUROPE")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_quantity
+    FROM (SELECT * FROM orders WHERE o_orderkey % 7 = 0) o
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) l
+      ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join where the right side is filtered so unmatched rows
+    (NULL-padded) genuinely occur."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "o_orderkey", "o_totalprice", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT a.k AS k_a, a.cnt_a, b.k AS k_b, b.cnt_b
+    FROM (SELECT o_custkey AS k, COUNT(*) AS cnt_a FROM orders
+          WHERE o_orderstatus = 'O' GROUP BY o_custkey) a
+    FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS cnt_b FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY o_custkey) b
+      ON a.k = b.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join on partially-overlapping key sets."""
+    o = load(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        a.k.alias("k_a"), "cnt_a", b.k.alias("k_b"), "cnt_b"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one urgent order (left semi: no row
+    duplication, right side only probed)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no pending ('P') orders (reference analog: uncited
+    patents). The right side is filtered so the anti join is non-trivial:
+    some customers match, some don't."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT a.p_partkey AS small_part, b.p_partkey AS big_part,
+           a.p_brand, b.p_size - a.p_size AS size_gap
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join blocked by brand: planner gets an equi key (brand) to
+    hash/shuffle on, the `<` stays a join-condition filter — the pattern
+    that keeps theta joins sub-quadratic at scale."""
+    a = load(spark, sf_dir, "part").alias("a")
+    b = load(spark, sf_dir, "part").alias("b")
+    return a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") < F.col("b.p_size")),
+    ).select(
+        F.col("a.p_partkey").alias("small_part"),
+        F.col("b.p_partkey").alias("big_part"),
+        F.col("a.p_brand").alias("p_brand"),
+        (F.col("b.p_size") - F.col("a.p_size")).alias("size_gap"),
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT e1.event_id AS eid_a, e2.event_id AS eid_b, e1.user_id
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs within a 5-minute forward window per user (interval
+    join; user_id is the equi blocking key)."""
+    e1 = load(spark, sf_dir, "events").alias("e1")
+    e2 = load(spark, sf_dir, "events").alias("e2")
+    return e1.join(
+        e2,
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTE")),
+    ).select(
+        F.col("e1.event_id").alias("eid_a"),
+        F.col("e2.event_id").alias("eid_b"),
+        F.col("e1.user_id").alias("user_id"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT purchase_id, user_id, prior_click_id, prior_click_ts
+    FROM (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             c.event_id AS prior_click_id, c.ts AS prior_click_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the latest click at-or-before it by
+    the same user.
+
+    Implemented with the scalable union-sort idiom, not a range join: tag
+    both sides, sort within user by (ts, tag, event_id), and carry the
+    last click forward with ``last(..., ignorenulls)``. One shuffle,
+    O(n log n) — survives 100× scale-up where the naive range join's
+    per-user quadratic blowup would not. (The oracle states the same
+    semantics as the obvious quadratic SQL.)
+    """
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("tag")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("tag")
+    )
+    # tag=0 sorts clicks before purchases at equal ts -> "at-or-before" is
+    # inclusive; event_id tiebreak keeps the carried click deterministic.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases)
+    carried = tagged.withColumn(
+        "prior_click_id",
+        F.last(F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    ).withColumn(
+        "prior_click_ts",
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter((F.col("tag") == 1) & F.col("prior_click_id").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "prior_click_id",
+            "prior_click_ts",
+        )
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small dimension cross product (5 × 25)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_self_2hop",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    """,
+)
+def join_self_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence self-join (the citation-graph 2-hop pattern): parts
+    appearing in the same order, deduped by key ordering, weighted by
+    co-occurrence count. Also the edge-builder for §2.9 graph ops."""
+    a = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").alias("a")
+    b = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

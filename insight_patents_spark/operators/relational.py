@@ -1,1 +1,314 @@
-"""(filled in per SURVEY §7 build plan)"""
+"""Scans / sources / sinks and projection / filter operators
+(SURVEY §2.1-§2.2).
+
+Reference parity: the patent pipeline's ingest stage reads bulk archive
+files, splits them into per-patent records, and derives normalized fields
+(SURVEY §0.1 steps 1-2, [PK-M]). Here each format round-trips through a
+temp directory derived from the driver's parquet (TESTDATA is the only
+sanctioned input), and the oracle checks the *values* against the source
+view, so no oracle depends on temp files existing.
+
+Scale notes: all scans are plain DataFrame sources -> full predicate
+pushdown and column pruning apply. Sinks write partitioned parquet and
+re-read with partition pruning (checked via .explain in tests/plans).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.tables import load
+
+# Stable temp root for format round-trips; content is derived purely from
+# the driver testdata at the given sf_dir, keyed by sf so runs don't collide.
+_TMP = os.path.join(tempfile.gettempdir(), "ips_roundtrip")
+
+
+def _roundtrip_dir(sf_dir: str, kind: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_TMP, key, kind)
+
+
+# --- §2.1 scans ---------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan with schema check (ingest analog)."""
+    df = load(spark, sf_dir, "nation")
+    assert [f.name for f in df.schema.fields] == [
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+    ]
+    return df
+
+
+@query(
+    "scan_csv",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           c_acctbal AS acctbal
+    FROM customer
+    """,
+)
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with explicit schema; values checked vs the source
+    (double CSV text uses shortest-repr, which parses back bit-exactly)."""
+    out = _roundtrip_dir(sf_dir, "customer_csv")
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("c_acctbal").alias("acctbal"),
+        "c_mktsegment",
+    )
+    src.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@query(
+    "scan_json",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip (metadata columns; text omitted to keep the
+    file small and escaping-trivial)."""
+    out = _roundtrip_dir(sf_dir, "documents_json")
+    src = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    src.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out)
+
+
+@query(
+    "scan_text_parse",
+    oracle="""
+    SELECT CAST(regexp_extract(line, 'id=(\\d+)', 1) AS BIGINT) AS doc_id,
+           regexp_extract(line, 'lang=(\\w+)', 1) AS lang
+    FROM (SELECT 'id=' || doc_id || '|lang=' || lang AS line FROM documents)
+    """,
+)
+def scan_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text ingest: write 'id=N|lang=xx' lines, read with spark.read.text,
+    regex-split into typed columns (patent-archive record-splitting analog)."""
+    out = _roundtrip_dir(sf_dir, "documents_text")
+    src = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("id="), F.col("doc_id"), F.lit("|lang="), F.col("lang")).alias(
+            "value"
+        )
+    )
+    src.write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    return raw.select(
+        F.regexp_extract("value", r"id=(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.regexp_extract("value", r"lang=(\w+)", 1).alias("lang"),
+    )
+
+
+@query("scan_xml", oracle=None)  # rows-only: DuckDB 1.0 has no XML reader
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest via Spark 4's native XML source (USPTO XML-grant analog).
+
+    Writes one <doc> element per documents row, reads back with rowTag.
+    """
+    out = _roundtrip_dir(sf_dir, "documents_xml")
+    src = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    src.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out)
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .load(out)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("lang").cast("string").alias("lang"),
+            F.col("source").cast("string").alias("source"),
+        )
+    )
+    return df.orderBy("doc_id")
+
+
+@query(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS total
+    FROM orders WHERE o_orderstatus IN ('O', 'F')
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned re-read.
+
+    The re-read filter on the partition column prunes directories
+    (PartitionFilters in the scan node), the 100 TB idiom for
+    hot-partition queries.
+    """
+    out = _roundtrip_dir(sf_dir, "orders_by_status")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("total")
+    )
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.filter(F.col("o_orderstatus").isin("O", "F")).select(
+        "o_orderkey", F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "total"
+    )
+
+
+@query(
+    "sink_csv",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export + schema-checked re-read."""
+    out = _roundtrip_dir(sf_dir, "region_csv")
+    load(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+# --- §2.2 projections / filters ----------------------------------------
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity * 2.5 + 1 AS scaled_qty
+    FROM lineitem
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column arithmetic; per-row IEEE ops are bit-deterministic so no
+    rounding is needed (SURVEY §5)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_quantity") * 2.5 + 1).alias("scaled_qty"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 150000
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_custkey IS NOT NULL
+      AND NOT (o_orderkey % 10 = 0 AND o_totalprice < 5000)
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate battery; everything pushes to the parquet scan."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(1000, 150000)
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+        & ~((F.col("o_orderkey") % 10 == 0) & (F.col("o_totalprice") < 5000))
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "filter_regex",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE regexp_matches(c_name, '[0-9]{3}$')
+    """,
+)
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate (patent-number format matching analog)."""
+    c = load(spark, sf_dir, "customer")
+    return c.filter(F.col("c_name").rlike("[0-9]{3}$")).select("c_custkey", "c_name")
+
+
+@query(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 100000 THEN 'high'
+                WHEN o_totalprice >= 30000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+                ELSE 'other' END AS status_name
+    FROM orders
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 100000, "high")
+        .when(F.col("o_totalprice") >= 30000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("other")
+        .alias("status_name"),
+    )
+
+
+@query(
+    "cast_null_fns",
+    oracle="""
+    SELECT c_custkey,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
+           CAST(c_nationkey AS VARCHAR) AS nation_str,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+           CAST(c_acctbal < 0 AS INTEGER) AS is_negative
+    FROM customer
+    """,
+)
+def cast_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        # decimal cast exercised, then back to double: pandas lowers DuckDB
+        # decimals to float64 while Spark yields Decimal objects — results
+        # must never carry DecimalType (determinism contract, SURVEY §5)
+        F.col("c_acctbal").cast("decimal(12,2)").cast("double").alias("bal_dec"),
+        F.col("c_nationkey").cast("string").alias("nation_str"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        (F.col("c_acctbal") < 0).cast("int").alias("is_negative"),
+    )
