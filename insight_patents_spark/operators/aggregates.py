@@ -56,3 +56,275 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS total_qty,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           {sql_davg('l_discount')} AS avg_discount
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped aggregate: single-row result via partial + final agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_discount").alias("avg_discount"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (expand+two-phase agg under AQE)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type. Estimates differ across
+    engines by design -> rows-only check; the companion exact query
+    (agg_count_distinct) covers value correctness."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two distinct aggregates in one group-by (Expand-based plan)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_extendedprice').replace('SUM(', 'SUM(', 1)} AS total_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) FILTER (WHERE l_quantity > 25) AS DOUBLE) AS big_qty_price,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(when(cond, x)) / count(when(cond, 1))."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dsum("l_extendedprice").alias("total_price"),
+        F.sum(
+            F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).cast(
+                "decimal(22,6)"
+            )
+        )
+        .cast("double")
+        .alias("big_qty_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+           GROUPING(CAST(YEAR(o_orderdate) AS INTEGER)) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_sales
+    FROM orders
+    GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS INTEGER), o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with subtotals + grouping id to disambiguate NULL-as-total
+    from NULL-as-value."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return o.rollup("order_year", "o_orderpriority").agg(
+        (F.grouping("order_year") * 2 + F.grouping("o_orderpriority")).cast(
+            "bigint"
+        ).alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_sales"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT c.c_mktsegment, n.n_name,
+           GROUPING(c.c_mktsegment) * 2 + GROUPING(n.n_name) AS gid,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (c.c_mktsegment, n.n_name)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over (segment, nation) after a broadcast dim join."""
+    from pyspark.sql.functions import broadcast
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+    return joined.cube("c_mktsegment", "n_name").agg(
+        (F.grouping("c_mktsegment") * 2 + F.grouping("n_name")).cast("bigint").alias(
+            "gid"
+        ),
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_balance"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (DF API has no direct form — this IS
+    the idiomatic Spark route)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("ips_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty
+        FROM ips_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(ROUND(stddev_samp(l_quantity), 6) AS DOUBLE) AS sd_qty,
+           CAST(ROUND(var_samp(l_quantity), 6) AS DOUBLE) AS var_qty,
+           CAST(ROUND(corr(l_quantity, l_discount), 6) AS DOUBLE) AS corr_qd,
+           CAST(ROUND(covar_samp(l_quantity, l_discount), 6) AS DOUBLE) AS cov_qd
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates over small-magnitude columns, rounded to 6dp
+    (merge-order error ~1e-12 << 5e-7 boundary distance; SURVEY §5)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qd"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS median_total,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.9), 4) AS DOUBLE) AS p90_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (not approx -> cross-engine stable;
+    both engines linearly interpolate over the sorted set)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_total"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_total"),
+        )
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders WHERE o_totalprice > 250000
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer sorted key list (collect_list MUST be sorted for
+    determinism; SURVEY §5)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts pivoted by event_type with an explicit (deterministic)
+    pivot column list."""
+    e = load(spark, sf_dir, "events")
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    # pivot yields NULL for absent combos; oracle's COUNT FILTER yields 0
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+    )
