@@ -1,1 +1,271 @@
-"""(filled in per SURVEY §7 build plan)"""
+"""Scalar function battery (SURVEY §2.7): string / regex / date / math /
+array / map / json / hash.
+
+Reference parity: patent-number normalization and grant-date bucketing
+are string/date function chains (SURVEY §0.1 step 2, [PK-M]); arrays and
+JSON cover the metadata-bag fields.
+
+All JVM-side built-ins — no Python in the hot path; every expression
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           TRIM(c_name) AS name_trim,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           CONCAT_WS('|', c_name, c_mktsegment) AS name_seg,
+           LENGTH(c_name) AS name_len,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           REPLACE(c_name, '#', '-') AS name_dash,
+           INSTR(c_name, '0') AS first_zero_pos,
+           SPLIT_PART(c_name, '#', 1) AS name_head
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery (patent-number normalization analog)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.trim("c_name").alias("name_trim"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dash"),
+        F.instr(F.col("c_name"), "0").cast("bigint").alias("first_zero_pos"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', 'X', 'g') AS masked,
+           regexp_matches(c_name, '[0-9]{2}') AS has_2digits
+    FROM customer
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", "[0-9]", "X").alias("masked"),
+        F.col("c_name").rlike("[0-9]{2}").alias("has_2digits"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+           CAST(DAY(o_orderdate) AS INTEGER) AS dy,
+           CAST(HOUR(o_orderdate) AS INTEGER) AS hr,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER) AS days_since_95,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime battery over TIMESTAMP_NTZ (grant-date bucketing analog).
+    All functions operate on NTZ directly -> timezone-independent."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.hour("o_orderdate").alias("hr"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_95"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("string").alias("month_end"),
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000"
+        ).alias("epoch_sec"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice, 1) AS DOUBLE) AS price_round,
+           CAST(FLOOR(l_extendedprice) AS DOUBLE) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS DOUBLE) AS price_ceil,
+           ABS(l_discount - 0.05) AS disc_dev,
+           POW(l_quantity, 2) AS qty_sq,
+           SQRT(l_quantity) AS qty_sqrt,
+           CAST(ROUND(LN(l_extendedprice), 9) AS DOUBLE) AS price_ln,
+           CAST(ROUND(EXP(l_discount), 9) AS DOUBLE) AS disc_exp,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           CAST(SIGN(l_quantity - 25) AS DOUBLE) AS qty_side
+    FROM lineitem WHERE l_orderkey % 13 = 0
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery. pow/sqrt are correctly-rounded IEEE ops; ln/exp are
+    library-dependent in the last ulp and therefore rounded to 9dp in both
+    engines (verified divergence: ~1% of rows otherwise)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 13 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_round"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        # transcendentals are not bit-identical across libm implementations
+        # (Java Math.log vs C libm differ in the last ulp) -> round to 9dp
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("price_ln"),
+        F.round(F.exp("l_discount"), 9).alias("disc_exp"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_quantity") - 25).alias("qty_side"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           list_contains(tokens, 'table') AS has_table,
+           tokens[1:3] AS first3,
+           list_sort(list_distinct(tokens)) AS vocab,
+           list_transform(tokens[1:5], t -> UPPER(t)) AS head_upper,
+           list_filter(tokens, t -> LENGTH(t) > 4) AS long_tokens,
+           CAST(list_aggregate(list_transform(tokens, t -> LENGTH(t)), 'sum') AS BIGINT) AS total_chars
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function battery over tokenized text."""
+    d = load(spark, sf_dir, "documents").withColumn("tokens", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.array_contains("tokens", "table").alias("has_table"),
+        F.slice("tokens", 1, 3).alias("first3"),
+        F.sort_array(F.array_distinct("tokens")).alias("vocab"),
+        F.transform(F.slice("tokens", 1, 5), lambda t: F.upper(t)).alias("head_upper"),
+        F.filter("tokens", lambda t: F.length(t) > 4).alias("long_tokens"),
+        F.aggregate(
+            F.transform("tokens", lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(tokens, 1) - 1 AS INTEGER) AS pos,
+           unnest(tokens) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens
+          FROM documents WHERE doc_id % 25 = 0)
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode tokens with position (0-based in Spark; oracle shifts)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT doc_id,
+           map_keys(m) AS ks,
+           map_values(m) AS vs,
+           m['lang'][1] AS lang_val
+    FROM (SELECT doc_id,
+                 MAP {'lang': lang, 'source': source} AS m
+          FROM documents)
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + access (metadata-bag analog)."""
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        m.getItem("lang").alias("lang_val"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+           json_extract_string(props, '$.k') AS k_raw
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON string two ways: typed via from_json
+    with an explicit schema, raw via get_json_object."""
+    e = load(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return e.select(
+        "event_id",
+        F.from_json("props", schema).getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_raw"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(CONCAT(lang, ':', text)) AS keyed_md5
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-stable content signatures (dedup keys). Spark's
+    hash/xxhash64 are engine-internal and never appear in checked results
+    (SURVEY §5)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("text"))).alias("keyed_md5"),
+    )
