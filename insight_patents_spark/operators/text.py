@@ -1,1 +1,727 @@
-"""(filled in per SURVEY §7 build plan)"""
+"""Text analysis / similarity / LLM-pipeline operators (SURVEY §2.8).
+
+The north-star surface for a training-data pipeline: tokenization,
+TF-IDF, language ID, quality scoring, fingerprinting, lexicon scoring,
+and the dedup family (exact in setops.py; MinHash-LSH, SimHash-style,
+token-set Jaccard here).
+
+Scale design (what survives 100×):
+- The Jaccard similarity join uses AllPairs/PPJoin prefix filtering
+  (tokens globally ordered rarest-first; only prefix tokens generate
+  candidates; exact verify afterwards) — the filter-verification pattern
+  from the string-similarity-join literature (PAPERS.md ICDE'22 entry).
+  Candidates scale with prefix-bucket sizes, not |docs|².
+- MinHash-LSH bands candidates through equality buckets (shuffle join on
+  band key), never pairwise across buckets.
+- Everything is built-in JVM expressions (md5, explode, groupBy) — no
+  Python UDFs in any hot path.
+
+Determinism: signatures use md5 (byte-identical across engines);
+transcendentals (idf) rounded to 9dp; Jaccard = exact integer ÷ exact
+integer (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+# Inline fixtures (FIXTURES.md §5): defined identically in both engines.
+LEXICON = [  # (token, integer weight) — integer so group sums are exact
+    ("fast", 2),
+    ("big", 1),
+    ("small", -1),
+    ("error", -3),
+    ("scan", 1),
+    ("merge", 2),
+    ("the", 0),
+    ("slow", -2),
+]
+_LEX_SQL_VALUES = ", ".join(f"('{t}', {w})" for t, w in LEXICON)
+
+MINHASH_SEEDS = [f"s{i:02d}" for i in range(16)]
+_SEEDS_SQL = ", ".join(f"('{s}', {i})" for i, s in enumerate(MINHASH_SEEDS))
+
+STOPWORDS = ["the", "a", "of", "and", "to", "data"]
+_STOP_SQL = ", ".join(f"'{t}'" for t in STOPWORDS)
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_tokenize_wordcount",
+    oracle="""
+    SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → explode → corpus word counts (the classic first stage of
+    every text pipeline; sentiment-pipeline shape per PAPERS.md EDBT'16)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+    )
+    GROUP BY bigram
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts via index-lambda over the token array (no shuffle
+    until the final count)."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           CAST(ROUND(LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 9) AS DOUBLE) AS idf,
+           CAST(ROUND(tf.tf * (ROUND(LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 9)), 9) AS DOUBLE) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE tf.doc_id % 10 = 0
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: tf per (doc, term) ⋈ df per term (broadcast — vocabulary is
+    tiny relative to the corpus by construction) ⋈ corpus size. idf is
+    smoothed ln((N+1)/(df+1))+1, rounded 9dp (libm divergence)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; corpus cardinality, not data
+    idf = F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 9)
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("idf", idf)
+        .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 9))
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "token", "tf", "df", "idf", "tfidf")
+    )
+
+
+@query(
+    "text_lang_route",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language routing stats (multilingual partitioning key)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens()).cast("bigint")).alias("total_tokens"),
+        F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+    )
+
+
+@query(
+    "text_lexicon_score",
+    oracle=f"""
+    WITH lex(token, weight) AS (VALUES {_LEX_SQL_VALUES}),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT d.doc_id,
+           COALESCE(s.score, 0) AS sentiment_score,
+           COALESCE(s.n_hits, 0) AS n_lexicon_hits
+    FROM documents d
+    LEFT JOIN (
+      SELECT tok.doc_id, CAST(SUM(lex.weight) AS BIGINT) AS score,
+             COUNT(*) AS n_hits
+      FROM tok JOIN lex ON tok.token = lex.token
+      GROUP BY tok.doc_id
+    ) s ON d.doc_id = s.doc_id
+    """,
+)
+def text_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-join sentiment-style scoring (EDBT'16 pattern): tokens ⋈
+    broadcast weighted lexicon → per-doc integer score (exact sums)."""
+    d = load(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(LEXICON, ["token", "weight"])
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    scores = (
+        tok.join(F.broadcast(lex), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("weight").cast("bigint").alias("score"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    return d.join(scores, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("score"), F.lit(0)).alias("sentiment_score"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_lexicon_hits"),
+    )
+
+
+@query(
+    "text_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b, a.p_brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+     AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join within brand blocks, with the length
+    filter (|len(a)-len(b)| ≤ d is a lower bound on edit distance) applied
+    BEFORE the expensive distance — the filter-verification pattern."""
+    a = load(spark, sf_dir, "part").alias("a")
+    b = load(spark, sf_dir, "part").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (
+            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2
+        ),
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_brand").alias("p_brand"),
+            "edit_dist",
+        )
+    )
+
+
+# Shared CTE text for Jaccard-style oracles: per-doc distinct tokens in a
+# global rarest-first order, with prefix length for threshold t.
+def _jaccard_docs_cte(threshold: float) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    tdf AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    docs AS (
+      SELECT doc_id,
+             list_transform(list_sort(list({{'d': d.df, 't': t.token}})), s -> s.t) AS toks,
+             COUNT(*) AS n
+      FROM tok t JOIN tdf d USING (token)
+      GROUP BY doc_id
+    ),
+    pref AS (
+      SELECT doc_id,
+             unnest(toks[1 : CAST(n - CEIL({threshold} * n) + 1 AS INTEGER)]) AS token
+      FROM docs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
+    )
+    """
+
+
+@query(
+    "text_jaccard_tokens",
+    oracle=_jaccard_docs_cte(0.9)
+    + """
+    SELECT doc_a, doc_b, inter, na + nb - inter AS uni,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT) AS inter,
+             da.n AS na, db.n AS nb
+      FROM cand c
+      JOIN docs da ON c.doc_a = da.doc_id
+      JOIN docs db ON c.doc_b = db.doc_id
+    )
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
+    """,
+)
+def text_jaccard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard similarity join, J ≥ 0.9, via AllPairs/PPJoin
+    prefix filtering: tokens globally ordered by (df asc, token asc); only
+    the first n-⌈t·n⌉+1 tokens of each doc generate candidates (a J≥t pair
+    must share a prefix token under a consistent global order); candidates
+    verified exactly. Jaccard = integer intersection / integer union —
+    exact in both engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    )
+    tdf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        tok.join(F.broadcast(tdf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df AS d, token AS t))), s -> s.t)"
+            ).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    pref = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("slice(toks, 1, CAST(n - CEIL(0.9 * n) + 1 AS INT))")
+        ).alias("token"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb")
+    )
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+        )
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+        .filter(F.col("jaccard") >= 0.9)
+    )
+    return verified.select("doc_a", "doc_b", "inter", "uni", "jaccard")
+
+
+@query(
+    "dedup_minhash",
+    oracle=f"""
+    WITH seeds(seed, seed_id) AS (VALUES {_SEEDS_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    sig AS (
+      SELECT t.doc_id, s.seed_id, MIN(md5(s.seed || ':' || t.token)) AS mh
+      FROM tok t CROSS JOIN seeds s
+      GROUP BY t.doc_id, s.seed_id
+    )
+    SELECT doc_id,
+           list_transform(list_sort(list({{'i': seed_id, 'h': mh}})), x -> x.h) AS signature
+    FROM sig GROUP BY doc_id
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16) per document: sig_i = min over distinct
+    tokens of md5(seed_i ‖ ':' ‖ token). md5 is byte-identical across
+    engines, so signatures (and therefore LSH bands) are reproducible
+    anywhere. Candidate pairing happens in dedup_minhash_pairs."""
+    d = load(spark, sf_dir, "documents")
+    seeds = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(MINHASH_SEEDS)], ["seed", "seed_id"]
+    )
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    sig = (
+        tok.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed_id",
+            F.md5(F.concat(F.col("seed"), F.lit(":"), F.col("token"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed_id")
+        .agg(F.min("h").alias("mh"))
+    )
+    return sig.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(seed_id AS i, mh AS h))), x -> x.h)"
+        ).alias("signature")
+    )
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH seeds(seed, seed_id) AS (VALUES {_SEEDS_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    sig AS (
+      SELECT t.doc_id, s.seed_id, MIN(md5(s.seed || ':' || t.token)) AS mh
+      FROM tok t CROSS JOIN seeds s
+      GROUP BY t.doc_id, s.seed_id
+    ),
+    bands AS (
+      SELECT doc_id, seed_id // 4 AS band_id,
+             md5(string_agg(mh, '|' ORDER BY seed_id)) AS band_key
+      FROM sig GROUP BY doc_id, seed_id // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    docs AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+             len(list_distinct(string_split(text, ' '))) AS n
+      FROM documents
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(da.toks, db.toks)) AS inter, da.n AS na, db.n AS nb
+      FROM cand c
+      JOIN docs da ON c.doc_a = da.doc_id
+      JOIN docs db ON c.doc_b = db.doc_id
+    )
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: 4 bands × 4 rows; docs whose band
+    signature collides become candidates (equality bucket join — never
+    pairwise across buckets); candidates verified by exact Jaccard ≥ 0.7."""
+    d = load(spark, sf_dir, "documents")
+    seeds = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(MINHASH_SEEDS)], ["seed", "seed_id"]
+    )
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    sig = (
+        tok.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed_id",
+            F.md5(F.concat(F.col("seed"), F.lit(":"), F.col("token"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed_id")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band_id", (F.col("seed_id") / 4).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(seed_id AS i, mh AS h))), x -> x.h)"
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docs = d.select(
+        "doc_id",
+        F.array_distinct(_tokens()).alias("toks"),
+        F.size(F.array_distinct(_tokens())).alias("n"),
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb")
+    )
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    dims AS (
+      SELECT doc_id, token, tf, unnest(range(1, 17)) AS i
+      FROM tok
+    ),
+    weighted AS (
+      SELECT doc_id, i,
+             SUM(tf * (strpos('0123456789abcdef', substr(md5(token), CAST(i AS INTEGER), 1)) - 8.5)) AS w
+      FROM dims GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           list_transform(list_sort(list({'i': i, 'b': CASE WHEN w > 0 THEN 1 ELSE 0 END})),
+                          x -> x.b) AS simhash_bits
+    FROM weighted GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-style fingerprint with 16 hex-digit dimensions: dimension i
+    weights each token by (hex digit i of md5(token)) - 8.5, tf-weighted;
+    the sign of the accumulated weight is bit i. Integer×half arithmetic
+    -> exact in both engines. Near-dup docs agree on most bits (Hamming)."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dims = tok.select(
+        "doc_id",
+        "token",
+        "tf",
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
+    )
+    weighted = dims.groupBy("doc_id", "i").agg(
+        F.sum(
+            F.col("tf")
+            * (
+                F.expr(
+                    "instr('0123456789abcdef', substring(md5(token), i, 1))"
+                )
+                - F.lit(8.5)
+            )
+        ).alias("w")
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i AS i, "
+            "CASE WHEN w > 0 THEN 1 ELSE 0 END AS b))), x -> x.b)"
+        ).alias("simhash_bits")
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, token, COUNT(*) AS tf
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY lang, token
+    ),
+    profile AS (
+      SELECT lang, token FROM (
+        SELECT lang, token,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tf DESC, token) AS rn
+        FROM tok
+      ) WHERE rn <= 5
+    ),
+    doc_tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    scores AS (
+      SELECT dt.doc_id, p.lang, COUNT(*) AS overlap
+      FROM doc_tok dt JOIN profile p ON dt.token = p.token
+      GROUP BY dt.doc_id, p.lang
+    )
+    SELECT d.doc_id, d.lang AS actual_lang,
+           COALESCE(s.lang, 'und') AS predicted_lang,
+           COALESCE(s.overlap, 0) AS profile_overlap
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, lang, overlap,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY overlap DESC, lang) AS rn
+      FROM scores
+    ) s ON d.doc_id = s.doc_id AND s.rn = 1
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by n-gram(unigram) frequency profiles (Cavnar-Trenkle
+    style): learn top-5 tokens per language from the corpus, predict the
+    language whose profile overlaps the document's token set most
+    (deterministic tie-break by overlap desc, lang asc)."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(_tokens()).alias("token")).groupBy(
+        "lang", "token"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("token"))
+    profile = (
+        tok.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token")
+    )
+    doc_tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+    )
+    scores = (
+        doc_tok.join(F.broadcast(profile.withColumnRenamed("lang", "cand_lang")), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("cand_lang")
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cand_lang", "overlap")
+    )
+    return d.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        F.coalesce(F.col("cand_lang"), F.lit("und")).alias("predicted_lang"),
+        F.coalesce(F.col("overlap"), F.lit(0)).alias("profile_overlap"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(ROUND(0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+                + 0.3 * LEAST(n_tokens / 50.0, 1.0)
+                + 0.2 * (CAST(n_stop AS DOUBLE) / n_tokens), 9) AS DOUBLE) AS quality_score
+    FROM (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, lexical diversity (type/token),
+    stopword ratio, combined score — the standard pre-training filter
+    features. Pure array expressions, zero shuffles."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size("toks").cast("bigint")
+    n_distinct = F.size(F.array_distinct("toks")).cast("bigint")
+    n_stop = F.size(
+        F.filter("toks", lambda t: F.array_contains(stop_arr, t))
+    ).cast("bigint")
+    ttr = n_distinct.cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = F.round(
+        0.5 * ttr + 0.3 * F.least(n_tokens / F.lit(50.0), F.lit(1.0)) + 0.2 * stop_ratio,
+        9,
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        ttr.alias("type_token_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex segmenter
+    (letters / digits / other) — the cheap token-budget estimator."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).cast("bigint").alias("bpe_ish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_transform(
+             list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+             s -> md5(s)))[1:4] AS fingerprint
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: 3-token shingles → md5 → 4 smallest hashes
+    (a deterministic winnowing-style signature for containment checks)."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), "
+        "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+        "element_at(toks, i + 2)))"
+    )
+    return d.select(
+        "doc_id",
+        F.slice(F.sort_array(F.transform(shingles, lambda s: F.md5(s))), 1, 4).alias(
+            "fingerprint"
+        ),
+    )
