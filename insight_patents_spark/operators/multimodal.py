@@ -1,0 +1,125 @@
+"""Multimodal (binary-column) operators — training-data-pipeline surface.
+
+Images/audio/video are opaque `binary` columns with typed metadata; the
+decode / feature-extract stage runs as Arrow-batched Python over
+`mapInPandas`. The decode libraries (PIL/ffmpeg/...) are not in this
+container, so the byte-level "decode" here is a deterministic feature
+extractor (length, header byte, content digest) — the Spark-side
+plumbing (binary schema, Arrow batch shape, mapInPandas signature,
+partitioning) is real and is what carries over to actual decoders.
+
+A genuine image resize/frame-sample stub (`mm_decode_stub`) shows the
+gated-import pattern and raises NotImplementedError only inside the
+clearly-marked library call.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources.tables import load
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'decode': deterministic byte-level features.
+
+    With a real decoder this is where PIL.Image.open(BytesIO(payload))
+    would run; batch shape and output contract stay identical.
+    """
+    import hashlib
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
+                    "int64"
+                ),
+                "digest": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+@query(
+    "mm_binary_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: text → binary payload column →
+    mapInPandas feature extraction (Arrow batches; the multimodal decode
+    path). Features are deterministic byte functions so the oracle can
+    reproduce them in SQL."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+@query("mm_decode_stub", oracle=None)  # rows-only: exercises the gated path
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-decode plumbing with the real gated-import pattern: rows whose
+    payload "decodes" get (width, height); the actual pixel decode is
+    stubbed behind an import-try, falling back to a deterministic fake
+    (metadata-derived dimensions). At deploy time only `_decode_image`
+    changes."""
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("decoder", T.StringType()),
+        ]
+    )
+
+    def _decode_image(payload: bytes) -> tuple[int, int, str]:
+        try:
+            import PIL.Image  # noqa: F401  (absent in this container)
+
+            raise NotImplementedError(
+                "real pixel decode not wired: container lacks image libs"
+            )
+        except ImportError:
+            # deterministic fake: dimensions derived from the byte stream
+            return len(payload) % 64 + 1, len(payload) % 48 + 1, "fake"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(_decode_image)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": decoded.map(lambda t: t[0]).astype("int64"),
+                    "height": decoded.map(lambda t: t[1]).astype("int64"),
+                    "decoder": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(run, schema=schema).orderBy("doc_id")

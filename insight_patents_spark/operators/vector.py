@@ -1,1 +1,251 @@
-"""(filled in per SURVEY §7 build plan)"""
+"""Vector / embedding similarity operators (SURVEY §2.8 north-star:
+similarity search over an embedding column).
+
+Scale design:
+- All pairwise work is blocked by `label` (the natural IVF-style cell:
+  at 100 TB you'd cluster into cells and search within cells) — never an
+  unblocked cross join.
+- Dot products are sequential index-order folds over doubles
+  (`aggregate(zip_with(...))`), which matches DuckDB's
+  `list_dot_product(DOUBLE[], DOUBLE[])` accumulation bit-for-bit
+  (probe-verified), so cosine scores hash-match without rounding slack.
+- Brute-force within-block top-k is the exact baseline; the LSH/IVF
+  scale path reuses the same verify stage with a coarser blocking key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.tables import load
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Sequential index-order double fold — bit-identical to DuckDB's
+    list_dot_product on DOUBLE[] (verified)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+@query(
+    "vec_cosine_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, label, neighbor_id, cosine
+    FROM (
+      SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+             list_dot_product(a.v, b.v) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY ROUND(list_dot_product(a.v, b.v), 9) DESC,
+                                         b.vec_id) AS rn
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar embeddings per vector within its label block
+    (brute-force cosine = dot, vectors are unit-normalized). Ranking on
+    the rounded score with vec_id tiebreak keeps order cross-engine
+    deterministic."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id"),
+        "label",
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("label_b"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    ).withColumn("cosine", _dot("va", "vb"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "label", "neighbor_id", "cosine")
+    )
+
+
+def _canonical_mean(col: F.Column) -> F.Column:
+    """Order-canonical double mean: sort the group's values, then a
+    sequential left fold. Both engines fold the same sorted sequence ->
+    bit-identical (decimal casts are NOT safe for float-derived doubles:
+    Spark's double→decimal goes through the 17-digit shortest string repr
+    and rounds differently from DuckDB's binary rounding — observed on
+    this data)."""
+    return F.aggregate(
+        F.sort_array(F.collect_list(col.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.count(col)
+
+
+@query(
+    "vec_centroid",
+    oracle="""
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           list_aggregate(list_sort(list(v)), 'sum') / COUNT(*) AS centroid
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise: posexplode → group by (label,
+    dimension) → order-canonical mean (sorted fold; see _canonical_mean)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+        .agg(_canonical_mean(F.col("v")).alias("centroid"))
+    )
+
+
+@query(
+    "vec_knn_label",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT clabel,
+             list_transform(list_sort(list({'p': pos, 'c': centroid})), x -> x.c) AS cv
+      FROM (
+        SELECT label AS clabel, pos,
+               list_aggregate(list_sort(list(v)), 'sum') / COUNT(*) AS centroid
+        FROM (SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings)
+        GROUP BY label, pos
+      ) GROUP BY clabel
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.cv)
+               + list_dot_product(c.cv, c.cv) AS dist2
+      FROM e CROSS JOIN cent c
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS pred_label
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY ROUND(dist2, 9), clabel) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT label, pred_label, COUNT(*) AS n
+    FROM pred GROUP BY label, pred_label
+    """,
+)
+def vec_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification + confusion counts: centroids
+    (10×64, broadcast) × vectors, squared-Euclidean via dot identities,
+    argmin with deterministic tiebreak."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    cent = (
+        load(spark, sf_dir, "embeddings")
+        .select(F.col("label").alias("clabel"), F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("clabel", "pos")
+        .agg(_canonical_mean(F.col("x")).alias("centroid"))
+        .groupBy("clabel")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos AS p, centroid AS c))), x -> x.c)"
+            ).alias("cv")
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "dist2",
+            _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("dist2", 9), F.col("clabel"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("clabel").alias("pred_label"))
+    )
+    return pred.groupBy("label", "pred_label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "dedup_embed_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           list_dot_product(a.v, b.v) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) >= 0.3
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within label blocks at
+    threshold 0.3 (calibrated to this corpus: random unit vectors, p99
+    intra-label cosine ≈ 0.3 — the semantics generalize to any
+    threshold)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cosine", _dot("va", "vb"))
+        .filter(F.col("cosine") >= 0.3)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )
+
+
+@query(
+    "mm_struct",
+    oracle="""
+    SELECT doc_id, lang, label,
+           CAST(embedding[1] AS DOUBLE) AS emb_first,
+           LENGTH(text) AS text_len
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def mm_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: text ⋈ embedding into one struct column,
+    then nested-field projection (the struct column is the multimodal
+    record; output is flattened scalars for cross-engine comparison)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    mm = (
+        d.join(e, d.doc_id == e.vec_id)
+        .withColumn(
+            "record",
+            F.struct(
+                F.col("doc_id"), F.col("text"), F.col("lang"),
+                F.col("embedding"), F.col("label"),
+            ),
+        )
+    )
+    return mm.select(
+        F.col("record.doc_id").alias("doc_id"),
+        F.col("record.lang").alias("lang"),
+        F.col("record.label").alias("label"),
+        F.element_at(F.col("record.embedding"), 1).cast("double").alias("emb_first"),
+        F.length(F.col("record.text")).cast("bigint").alias("text_len"),
+    )

@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "insight_patents_spark.functions.scalar",
     "insight_patents_spark.operators.text",
     "insight_patents_spark.operators.vector",
+    "insight_patents_spark.operators.multimodal",
     "insight_patents_spark.operators.graph",
     "insight_patents_spark.operators.udf",
     "insight_patents_spark.streaming.queries",
