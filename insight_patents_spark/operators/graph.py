@@ -1,1 +1,329 @@
-"""(filled in per SURVEY §7 build plan)"""
+"""Graph operators over the co-purchase graph (SURVEY §2.9 — the
+reference's analytical core: citation-network centrality, components,
+neighborhoods [PK-M/H]).
+
+Graph fixture (FIXTURES.md §5): undirected co-purchase graph — edge
+(part_a, part_b) iff both appear in the same order at least MIN_SUPPORT
+times; weight = co-occurrence count. Min-support pruning keeps the edge
+set bounded and meaningful as the fact table scales (~3.7k edges at both
+sf0.01 and sf0.1 — BASELINE.md risk item 3).
+
+Architecture (Pregel-on-dataflow, PAPERS.md VLDB'14): iterative
+algorithms are driver-side loops of join+aggregate with
+``localCheckpoint`` every few rounds to truncate lineage. No GraphX
+(no Python API) and no external jars — pure DataFrame ops.
+
+Determinism (SURVEY §5): PageRank runs a FIXED 10 iterations with
+order-canonical contribution sums (sorted fold — bit-identical in both
+engines by induction over iterations); CC iterates to fixpoint in Spark
+and is checked against a 16-round unrolled oracle (fixpoint reached in
+11 rounds on this data, probe-verified at both SFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+MIN_SUPPORT = 2
+PAGERANK_ITERS = 10
+DAMPING = 0.85
+CC_MAX_ROUNDS = 16  # oracle unroll depth; fixpoint at 11 on driver data
+KHOP_K = 3
+SSSP_MAX_DEPTH = 6
+
+# --- shared edge-builder (Spark + oracle CTE) ----------------------------
+
+_EDGES_CTE = f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+    ),
+    edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst, w FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst, w FROM pairs
+    )
+"""
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected canonical edge list (pa < pb, weight = co-occurrence)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= MIN_SUPPORT)
+    )
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge list (both directions of each undirected edge)."""
+    p = _pairs(spark, sf_dir)
+    return p.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionByName(p.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
+
+
+@query(
+    "graph_build",
+    oracle=_EDGES_CTE + "SELECT pa, pb, CAST(w AS BIGINT) AS w FROM pairs",
+)
+def graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the co-purchase edge list (citation-edge-table analog)."""
+    return _pairs(spark, sf_dir).select("pa", "pb", F.col("w").cast("bigint").alias("w"))
+
+
+@query(
+    "graph_degree",
+    oracle=_EDGES_CTE
+    + """
+    SELECT src AS node, COUNT(*) AS degree, CAST(SUM(w) AS BIGINT) AS weighted_degree
+    FROM edges GROUP BY src
+    """,
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree / weighted degree per vertex (integer-exact)."""
+    return (
+        _edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.sum("w").cast("bigint").alias("weighted_degree"),
+        )
+    )
+
+
+@query(
+    "graph_triangles",
+    oracle=_EDGES_CTE
+    + """
+    , tri AS (
+      SELECT p1.pa AS a, p1.pb AS b, p2.pb AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p1.pb = p2.pa
+      JOIN pairs p3 ON p3.pa = p1.pa AND p3.pb = p2.pb
+    ),
+    pertex AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS n_triangles FROM pertex GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle count (clustering signal). Ordered enumeration
+    a<b<c over the canonical pair list counts each triangle once; each
+    triangle credits its three vertices."""
+    p = _pairs(spark, sf_dir).select("pa", "pb")
+    p1 = p.alias("p1")
+    p2 = p.alias("p2")
+    p3 = p.alias("p3")
+    tri = (
+        p1.join(p2, F.col("p1.pb") == F.col("p2.pa"))
+        .join(
+            p3,
+            (F.col("p3.pa") == F.col("p1.pa")) & (F.col("p3.pb") == F.col("p2.pb")),
+        )
+        .select(
+            F.col("p1.pa").alias("a"),
+            F.col("p1.pb").alias("b"),
+            F.col("p2.pb").alias("c"),
+        )
+    )
+    pertex = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return pertex.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _cc_oracle() -> str:
+    sql = _EDGES_CTE + ", l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"
+    for r in range(1, CC_MAX_ROUNDS + 1):
+        sql += f"""
+    , l{r} AS MATERIALIZED (
+      SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM l{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, l.lbl FROM l{r - 1} l JOIN edges e ON e.src = l.node
+      ) GROUP BY node
+    )"""
+    return sql + f"\n    SELECT node, lbl AS component FROM l{CC_MAX_ROUNDS}"
+
+
+@query("graph_cc", oracle=_cc_oracle())
+def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation to fixpoint
+    (Pregel-style driver loop; localCheckpoint every 3 rounds truncates
+    lineage so the plan stays flat however many rounds run)."""
+    edges = _edges(spark, sf_dir).select("src", "dst").localCheckpoint()
+    lbl = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for round_no in range(1, CC_MAX_ROUNDS + 1):
+        propagated = (
+            lbl.join(edges, lbl.node == edges.src)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        new_lbl = (
+            lbl.select("node", "lbl")
+            .unionByName(propagated)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        if round_no % 3 == 0 or round_no == CC_MAX_ROUNDS:
+            new_lbl = new_lbl.localCheckpoint()
+            changed = (
+                new_lbl.alias("n")
+                .join(lbl.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            lbl = new_lbl
+            if changed == 0:
+                break
+        else:
+            lbl = new_lbl
+    return lbl.select("node", F.col("lbl").alias("component"))
+
+
+def _pagerank_oracle() -> str:
+    sql = _EDGES_CTE + """
+    , deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn)"""
+    for t in range(1, PAGERANK_ITERS + 1):
+        sql += f"""
+    , r{t} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             0.15 / ANY_VALUE(nn.n) + 0.85 *
+               list_aggregate(list_sort(list(r.rank / d.deg)), 'sum') AS rank
+      FROM r{t - 1} r
+      JOIN deg d ON r.node = d.src
+      JOIN edges e ON e.src = r.node
+      CROSS JOIN nn
+      GROUP BY e.dst
+    )"""
+    return sql + f"\n    SELECT node, rank FROM r{PAGERANK_ITERS}"
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, damping 0.85, FIXED 10 iterations (fixed count =
+    deterministic, SURVEY §5). Contribution sums are order-canonical
+    (sorted fold) so ranks are bit-identical across engines by induction.
+    Every vertex of this graph has out-degree ≥ 1, so no dangling-mass
+    term is needed."""
+    edges = _edges(spark, sf_dir).select("src", "dst").localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("node")).withColumn(
+        "rank", F.lit(1.0) / F.lit(float(n))
+    )
+    for t in range(1, PAGERANK_ITERS + 1):
+        contribs = (
+            ranks.alias("r")
+            .join(deg.alias("d"), F.col("r.node") == F.col("d.src"))
+            .join(edges.alias("e"), F.col("r.node") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("node"),
+                (F.col("r.rank") / F.col("d.deg")).alias("contrib"),
+            )
+        )
+        ranks = contribs.groupBy("node").agg(
+            (
+                F.lit(0.15) / F.lit(float(n))
+                + F.lit(0.85)
+                * F.aggregate(
+                    F.sort_array(F.collect_list("contrib")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("rank")
+        )
+        if t % 3 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank")
+
+
+_SEED_PRED = "src % 500 = 0"
+
+
+def _bfs_oracle(max_depth: int, seed_pred: str) -> str:
+    sql = _EDGES_CTE + f"""
+    , d0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM edges WHERE {seed_pred})"""
+    for r in range(1, max_depth + 1):
+        sql += f"""
+    , d{r} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d{r - 1} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+    return sql + f"\n    SELECT node, CAST(dist AS INTEGER) AS dist FROM d{max_depth}"
+
+
+def _bfs(spark: SparkSession, sf_dir: str, max_depth: int, seed_filter) -> DataFrame:
+    """Frontier-expansion BFS keeping min first-visit depth; one
+    join+min-agg per level, checkpointed."""
+    edges = _edges(spark, sf_dir).select("src", "dst").localCheckpoint()
+    dist = (
+        edges.filter(seed_filter)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    for r in range(1, max_depth + 1):
+        expanded = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if r % 3 == 0:
+            dist = dist.localCheckpoint()
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+@query("graph_bfs_khop", oracle=_bfs_oracle(KHOP_K, _SEED_PRED))
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop neighborhood from the seed set (part keys ≡ 0 mod 500):
+    every reachable vertex with its min hop distance ≤ 3 (neighborhood
+    queries over the citation graph, SURVEY §0.1)."""
+    return _bfs(spark, sf_dir, KHOP_K, F.col("src") % 500 == 0)
+
+
+@query(
+    "graph_shortest_path",
+    oracle=_EDGES_CTE
+    + ", seed AS (SELECT MIN(src) AS s FROM edges)"
+    + _bfs_oracle(SSSP_MAX_DEPTH, "src = (SELECT s FROM seed)").split(_EDGES_CTE, 1)[1],
+)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest-path length from the minimum vertex id, bounded
+    at depth 6 (documented bound; Cypher path-query analog)."""
+    edges = _edges(spark, sf_dir)
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    return _bfs(spark, sf_dir, SSSP_MAX_DEPTH, F.col("src") == F.lit(seed))
