@@ -1,1 +1,225 @@
-"""(filled in per SURVEY §7 build plan)"""
+"""UDF / UDAF / UDTF surface (SURVEY §2.11; patterns from SNIPPETS.md).
+
+The Python escape hatch, ranked by cost: Arrow-vectorized pandas UDFs
+(~10-100× faster than row-at-a-time), then applyInPandas/mapInPandas for
+table functions, plain Python UDFs only to demonstrate the slow path.
+None of these appear in relational hot paths elsewhere in the engine
+(BASELINE.md risk item 1).
+
+Determinism: any float reduction done in Python uses the same
+order-canonical sorted fold as the JVM-side operators, so results match
+the SQL oracle bitwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import query
+from ..sources.tables import load
+
+
+def _sorted_fold(values) -> float:
+    """Sequential left fold over ascending-sorted doubles — the Python
+    mirror of list_aggregate(list_sort(...), 'sum')."""
+    acc = 0.0
+    for v in np.sort(np.asarray(values, dtype="float64")):
+        acc += v
+    return acc
+
+
+@query(
+    "udf_python_scalar",
+    oracle="""
+    SELECT c_custkey,
+           (c_custkey % 97) * 31 + LENGTH(CAST(c_custkey AS VARCHAR)) AS checksum
+    FROM customer
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (patent-id checksum analog). Correctness
+    demo only — each row crosses the JVM↔Python boundary individually."""
+
+    @F.udf(returnType=T.LongType())
+    def checksum(k: int) -> int:
+        return (k % 97) * 31 + len(str(k))
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", checksum("c_custkey").alias("checksum"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF: whole columns cross the boundary as
+    Arrow batches, arithmetic runs on numpy arrays (IEEE-identical to the
+    JVM expression)."""
+
+    @pandas_udf(T.DoubleType())
+    def net_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "udaf_pandas_agg",
+    oracle="""
+    SELECT l_returnflag,
+           list_aggregate(list_sort(list(l_extendedprice * l_quantity)), 'sum')
+             / list_aggregate(list_sort(list(l_quantity)), 'sum') AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: quantity-weighted mean price with
+    order-canonical sums (sorted fold both in Python and in the oracle)."""
+
+    @pandas_udf(T.DoubleType())
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return _sorted_fold(price.values * qty.values) / _sorted_fold(qty.values)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg("l_extendedprice", "l_quantity").alias("weighted_avg_price")
+    )
+
+
+@query(
+    "udtf_apply_in_pandas",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             list_aggregate(list_sort(list(value)), 'sum') / COUNT(*) AS mu,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    ),
+    var_ AS (
+      SELECT e.user_id,
+             list_aggregate(list_sort(list((e.value - s.mu) * (e.value - s.mu))), 'sum')
+               / (ANY_VALUE(s.n) - 1) AS var_v
+      FROM events e JOIN stats s USING (user_id)
+      GROUP BY e.user_id
+    )
+    SELECT e.event_id, e.user_id,
+           (e.value - s.mu) / SQRT(v.var_v) AS z_score
+    FROM events e
+    JOIN stats s USING (user_id)
+    JOIN var_ v USING (user_id)
+    """,
+)
+def udtf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas): per-user z-score normalization. The
+    mean and sample variance use sorted folds so the Python result equals
+    the SQL oracle bitwise."""
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("z_score", T.DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].values.astype("float64")
+        n = len(v)
+        mu = _sorted_fold(v) / n
+        var = _sorted_fold((v - mu) * (v - mu)) / (n - 1)
+        sd = np.sqrt(var)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "z_score": (v - mu) / sd,
+            }
+        )
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return e.groupBy("user_id").applyInPandas(normalize, schema=out_schema)
+
+
+@query(
+    "udtf_map_in_pandas",
+    oracle="""
+    SELECT o_orderkey, CAST(i AS BIGINT) AS copy_no, o_totalprice
+    FROM (SELECT o_orderkey, o_totalprice, o_orderkey % 3 + 1 AS n_copies
+          FROM orders WHERE o_orderkey % 50 = 0),
+         LATERAL (SELECT unnest(range(1, CAST(n_copies AS BIGINT) + 1)) AS i)
+    """,
+)
+def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise table function (mapInPandas): deterministic row
+    expansion — each order yields (o_orderkey % 3 + 1) copies with a copy
+    index. Arrow batches in, arbitrary-cardinality batches out."""
+    out_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("copy_no", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            reps = (pdf["o_orderkey"] % 3 + 1).astype("int64")
+            idx = pdf.index.repeat(reps)
+            out = pdf.loc[idx, ["o_orderkey", "o_totalprice"]].reset_index(drop=True)
+            out["copy_no"] = np.concatenate([np.arange(1, r + 1) for r in reps])
+            yield out[["o_orderkey", "copy_no", "o_totalprice"]]
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    return o.mapInPandas(expand, schema=out_schema)
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(tokens, 1) - 1 AS BIGINT) AS pos,
+           unnest(tokens) AS token,
+           CAST(LENGTH(unnest(tokens)) AS BIGINT) AS token_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens
+          FROM documents WHERE doc_id % 20 = 0)
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF: lateral-join text → one row per token with
+    position and length metadata."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string, token_len: bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("ips_tokenize", Tokenize)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    d.createOrReplaceTempView("ips_docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM ips_docs_udtf d, LATERAL ips_tokenize(d.text) t
+        """
+    )

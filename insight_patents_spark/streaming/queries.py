@@ -1,1 +1,368 @@
-"""(filled in per SURVEY §7 build plan)"""
+"""Structured Streaming operators (SURVEY §2.10).
+
+Reference parity: weekly patent-grant batches are an append-only dated
+stream (SURVEY §1.1); each query here is the streaming form of a batch
+aggregation, run with ``Trigger.AvailableNow`` over a file source so the
+final state equals the batch answer — which is exactly what makes the
+DuckDB oracle applicable (SURVEY §2.10 note).
+
+Mechanics:
+- The raw events parquet stores ns timestamps which the streaming file
+  source cannot read either; the harness materializes a µs TIMESTAMP_NTZ
+  copy per (sf, schema-version) into a temp dir once and streams that
+  (SURVEY §5 workaround, owned here).
+- Watermarks are required by Spark for streaming state cleanup; with
+  AvailableNow + in-order files they do not drop rows, so results stay
+  batch-equal (the late-data drop test builds a deliberately shuffled
+  source instead).
+- Each query writes to an in-memory sink table and returns the final
+  result as a DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+_STREAM_TMP = os.path.join(tempfile.gettempdir(), "ips_stream")
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts as TIMESTAMP (not NTZ): Spark watermarks require
+    TimestampType. Built straight from the raw bigint nanos via
+    timestamp_micros (epoch-exact, timezone-independent)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) a µs-timestamp copy of events for file streaming."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_STREAM_TMP, key, "events_us")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        _events_us(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream_dir(spark, sf_dir)
+    schema = _events_us(spark, sf_dir).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def _run_available_now(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    spark = stream_df.sparkSession
+    ckpt = os.path.join(
+        _STREAM_TMP, "ckpt", f"{name}-{abs(hash(stream_df.schema.json())) % 10**8}"
+    )
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT TIMESTAMP '1970-01-01 00:00:00' + CAST(FLOOR(epoch(ts) / 600) AS BIGINT) * 600 * INTERVAL 1 SECOND
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + sum per event_type per 10-minute tumbling window
+    (watermarked windowed aggregation; AvailableNow => batch-equal)."""
+    s = _read_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    out = _run_available_now(agg, "ips_stream_tumbling")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH b AS (
+      SELECT value, ts,
+             TIMESTAMP '1970-01-01 00:00:00' + CAST(FLOOR(epoch(ts) / 300) AS BIGINT) * 300 * INTERVAL 1 SECOND AS w0
+      FROM events
+    ),
+    cand AS (
+      SELECT w0 AS ws, value, ts FROM b
+      UNION ALL
+      SELECT w0 - INTERVAL 5 MINUTE AS ws, value, ts FROM b
+    )
+    SELECT ws AS window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM cand
+    WHERE ts >= ws AND ts < ws + INTERVAL 10 MINUTE
+    GROUP BY ws
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in two
+    windows; the oracle enumerates both candidate windows per event)."""
+    s = _read_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    out = _run_available_now(agg, "ips_stream_sliding")
+    return out.select(
+        F.col("window.start").alias("window_start"), "n_events", "total_value"
+    )
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM sess GROUP BY user_id, sess_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 5-minute gap (session_window state
+    op; oracle is the classic gaps-and-islands rewrite)."""
+    s = _read_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    )
+    out = _run_available_now(agg, "ips_stream_session")
+    return out.select(
+        "user_id",
+        F.col("mn").alias("session_start"),
+        "n_events",
+        (
+            F.expr("unix_micros(CAST(mx AS TIMESTAMP)) div 1000000")
+            - F.expr("unix_micros(CAST(mn AS TIMESTAMP)) div 1000000")
+        ).alias("duration_sec"),
+    )
+
+
+@query("stream_watermark_late", oracle=None)  # rows-only by design (late drop)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data policy: files arrive out of time order (second half of the
+    data first), watermark = 10 minutes, append mode. Windows finalized
+    before the stragglers arrive drop them — the result is deliberately
+    NOT batch-equal, so this is a rows-only contract; the companion
+    batch-bound check lives in tests (late count ≤ batch count)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out_dir = os.path.join(_STREAM_TMP, key, "events_shuffled")
+    if not os.path.exists(os.path.join(out_dir, "_done")):
+        ev = _events_us(spark, sf_dir)
+        mid = ev.approxQuantile("event_id", [0.5], 0.01)[0]
+        # file 1 = late half (older timestamps written first... the file
+        # source lists files in order; write newer data as the FIRST file)
+        ev.filter(F.col("event_id") > mid).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "f0")
+        )
+        ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "f1")
+        )
+        open(os.path.join(out_dir, "_done"), "w").close()
+    schema = _events_us(spark, sf_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(out_dir, "f*"))
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_available_now(agg, "ips_stream_late", mode="append")
+    return out.select(F.col("window.start").alias("window_start"), "n_events")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique_events
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark
+    (dropDuplicatesWithinWatermark), then counts per type. event_id is
+    unique in the source, so dedup is semantically the identity — the
+    state machinery is what is exercised."""
+    s = _read_stream(spark, sf_dir)
+    dedup = (
+        s.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+    return _run_available_now(dedup, "ips_stream_dedup")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT n.n_name, e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name, e.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static dimension
+    (broadcast to every micro-batch), then aggregates."""
+    s = _read_stream(spark, sf_dir)
+    nation = load(spark, sf_dir, "nation")
+    joined = s.join(
+        F.broadcast(nation), s.user_id % 25 == nation.n_nationkey
+    )
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    return _run_available_now(agg, "ips_stream_static_join")
+
+
+@query(
+    "stream_stateful_custom",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_spend,
+           CAST(MAX(value) AS DOUBLE) AS max_single
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful per-user aggregation via applyInPandasWithState:
+    cumulative spend, event count, and running max held in explicit
+    GroupState across micro-batches (the custom-operator escape hatch for
+    semantics windows can't express)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_spend", T.DoubleType()),
+            T.StructField("max_single", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total_dec", T.StringType()),  # exact decimal as str
+            T.StructField("mx", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        from decimal import Decimal
+
+        n, total, mx = 0, Decimal(0), float("-inf")
+        if state.exists:
+            n0, t0, m0 = state.get
+            n, total, mx = n0, Decimal(t0), m0
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact decimal accumulation mirrors the engine-wide dsum rule
+            total += sum(Decimal(str(round(v, 6))) for v in pdf["value"])
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, str(total), mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_spend": [float(total)],
+                "max_single": [mx],
+            }
+        )
+
+    s = _read_stream(spark, sf_dir).select("user_id", "ts", "value")
+    result = (
+        s.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _run_available_now(result, "ips_stream_stateful", mode="update")
+    # update mode emits one row per group per batch; keep the final state
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_spend", "max_single")
+    )
