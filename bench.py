@@ -1,0 +1,68 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full computation,
+no driver-side collection cost). A warm-up query runs first so JVM/codegen
+startup is excluded from per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from insight_patents_spark import registry  # noqa: E402
+from insight_patents_spark.session import get_spark  # noqa: E402
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    only = sys.argv[1:]  # optional subset for iteration
+
+    specs = registry.load_all()
+    names = [n for n in sorted(specs) if not only or n in only]
+
+    spark = get_spark("ips-bench")
+    _execute(specs["agg_groupby"].fn(spark, sf_dir))  # warm-up
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            _execute(specs[name].fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# BENCH ERROR {name}: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Physical-plan quality gates (SURVEY §4): the scale properties the
+engine relies on must be visible in the optimized plans, not assumed."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from insight_patents_spark.plans.explain import (  # noqa: E402
+    assert_in_plan,
+    formatted_plan,
+)
+from insight_patents_spark.sources.tables import load  # noqa: E402
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000).select(
+        "o_orderkey"
+    )
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,100000.0)" in plan
+
+
+def test_column_pruning_in_readschema(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = formatted_plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    from insight_patents_spark.operators.joins import join_broadcast
+
+    assert_in_plan(join_broadcast(spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    from insight_patents_spark.operators.setops import limit_topk
+
+    assert_in_plan(limit_topk(spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_groupby_has_partial_aggregation(spark, sf_dir):
+    from insight_patents_spark.operators.aggregates import agg_groupby
+
+    plan = formatted_plan(agg_groupby(spark, sf_dir))
+    # map-side partial + final hash aggregate = two HashAggregate nodes
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    from insight_patents_spark.operators.windows import topk_per_group
+
+    assert_in_plan(topk_per_group(spark, sf_dir), "WindowGroupLimit")
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir):
+    from insight_patents_spark.operators.relational import sink_parquet
+
+    plan = formatted_plan(sink_parquet(spark, sf_dir))
+    assert "PartitionFilters: [" in plan
+    pruned = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderstatus" in pruned
+
+
+def test_vectorized_scan_and_partial_agg(spark, sf_dir):
+    # AQE wraps the plan before execution so WholeStageCodegen spans are
+    # not printed; the equivalent checkable properties are the vectorized
+    # (batched) parquet scan and map-side partial aggregation.
+    from insight_patents_spark.operators.aggregates import agg_groupby
+
+    plan = formatted_plan(agg_groupby(spark, sf_dir))
+    assert "Batched: true" in plan
+    assert "partial_sum" in plan
