@@ -23,7 +23,7 @@ integer (SURVEY §5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -482,33 +482,72 @@ def text_jaccard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, signature[16]) via the vocabulary trick: md5(seed‖token) is
     computed once per DISTINCT token (16 × |vocab| hashes, broadcast),
-    then signatures are an order-free elementwise-min fold over each
-    document's token hash vectors — one narrow shuffle keyed by doc_id,
-    ~5× faster than the naive (doc, seed, token) expansion and exactly
-    equal to it."""
+    then each signature component is a plain MIN aggregate — 16 string
+    mins in ONE hash aggregate, one narrow shuffle keyed by doc_id.
+    Exactly equal to the naive (doc, seed, token) expansion."""
+    return _doc_sig_mask(spark, sf_dir).select("doc_id", "signature")
+
+
+def _doc_sig_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_sig_mask_chunks(spark, sf_dir)[0]
+
+
+def _doc_sig_mask_chunks(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """Shared scan for the MinHash family: one pass computes, per doc,
+    the 16-component MinHash signature AND a dictionary-encoded token
+    bitset (array of 64-bit chunks) + distinct-token count.
+
+    The bitset turns exact-Jaccard verification from an O(|toks|)
+    string-array intersection per candidate pair into a few AND+popcount
+    instructions (`bit_count(a & b)`), which is what makes the verify
+    stage of dedup_minhash_pairs cheap even when LSH buckets are dense.
+    The dictionary (token → dense id) is built like any broadcast
+    dictionary encode: distinct tokens, deterministic rank order. At
+    100 TB a token dictionary may exceed broadcast size — then the
+    bitset degrades gracefully back to sorted-int-array intersection;
+    the signature path (broadcast of per-token hash rows) is unchanged
+    because it only ever ships |vocab| rows, not |docs|."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
-    vocab_h = tok.select("token").distinct().withColumn(
-        "h",
-        F.array(
-            *[
-                F.md5(F.concat(F.lit(s), F.lit(":"), F.col("token")))
-                for s in MINHASH_SEEDS
-            ]
-        ),
+    vocab = (
+        tok.select("token")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("token")) - 1)
     )
-    top = F.array_repeat(F.lit("g"), len(MINHASH_SEEDS))  # 'g' > any hex char
-    return (
-        tok.join(F.broadcast(vocab_h), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.collect_list("h"),
-                top,
-                lambda acc, x: F.zip_with(acc, x, lambda p, q: F.least(p, q)),
-            ).alias("signature")
-        )
+    # Dictionary size drives the bitset width; collecting this one scalar
+    # is a stats job (AQE-style), not a data collect.
+    n_vocab = vocab.count()
+    n_chunks = max(1, (n_vocab + 63) // 64)
+    vocab_h = vocab.select(
+        "token",
+        "tid",
+        *[
+            F.md5(F.concat(F.lit(s), F.lit(":"), F.col("token"))).alias(f"h{i}")
+            for i, s in enumerate(MINHASH_SEEDS)
+        ],
     )
+    aggs = [F.min(f"h{i}").alias(f"h{i}") for i in range(len(MINHASH_SEEDS))]
+    aggs += [
+        F.bit_or(
+            F.when(
+                F.expr(f"tid DIV 64 = {c}"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias(f"m{c}")
+        for c in range(n_chunks)
+    ]
+    g = tok.join(F.broadcast(vocab_h), "token").groupBy("doc_id").agg(
+        *aggs, F.count("*").alias("n")
+    )
+    out = g.select(
+        "doc_id",
+        F.array(*[f"h{i}" for i in range(len(MINHASH_SEEDS))]).alias("signature"),
+        F.array(*[f"m{c}" for c in range(n_chunks)]).alias("mask"),
+        "n",
+    )
+    return out, n_chunks
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,53 +602,63 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: 4 bands × 4 rows; docs whose band
     signature collides become candidates (equality bucket join — never
-    pairwise across buckets); candidates verified by exact Jaccard ≥ 0.7."""
-    d = load(spark, sf_dir, "documents")
+    pairwise across buckets); candidates verified by exact Jaccard ≥ 0.7.
+
+    Scale shape: ONE shuffle builds signatures+bitsets (_doc_sig_mask);
+    the band self-join carries each doc's bitset and all band keys, so
+    verification needs NO re-join against the documents table, Jaccard
+    is AND+popcount on the bitsets, and each colliding pair is emitted
+    exactly once (only from its FIRST colliding band — an exists() check
+    over the carried key arrays) so no multi-million-row DISTINCT
+    shuffle exists anywhere in the plan."""
     n_bands = len(MINHASH_SEEDS) // 4
-    sigs = _minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
+    sm, n_chunks = _doc_sig_mask_chunks(spark, sf_dir)
+    bands = sm.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.array_join(F.slice("signature", b * 4 + 1, 4), "|"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_id", "band_key"),
+        "n",
+        *[F.col("mask")[c].alias(f"m{c}") for c in range(n_chunks)],
+        *[
+            F.md5(F.array_join(F.slice("signature", b * 4 + 1, 4), "|")).alias(f"k{b}")
+            for b in range(n_bands)
+        ],
+    ).select(
+        "*",
+        F.posexplode(F.array(*[f"k{b}" for b in range(n_bands)])).alias(
+            "band_id", "band_key"
+        ),
     )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    pair = bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    # Emit each pair only from its first colliding band (dedup without a
+    # multi-million-row DISTINCT) — statically unrolled, codegen-friendly.
+    dup_from_earlier_band = F.lit(False)
+    for j in range(n_bands - 1):
+        dup_from_earlier_band = dup_from_earlier_band | (
+            (F.col("a.band_id") > j) & (F.col(f"a.k{j}") == F.col(f"b.k{j}"))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    docs = d.select(
-        "doc_id",
-        F.array_distinct(_tokens()).alias("toks"),
-        F.size(F.array_distinct(_tokens())).alias("n"),
-    )
-    da = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na")
-    )
-    db = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb")
+    # Exact distinct-token intersection = popcount of ANDed dictionary
+    # bitsets — statically unrolled over chunks (no interpreted HOFs).
+    inter = sum(
+        F.expr(f"bit_count(a.m{c} & b.m{c})") for c in range(n_chunks)
     )
     return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        pair.filter(~dup_from_earlier_band)
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard",
-            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+            F.col("inter").cast("double")
+            / (F.col("a.n") + F.col("b.n") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= 0.7)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "jaccard",
+        )
     )
 
 
