@@ -16,8 +16,9 @@ algorithms are driver-side loops of join+aggregate with
 Determinism (SURVEY §5): PageRank runs a FIXED 10 iterations with
 order-canonical contribution sums (sorted fold — bit-identical in both
 engines by induction over iterations); CC iterates to fixpoint in Spark
-and is checked against a 16-round unrolled oracle (fixpoint reached in
-11 rounds on this data, probe-verified at both SFs).
+(propagation + pointer jumping — fixpoint is the same min-label-per-
+component regardless of schedule) and is checked against a 16-round
+unrolled propagation oracle.
 """
 
 from __future__ import annotations
@@ -52,23 +53,39 @@ _EDGES_CTE = f"""
 """
 
 
+_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected canonical edge list (pa < pb, weight = co-occurrence)."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    """Undirected canonical edge list (pa < pb, weight = co-occurrence).
+
+    Materialized once per (session, sf): the fact-table self-join that
+    builds it dominates every graph query, and all seven share it — the
+    graph-snapshot pattern (build the edge table once, traverse many
+    times)."""
+    key = (id(spark), sf_dir)
+    if key not in _PAIR_CACHE:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.alias("a")
+        b = li.alias("b")
+        _PAIR_CACHE[key] = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") >= MIN_SUPPORT)
+            # repartition AFTER the agg (a 3.6k-row shuffle) — a coalesce
+            # here would fold into the shuffle read and run the 1.2M-row
+            # aggregation itself on 4 reducers.
+            .repartition(4)
+            .localCheckpoint()
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= MIN_SUPPORT)
-    )
+    return _PAIR_CACHE[key]
 
 
 _EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
@@ -84,13 +101,17 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = (id(spark), sf_dir)
     if key not in _EDGE_CACHE:
-        p = _pairs(spark, sf_dir)
-        directed = p.select(
-            F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
-        ).unionByName(
-            p.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+        p = _pairs(spark, sf_dir)  # already checkpointed
+        # Materialized too: iterative queries touch edges ~20 times per
+        # run; a cached 4-partition table beats re-unioning every round.
+        _EDGE_CACHE[key] = (
+            p.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), "w")
+            .unionByName(
+                p.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+            )
+            .coalesce(4)
+            .localCheckpoint()
         )
-        _EDGE_CACHE[key] = directed.coalesce(4).localCheckpoint()
     return _EDGE_CACHE[key]
 
 
@@ -186,9 +207,24 @@ def _cc_oracle() -> str:
 @query("graph_cc", oracle=_cc_oracle())
 def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components by min-label propagation to fixpoint
-    (Pregel-style driver loop; localCheckpoint every 3 rounds truncates
-    lineage so the plan stays flat however many rounds run)."""
+    (Pregel-style driver loop), accelerated by pointer jumping every
+    second round; localCheckpoint at each jump truncates lineage so the
+    plan stays flat however many rounds run."""
     edges = _edges(spark, sf_dir).select("src", "dst")
+    # Workaround (Spark 4.1.2): Union constraint rewriting throws
+    # NoSuchElementException when a checkpointed self-joined label table
+    # feeds the next round's union; constraints buy nothing in this loop
+    # (joins are on exact keys over tiny tables), so disable propagation
+    # while the loop's checkpoints execute, restoring afterwards.
+    prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        return _cc_loop(edges)
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+
+
+def _cc_loop(edges: DataFrame) -> DataFrame:
     lbl = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -203,15 +239,33 @@ def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
         )
-        if round_no % 3 == 0 or round_no == CC_MAX_ROUNDS:
-            new_lbl = new_lbl.localCheckpoint()
+        if round_no % 2 == 0 or round_no == CC_MAX_ROUNDS:
+            # Pointer-jump, then checkpoint once: lbl <- lbl(lbl). Every
+            # label is itself a node id of the same component (inner join
+            # always resolves), so the extra self-join collapses label-
+            # chain depth geometrically — fixpoint in O(log diameter)
+            # propagation rounds instead of O(diameter), same fixpoint.
+            jumped = (
+                new_lbl.alias("x")
+                .join(
+                    new_lbl.select(
+                        F.col("node").alias("jn"), F.col("lbl").alias("jlbl")
+                    ),
+                    F.col("x.lbl") == F.col("jn"),
+                )
+                .select(
+                    F.col("x.node").alias("node"),
+                    F.col("jlbl").alias("lbl"),
+                )
+                .localCheckpoint()
+            )
             changed = (
-                new_lbl.alias("n")
+                jumped.alias("n")
                 .join(lbl.alias("o"), F.col("n.node") == F.col("o.node"))
                 .filter(F.col("n.lbl") != F.col("o.lbl"))
                 .count()
             )
-            lbl = new_lbl
+            lbl = jumped
             if changed == 0:
                 break
         else:

@@ -25,7 +25,10 @@ from ..sources.tables import load
 
 def _dot(a: str, b: str) -> F.Column:
     """Sequential index-order double fold — bit-identical to DuckDB's
-    list_dot_product on DOUBLE[] (verified)."""
+    list_dot_product on DOUBLE[] (verified). (A statically-unrolled
+    64-term element_at chain was tried and measured 2-3x SLOWER than this
+    HOF at sf0.1 — per-element null checks defeat codegen — so the fold
+    stays.)"""
     return F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -214,6 +217,102 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cosine", _dot("va", "vb"))
         .filter(F.col("cosine") >= 0.3)
         .select("vec_a", "vec_b", "label", "cosine")
+    )
+
+
+@query(
+    "vec_ann_ivf",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    ranked AS (
+      SELECT e.vec_id, s.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_dot_product(e.v, s.cv), 9) DESC,
+                                         s.cell_id) AS cell_rank
+      FROM e CROSS JOIN seeds s
+    ),
+    assign AS (SELECT vec_id, cell_id FROM ranked WHERE cell_rank = 1),
+    probe AS (SELECT vec_id, cell_id FROM ranked WHERE cell_rank <= 2),
+    cand AS (
+      SELECT p.vec_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assign a ON p.cell_id = a.cell_id
+      WHERE p.vec_id <> a.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine
+    FROM (
+      SELECT c.vec_id, c.neighbor_id,
+             list_dot_product(q.v, n.v) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY ROUND(list_dot_product(q.v, n.v), 9) DESC,
+                                         c.neighbor_id) AS rn
+      FROM cand c
+      JOIN e q ON c.vec_id = q.vec_id
+      JOIN e n ON c.neighbor_id = n.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via a deterministic IVF (inverted
+    file) index — the scale path for similarity search:
+
+    1. Coarse quantizer: every 50th vector is a cell seed (deterministic
+       stand-in for k-means centroids; cell count grows with N like a
+       real IVF's sqrt(N)-ish n_list).
+    2. Assignment: each vector joins the BROADCAST seed set and keeps its
+       nearest cell (one narrow N x n_list scored pass — the standard
+       IVF build cost; no pairwise N^2 anywhere).
+    3. Search: each query probes its nprobe=2 nearest cells, scores only
+       vectors assigned there (avg cell occupancy ~50), exact top-3
+       re-rank with rounded-score + id tiebreak.
+
+    At 100 TB: seeds stay broadcast-sized (n_list ~ 10^4-10^5), the
+    probe->assign join shuffles on cell_id (bounded fan-out nprobe x
+    |cell|), and recall/cost tunes via n_list x nprobe exactly like
+    FAISS-style IVF-Flat."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    seeds = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("score", _dot("v", "cv"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.round("score", 9).desc(), F.col("cell_id")
+                )
+            ),
+        )
+    )
+    # Materialize the index once (assign ⊂ probe both read it) — the IVF
+    # build step; without this both branches recompute the N×n_list scan.
+    top2 = (
+        ranked.filter(F.col("cell_rank") <= 2)
+        .select("vec_id", "cell_id", "cell_rank", "v")
+        .localCheckpoint()
+    )
+    assign = top2.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell_id",
+        F.col("v").alias("vn"),
+    )
+    probe = top2.select("vec_id", "cell_id", F.col("v").alias("vq"))
+    scored = (
+        probe.join(assign, "cell_id")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot("vq", "vn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "neighbor_id", "cosine")
     )
 
 

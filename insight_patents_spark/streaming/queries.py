@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources.tables import load
 
-_STREAM_TMP = os.path.join(tempfile.gettempdir(), "ips_stream")
+# Streaming scratch (checkpoints + the µs-converted source copy). A
+# checkpoint location is a deployment knob (HDFS/S3 on a cluster); locally
+# prefer tmpfs — state-store + commit-log fsyncs dominate AvailableNow
+# wall time on small data when the checkpoint sits on disk.
+_SCRATCH_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+_STREAM_TMP = os.path.join(_SCRATCH_ROOT, "ips_stream")
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
