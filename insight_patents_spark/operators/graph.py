@@ -239,37 +239,41 @@ def _cc_loop(edges: DataFrame) -> DataFrame:
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
         )
-        if round_no % 2 == 0 or round_no == CC_MAX_ROUNDS:
-            # Pointer-jump, then checkpoint once: lbl <- lbl(lbl). Every
-            # label is itself a node id of the same component (inner join
-            # always resolves), so the extra self-join collapses label-
-            # chain depth geometrically — fixpoint in O(log diameter)
-            # propagation rounds instead of O(diameter), same fixpoint.
-            jumped = (
-                new_lbl.alias("x")
-                .join(
-                    new_lbl.select(
-                        F.col("node").alias("jn"), F.col("lbl").alias("jlbl")
-                    ),
-                    F.col("x.lbl") == F.col("jn"),
-                )
-                .select(
-                    F.col("x.node").alias("node"),
-                    F.col("jlbl").alias("lbl"),
-                )
-                .localCheckpoint()
+        # Pointer-jump every round: lbl <- lbl(lbl). Every label is itself
+        # a node id of the same component (inner join always resolves), so
+        # the self-join collapses label-chain depth geometrically —
+        # fixpoint in O(log diameter) rounds instead of O(diameter). The
+        # fixpoint itself is schedule-independent (min label per
+        # component), so this equals the oracle's plain unrolled
+        # propagation. Checkpoint per round truncates lineage.
+        jumped = (
+            new_lbl.alias("x")
+            .join(
+                new_lbl.select(
+                    F.col("node").alias("jn"), F.col("lbl").alias("jlbl")
+                ),
+                F.col("x.lbl") == F.col("jn"),
             )
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("jlbl").alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        # Convergence check: a tiny join of two checkpointed label tables.
+        # Rounds 1-2 always change on any graph with an edge — skip the
+        # extra job there.
+        if round_no >= 3:
             changed = (
                 jumped.alias("n")
                 .join(lbl.alias("o"), F.col("n.node") == F.col("o.node"))
                 .filter(F.col("n.lbl") != F.col("o.lbl"))
                 .count()
             )
-            lbl = jumped
             if changed == 0:
+                lbl = jumped
                 break
-        else:
-            lbl = new_lbl
+        lbl = jumped
     return lbl.select("node", F.col("lbl").alias("component"))
 
 
