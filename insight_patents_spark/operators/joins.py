@@ -327,3 +327,123 @@ def join_self_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# --- scale-technique exhibits: bucketing and salting ---------------------
+
+_BUCKET_SCRATCH = "/dev/shm/ips_bucketed" if __import__("os").path.isdir(
+    "/dev/shm"
+) else __import__("tempfile").gettempdir() + "/ips_bucketed"
+
+
+@query(
+    "join_bucketed",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact-fact join: both sides are written
+    bucketed+sorted by the join key (8 buckets here; O(cluster cores) in
+    production), then joined bucket-to-bucket — the scan feeds a
+    sort-merge join with NO Exchange on either side (gated in
+    test_plans.py). This is the pre-shuffle pattern that amortizes the
+    big-join shuffle across every downstream query at 100 TB: pay the
+    partitioning once at ingest, never again per query."""
+    import os
+
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    names = {}
+    for tbl, join_key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tname = f"ips_b_{key}_{tbl}"
+        path = os.path.join(_BUCKET_SCRATCH, key, tbl)
+        if not spark.catalog.tableExists(tname):
+            (
+                load(spark, sf_dir, tbl)
+                .write.bucketBy(8, join_key)
+                .sortBy(join_key)
+                .option("path", path)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tname)
+            )
+        names[tbl] = tname
+    li = spark.table(names["lineitem"])
+    o = spark.table(names["orders"])
+    # merge hint: at test SF the planner would broadcast the small side;
+    # the point of the exhibit is the bucket-to-bucket sort-merge join
+    # (zero Exchange under the join), which is the plan a fact-fact join
+    # gets at 100 TB where neither side broadcasts.
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+_N_SALTS = 8
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS hot_key, value
+      FROM events
+    ),
+    d AS (
+      SELECT DISTINCT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS hot_key
+      FROM events
+    ),
+    dim AS (SELECT hot_key, 'grp_' || CAST(hot_key % 5 AS VARCHAR) AS grp FROM d)
+    SELECT dim.grp, COUNT(*) AS n_events,
+           CAST(SUM(CAST(f.value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM f JOIN dim ON f.hot_key = dim.hot_key
+    GROUP BY dim.grp
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join by key salting: half the fact rows collapse
+    onto one hot key (deterministic synthetic skew), which would pin a
+    single reducer in a plain shuffled join. The fact side salts the key
+    with a deterministic sub-key (event_id % 8 — never rand(), SURVEY
+    §5); the dim side replicates each row across all 8 salts; the join
+    runs on (key, salt) so the hot key spreads over 8 reducers. Result
+    is salt-invariant — the oracle is the plain unsalted join. At scale
+    this is the portable fallback where AQE skew-splitting can't reach
+    (grouped state, streaming joins); NSALT scales with observed skew."""
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("hot_key"),
+        "value",
+        (F.col("event_id") % _N_SALTS).alias("salt"),
+    )
+    dim = (
+        ev.select("hot_key")
+        .distinct()
+        .select(
+            "hot_key",
+            F.concat(F.lit("grp_"), (F.col("hot_key") % 5).cast("string")).alias(
+                "grp"
+            ),
+        )
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(_N_SALTS)])))
+    )
+    return (
+        ev.join(dim, ["hot_key", "salt"])
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

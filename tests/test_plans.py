@@ -76,3 +76,25 @@ def test_vectorized_scan_and_partial_agg(spark, sf_dir):
     plan = formatted_plan(agg_groupby(spark, sf_dir))
     assert "Batched: true" in plan
     assert "partial_sum" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    from insight_patents_spark.operators.joins import join_bucketed
+
+    plan = formatted_plan(join_bucketed(spark, sf_dir))
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan
+    # the only exchange is the final small-key aggregation — the join
+    # itself reads co-located buckets and shuffles nothing
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    from insight_patents_spark.operators.joins import join_skew_salted
+
+    plan = formatted_plan(join_skew_salted(spark, sf_dir))
+    # join key is the composite (hot_key, salt) — the hot key cannot pin
+    # a single reducer
+    assert "hot_key" in plan and "salt" in plan
