@@ -253,23 +253,33 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user quadratic blowup would not. (The oracle states the same
     semantics as the obvious quadratic SQL.)
     """
-    from pyspark.sql.window import Window
-
     e = load(spark, sf_dir, "events")
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("tag")
+        "user_id", "ts", "event_id"
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("tag")
+        "user_id", "ts", "event_id"
     )
+    return asof_last_at_or_before(clicks, purchases)
+
+
+def asof_last_at_or_before(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Core as-of kernel (property-tested directly in tests): for each
+    purchase row, the latest click row of the same user with
+    click.ts <= purchase.ts; ties on ts broken by max event_id. Both
+    inputs need columns (user_id, ts, event_id)."""
+    from pyspark.sql.window import Window
+
     # tag=0 sorts clicks before purchases at equal ts -> "at-or-before" is
     # inclusive; event_id tiebreak keeps the carried click deterministic.
+    tagged = clicks.select(
+        "user_id", "ts", "event_id", F.lit(0).alias("tag")
+    ).unionByName(purchases.select("user_id", "ts", "event_id", F.lit(1).alias("tag")))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "tag", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tagged = clicks.unionByName(purchases)
     carried = tagged.withColumn(
         "prior_click_id",
         F.last(F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True).over(w),

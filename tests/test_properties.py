@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the custom operator kernels whose
+semantics Spark doesn't provide natively — checked against brute-force
+Python references on randomized small inputs.
+
+These complement the DuckDB oracle gate: the oracle pins one dataset; these
+pin the SEMANTICS over arbitrary inputs (tie-breaks, empty groups,
+disconnected graphs, self-referential labels).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from insight_patents_spark.operators.graph import _cc_loop  # noqa: E402
+from insight_patents_spark.operators.joins import (  # noqa: E402
+    asof_last_at_or_before,
+)
+
+_PROP = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (user_id, ts, event_id) rows; event_ids made unique by enumeration.
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=0, max_size=25
+)
+
+
+@_PROP
+@given(clicks=_events, purchases=_events)
+def test_asof_matches_bruteforce(spark, clicks, purchases):
+    c_rows = [(u, t, i) for i, (u, t) in enumerate(clicks)]
+    p_rows = [(u, t, 1000 + i) for i, (u, t) in enumerate(purchases)]
+    schema = "user_id long, ts long, event_id long"
+    cdf = spark.createDataFrame(c_rows, schema) if c_rows else spark.createDataFrame(
+        [], schema
+    )
+    pdf = spark.createDataFrame(p_rows, schema) if p_rows else spark.createDataFrame(
+        [], schema
+    )
+    got = {
+        (r.purchase_id, r.prior_click_id)
+        for r in asof_last_at_or_before(cdf, pdf).collect()
+    }
+    want = set()
+    for pu, pt, pid in p_rows:
+        prior = [(t, i) for (u, t, i) in c_rows if u == pu and t <= pt]
+        if prior:
+            want.add((pid, max(prior)[1]))
+    assert got == want
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    return {v: min(u for u in touched if find(u) == find(v)) for v in touched}
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@_PROP
+@given(edges=_edges)
+def test_cc_matches_union_find(spark, edges):
+    rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    edf = spark.createDataFrame(rows, "src long, dst long").distinct()
+    prev = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        got = {(r.node, r.component) for r in _cc_loop(edf).collect()}
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev)
+    assert got == set(_uf_components(12, edges).items())
