@@ -199,6 +199,25 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(out)
 
 
+
+
+@query(
+    "sink_orc",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + re-read (Spark's other first-class columnar format —
+    same vectorized reader / predicate-pushdown machinery as parquet).
+    The oracle checks the roundtripped VALUES against the source table;
+    DuckDB never needs to read ORC itself."""
+    out = _roundtrip_dir(sf_dir, "nation_orc")
+    src = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    src.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
 # --- §2.2 projections / filters ----------------------------------------
 
 
