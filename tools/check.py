@@ -7,7 +7,11 @@ equality after canonicalization, with a max-abs-diff report on mismatch
 so rounding conventions can be fixed precisely.
 
 Usage:
-    python tools/check.py [--sf /root/testdata/sf0.01] [query ...]
+    python tools/check.py [--sf /root/testdata/sf0.01] [--vanilla] [query ...]
+
+--vanilla simulates the driver exactly: a plain SparkSession (none of our
+session.py build-time confs) calling through __spark_entry__.queries(), so
+it exercises the runtime configure() path the driver depends on.
 """
 
 from __future__ import annotations
@@ -83,12 +87,22 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--vanilla", action="store_true")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
     specs = registry.load_all()
     names = args.queries or sorted(specs)
-    spark = get_spark("ips-check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        import __spark_entry__ as entry_mod
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        fns = entry_mod.queries()
+    else:
+        spark = get_spark("ips-check")
+        fns = {n: s.fn for n, s in specs.items()}
     con = duck_connect(args.sf)
 
     n_pass = n_fail = n_rows_only = 0
@@ -96,7 +110,7 @@ def main() -> int:
         spec = specs[name]
         t0 = time.time()
         try:
-            sdf = spec.fn(spark, args.sf).toPandas()
+            sdf = fns[name](spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
