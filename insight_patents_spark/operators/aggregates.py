@@ -328,3 +328,37 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle=f"""
+    WITH long_ AS (
+      SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT metric, COUNT(*) AS n_rows,
+           {sql_dsum('val')} AS total,
+           {sql_davg('val')} AS mean
+    FROM long_ GROUP BY metric
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (Spark 4 ``unpivot``/melt) + per-metric
+    aggregate. The unpivot is a narrow generate (no shuffle); only the
+    4-group aggregate exchanges. The oracle states the same reshape as
+    the portable UNION ALL."""
+    li = load(spark, sf_dir, "lineitem")
+    long_ = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long_.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("val").alias("total"),
+        davg("val").alias("mean"),
+    )

@@ -174,23 +174,26 @@ def text_lang_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon-join sentiment-style scoring (EDBT'16 pattern): tokens ⋈
-    broadcast weighted lexicon → per-doc integer score (exact sums)."""
+    """Lexicon sentiment-style scoring (EDBT'16 pattern), zero-shuffle:
+    the lexicon is small by nature, so instead of explode + broadcast-join
+    + re-group (two shuffles of |tokens| rows), it becomes a map literal
+    and the per-doc score a narrow higher-order projection — the same
+    plan shape at 20k docs or 100 TB. (For lexicons too big for a
+    literal, the explode + broadcast-join form is the fallback.)"""
     d = load(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(LEXICON, ["token", "weight"])
-    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    scores = (
-        tok.join(F.broadcast(lex), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("weight").cast("bigint").alias("score"),
-            F.count(F.lit(1)).alias("n_hits"),
-        )
+    lex_map = F.create_map(
+        *[x for tok_w in LEXICON for x in (F.lit(tok_w[0]), F.lit(tok_w[1]))]
     )
-    return d.join(scores, "doc_id", "left").select(
+    weights = F.transform(
+        _tokens(), lambda t: F.coalesce(lex_map[t], F.lit(0)).cast("long")
+    )
+    hits = F.filter(_tokens(), lambda t: lex_map[t].isNotNull())
+    return d.select(
         "doc_id",
-        F.coalesce(F.col("score"), F.lit(0)).alias("sentiment_score"),
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_lexicon_hits"),
+        F.aggregate(weights, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "sentiment_score"
+        ),
+        F.size(hits).cast("bigint").alias("n_lexicon_hits"),
     )
 
 
