@@ -66,21 +66,32 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _PAIR_CACHE:
         li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        a = li.alias("a")
-        b = li.alias("b")
+        # Join-free pair generation: one shuffle groups parts per order,
+        # then combinations enumerate in-row (per-order line counts are
+        # bounded — ~7 in TPC-H-shaped data — so the in-row quadratic is
+        # O(1) per order at any table size). Equivalent to the self-join
+        # on (same order, pa < pb): entries with equal part keys are
+        # excluded by the strict <, duplicates keep their multiplicity.
+        parts = li.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_list("l_partkey")).alias("arr")
+        )
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("arr"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        )
         _PAIR_CACHE[key] = (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-            )
+            parts.select(F.explode(pair_structs).alias("p"))
+            .filter(F.col("p.pa") < F.col("p.pb"))
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
             .agg(F.count(F.lit(1)).alias("w"))
             .filter(F.col("w") >= MIN_SUPPORT)
             # repartition AFTER the agg (a 3.6k-row shuffle) — a coalesce
-            # here would fold into the shuffle read and run the 1.2M-row
+            # here would fold into the shuffle read and run the pair
             # aggregation itself on 4 reducers.
             .repartition(4)
             .localCheckpoint()

@@ -368,12 +368,24 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     names = {}
+    # Ingest writes only the query-relevant projection — a bucketed
+    # materialized view, not a full-table copy (a production ingest would
+    # bucket the full table once; the join-plan exhibit is identical).
+    proj = {
+        "lineitem": ["l_orderkey", "l_extendedprice"],
+        "orders": ["o_orderkey", "o_orderpriority"],
+    }
     for tbl, join_key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tname = f"ips_b_{key}_{tbl}"
         path = os.path.join(_BUCKET_SCRATCH, key, tbl)
         if not spark.catalog.tableExists(tname):
             (
                 load(spark, sf_dir, tbl)
+                .select(*proj[tbl])
+                # pre-shuffle into the bucket layout (same Murmur3 hash
+                # partitioning the bucketed write expects) so each write
+                # task emits exactly one sorted bucket file
+                .repartition(8, F.col(join_key))
                 .write.bucketBy(8, join_key)
                 .sortBy(join_key)
                 .option("path", path)
