@@ -331,3 +331,73 @@ def cast_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seg_or_other"),
         (F.col("c_acctbal") < 0).cast("int").alias("is_negative"),
     )
+
+
+# --- SQL entry path: subqueries (Catalyst decorrelation, SURVEY §4) -----
+
+
+def _reg_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Expose loader-normalized tables to the spark.sql entry path. View
+    names are per-session; loaders already own schema normalization."""
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(f"ips_{t}")
+
+
+@query(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the SQL entry path: Catalyst plans the
+    subquery as an independent stage and reuses it as a literal in the
+    filter (no per-row re-execution). The avg is compared, not emitted,
+    so raw-double aggregation order cannot break the value hash."""
+    _reg_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM ips_orders
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM ips_orders)
+        """
+    )
+
+
+@query(
+    "sql_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    )
+    """,
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry path:
+    Catalyst decorrelates both into semi/anti joins
+    (RewritePredicateSubquery) — the plan contains no per-row subquery
+    execution, so it scales like any other join."""
+    _reg_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM ips_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM ips_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM ips_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        )
+        """
+    )

@@ -24,6 +24,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # Operator modules; imported (once) by load_all so decorators run.
 _OPERATOR_MODULES = (
     "insight_patents_spark.operators.relational",
+    "insight_patents_spark.sources.pyds",
     "insight_patents_spark.operators.joins",
     "insight_patents_spark.operators.aggregates",
     "insight_patents_spark.operators.windows",

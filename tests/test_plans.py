@@ -98,3 +98,13 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     # join key is the composite (hot_key, salt) — the hot key cannot pin
     # a single reducer
     assert "hot_key" in plan and "salt" in plan
+
+
+def test_correlated_exists_decorrelates_to_joins(spark, sf_dir):
+    from insight_patents_spark.operators.relational import sql_exists_correlated
+
+    plan = formatted_plan(sql_exists_correlated(spark, sf_dir))
+    # RewritePredicateSubquery: EXISTS -> semi join, NOT EXISTS -> anti
+    # join; no per-row subquery execution anywhere in the plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "Subquery" not in plan
