@@ -96,3 +96,48 @@ def test_cc_matches_union_find(spark, edges):
     finally:
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev)
     assert got == set(_uf_components(12, edges).items())
+
+
+_docs = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+        lambda toks: " ".join(toks)
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@_PROP
+@given(texts=_docs)
+def test_minhash_pairs_sound_and_finds_identical(spark, tmp_path_factory, texts):
+    """Soundness: every emitted pair's jaccard equals the Python set
+    computation and is >= 0.7. Completeness floor: docs with IDENTICAL
+    token sets have equal signatures, hence always collide and pair."""
+    import os
+    import uuid
+
+    from insight_patents_spark.operators.text import dedup_minhash_pairs
+
+    rows = [(i, t, "en", "prop", len(t)) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path_factory.mktemp("mh")) + f"/{uuid.uuid4().hex[:8]}"
+    os.makedirs(sf)
+    d.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_pairs(spark, sf).collect()
+    }
+    sets = {i: set(t.split(" ")) for i, t in enumerate(texts)}
+
+    def jac(a, b):
+        return len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+
+    for (a, b), j in got.items():
+        assert abs(j - jac(a, b)) < 1e-12 and j >= 0.7
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] == sets[b]:
+                assert (a, b) in got
