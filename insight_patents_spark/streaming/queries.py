@@ -387,3 +387,64 @@ def stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_spend", "max_single")
     )
+
+
+@query(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, value AS last_value
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch UPSERTs 'latest event per user'
+    into a keyed parquet state table (read-modify-write with a
+    deterministic tiebreak). The production pattern for idempotent
+    merge-into-a-store sinks (batch_id makes retries idempotent in a real
+    MERGE target); AvailableNow makes the final state the batch answer."""
+    key = sf_dir.strip("/").replace("/", "_")
+    state_dir = os.path.join(_STREAM_TMP, key, "latest_by_user")
+    import shutil
+
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        sp = batch_df.sparkSession
+        new = batch_df.select("user_id", "ts", "event_id", "value")
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            new = sp.read.parquet(state_dir).unionByName(new)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            new.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # state tables are small (one row per key); rewrite-in-place is the
+        # local stand-in for MERGE INTO on a real lakehouse table
+        latest.write.mode("overwrite").parquet(state_dir + "_next")
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(state_dir + "_next", state_dir)
+
+    s = _read_stream(spark, sf_dir)
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", f"foreach-{key}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        s.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
