@@ -432,3 +432,64 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "scan_json_permissive",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_good,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '<corrupt>' AS lang, 7 AS n_good, NULL AS total_chars
+    """,
+)
+def scan_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling: a JSON-lines feed with 7 injected broken
+    lines, read in PERMISSIVE mode — bad records land in
+    `_corrupt_record` instead of failing the scan (the real-corpus
+    ingest posture: never let one bad document kill a 100 TB job).
+    Returns per-lang good-row stats plus the quarantined count; the
+    oracle reproduces the good side from the clean table and states the
+    injected bad count literally."""
+    out = _roundtrip_dir(sf_dir, "documents_json_corrupt")
+    src = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    src.write.mode("overwrite").json(out)
+    # inject malformed lines deterministically (truncated JSON, bare text,
+    # unclosed string, wrong bracket, half records)
+    bad = [
+        '{"doc_id": 1, "lang": "en"',
+        "not json at all",
+        '{"doc_id": "unclosed',
+        "[1, 2",
+        '{"doc_id":}',
+        '{broken: true}',
+        "}{",
+    ]
+    with open(os.path.join(out, "zz_corrupt.json"), "w") as f:
+        f.write("\n".join(bad) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return parsed.groupBy(
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("<corrupt>"))
+        .otherwise(F.col("lang"))
+        .alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
+        ).cast("bigint").alias("total_chars"),
+    )
