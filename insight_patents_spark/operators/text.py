@@ -898,3 +898,92 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(a) - 1),
+                                          i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingles
+      FROM tok WHERE len(a) >= 3
+    ),
+    docs AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM docs) a
+      JOIN (SELECT doc_id, unnest(shingles) AS s FROM docs) b
+        ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(da.shingles, db.shingles)) AS BIGINT) AS inter,
+             da.n AS na, db.n AS nb
+      FROM cand c
+      JOIN docs da ON c.doc_a = da.doc_id
+      JOIN docs db ON c.doc_b = db.doc_id
+    )
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle (word-3-gram) Jaccard near-dup pairs, J ≥ 0.5 — word-order
+    sensitive where token-set Jaccard is not. Filter-verification: an
+    exact shared trigram is the (highly selective) candidate blocking
+    key; candidates verified on full distinct-shingle sets. Docs under 3
+    tokens have no shingles and drop out of both sides."""
+    d = load(spark, sf_dir, "documents")
+    docs = (
+        d.select("doc_id", _tokens().alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("shingles"),
+        )
+        .withColumn("n", F.size("shingles"))
+    )
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
