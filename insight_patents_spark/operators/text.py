@@ -53,6 +53,12 @@ def _tokens(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
+def sh_parts(spark: SparkSession) -> int:
+    """Partition count for compute-heavy per-doc stages (the documents
+    table ships as one small file -> one input split locally)."""
+    return spark.sparkContext.defaultParallelism
+
+
 @query(
     "text_tokenize_wordcount",
     oracle="""
@@ -939,8 +945,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; candidates verified on full distinct-shingle sets. Docs under 3
     tokens have no shingles and drop out of both sides."""
     d = load(spark, sf_dir, "documents")
+    # documents arrives as one small parquet file -> one input partition;
+    # the shingle build + verify are compute-heavy per row, so spread them
+    # (on a real corpus the scan has many splits and this is a no-op cost)
     docs = (
         d.select("doc_id", _tokens().alias("toks"))
+        .repartition(sh_parts(spark))
         .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
@@ -952,32 +962,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingles"),
         )
         .withColumn("n", F.size("shingles"))
+        .localCheckpoint()
     )
+    # Count-by-join verification: exploding distinct shingles and joining
+    # on shingle equality yields exactly one row per SHARED shingle per
+    # pair, so |A∩B| is a plain count aggregate — no candidate DISTINCT,
+    # no set arrays carried through the shuffle, no per-pair intersect.
+    # Cost is Σ_s df(s)², bounded because trigram shingles are selective;
+    # at corpus scale, ultra-common boilerplate shingles would be dropped
+    # by a df cap (approximate) or near-dup detection moves to
+    # dedup_minhash_pairs — both documented trade-offs.
     sh = docs.select("doc_id", F.explode("shingles").alias("s"))
-    cand = (
+    inter = (
         sh.alias("a")
         .join(
             sh.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    da = docs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n").alias("na"),
-    )
-    db = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n").alias("nb"),
-    )
+    stats = docs.select("doc_id", "n")
     return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .withColumn(
-            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        inter.join(
+            F.broadcast(
+                stats.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                stats.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            ),
+            "doc_b",
         )
         .withColumn(
             "jaccard",
