@@ -269,3 +269,32 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("text_sha256"),
         F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("text"))).alias("keyed_md5"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS and_lo,
+           l_orderkey | 4096 AS or_hi,
+           xor(l_orderkey, l_partkey) AS xored,
+           l_linenumber << 4 AS shifted_l,
+           l_orderkey >> 2 AS shifted_r,
+           ~l_linenumber AS inverted
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: AND/OR/XOR/shifts/NOT over integer keys (the bit
+    tricks behind bitsets, bloom partitioning, and key packing)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & 255").alias("and_lo"),
+        F.expr("l_orderkey | 4096").alias("or_hi"),
+        F.expr("l_orderkey ^ l_partkey").alias("xored"),
+        F.expr("CAST(shiftleft(l_linenumber, 4) AS INT)").alias("shifted_l"),
+        F.expr("shiftright(l_orderkey, 2)").alias("shifted_r"),
+        F.expr("CAST(~l_linenumber AS INT)").alias("inverted"),
+    )

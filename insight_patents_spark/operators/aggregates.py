@@ -362,3 +362,23 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("val").alias("total"),
         davg("val").alias("mean"),
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) per group + a filtered count."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+    )

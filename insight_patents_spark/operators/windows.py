@@ -227,3 +227,34 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "win_cume_nth",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WHERE o_custkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value analytics over a fully-framed window
+    (deterministic total order within each customer)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.cume_dist().over(
+            Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+        ).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
