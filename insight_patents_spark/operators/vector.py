@@ -348,3 +348,100 @@ def mm_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("record.embedding"), 1).cast("double").alias("emb_first"),
         F.length(F.col("record.text")).cast("bigint").alias("text_len"),
     )
+
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic 'random' hyperplanes: weight[p][j] derives from hex
+    digit j of md5(f'{p}:{j//32}') exactly as DuckDB's md5 reproduces it
+    — the planes are part of the cross-engine contract, not a seed-time
+    accident."""
+    import hashlib
+
+    planes = []
+    for p in range(_N_PLANES):
+        halves = [
+            hashlib.md5(f"{p}:{h}".encode()).hexdigest() for h in (0, 1)
+        ]
+        digits = "".join(halves)
+        planes.append(["0123456789abcdef".index(d) - 7.5 for d in digits[:_DIM]])
+    return planes
+
+
+@query(
+    "vec_ann_lsh",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (
+      SELECT p,
+             list_transform(range(1, 65), j ->
+               CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(p AS VARCHAR) || ':' || CAST((j-1) // 32 AS VARCHAR)),
+                                  ((j-1) % 32) + 1, 1)) - 8.5 AS DOUBLE)) AS w
+      FROM (SELECT unnest(range(0, 8)) AS p)
+    ),
+    bits AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, pl.w) > 0
+                           THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine
+    FROM (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             list_dot_product(ea.v, eb.v) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY ROUND(list_dot_product(ea.v, eb.v), 9) DESC,
+                                         b.vec_id) AS rn
+      FROM bits a JOIN bits b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      JOIN e ea ON a.vec_id = ea.vec_id
+      JOIN e eb ON b.vec_id = eb.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (the bucketed alternative to
+    vec_ann_ivf): 8 md5-derived hyperplanes give every vector an 8-bit
+    sign signature; vectors sharing a bucket are candidates; exact
+    cosine re-rank keeps top-3. Bucket assignment is a zero-shuffle
+    narrow projection (plane weights are literals); the only shuffles
+    are the bucket self-join and the ranking window. At scale: more
+    planes -> smaller buckets; multiple plane-sets (L hash tables)
+    union-ed raise recall — the standard LSH knobs."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    bucket = F.lit(0).cast("bigint")
+    for p, ws in enumerate(_plane_weights()):
+        plane = F.array(*[F.lit(w) for w in ws])
+        dot = F.aggregate(
+            F.zip_with("v", plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    b = e.withColumn("bucket", bucket)
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            _dot("a.v", "b.v").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "neighbor_id", "cosine")
+    )

@@ -258,3 +258,55 @@ def win_cume_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cd"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): flag gaps > 5 min per
+    user with lag(), number sessions by running sum of flags, aggregate
+    per session. One shuffle (the user partition) carries the whole
+    pattern — the batch counterpart of stream_session."""
+    e = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; epoch micros via a UTC-session cast (same
+    # recipe as stream_session) keeps the gap math integer-exact
+    micros = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    gap = micros - F.lag(micros).over(w_ord)
+    flagged = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 300 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias(
+            "session_value"
+        ),
+    )
