@@ -298,3 +298,33 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(l_orderkey, 2)").alias("shifted_r"),
         F.expr("CAST(~l_linenumber AS INT)").alias("inverted"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns through Spark 4's VARIANT type:
+    parse_json -> binary variant -> typed variant_get extraction, then a
+    plain aggregate. VARIANT keeps the parsed tree in a compact binary
+    encoding (parse once, extract many — the at-scale JSON posture);
+    the from_json struct path in fn_json is the fixed-schema
+    alternative."""
+    e = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("total_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
