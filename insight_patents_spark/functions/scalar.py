@@ -328,3 +328,38 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+@query(
+    "fn_map_hof",
+    oracle="""
+    SELECT event_id,
+           list_transform(
+             list_sort(list_transform(range(1, 4), i -> 'b' || CAST(i AS VARCHAR))),
+             k -> k || '=' ||
+                  CAST((CAST(json_extract(props, '$.k') AS BIGINT)
+                        * CAST(substr(k, 2, 1) AS BIGINT)) AS VARCHAR)
+           ) AS scaled_entries
+    FROM events WHERE event_id % 50 = 0
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a map {b1..b3 -> k*i} per event,
+    rescale values with transform_values, emit as sorted 'key=value'
+    entry strings (maps are unordered — serializing sorted entries is
+    what makes the result hashable cross-engine; the oracle builds the
+    same strings without a map type, which DuckDB lacks in this form)."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.map_from_arrays(
+        F.array(F.lit("b1"), F.lit("b2"), F.lit("b3")),
+        F.array(k, k, k),
+    )
+    scaled = F.transform_values(
+        m, lambda key, v: v * F.substring(key, 2, 1).cast("bigint")
+    )
+    entries = F.transform(
+        F.array_sort(F.map_keys(scaled)),
+        lambda key: F.concat(key, F.lit("="), F.element_at(scaled, key).cast("string")),
+    )
+    return e.select("event_id", entries.alias("scaled_entries"))

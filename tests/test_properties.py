@@ -141,3 +141,39 @@ def test_minhash_pairs_sound_and_finds_identical(spark, tmp_path_factory, texts)
         for b in sets:
             if a < b and sets[a] == sets[b]:
                 assert (a, b) in got
+
+
+def test_ann_lsh_sound_vs_numpy(spark, sf_dir):
+    """Soundness of vec_ann_lsh on the real table: every returned
+    (vec, neighbor) must share the md5-derived hyperplane bucket, and
+    every cosine must equal the NumPy dot product; per-vector results
+    must be the top-3 of that vector's bucket."""
+    import numpy as np
+
+    from insight_patents_spark.operators.vector import (
+        _plane_weights,
+        vec_ann_lsh,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    planes = np.array(_plane_weights())
+    bucket = {
+        vid: int(sum(1 << p for p in range(len(planes)) if planes[p] @ v > 0))
+        for vid, v in emb.items()
+    }
+    got = vec_ann_lsh(spark, sf_dir).collect()
+    per_vec: dict[int, list] = {}
+    for r in got:
+        assert bucket[r.vec_id] == bucket[r.neighbor_id]
+        assert abs(r.cosine - float(emb[r.vec_id] @ emb[r.neighbor_id])) < 1e-9
+        per_vec.setdefault(r.vec_id, []).append((round(r.cosine, 9), r.neighbor_id))
+    for vid, rows in per_vec.items():
+        peers = [w for w in emb if w != vid and bucket[w] == bucket[vid]]
+        want = sorted(
+            ((round(float(emb[vid] @ emb[w]), 9), w) for w in peers),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert sorted(rows, key=lambda t: (-t[0], t[1])) == want
