@@ -412,3 +412,55 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir)
     seed = edges.agg(F.min("src")).collect()[0][0]
     return _bfs(spark, sf_dir, SSSP_MAX_DEPTH, F.col("src") == F.lit(seed))
+
+
+SSSP_W_ROUNDS = 6
+
+
+def _sssp_w_oracle() -> str:
+    sql = _EDGES_CTE + """
+    , seedw AS (SELECT MIN(src) AS s FROM edges)
+    , w0 AS (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM seedw)"""
+    for r in range(1, SSSP_W_ROUNDS + 1):
+        sql += f"""
+    , w{r} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM w{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM w{r - 1} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+    return sql + f"\n    SELECT node, dist FROM w{SSSP_W_ROUNDS}"
+
+
+@query("graph_sssp_weighted", oracle=_sssp_w_oracle())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths by Bellman-Ford relaxation,
+    a FIXED 6 rounds (deterministic, oracle-unrollable): each round
+    relaxes every edge once — dist <- min(dist, dist(src) + w) — via one
+    join + min-aggregate; integer co-occurrence weights keep the math
+    exact. Distances are exact for all paths of <= 6 hops (the
+    documented bound, like graph_shortest_path's depth cap). Same
+    driver-loop + localCheckpoint harness as CC/PageRank."""
+    edges = _edges(spark, sf_dir)  # (src, dst, w) both directions
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    dist = spark.createDataFrame(
+        [(int(seed), 0)], "node long, dist long"
+    ).coalesce(1)
+    for r in range(1, SSSP_W_ROUNDS + 1):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if r % 3 == 0:
+            dist = dist.localCheckpoint()
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
