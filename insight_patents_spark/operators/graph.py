@@ -445,9 +445,16 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-loop + localCheckpoint harness as CC/PageRank."""
     edges = _edges(spark, sf_dir)  # (src, dst, w) both directions
     seed = edges.agg(F.min("src")).collect()[0][0]
-    dist = spark.createDataFrame(
-        [(int(seed), 0)], "node long, dist long"
-    ).coalesce(1)
+    # seed frontier derives from the (checkpointed) edge table, NOT a
+    # driver LocalRelation: a 1-row LocalRelation at the loop root makes
+    # AQE re-plan every unioned stage per round (measured 20x slower);
+    # a distributed origin keeps each round's plan incremental.
+    dist = (
+        edges.filter(F.col("src") == F.lit(seed))
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
     for r in range(1, SSSP_W_ROUNDS + 1):
         relaxed = (
             dist.join(edges, dist.node == edges.src)
