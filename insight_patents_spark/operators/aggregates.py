@@ -382,3 +382,36 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 400000 THEN 21
+                     ELSE FLOOR(o_totalprice / 20000) + 1 END AS INTEGER) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket binning (20 buckets over
+    [0, 400k] plus overflow bucket 21) — one partial-aggregated group-by;
+    the bucket function is pure row-local arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(400000), F.lit(20))
+            .cast("int")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -471,3 +471,64 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r % 3 == 0:
             dist = dist.localCheckpoint()
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+@query(
+    "graph_assoc_rules",
+    oracle=_EDGES_CTE + """
+    , item AS (
+      SELECT l_partkey AS part, COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem GROUP BY l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM lineitem)
+    SELECT e.src AS antecedent, e.dst AS consequent,
+           CAST(e.w AS BIGINT) AS pair_support,
+           CAST(ROUND(CAST(e.w AS DOUBLE) / ia.n_orders, 9) AS DOUBLE) AS confidence,
+           CAST(ROUND(CAST(e.w AS DOUBLE) * n.n_baskets / (ia.n_orders * ic.n_orders), 9) AS DOUBLE) AS lift
+    FROM edges e
+    JOIN item ia ON e.src = ia.part
+    JOIN item ic ON e.dst = ic.part
+    CROSS JOIN n
+    WHERE CAST(e.w AS DOUBLE) / ia.n_orders >= 0.08
+    """,
+)
+def graph_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: for each
+    directed co-purchase pair, support (co-occurrence count, min-support
+    pruned upstream), confidence = support/|antecedent baskets|, lift =
+    confidence/overall consequent rate; keep confidence >= 0.08 (sized to the uniform basket data). Reuses
+    the shared edge cache; item supports are one distinct-count over the
+    fact table. The ratios divide exact integers and round 9dp, so both
+    engines agree bitwise."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = _edges(spark, sf_dir)  # directed both ways: src=antecedent
+    item = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    n_baskets = li.select("l_orderkey").distinct().count()
+    ia = item.select(F.col("part").alias("antecedent"), F.col("n_orders").alias("na"))
+    ic = item.select(F.col("part").alias("consequent"), F.col("n_orders").alias("nc"))
+    return (
+        edges.select(
+            F.col("src").alias("antecedent"),
+            F.col("dst").alias("consequent"),
+            F.col("w").cast("bigint").alias("pair_support"),
+        )
+        .join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .withColumn(
+            "confidence",
+            F.round(F.col("pair_support").cast("double") / F.col("na"), 9),
+        )
+        .withColumn(
+            "lift",
+            F.round(
+                F.col("pair_support").cast("double")
+                * F.lit(float(n_baskets))
+                / (F.col("na") * F.col("nc")),
+                9,
+            ),
+        )
+        .filter(F.col("pair_support").cast("double") / F.col("na") >= 0.08)
+        .select("antecedent", "consequent", "pair_support", "confidence", "lift")
+    )
