@@ -177,3 +177,45 @@ def test_ann_lsh_sound_vs_numpy(spark, sf_dir):
             key=lambda t: (-t[0], t[1]),
         )[:3]
         assert sorted(rows, key=lambda t: (-t[0], t[1])) == want
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir, duck):
+    """graph_pagerank vs an independent NumPy power iteration on the same
+    min-support co-purchase graph (same damping, same fixed 10 rounds)."""
+    import numpy as np
+
+    from insight_patents_spark.operators.graph import (
+        DAMPING,
+        MIN_SUPPORT,
+        PAGERANK_ITERS,
+        graph_pagerank,
+    )
+
+    rows = duck.execute(f"""
+        WITH pairs AS (
+          SELECT a.l_partkey pa, b.l_partkey pb
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT})
+        SELECT pa, pb FROM pairs
+    """).fetchall()
+    nodes = sorted({v for e in rows for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in rows:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+    deg = np.array([len(a) for a in adj], dtype=np.float64)
+    r = np.full(n, 1.0 / n)
+    for _ in range(PAGERANK_ITERS):
+        nxt = np.full(n, (1.0 - DAMPING) / n)
+        contrib = r / deg
+        for i, outs in enumerate(adj):
+            for j in outs:
+                nxt[j] += DAMPING * contrib[i]
+        r = nxt
+    got = {row.node: row.rank for row in graph_pagerank(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    worst = max(abs(got[v] - r[idx[v]]) for v in nodes)
+    assert worst < 1e-9, f"max abs rank diff {worst}"
