@@ -415,3 +415,151 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+_CMS_D = 4   # hash rows
+_CMS_W = 64  # cells per row
+
+
+def _cms_cell_spark(j_col: F.Column, key_col: F.Column) -> F.Column:
+    """Cell index for hash row j: first two md5 hex digits mod w. md5 is
+    the cross-engine-stable hash of the determinism contract (SURVEY §5);
+    two hex digits give 0..255, and 256 % 64 == 0 keeps the mod uniform."""
+    h = F.md5(F.concat_ws(":", j_col, key_col))
+    return (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _CMS_W).alias("cell")
+
+
+_CMS_CELL_SQL = """
+    CAST(((strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 2, 1)) - 1)) % 64
+         AS INTEGER)
+"""
+
+
+@query(
+    "agg_sketch_cms",
+    oracle=f"""
+    WITH js AS (SELECT unnest(range(0, {_CMS_D})) AS j),
+    cells AS (
+      SELECT e.user_id, js.j, {_CMS_CELL_SQL} AS cell
+      FROM events e CROSS JOIN js
+    ),
+    sketch AS (SELECT j, cell, COUNT(*) AS cnt FROM cells GROUP BY j, cell),
+    exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+    probe AS (
+      SELECT x.user_id, x.exact_n, js.j, {_CMS_CELL_SQL} AS cell
+      FROM (SELECT user_id, exact_n FROM exact) x CROSS JOIN js
+    )
+    SELECT p.user_id, p.exact_n, MIN(s.cnt) AS cms_est
+    FROM probe p JOIN sketch s ON p.j = s.j AND p.cell = s.cell
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def agg_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=64) over events.user_id: build the sketch
+    as a (row, cell) -> count table, then probe it for every distinct user
+    and report estimate vs exact count (CMS guarantees est >= exact; the
+    overestimate comes from cell collisions). The sketch build is one
+    partial-aggregated group-by over d copies of the stream — the
+    mergeable-summary pattern: at 100 TB each executor folds its partition
+    into a 256-cell partial sketch and only sketches cross the shuffle,
+    never raw keys. Hash cells derive from md5 so DuckDB reproduces the
+    sketch bit-for-bit."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    js = F.array(*[F.lit(j) for j in range(_CMS_D)])
+    cells = ev.select("user_id", F.explode(js).alias("j")).select(
+        "user_id", "j", _cms_cell_spark(F.col("j"), F.col("user_id"))
+    )
+    sketch = cells.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probe = exact.select("user_id", "exact_n", F.explode(js).alias("j")).select(
+        "user_id",
+        "exact_n",
+        "j",
+        _cms_cell_spark(F.col("j"), F.col("user_id")),
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+@query(
+    "funnel_stages",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    b AS (
+      SELECT e.user_id, a.t1,
+             MIN(CASE WHEN e.event_type = 'click' AND e.ts > a.t1 THEN e.ts END) AS t2
+      FROM events e JOIN a USING (user_id) GROUP BY e.user_id, a.t1
+    ),
+    c AS (
+      SELECT e.user_id, b.t1, b.t2,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > b.t2 THEN e.ts END) AS t3
+      FROM events e JOIN b USING (user_id) GROUP BY e.user_id, b.t1, b.t2
+    )
+    SELECT user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS stage,
+           CAST(CASE WHEN t3 IS NOT NULL THEN date_diff('second', t1, t3) END AS BIGINT)
+             AS funnel_sec
+    FROM c
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis (view -> click -> purchase) per user:
+    stage 1 = first view, stage 2 = first click strictly after it,
+    stage 3 = first purchase strictly after that; funnel_sec = view-to-
+    purchase latency for completers. Three conditional-min aggregations;
+    each later stage re-joins the (one-row-per-user) prior stage back to
+    the fact stream — the anchor table is tiny so at 100 TB these are
+    broadcast-shaped joins and the event stream is scanned, never
+    shuffled wide."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    a = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    b = (
+        ev.join(a, "user_id")
+        .groupBy("user_id", "t1")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    c = (
+        ev.join(b, "user_id")
+        .groupBy("user_id", "t1", "t2")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), F.lit(3))
+        .when(F.col("t2").isNotNull(), F.lit(2))
+        .when(F.col("t1").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    sec = F.when(
+        F.col("t3").isNotNull(),
+        F.expr("unix_micros(CAST(t3 AS TIMESTAMP)) div 1000000")
+        - F.expr("unix_micros(CAST(t1 AS TIMESTAMP)) div 1000000"),
+    ).cast("bigint")
+    return c.select("user_id", stage.alias("stage"), sec.alias("funnel_sec"))

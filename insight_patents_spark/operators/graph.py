@@ -532,3 +532,66 @@ def graph_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_support").cast("double") / F.col("na") >= 0.08)
         .select("antecedent", "consequent", "pair_support", "confidence", "lift")
     )
+
+
+@query(
+    "graph_link_predict",
+    oracle=_EDGES_CTE
+    + """
+    , deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    cn AS (
+      SELECT p.pa, p.pb, e1.dst AS n
+      FROM pairs p
+      JOIN edges e1 ON e1.src = p.pa
+      JOIN edges e2 ON e2.src = p.pb AND e2.dst = e1.dst
+    )
+    SELECT c.pa, c.pb,
+           COUNT(*) AS common_n,
+           CAST(COUNT(*) / (da.deg + db.deg - COUNT(*)) AS DOUBLE) AS jaccard,
+           CAST(SUM(CAST(ROUND(1.0 / LN(dn.deg), 9) AS DECIMAL(24,9))) AS DOUBLE)
+             AS adamic_adar
+    FROM cn c
+    JOIN deg dn ON dn.node = c.n
+    JOIN deg da ON da.node = c.pa
+    JOIN deg db ON db.node = c.pb
+    GROUP BY c.pa, c.pb, da.deg, db.deg
+    """,
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction scores for every existing edge with >=1 common
+    neighbor: common-neighbor count, Jaccard of neighbor sets, and
+    Adamic-Adar (sum of 1/ln(deg(n)) over common neighbors n — the
+    citation-recommendation analog). Two self-joins of the cached edge
+    table find common neighbors; degrees broadcast (one row per vertex).
+    Determinism: each 1/ln term rounds to 9dp then sums exactly as
+    decimal(24,9) (order-independent); a common neighbor always has
+    deg >= 2 so ln never hits zero."""
+    p = _pairs(spark, sf_dir).select("pa", "pb")
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    cn = p.join(
+        e.select(F.col("src").alias("pa"), F.col("dst").alias("n")), "pa"
+    ).join(e.select(F.col("src").alias("pb"), F.col("dst").alias("n")), ["pb", "n"])
+    term = F.round(F.lit(1.0) / F.log(F.col("dn.deg")), 9).cast("decimal(24,9)")
+    return (
+        cn.join(F.broadcast(deg).alias("dn"), F.col("n") == F.col("dn.node"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).alias("common_n"),
+            F.sum(term).cast("double").alias("adamic_adar"),
+        )
+        .join(F.broadcast(deg).alias("da"), F.col("pa") == F.col("da.node"))
+        .join(F.broadcast(deg).alias("db"), F.col("pb") == F.col("db.node"))
+        .select(
+            "pa",
+            "pb",
+            "common_n",
+            (
+                F.col("common_n")
+                / (F.col("da.deg") + F.col("db.deg") - F.col("common_n"))
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )

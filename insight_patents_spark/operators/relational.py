@@ -493,3 +493,41 @@ def scan_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
         ).cast("bigint").alias("total_chars"),
     )
+
+
+# --- training-pipeline sampling -----------------------------------------
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10
+                AS INTEGER) AS bucket
+    FROM documents
+    WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10
+          < CASE WHEN lang = 'en' THEN 2 ELSE 5 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data curation: each
+    document hashes to a bucket 0-9 via md5(doc_id) (content-independent,
+    reproducible across engines/runs — no RNG seed to drift), and each
+    language stratum keeps a different bucket range (en 20%, all other
+    langs 50% — the class-rebalancing pattern). A narrow filter: no
+    shuffle, fully pushdown-friendly, identical row selection at any
+    scale or partitioning."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 10
+    )
+    keep = F.when(F.col("lang") == "en", F.lit(2)).otherwise(F.lit(5))
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < keep)
+        .select("doc_id", "lang", "bucket")
+    )
