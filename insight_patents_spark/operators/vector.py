@@ -445,3 +445,122 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("vec_id", "neighbor_id", "cosine")
     )
+
+
+_N_TABLES = 3
+_PLANES_PER_TABLE = 6
+
+
+def _multi_table_planes() -> list[list[list[float]]]:
+    """L independent plane sets for multi-table LSH; weight digits derive
+    from md5(f'{t}:{p}:{half}') so DuckDB rebuilds identical tables."""
+    import hashlib
+
+    return [
+        [
+            [
+                "0123456789abcdef".index(d) - 7.5
+                for d in "".join(
+                    hashlib.md5(f"{t}:{p}:{h}".encode()).hexdigest() for h in (0, 1)
+                )[:_DIM]
+            ]
+            for p in range(_PLANES_PER_TABLE)
+        ]
+        for t in range(_N_TABLES)
+    ]
+
+
+@query(
+    "vec_ann_lsh_multi",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    planes AS (
+      SELECT t, p,
+             list_transform(range(1, 65), j ->
+               CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':'
+                                      || CAST((j-1) // 32 AS VARCHAR)),
+                                  ((j-1) % 32) + 1, 1)) - 8.5 AS DOUBLE)) AS w
+      FROM (SELECT unnest(range(0, {_N_TABLES})) AS t)
+           CROSS JOIN (SELECT unnest(range(0, {_PLANES_PER_TABLE})) AS p)
+    ),
+    bits AS (
+      SELECT e.vec_id, pl.t,
+             CAST(SUM(CASE WHEN list_dot_product(e.v, pl.w) > 0
+                           THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+      FROM bits a JOIN bits b ON a.t = b.t AND a.bucket = b.bucket
+                             AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine
+    FROM (
+      SELECT c.vec_id, c.neighbor_id,
+             list_dot_product(ea.v, eb.v) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY ROUND(list_dot_product(ea.v, eb.v), 9) DESC,
+                                         c.neighbor_id) AS rn
+      FROM cand c
+      JOIN e ea ON c.vec_id = ea.vec_id
+      JOIN e eb ON c.neighbor_id = eb.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN: L=3 independent 6-plane tables; a pair is a
+    candidate if it collides in ANY table (union -> distinct), then exact
+    cosine re-ranks top-3. The recall knob vec_ann_lsh documents, made
+    real: fewer planes per table widen buckets, extra tables multiply
+    chances a true neighbor collides. Bucket assignment stays a narrow
+    zero-shuffle projection (3 jobs' worth of literal plane folds in one
+    pass); candidate dedup is one exchange on the pair key, and only
+    distinct pairs pay the exact re-rank."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    tables = []
+    for t, planes in enumerate(_multi_table_planes()):
+        bucket = F.lit(0).cast("bigint")
+        for p, ws in enumerate(planes):
+            plane = F.array(*[F.lit(w) for w in ws])
+            dot = F.aggregate(
+                F.zip_with("v", plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        tables.append(
+            e.select("vec_id", F.lit(t).alias("t"), bucket.alias("bucket"))
+        )
+    b = tables[0]
+    for other in tables[1:]:
+        b = b.unionByName(other)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    pairs = (
+        cand.join(e.alias("ea"), cand.vec_id == F.col("ea.vec_id"))
+        .join(e.alias("eb"), cand.neighbor_id == F.col("eb.vec_id"))
+        .select(cand.vec_id, cand.neighbor_id, _dot("ea.v", "eb.v").alias("cosine"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "neighbor_id", "cosine")
+    )

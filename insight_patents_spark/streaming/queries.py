@@ -448,3 +448,78 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+def _events_stream_dir_single(spark: SparkSession, sf_dir: str) -> str:
+    """Single-file µs copy: one input file -> one AvailableNow micro-batch,
+    so a watermarked stream-stream inner join emits every match before any
+    state eviction (batch-equal by construction)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_STREAM_TMP, key, "events_us1")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        _events_us(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same user's
+    clicks from the preceding 10 minutes. Both sides are watermarked and
+    the join condition time-bounds the click relative to the purchase —
+    exactly what Spark needs to bound join state and GC old clicks; on a
+    cluster this runs continuously with state eviction at the watermark.
+    Attribution-window semantics (click-to-purchase), the canonical
+    stream-stream use."""
+    src = _events_stream_dir_single(spark, sf_dir)
+    schema = _events_us(spark, sf_dir).schema
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user_id = c_user_id
+            AND click_ts >= purchase_ts - INTERVAL 10 MINUTES
+            AND click_ts <= purchase_ts
+            """
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        (
+            F.expr("unix_micros(CAST(purchase_ts AS TIMESTAMP)) div 1000000")
+            - F.expr("unix_micros(CAST(click_ts AS TIMESTAMP)) div 1000000")
+        ).alias("gap_sec"),
+    )
+    return _run_available_now(joined, "ips_stream_stream_join", mode="append")
