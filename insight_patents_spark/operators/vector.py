@@ -58,7 +58,11 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    a = e.select(
+    # Probe side repartitioned (the parquet ships as one input split —
+    # without this the O(n²/blocks) dot-product work runs on ONE core);
+    # build side broadcast so the label-blocked join needs no shuffle and
+    # parallelism stays at the probe partitioning. Measured 3.5x at sf0.1.
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
         F.col("vec_id").alias("vec_id"),
         "label",
         F.col("v").alias("va"),
@@ -69,7 +73,7 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
     )
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("label") == F.col("label_b"))
         & (F.col("vec_id") != F.col("neighbor_id")),
     ).withColumn("cosine", _dot("va", "vb"))
@@ -205,13 +209,18 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va"))
+    # Same plan shape as vec_cosine_topk: fan the probe side out of its
+    # single input split, broadcast the build side (no shuffle, no
+    # 10-key-join skew).
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    )
     b = e.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
     )
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
         )
         .withColumn("cosine", _dot("va", "vb"))
@@ -270,8 +279,11 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe->assign join shuffles on cell_id (bounded fan-out nprobe x
     |cell|), and recall/cost tunes via n_list x nprobe exactly like
     FAISS-style IVF-Flat."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("v")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("v"))
+        # fan the N x n_list scoring pass out of the single input split
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     seeds = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
@@ -411,8 +423,11 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the bucket self-join and the ranking window. At scale: more
     planes -> smaller buckets; multiple plane-sets (L hash tables)
     union-ed raise recall — the standard LSH knobs."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("v")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("v"))
+        # plane folds are the heavy narrow stage; escape the single split
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     bucket = F.lit(0).cast("bigint")
     for p, ws in enumerate(_plane_weights()):
@@ -517,11 +532,16 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle projection (3 jobs' worth of literal plane folds in one
     pass); candidate dedup is one exchange on the pair key, and only
     distinct pairs pay the exact re-rank."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("v")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("v"))
+        # plane folds are the heavy narrow stage; escape the single split
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    tables = []
-    for t, planes in enumerate(_multi_table_planes()):
+    # All L bucket assignments in ONE pass over the vectors (a 3-element
+    # posexplode of the per-table bucket ints), not one scan per table.
+    buckets = []
+    for planes in _multi_table_planes():
         bucket = F.lit(0).cast("bigint")
         for p, ws in enumerate(planes):
             plane = F.array(*[F.lit(w) for w in ws])
@@ -531,16 +551,16 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             )
             bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        tables.append(
-            e.select("vec_id", F.lit(t).alias("t"), bucket.alias("bucket"))
-        )
-    b = tables[0]
-    for other in tables[1:]:
-        b = b.unionByName(other)
+        buckets.append(bucket)
+    b = e.select(
+        "vec_id", F.posexplode(F.array(*buckets)).alias("t", "bucket")
+    )
     cand = (
         b.alias("a")
         .join(
-            b.alias("b"),
+            # tiny (L rows per vector): broadcast -> the candidate build is
+            # shuffle-free and immune to dense-bucket key skew
+            F.broadcast(b.alias("b")),
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
