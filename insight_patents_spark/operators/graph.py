@@ -595,3 +595,51 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adamic_adar",
         )
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    sql = _EDGES_CTE + ", r0 AS (SELECT src, dst FROM edges)"
+    for i in range(KCORE_ROUNDS):
+        sql += f"""
+    , k{i+1} AS (SELECT src FROM r{i} GROUP BY src HAVING COUNT(*) >= {KCORE_K}),
+    r{i+1} AS (
+      SELECT e.src, e.dst FROM r{i} e
+      JOIN k{i+1} a ON e.src = a.src
+      JOIN k{i+1} b ON e.dst = b.src
+    )"""
+    sql += f"""
+    SELECT src AS node, COUNT(*) AS deg FROM r{KCORE_ROUNDS} GROUP BY src
+    """
+    return sql
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling (k=3, fixed 5 rounds —
+    fixed-iteration determinism per SURVEY §5): each round drops vertices
+    with current degree < k and their edges; survivors report their
+    degree inside the (approximate ≤5-peel) 3-core. The dense-subgraph
+    filter used to find tightly-coupled patent clusters. Each round is
+    one degree agg + two semi-join-shaped prunes on the (tiny, cached)
+    edge list; localCheckpoint per round stops plan growth exactly like
+    the CC/PageRank loops."""
+    e = _edges(spark, sf_dir).select("src", "dst")
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("src")
+        )
+        e = (
+            e.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .localCheckpoint()
+        )
+    return e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

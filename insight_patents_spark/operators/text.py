@@ -1006,3 +1006,117 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+PACK_BUDGET = 512  # tokens per training sequence (bin)
+
+
+@query(
+    "text_doc_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_off
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_off // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(start_off % {PACK_BUDGET} AS BIGINT) AS bin_offset,
+           (start_off % {PACK_BUDGET}) + n_tokens > {PACK_BUDGET} AS straddles
+    FROM c
+    """,
+)
+def text_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining batches: documents concatenate
+    in a deterministic order (lang, doc_id) into a contiguous token
+    stream that is cut into fixed 512-token bins; each doc reports the
+    bin and offset where it starts and whether it straddles a cut. One
+    running-sum window per language partition — at 100 TB the stream is
+    packed per (lang-shard) partition independently, which is exactly how
+    packing shards in practice (no global sequential dependency)."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", F.size(_tokens()).alias("n_tokens"))
+    c = t.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return c.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("start_off") / PACK_BUDGET).cast("bigint").alias("bin_id"),
+        (F.col("start_off") % PACK_BUDGET).cast("bigint").alias("bin_offset"),
+        ((F.col("start_off") % PACK_BUDGET) + F.col("n_tokens") > PACK_BUDGET).alias(
+            "straddles"
+        ),
+    )
+
+
+CHUNK_SIZE = 64   # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+@query(
+    "text_context_chunk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(greatest(len(toks) - {CHUNK_SIZE}, 0)
+                                        / {CHUNK_STRIDE}.0) AS BIGINT) + 1)) AS chunk_no
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+           md5(array_to_string(list_slice(toks, chunk_no * {CHUNK_STRIDE} + 1,
+                                          chunk_no * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+             AS chunk_sig,
+           CAST(len(list_slice(toks, chunk_no * {CHUNK_STRIDE} + 1,
+                               chunk_no * {CHUNK_STRIDE} + {CHUNK_SIZE})) AS BIGINT)
+             AS chunk_tokens
+    FROM idx
+    """,
+)
+def text_context_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context chunking (RAG / long-context prep): each doc
+    splits into 64-token windows advancing 48 tokens (16-token overlap);
+    the final window keeps the tail. Pure narrow ops — sequence+explode
+    then an in-row slice; no shuffle at all, so it scales with the scan.
+    Chunk text is md5-fingerprinted so the oracle compares signatures,
+    not multi-KB strings."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", _tokens().alias("toks"))
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size("toks") - CHUNK_SIZE, F.lit(0))
+            / F.lit(float(CHUNK_STRIDE))
+        ).cast("int")
+        + 1
+    )
+    idx = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        F.col("chunk_no") * CHUNK_STRIDE + 1,
+        F.lit(CHUNK_SIZE),
+    )
+    return idx.select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_sig"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+    )
