@@ -598,15 +598,18 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KCORE_K = 3
-KCORE_ROUNDS = 5
+# Fixpoint depth measured on driver data: 9 rounds at sf0.01 (1 at
+# sf0.001, 3 at sf0.1 — where the 3-core is genuinely empty); 12 gives
+# margin while keeping the oracle's unrolled CTE bounded.
+KCORE_ROUNDS = 12
 
 
 def _kcore_oracle() -> str:
     sql = _EDGES_CTE + ", r0 AS (SELECT src, dst FROM edges)"
     for i in range(KCORE_ROUNDS):
         sql += f"""
-    , k{i+1} AS (SELECT src FROM r{i} GROUP BY src HAVING COUNT(*) >= {KCORE_K}),
-    r{i+1} AS (
+    , k{i+1} AS MATERIALIZED (SELECT src FROM r{i} GROUP BY src HAVING COUNT(*) >= {KCORE_K}),
+    r{i+1} AS MATERIALIZED (
       SELECT e.src, e.dst FROM r{i} e
       JOIN k{i+1} a ON e.src = a.src
       JOIN k{i+1} b ON e.dst = b.src
@@ -619,11 +622,12 @@ def _kcore_oracle() -> str:
 
 @query("graph_kcore", oracle=_kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition by iterative peeling (k=3, fixed 5 rounds —
-    fixed-iteration determinism per SURVEY §5): each round drops vertices
-    with current degree < k and their edges; survivors report their
-    degree inside the (approximate ≤5-peel) 3-core. The dense-subgraph
-    filter used to find tightly-coupled patent clusters. Each round is
+    """k-core decomposition by iterative peeling (k=3, fixed 12 rounds —
+    fixed-iteration determinism per SURVEY §5; 12 ≥ the measured fixpoint
+    depth on all driver SFs): each round drops vertices with current
+    degree < k and their edges; survivors report their degree inside the
+    3-core. The dense-subgraph filter used to find tightly-coupled patent
+    clusters. Each round is
     one degree agg + two semi-join-shaped prunes on the (tiny, cached)
     edge list; localCheckpoint per round stops plan growth exactly like
     the CC/PageRank loops."""

@@ -108,3 +108,35 @@ def test_correlated_exists_decorrelates_to_joins(spark, sf_dir):
     # join; no per-row subquery execution anywhere in the plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "Subquery" not in plan
+
+
+def test_stratified_sample_is_narrow_and_pushes_scan(spark, sf_dir):
+    # deterministic sampling must stay a narrow filter: no Exchange at all
+    from insight_patents_spark.operators.relational import sample_stratified
+
+    plan = formatted_plan(sample_stratified(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_context_chunk_has_no_shuffle(spark, sf_dir):
+    from insight_patents_spark.operators.text import text_context_chunk
+
+    assert "Exchange" not in formatted_plan(text_context_chunk(spark, sf_dir))
+
+
+def test_cosine_topk_probe_join_is_broadcast(spark, sf_dir):
+    # the label-blocked pair build must be a broadcast join (no shuffle of
+    # the probe side besides its explicit fan-out repartition)
+    from insight_patents_spark.operators.vector import vec_cosine_topk
+
+    plan = formatted_plan(vec_cosine_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_link_predict_degree_joins_are_broadcast(spark, sf_dir):
+    from insight_patents_spark.operators.graph import graph_link_predict
+
+    plan = formatted_plan(graph_link_predict(spark, sf_dir))
+    assert "SortMergeJoin" not in plan

