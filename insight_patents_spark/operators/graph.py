@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources.tables import load
@@ -647,3 +648,57 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+LPA_ITERS = 4
+
+
+def _lpa_oracle() -> str:
+    sql = _EDGES_CTE + """
+    , l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    for i in range(LPA_ITERS):
+        sql += f"""
+    , c{i+1} AS MATERIALIZED (
+        SELECT e.src AS node, l.label, SUM(e.w) AS wt
+        FROM edges e JOIN l{i} l ON e.dst = l.node
+        GROUP BY e.src, l.label)
+    , l{i+1} AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT node, label,
+                 ROW_NUMBER() OVER (PARTITION BY node ORDER BY wt DESC, label) AS rn
+          FROM c{i+1}
+        ) WHERE rn = 1)"""
+    sql += f"""
+    SELECT node, CAST(label AS BIGINT) AS community FROM l{LPA_ITERS}
+    """
+    return sql
+
+
+@query("graph_label_prop", oracle=_lpa_oracle())
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation, fixed 4
+    iterations (fixed-iter determinism, SURVEY §5): every vertex starts
+    in its own community; each round it adopts the label carrying the
+    most edge weight among its neighbors, ties broken by smallest label
+    (the tie-break makes sync LPA fully deterministic — no RNG, no
+    update-order dependence). Per round: one edge⋈labels join + one
+    weighted count + one per-node argmax window; localCheckpoint stops
+    lineage growth like the other fixpoint loops."""
+    e = _edges(spark, sf_dir)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    rank = Window.partitionBy("node").orderBy(F.col("wt").desc(), F.col("label"))
+    for _ in range(LPA_ITERS):
+        nbr = e.join(labels, e.dst == labels.node).select(
+            e.src.alias("node"), "label", "w"
+        )
+        labels = (
+            nbr.groupBy("node", "label")
+            .agg(F.sum("w").alias("wt"))
+            .withColumn("rn", F.row_number().over(rank))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("label").cast("bigint").alias("community"))
