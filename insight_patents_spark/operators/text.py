@@ -1120,3 +1120,45 @@ def text_context_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(chunk, " ")).alias("chunk_sig"),
         F.size(chunk).cast("bigint").alias("chunk_tokens"),
     )
+
+
+@query(
+    "dedup_groups",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS group_sig
+      FROM documents
+    )
+    SELECT doc_id, group_sig,
+           MIN(doc_id) OVER (PARTITION BY group_sig) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY group_sig) AS group_size,
+           doc_id = MIN(doc_id) OVER (PARTITION BY group_sig) AS keep
+    FROM g
+    """,
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION stage: documents sharing a distinct-token-set
+    fingerprint (md5 of the sorted distinct tokens — order- and
+    frequency-insensitive, so it catches shuffled/repeated-token
+    duplicates that exact-text md5 misses) form a group; the smallest
+    doc_id is canonical, everything else is droppable. One hash shuffle
+    on the group key — at 100 TB this is the linear-cost fast path run
+    before any pairwise near-dup operator, and its keep flags feed the
+    retention filter directly."""
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(_tokens())), " ")
+        ).alias("group_sig"),
+    )
+    w = Window.partitionBy("group_sig")
+    return g.select(
+        "doc_id",
+        "group_sig",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
