@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes to completion through the noop sink (full computation,
 no driver-side collection cost). A warm-up query runs first so JVM/codegen
 startup is excluded from per-query numbers.
+
+Process stdout is byte-exact ONE JSON line: fd 1 is redirected into fd 2
+for the whole run (so anything the JVM or a library writes to stdout lands
+on stderr) and the JSON is written to a saved dup of the real stdout at
+the end. Round 1's driver record showed ``"parsed": null`` — never let
+stray stdout near the contract again.
 """
 
 from __future__ import annotations
@@ -15,6 +21,10 @@ import os
 import sys
 import time
 from pathlib import Path
+
+_REAL_STDOUT = os.dup(1)
+os.dup2(2, 1)
+sys.stdout = sys.stderr
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
@@ -50,17 +60,16 @@ def main() -> None:
                   file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    os.write(_REAL_STDOUT, (line + "\n").encode())
     spark.stop()
 
 

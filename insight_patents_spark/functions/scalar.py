@@ -158,25 +158,33 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(tokens) AS n_tokens,
            list_contains(tokens, 'table') AS has_table,
-           tokens[1:3] AS first3,
-           list_sort(list_distinct(tokens)) AS vocab,
-           list_transform(tokens[1:5], t -> UPPER(t)) AS head_upper,
-           list_filter(tokens, t -> LENGTH(t) > 4) AS long_tokens,
+           array_to_string(tokens[1:3], '|') AS first3,
+           array_to_string(list_sort(list_distinct(tokens)), '|') AS vocab,
+           array_to_string(list_transform(tokens[1:5], t -> UPPER(t)), '|') AS head_upper,
+           array_to_string(list_filter(tokens, t -> LENGTH(t) > 4), '|') AS long_tokens,
            CAST(list_aggregate(list_transform(tokens, t -> LENGTH(t)), 'sum') AS BIGINT) AS total_chars
     FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array + higher-order function battery over tokenized text."""
+    """Array + higher-order function battery over tokenized text.
+
+    Array-valued intermediates are serialized with '|' joins before they
+    reach the result: the driver's value-hash canonicalizer cannot
+    hash/sort list cells (round-1 agg_collect failure)."""
     d = load(spark, sf_dir, "documents").withColumn("tokens", F.split("text", " "))
     return d.select(
         "doc_id",
         F.size("tokens").cast("bigint").alias("n_tokens"),
         F.array_contains("tokens", "table").alias("has_table"),
-        F.slice("tokens", 1, 3).alias("first3"),
-        F.sort_array(F.array_distinct("tokens")).alias("vocab"),
-        F.transform(F.slice("tokens", 1, 5), lambda t: F.upper(t)).alias("head_upper"),
-        F.filter("tokens", lambda t: F.length(t) > 4).alias("long_tokens"),
+        F.concat_ws("|", F.slice("tokens", 1, 3)).alias("first3"),
+        F.concat_ws("|", F.sort_array(F.array_distinct("tokens"))).alias("vocab"),
+        F.concat_ws(
+            "|", F.transform(F.slice("tokens", 1, 5), lambda t: F.upper(t))
+        ).alias("head_upper"),
+        F.concat_ws("|", F.filter("tokens", lambda t: F.length(t) > 4)).alias(
+            "long_tokens"
+        ),
         F.aggregate(
             F.transform("tokens", lambda t: F.length(t).cast("bigint")),
             F.lit(0).cast("bigint"),
@@ -207,8 +215,8 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
     SELECT doc_id,
-           map_keys(m) AS ks,
-           map_values(m) AS vs,
+           array_to_string(map_keys(m), '|') AS ks,
+           array_to_string(map_values(m), '|') AS vs,
            m['lang'][1] AS lang_val
     FROM (SELECT doc_id,
                  MAP {'lang': lang, 'source': source} AS m
@@ -216,13 +224,14 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + access (metadata-bag analog)."""
+    """Map construction + access (metadata-bag analog). Key/value arrays
+    are '|'-joined so the result is scalar-only (driver hashability)."""
     d = load(spark, sf_dir, "documents")
     m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
     return d.select(
         "doc_id",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.concat_ws("|", F.map_keys(m)).alias("ks"),
+        F.concat_ws("|", F.map_values(m)).alias("vs"),
         m.getItem("lang").alias("lang_val"),
     )
 
@@ -334,12 +343,12 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_hof",
     oracle="""
     SELECT event_id,
-           list_transform(
+           array_to_string(list_transform(
              list_sort(list_transform(range(1, 4), i -> 'b' || CAST(i AS VARCHAR))),
              k -> k || '=' ||
                   CAST((CAST(json_extract(props, '$.k') AS BIGINT)
                         * CAST(substr(k, 2, 1) AS BIGINT)) AS VARCHAR)
-           ) AS scaled_entries
+           ), '|') AS scaled_entries
     FROM events WHERE event_id % 50 = 0
     """,
 )
@@ -362,4 +371,4 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.map_keys(scaled)),
         lambda key: F.concat(key, F.lit("="), F.element_at(scaled, key).cast("string")),
     )
-    return e.select("event_id", entries.alias("scaled_entries"))
+    return e.select("event_id", F.concat_ws("|", entries).alias("scaled_entries"))

@@ -286,7 +286,8 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     oracle="""
-    SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys,
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
            COUNT(*) AS n_orders
     FROM orders WHERE o_totalprice > 250000
     GROUP BY o_custkey
@@ -294,10 +295,14 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer sorted key list (collect_list MUST be sorted for
-    determinism; SURVEY §5)."""
+    determinism; SURVEY §5). Emitted as a comma-joined string, not an
+    array column: the driver's value-hash canonicalizer sorts result
+    columns with pandas, which cannot hash/sort list cells (r1 failure)."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias(
+            "order_keys"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

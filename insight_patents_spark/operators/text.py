@@ -484,7 +484,9 @@ def text_jaccard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY t.doc_id, s.seed_id
     )
     SELECT doc_id,
-           list_transform(list_sort(list({{'i': seed_id, 'h': mh}})), x -> x.h) AS signature
+           array_to_string(
+             list_transform(list_sort(list({{'i': seed_id, 'h': mh}})), x -> x.h),
+             '|') AS signature
     FROM sig GROUP BY doc_id
     """,
 )
@@ -493,8 +495,12 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once per DISTINCT token (16 × |vocab| hashes, broadcast),
     then each signature component is a plain MIN aggregate — 16 string
     mins in ONE hash aggregate, one narrow shuffle keyed by doc_id.
-    Exactly equal to the naive (doc, seed, token) expansion."""
-    return _doc_sig_mask(spark, sf_dir).select("doc_id", "signature")
+    Exactly equal to the naive (doc, seed, token) expansion. The
+    signature is emitted '|'-joined (scalar-only results for the
+    driver's hasher)."""
+    return _doc_sig_mask(spark, sf_dir).select(
+        "doc_id", F.concat_ws("|", "signature").alias("signature")
+    )
 
 
 def _doc_sig_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,8 +695,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dims GROUP BY doc_id, i
     )
     SELECT doc_id,
-           list_transform(list_sort(list({'i': i, 'b': CASE WHEN w > 0 THEN 1 ELSE 0 END})),
-                          x -> x.b) AS simhash_bits
+           array_to_string(
+             list_transform(list_sort(list({'i': i, 'b': CASE WHEN w > 0 THEN 1 ELSE 0 END})),
+                            x -> x.b),
+             '') AS simhash_bits
     FROM weighted GROUP BY doc_id
     """,
 )
@@ -724,8 +732,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return weighted.groupBy("doc_id").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(i AS i, "
-            "CASE WHEN w > 0 THEN 1 ELSE 0 END AS b))), x -> x.b)"
+            "array_join(transform(array_sort(collect_list(struct(i AS i, "
+            "CASE WHEN w > 0 THEN 1 ELSE 0 END AS b))), "
+            "x -> CAST(x.b AS STRING)), '')"
         ).alias("simhash_bits")
     )
 
@@ -882,10 +891,12 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           list_sort(list_transform(
-             list_transform(range(1, GREATEST(len(toks) - 1, 1)),
-                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-             s -> md5(s)))[1:4] AS fingerprint
+           array_to_string(
+             list_sort(list_transform(
+               list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+               s -> md5(s)))[1:4],
+             '|') AS fingerprint
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     """,
 )
@@ -900,9 +911,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.slice(F.sort_array(F.transform(shingles, lambda s: F.md5(s))), 1, 4).alias(
-            "fingerprint"
-        ),
+        F.concat_ws(
+            "|",
+            F.slice(F.sort_array(F.transform(shingles, lambda s: F.md5(s))), 1, 4),
+        ).alias("fingerprint"),
     )
 
 

@@ -2,12 +2,14 @@
 
 One loader owns every read-side quirk so operators never touch paths:
 
-- ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark 4.1.2 cannot read
-  natively (SURVEY §5). With ``spark.sql.legacy.parquet.nanosAsLong=true``
-  it arrives as bigint nanos; we convert to TIMESTAMP_NTZ by adding
-  ``ts div 1000`` microseconds to the NTZ epoch. This is timezone-
-  independent (no TimestampType/local-tz round trip) and equals DuckDB's
-  truncating read of the same column (verified on event_id 0-1).
+- ``events.ts`` has shipped as either TIMESTAMP(MICROS) (reads natively
+  as TIMESTAMP_NTZ) or TIMESTAMP(NANOS) (unreadable natively by Spark
+  4.1.2; with ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as
+  bigint nanos). We branch on the *observed* dtype: bigint nanos are
+  truncated (integer div) to micros and rebased onto the NTZ epoch —
+  timezone-independent and equal to DuckDB's truncating read of the same
+  column. Never assume the physical type; the driver regenerates testdata
+  between rounds and has changed it once already (round 1 -> 2).
 - All other timestamp columns already read as TIMESTAMP_NTZ.
 
 At 100 TB these loaders are the single place to attach bucketing /
@@ -52,11 +54,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ts arrives as bigint nanoseconds; truncate (integer div) to micros and
-    # rebase onto the NTZ epoch -> wall-clock identical to DuckDB's read.
-    return df.withColumn(
-        "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_NTZ_EPOCH})")
-    )
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos-as-long read: truncate (integer div) to micros and rebase
+        # onto the NTZ epoch -> wall-clock identical to DuckDB's read.
+        df = df.withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_NTZ_EPOCH})")
+        )
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -40,11 +40,16 @@ _STREAM_TMP = os.path.join(_SCRATCH_ROOT, "ips_stream")
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts as TIMESTAMP (not NTZ): Spark watermarks require
-    TimestampType. Built straight from the raw bigint nanos via
-    timestamp_micros (epoch-exact, timezone-independent)."""
+    TimestampType. Branch on the observed dtype (the driver has shipped
+    both ns-parquet and µs-parquet events): bigint nanos go through
+    timestamp_micros (epoch-exact, tz-independent); a native
+    TIMESTAMP_NTZ read is cast under the UTC session tz (epoch-exact)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
