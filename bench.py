@@ -46,7 +46,13 @@ def main() -> None:
     names = [n for n in sorted(specs) if not only or n in only]
 
     spark = get_spark("ips-bench")
-    _execute(specs["agg_groupby"].fn(spark, sf_dir))  # warm-up
+    # Warm-up excludes one-time platform startup from per-query numbers:
+    # JVM/codegen (any JVM query) and the Python UDF worker pool +
+    # DataSource plumbing (~5 s cold), which otherwise lands on whichever
+    # Python-surface query runs first.
+    _execute(specs["agg_groupby"].fn(spark, sf_dir))
+    _execute(specs["udf_pandas_scalar"].fn(spark, sf_dir))
+    _execute(specs["scan_python_datasource"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

@@ -706,37 +706,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-style fingerprint with 16 hex-digit dimensions: dimension i
     weights each token by (hex digit i of md5(token)) - 8.5, tf-weighted;
     the sign of the accumulated weight is bit i. Integer×half arithmetic
-    -> exact in both engines. Near-dup docs agree on most bits (Hamming)."""
+    -> exact in both engines (half-steps are exact doubles, so the sum is
+    order-independent). Near-dup docs agree on most bits (Hamming).
+
+    Vocabulary trick (same as the minhash family): md5 runs once per
+    DISTINCT token and fans out into 16 weight COLUMNS, so the per-doc
+    pass is a single hash aggregate of 16 sums — no 16x row explosion
+    through the shuffle and no per-(doc,token,dim) md5 (the naive shape
+    measured ~3x slower at sf0.1). At 100 TB the broadcast vocabulary
+    has the same cap as dedup_minhash (documented there); past it, drop
+    the broadcast hint and let AQE pick a shuffle join."""
     d = load(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(_tokens()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dims = tok.select(
-        "doc_id",
+    vocab_w = tok.select("token").distinct().select(
         "token",
-        "tf",
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
-    )
-    weighted = dims.groupBy("doc_id", "i").agg(
-        F.sum(
-            F.col("tf")
-            * (
-                F.expr(
-                    "instr('0123456789abcdef', substring(md5(token), i, 1))"
-                )
+        *[
+            (
+                F.expr(f"instr('0123456789abcdef', substring(md5(token), {i}, 1))")
                 - F.lit(8.5)
-            )
-        ).alias("w")
+            ).alias(f"w{i}")
+            for i in range(1, 17)
+        ],
     )
-    return weighted.groupBy("doc_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(i AS i, "
-            "CASE WHEN w > 0 THEN 1 ELSE 0 END AS b))), "
-            "x -> CAST(x.b AS STRING)), '')"
-        ).alias("simhash_bits")
+    sums = (
+        tok.join(F.broadcast(vocab_w), "token")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.col("tf") * F.col(f"w{i}")).alias(f"s{i}")
+                for i in range(1, 17)
+            ]
+        )
     )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, 17)
+        ]
+    )
+    return sums.select("doc_id", bits.alias("simhash_bits"))
 
 
 @query(
