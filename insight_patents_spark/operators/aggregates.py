@@ -568,3 +568,108 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.expr("unix_micros(CAST(t1 AS TIMESTAMP)) div 1000000"),
     ).cast("bigint")
     return c.select("user_id", stage.alias("stage"), sec.alias("funnel_sec"))
+
+
+@query(
+    "time_rollup_hier",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket_ts,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def time_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup (continuous-aggregate
+    pattern): minute-level partials -> 10-minute -> hour, each level
+    re-aggregated from the FINER level, never from raw events. Only
+    mergeable statistics cross levels (count/sum/min/max; averages are
+    derived at read time as sum/count), and the decimal sum keeps the
+    merge order-independent, so the three-stage rollup is bit-identical
+    to the oracle's direct hour aggregate over raw data — which is the
+    property that makes the pattern valid.
+
+    Scale shape: at 100 TB this is THE way to serve time-series queries —
+    the raw stream is aggregated once into the finest rollup (here 1 min)
+    and every coarser resolution derives from ~1/60th the rows; Spark's
+    partial aggregation already computes per-partition partials, so each
+    level is one narrow shuffle over already-tiny data. The same tree
+    extends incrementally under streaming (stream_tumbling writes the
+    finest level; this operator is the batch re-rollup)."""
+    e = load(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            F.date_trunc("minute", "ts").alias("m_ts"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    ten_min = (
+        minute.groupBy(
+            F.expr(
+                "timestampadd(MINUTE, -(minute(m_ts) % 10), date_trunc('minute', m_ts))"
+            ).alias("t_ts"),
+            "event_type",
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    hour = (
+        ten_min.groupBy(
+            F.date_trunc("hour", "t_ts").alias("bucket_ts"),
+            "event_type",
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return hour.select(
+        "bucket_ts", "event_type", "n_events", "sum_value", "min_value", "max_value"
+    )
+
+
+@query("agg_hll_sketch", oracle=None)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch surface (Apache DataSketches, built into
+    Spark 4): per-event-type user sketches via hll_sketch_agg, estimated
+    with hll_sketch_estimate, then the per-group BINARY sketches merged
+    with hll_union_agg into a corpus-wide distinct estimate — without
+    touching raw data again. Rows-only check (DuckDB has no DataSketches
+    implementation; estimate accuracy is property-tested against the
+    exact distinct count in tests/test_properties.py instead).
+
+    Scale shape: the sketch IS the shuffle payload — each executor sends
+    one ~lgK=12 sketch per group instead of its user-id set, and the same
+    sketches are reusable partials for any coarser grouping (the rollup
+    property, binary-compatible with other DataSketches impls)."""
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    merged = per_type.agg(
+        F.hll_union_agg("sk").alias("sk_all"),
+        F.sum(F.lit(0)).alias("_z"),
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk_all").alias("est_users"),
+        F.lit(None).cast("bigint").alias("exact_users"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+    ).unionByName(merged)

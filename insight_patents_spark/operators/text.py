@@ -432,6 +432,9 @@ def text_jaccard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("toks"),
             F.count(F.lit(1)).alias("n"),
         )
+        # Materialize once: feeds the prefix SELF-join plus both verify
+        # sides — without this the tokenize+df+sort pipeline runs 4x.
+        .localCheckpoint()
     )
     pref = docs.select(
         "doc_id",
@@ -507,6 +510,15 @@ def _doc_sig_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_sig_mask_chunks(spark, sf_dir)[0]
 
 
+# (session, sf) -> (checkpointed signature table, n_chunks). The sig table
+# feeds a SELF-join in dedup_minhash_pairs; without materialization Spark
+# rebuilds the whole scan->vocab->aggregate pipeline on BOTH join sides
+# (verified in the r1 physical plan: duplicated subtrees). At cluster
+# scale this is "write signatures to a table, then LSH over the table" —
+# localCheckpoint is the single-node equivalent.
+_SIG_CACHE: dict[tuple[int, str], tuple[DataFrame, int]] = {}
+
+
 def _doc_sig_mask_chunks(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, int]:
@@ -524,6 +536,9 @@ def _doc_sig_mask_chunks(
     bitset degrades gracefully back to sorted-int-array intersection;
     the signature path (broadcast of per-token hash rows) is unchanged
     because it only ever ships |vocab| rows, not |docs|."""
+    key = (id(spark), sf_dir)
+    if key in _SIG_CACHE:
+        return _SIG_CACHE[key]
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
     vocab = (
@@ -561,7 +576,8 @@ def _doc_sig_mask_chunks(
         F.array(*[f"h{i}" for i in range(len(MINHASH_SEEDS))]).alias("signature"),
         F.array(*[f"m{c}" for c in range(n_chunks)]).alias("mask"),
         "n",
-    )
+    ).localCheckpoint()
+    _SIG_CACHE[key] = (out, n_chunks)
     return out, n_chunks
 
 

@@ -298,3 +298,21 @@ def test_kcore_result_is_stable_subgraph(spark, sf_dir, duck):
     rows = graph_kcore(spark, sf_dir).collect()
     assert rows
     assert all(r.deg >= KCORE_K for r in rows), "peeling did not converge"
+
+
+def test_hll_sketch_estimate_accuracy(spark):
+    """agg_hll_sketch's estimates must sit within HLL lgK=12 error bounds
+    of the exact distinct counts (the oracle gate can't check this —
+    DuckDB has no DataSketches), and the merged ALL row must estimate the
+    union, not the sum of the groups."""
+    from insight_patents_spark.operators.aggregates import agg_hll_sketch
+    from insight_patents_spark.sources.tables import load
+
+    sf_dir = "/root/testdata/sf0.01"
+    rows = {r.event_type: r for r in agg_hll_sketch(spark, sf_dir).collect()}
+    exact_all = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    for et, r in rows.items():
+        target = exact_all if et == "ALL" else r.exact_users
+        assert abs(r.est_users - target) <= max(3, 0.05 * target), (et, r)
