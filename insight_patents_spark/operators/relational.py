@@ -531,3 +531,102 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < keep)
         .select("doc_id", "lang", "bucket")
     )
+
+
+@query(
+    "join_dpp",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning exhibit: a partitioned fact table joined
+    to a dim filtered on a NON-key attribute ('hot' urgency class), so
+    only the DPP subquery — not any static predicate — can prune the
+    fact's partition directories. The physical scan shows
+    ``dynamicpruningexpression(o_orderpriority IN ...)`` under
+    PartitionFilters (gated in tests/test_plans.py).
+
+    At 100 TB this is the flagship star-schema scan-killer: the broadcast
+    of the filtered dim is reused as the pruning subquery, and the fact
+    scan reads 2 of 5 partitions without the query author saying which."""
+    out = _roundtrip_dir(sf_dir, "orders_part_priority")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        "priority string, urgency string",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("urgency") == "hot")),
+            fact.o_orderpriority == dim.priority,
+        )
+        .groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "sink_compaction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(64 AS INT) AS files_before,
+           CAST(4 AS INT) AS files_after
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a 64-file fragmented landing zone (what a
+    streaming/parallel ingest leaves behind) rewritten into 4 right-sized
+    files, content-preserving. The result carries the observed
+    before/after file counts next to per-type counts computed from the
+    COMPACTED copy, so the oracle check proves both that compaction
+    happened and that no row was lost or duplicated.
+
+    At 100 TB: small files are the #1 silent scan killer (per-file open
+    cost, starved vectorized reads); the production loop is this exact
+    rewrite driven by target file size (repartition to
+    ceil(bytes/target)), run per landing partition."""
+    frag = _roundtrip_dir(sf_dir, "events_fragmented")
+    compact = _roundtrip_dir(sf_dir, "events_compacted")
+    e = load(spark, sf_dir, "events")
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        e.repartition(64).write.mode("overwrite").parquet(frag)
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    # At scale the repartition factor is ceil(input_bytes / target_size);
+    # fixed here so the result is deterministic.
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    n_after = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    return (
+        spark.read.parquet(compact)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            "n_events",
+            F.lit(n_before).cast("int").alias("files_before"),
+            F.lit(n_after).cast("int").alias("files_after"),
+        )
+    )

@@ -642,6 +642,24 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once (only from its FIRST colliding band — an exists() check
     over the carried key arrays) so no multi-million-row DISTINCT
     shuffle exists anywhere in the plan."""
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH candidate stage for the minhash pair family: band
+    collisions -> (doc_a, doc_b, inter, na, nb), one row per colliding
+    pair, inter = exact distinct-token intersection via bitset popcount.
+    dedup_minhash_pairs filters it by Jaccard, text_minhash_containment
+    by containment — same candidates, different verify metric."""
     n_bands = len(MINHASH_SEEDS) // 4
     sm, n_chunks = _doc_sig_mask_chunks(spark, sf_dir)
     bands = sm.select(
@@ -679,17 +697,117 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair.filter(~dup_from_earlier_band)
         .withColumn("inter", inter)
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("a.n") + F.col("b.n") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= 0.7)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            "jaccard",
+            "inter",
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
+    )
+
+
+@query(
+    "text_minhash_containment",
+    oracle=f"""
+    WITH seeds(seed, seed_id) AS (VALUES {_SEEDS_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    sig AS (
+      SELECT t.doc_id, s.seed_id, MIN(md5(s.seed || ':' || t.token)) AS mh
+      FROM tok t CROSS JOIN seeds s
+      GROUP BY t.doc_id, s.seed_id
+    ),
+    bands AS (
+      SELECT doc_id, seed_id // 4 AS band_id,
+             md5(string_agg(mh, '|' ORDER BY seed_id)) AS band_key
+      FROM sig GROUP BY doc_id, seed_id // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    docs AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+             len(list_distinct(string_split(text, ' '))) AS n
+      FROM documents
+    )
+    SELECT doc_a, doc_b, containment
+    FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+               / LEAST(da.n, db.n) AS containment
+      FROM cand c
+      JOIN docs da ON c.doc_a = da.doc_id
+      JOIN docs db ON c.doc_b = db.doc_id
+    )
+    WHERE containment >= 0.9
+    """,
+)
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (quote / subset detection): same LSH candidate
+    stage as dedup_minhash_pairs, but verified by CONTAINMENT of the
+    smaller token set in the larger — |A∩B| / min(|A|,|B|) ≥ 0.9 — which
+    catches a short document embedded in a longer one that Jaccard dilutes
+    below its threshold. Integer popcount / integer min -> exact double in
+    both engines. Shares the one-shuffle signature+bitset build and the
+    first-colliding-band dedup with the Jaccard path (same scale shape)."""
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    return (
+        cand.withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least("na", "nb"),
+        )
+        .filter(F.col("containment") >= 0.9)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT b.doc_id, b.sig,
+           (h.sig IS NOT NULL) AS seen_before
+    FROM batch b LEFT JOIN hist h ON b.sig = h.sig
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a historical corpus — the production
+    shape: a new batch (doc_id % 5 = 0 here; in production the latest
+    ingest partition) is checked against the signature store of everything
+    already accepted, emitting a keep/drop decision per new document
+    without ever re-scanning history text. Exact-signature flavor of the
+    same pattern the LSH family uses for near-dups.
+
+    Scale shape: history collapses to DISTINCT md5 signatures (the only
+    thing that must persist between runs — at 100 TB a bucketed signature
+    table keyed by sig); the decision join is signature-to-signature,
+    shuffle-partitioned on the hash, never text-to-text."""
+    d = load(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("sig"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("sig")
+    )
+    return batch.join(
+        hist.withColumnRenamed("sig", "h_sig"),
+        batch.sig == F.col("h_sig"),
+        "left",
+    ).select(
+        "doc_id", "sig", F.col("h_sig").isNotNull().alias("seen_before")
     )
 
 

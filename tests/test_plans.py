@@ -140,3 +140,13 @@ def test_link_predict_degree_joins_are_broadcast(spark, sf_dir):
 
     plan = formatted_plan(graph_link_predict(spark, sf_dir))
     assert "SortMergeJoin" not in plan
+
+
+def test_join_dpp_has_dynamic_pruning(spark, sf_dir):
+    """The partitioned-fact x filtered-dim join must prune fact partitions
+    via a dynamic pruning subquery (no static predicate names them)."""
+    from insight_patents_spark.operators.relational import join_dpp
+
+    df = join_dpp(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
