@@ -69,8 +69,9 @@ _SHOWCASE_50 = (
     # scans / sources
     "scan_parquet", "scan_csv", "scan_json", "scan_text_parse",
     "scan_json_permissive", "scan_python_datasource",
-    # sinks
-    "sink_parquet", "sink_csv", "sink_orc",
+    # sinks (compaction over the orc format roundtrip: scale technique
+    # beats a third columnar format in the checked window)
+    "sink_parquet", "sink_csv", "sink_compaction",
     # projections / filters / SQL forms
     "project_compute", "filter_pred", "filter_regex", "case_when",
     "cast_null_fns", "sql_scalar_subquery", "sql_exists_correlated",
@@ -78,10 +79,10 @@ _SHOWCASE_50 = (
     # joins (incl. the scale techniques)
     "join_inner_equi", "join_broadcast", "join_left_outer",
     "join_full_outer", "join_semi", "join_anti", "join_theta_range",
-    "join_interval", "join_asof", "join_bucketed", "join_skew_salted",
-    # aggregations
-    "agg_groupby", "agg_count_distinct", "agg_rollup", "agg_percentile",
-    "agg_pivot", "agg_sketch_cms", "funnel_stages",
+    "join_asof", "join_bucketed", "join_skew_salted", "join_dpp",
+    # aggregations (time_rollup_hier = hypertable rollup exhibit)
+    "agg_groupby", "agg_rollup", "agg_percentile",
+    "agg_pivot", "agg_sketch_cms", "time_rollup_hier", "funnel_stages",
     # windows
     "win_rank", "win_sessionize", "topk_per_group",
     # dedup family
