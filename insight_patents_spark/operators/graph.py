@@ -702,3 +702,85 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select("node", F.col("label").cast("bigint").alias("community"))
+
+
+PPR_ITERS = 6
+
+
+def _ppr_oracle() -> str:
+    sql = _EDGES_CTE + """
+    , deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 500 = 0),
+    ns AS (SELECT COUNT(*) AS n FROM seeds),
+    tele AS (SELECT node, 0.15 / ns.n AS v FROM seeds CROSS JOIN ns),
+    p0 AS (SELECT node, 1.0 / ns.n AS rank FROM seeds CROSS JOIN ns)"""
+    for t in range(1, PPR_ITERS + 1):
+        sql += f"""
+    , c{t} AS (
+      SELECT e.dst AS node,
+             0.85 * list_aggregate(list_sort(list(r.rank / d.deg)), 'sum') AS v
+      FROM p{t - 1} r
+      JOIN deg d ON r.node = d.src
+      JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    p{t} AS MATERIALIZED (
+      SELECT node, list_aggregate(list_sort(list(v)), 'sum') AS rank
+      FROM (SELECT node, v FROM c{t} UNION ALL SELECT node, v FROM tele)
+      GROUP BY node
+    )"""
+    return sql + f"\n    SELECT node, rank FROM p{PPR_ITERS}"
+
+
+@query("graph_pagerank_personalized", oracle=_ppr_oracle())
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the seed set (part keys ≡ 0 mod 500 —
+    same seeds as graph_bfs_khop): teleport mass returns ONLY to seeds,
+    so rank measures proximity to the seed neighborhood (the
+    related-patents / recommendation query, SURVEY §0.1 step 4). Fixed
+    6 iterations; every float fold is order-canonical (sorted list sum)
+    and the teleport+contribution merge is itself a canonical 2-element
+    fold, so ranks are bit-identical to the oracle by induction.
+
+    Scale shape: identical to graph_pagerank (join+agg per round over a
+    checkpointed edge cache) plus one union with the constant seed
+    table; rank state stays ∝ |reached nodes|, which for tight seed
+    sets is far smaller than the graph — the reason PPR is the
+    production form of 'what is near these nodes' at 100 TB."""
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seeds = (
+        edges.filter(F.col("src") % 500 == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    n_seeds = seeds.count()
+    tele = seeds.withColumn("v", F.lit(0.15) / F.lit(float(n_seeds)))
+    ranks = seeds.withColumn("rank", F.lit(1.0) / F.lit(float(n_seeds))).coalesce(4)
+
+    def canonical_sum(col: str) -> F.Column:
+        return F.aggregate(
+            F.sort_array(F.collect_list(col)), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    for t in range(1, PPR_ITERS + 1):
+        contribs = (
+            ranks.alias("r")
+            .join(deg.alias("d"), F.col("r.node") == F.col("d.src"))
+            .join(edges.alias("e"), F.col("r.node") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("node"),
+                (F.col("r.rank") / F.col("d.deg")).alias("contrib"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            (F.lit(0.85) * canonical_sum("contrib")).alias("v")
+        )
+        ranks = (
+            summed.unionByName(tele.select("node", "v"))
+            .groupBy("node")
+            .agg(canonical_sum("v").alias("rank"))
+        )
+        if t % 3 == 0:
+            ranks = ranks.coalesce(4).localCheckpoint()
+    return ranks.select("node", "rank")

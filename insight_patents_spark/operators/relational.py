@@ -630,3 +630,74 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_after).cast("int").alias("files_after"),
         )
     )
+
+
+@query(
+    "sink_zorder",
+    oracle="""
+    WITH xy AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00', ts_o) % 256 AS BIGINT) AS y
+      FROM (SELECT o_orderkey, o_custkey, o_orderdate AS ts_o FROM orders)
+    ),
+    z AS (
+      SELECT o_orderkey, x, y,
+             CAST(list_aggregate(list_transform(range(0, 8),
+               i -> (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))),
+               'sum') AS BIGINT) AS zval
+      FROM xy
+    )
+    SELECT CAST(zval // 4096 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max,
+           MIN(y) AS y_min, MAX(y) AS y_max
+    FROM z GROUP BY zval // 4096
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) data layout: interleave the bits of two
+    query dimensions (customer bucket, day bucket) into one sort key,
+    range-partition + sort the table by it, and write. Because the curve
+    preserves 2-D locality, every file covers a small rectangle in
+    (customer, date) space, so min/max row-group stats prune scans for
+    predicates on EITHER dimension — multi-dimensional clustering from a
+    1-D sort, the lakehouse OPTIMIZE ZORDER pattern. The result reports
+    each coarse z-bucket's (x, y) bounding box; tight boxes ARE the
+    data-skipping property (the oracle reproduces the bit arithmetic).
+
+    At 100 TB: repartitionByRange samples the z-key distribution, so
+    file count scales with data; the same two-line recipe (z column +
+    range sort) works for any pair of selective dimensions."""
+    out = _roundtrip_dir(sf_dir, "orders_zorder")
+    o = load(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("bigint")
+    y = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp_ntz"))
+        % 256
+    ).cast("bigint")
+    zbits = sum(
+        (
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        for i in range(8)
+    )
+    zdf = o.select("o_orderkey", x.alias("x"), y.alias("y"), zbits.alias("zval"))
+    (
+        zdf.repartitionByRange(16, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy((F.col("zval") / 4096).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )

@@ -1320,3 +1320,54 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("group_size"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
     )
+
+
+@query(
+    "text_bpe_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, GREATEST(length(token), 1)),
+                                   i -> substr(token, CAST(i AS INTEGER), 2))) AS pair
+      FROM tok WHERE length(token) >= 2
+    )
+    SELECT pair, pair_count, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT pair, COUNT(*) AS pair_count,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rnk
+      FROM pairs GROUP BY pair
+    ) WHERE rnk <= 20
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step, corpus-wide: count every adjacent character
+    pair inside whitespace tokens and rank the top-20 merge candidates
+    (count desc, pair asc tie-break — fully deterministic). Iterating
+    this (merge rank-1, re-count) IS byte-pair-encoding tokenizer
+    training; one step exhibits the whole distributed shape.
+
+    Scale shape: explode to (pair) rows -> ONE partial+final hash
+    aggregate; shuffled bytes ∝ distinct pair count (bounded by
+    alphabet², tiny), not corpus size. The global top-20 compiles to
+    TakeOrderedAndProject over the aggregated (small) set — at 100 TB
+    the only full-data pass is the narrow explode."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_tokens()).alias("token")).filter(
+        F.length("token") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "pair_count", "rnk")
+    )

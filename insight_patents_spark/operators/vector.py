@@ -595,3 +595,82 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("vec_id", "neighbor_id", "cosine")
     )
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic PQ codebook: the embeddings of vec_id 1..8 (2
+    centroids per 16-dim subspace x 4 subspaces). A real pipeline trains
+    these with k-means; fixed seed rows keep the operator oracle-exact.
+    8 rows collected driver-side = codebook metadata, not data."""
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").between(1, 8))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [[float(v) for v in r.embedding] for r in rows]
+
+
+@query(
+    "vec_pq_codes",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id BETWEEN 1 AND 8)
+    SELECT code, COUNT(*) AS n_vectors
+    FROM (
+      SELECT e.vec_id,
+        {" || ".join(
+            "(CASE WHEN "
+            f"list_aggregate(list_transform(range(1, 17), i -> "
+            f"(e.v[{s} * 16 + i] - c{2 * s + 1}.v[{s} * 16 + i]) ^ 2), 'sum') <= "
+            f"list_aggregate(list_transform(range(1, 17), i -> "
+            f"(e.v[{s} * 16 + i] - c{2 * s + 2}.v[{s} * 16 + i]) ^ 2), 'sum') "
+            "THEN '0' ELSE '1' END)"
+            for s in range(4)
+        )} AS code
+      FROM e
+      {" ".join(
+          f"CROSS JOIN (SELECT v FROM cb WHERE vec_id = {c}) c{c}"
+          for c in range(1, 9)
+      )}
+    )
+    GROUP BY code
+    """,
+)
+def vec_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode: split each 64-dim vector into 4
+    subspaces of 16 dims; assign each subspace to its nearest of 2
+    codebook centroids (squared L2, ties to code 0); the 4 assignments
+    concatenate into a compact code. Result: vectors per code — the
+    compression histogram an IVF-PQ index build reports.
+
+    Scale shape: the codebook broadcasts as literals (k*m vectors —
+    KBs even for k=256, m=8 production shapes), so encoding is a
+    zero-shuffle narrow projection over the vector table; only the
+    (code, count) aggregate shuffles. Distances are statically unrolled
+    left-to-right double sums — bit-identical in both engines."""
+    cb = _pq_codebook(spark, sf_dir)
+    digits = []
+    for s in range(4):
+        c0, c1 = cb[2 * s], cb[2 * s + 1]
+
+        def dist(c: list[float], s: int = s) -> F.Column:
+            total = F.lit(0.0)
+            for i in range(16):
+                d = F.element_at("embedding", s * 16 + i + 1).cast("double") - F.lit(
+                    c[s * 16 + i]
+                )
+                total = total + d * d
+            return total
+
+        digits.append(
+            F.when(dist(c0) <= dist(c1), F.lit("0")).otherwise(F.lit("1"))
+        )
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.concat(*digits).alias("code"))
+        .groupBy("code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )

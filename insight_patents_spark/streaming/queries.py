@@ -528,3 +528,90 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_sec"),
     )
     return _run_available_now(joined, "ips_stream_stream_join", mode="append")
+
+
+@query(
+    "stream_rollup_incremental",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_ts,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate: foreachBatch merges each
+    micro-batch's MINUTE-level partials (count / decimal sum / min / max
+    — all mergeable) into a persistent rollup table; the returned result
+    re-rolls the maintained minutes up to hours. Because every statistic
+    is mergeable and the sum is decimal-exact, the incrementally
+    maintained answer is bit-identical to the direct batch aggregate
+    over all events — the continuous-aggregate correctness property,
+    checked by the oracle. Batch twin: time_rollup_hier (same tree,
+    recomputed); this operator is how the finest level stays fresh in
+    production without ever reprocessing history."""
+    key = sf_dir.strip("/").replace("/", "_")
+    state_dir = os.path.join(_STREAM_TMP, key, "rollup_minute")
+    import shutil
+
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def merge_partials(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        part = (
+            batch_df.groupBy(
+                F.date_trunc("minute", "ts").alias("m_ts"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_dec"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            prev = sp.read.parquet(state_dir)
+            part = (
+                prev.unionByName(part)
+                .groupBy("m_ts", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_dec").alias("sum_dec"),
+                    F.min("min_value").alias("min_value"),
+                    F.max("max_value").alias("max_value"),
+                )
+            )
+        part.write.mode("overwrite").parquet(state_dir + "_next")
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(state_dir + "_next", state_dir)
+
+    s = _read_stream(spark, sf_dir)
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", f"rollup-inc-{key}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        s.writeStream.foreachBatch(merge_partials)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    minutes = spark.read.parquet(state_dir)
+    return (
+        minutes.groupBy(
+            F.date_trunc("hour", "m_ts").cast("timestamp_ntz").alias("bucket_ts"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "bucket_ts", "event_type", "n_events", "sum_value",
+            "min_value", "max_value",
+        )
+    )
