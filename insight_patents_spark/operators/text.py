@@ -1371,3 +1371,95 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("pair", "pair_count", "rnk")
     )
+
+
+@query(
+    "text_clean_normalize",
+    oracle="""
+    SELECT doc_id,
+           TRIM(regexp_replace(
+             regexp_replace(
+               regexp_replace(LOWER(text), 'https?://[^ ]+', ' ', 'g'),
+               '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')) AS clean_text,
+           CAST(len(string_split(TRIM(regexp_replace(
+             regexp_replace(
+               regexp_replace(LOWER(text), 'https?://[^ ]+', ' ', 'g'),
+               '[^a-z0-9 ]', ' ', 'g'),
+             ' +', ' ', 'g')), ' ')) AS BIGINT) AS clean_tokens
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text-cleaning stage of a pretraining pipeline: lowercase,
+    drop URLs, strip everything outside [a-z0-9 ], collapse whitespace,
+    trim — then recount tokens. Pure JVM regexp projections, zero
+    shuffle: at 100 TB this runs at scan speed and is exactly the shape
+    a cleaning pass should have (no UDF, no Python)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), r"https?://[^ ]+", " "),
+                r"[^a-z0-9 ]",
+                " ",
+            ),
+            r" +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.split(clean, " ")).cast("bigint").alias("clean_tokens"),
+    )
+
+
+@query(
+    "text_pii_mask",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               concat(text, ' contact: user', CAST(doc_id AS VARCHAR),
+                      '@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')),
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS masked_text,
+           CAST(length(concat(text, ' contact: user', CAST(doc_id AS VARCHAR),
+                      '@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')))
+                - length(regexp_replace(
+                    regexp_replace(
+                      concat(text, ' contact: user', CAST(doc_id AS VARCHAR),
+                             '@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')),
+                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '', 'g'),
+                    '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '', 'g')) AS BIGINT) AS masked_chars
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before training: mask emails and phone numbers with
+    typed placeholders. The test corpus has no organic PII, so each doc
+    gets a deterministic synthetic contact line appended first (same
+    construction in the oracle) — the masking regexes then have real work
+    whose output is hash-checked. masked_chars counts how many characters
+    the masks replaced (scrub telemetry). Zero-shuffle regexp projection,
+    scan-speed at any scale."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    phone = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    masked = F.regexp_replace(
+        F.regexp_replace(salted, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    stripped = F.regexp_replace(F.regexp_replace(salted, email, ""), phone, "")
+    return d.select(
+        "doc_id",
+        masked.alias("masked_text"),
+        (F.length(salted) - F.length(stripped)).cast("bigint").alias("masked_chars"),
+    )
