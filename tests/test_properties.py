@@ -316,3 +316,102 @@ def test_hll_sketch_estimate_accuracy(spark):
     for et, r in rows.items():
         target = exact_all if et == "ALL" else r.exact_users
         assert abs(r.est_users - target) <= max(3, 0.05 * target), (et, r)
+
+
+def test_ppr_matches_numpy_power_iteration(spark, sf_dir, duck):
+    """graph_pagerank_personalized vs an independent NumPy power
+    iteration with seed-restricted teleport (same seeds, same 6 rounds).
+    Nodes never reached by the walk are absent from the Spark result and
+    must have (near-)zero rank in the reference."""
+    import numpy as np
+
+    from insight_patents_spark.operators.graph import (
+        DAMPING,
+        MIN_SUPPORT,
+        PPR_ITERS,
+        graph_pagerank_personalized,
+    )
+
+    rows = duck.execute(f"""
+        WITH pairs AS (
+          SELECT a.l_partkey pa, b.l_partkey pb
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT})
+        SELECT pa, pb FROM pairs
+    """).fetchall()
+    nodes = sorted({v for e in rows for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in rows:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+    deg = np.array([len(a) for a in adj], dtype=np.float64)
+    seeds = [idx[v] for v in nodes if v % 500 == 0]
+    assert seeds, "seed set empty at this sf"
+    r = np.zeros(n)
+    r[seeds] = 1.0 / len(seeds)
+    tele = np.zeros(n)
+    tele[seeds] = (1.0 - DAMPING) / len(seeds)
+    for _ in range(PPR_ITERS):
+        nxt = tele.copy()
+        contrib = r / deg
+        for i, outs in enumerate(adj):
+            for j in outs:
+                nxt[j] += DAMPING * contrib[i]
+        r = nxt
+    got = {
+        row.node: row.rank
+        for row in graph_pagerank_personalized(spark, sf_dir).collect()
+    }
+    for v in nodes:
+        want = r[idx[v]]
+        if v in got:
+            assert abs(got[v] - want) < 1e-9, (v, got[v], want)
+        else:
+            # unreached: the operator's frame only contains contribution
+            # receivers; the reference must agree it has no mass
+            assert want < 1e-12, (v, want)
+
+
+def test_pq_codes_match_numpy(spark, sf_dir):
+    """vec_pq_codes histogram vs a NumPy brute-force encode with the
+    same codebook rows (vec_id 1..8)."""
+    import numpy as np
+
+    from insight_patents_spark.operators.vector import vec_pq_codes
+    from insight_patents_spark.sources.tables import load
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    cb = [emb[c] for c in range(1, 9)]
+    from collections import Counter
+
+    want: Counter = Counter()
+    for v in emb.values():
+        code = ""
+        for s in range(4):
+            sub = v[s * 16:(s + 1) * 16]
+            d0 = float(((sub - cb[2 * s][s * 16:(s + 1) * 16]) ** 2).sum())
+            d1 = float(((sub - cb[2 * s + 1][s * 16:(s + 1) * 16]) ** 2).sum())
+            code += "0" if d0 <= d1 else "1"
+        want[code] += 1
+    got = {r.code: r.n_vectors for r in vec_pq_codes(spark, sf_dir).collect()}
+    assert got == dict(want)
+
+
+def test_zorder_buckets_are_local(spark, sf_dir):
+    """Z-order locality: the top-4 z bits fix the top 2 bits of BOTH
+    dimensions, so every coarse bucket's bounding box spans < 64 in x
+    and in y — the property that makes min/max stats prune 2-D
+    predicates."""
+    from insight_patents_spark.operators.relational import sink_zorder
+
+    rows = sink_zorder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.x_max - r.x_min < 64, r
+        assert r.y_max - r.y_min < 64, r
