@@ -372,3 +372,49 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda key: F.concat(key, F.lit("="), F.element_at(scaled, key).cast("string")),
     )
     return e.select("event_id", F.concat_ws("|", entries).alias("scaled_entries"))
+
+
+@query(
+    "fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 DAY AS due_ts,
+           INTERVAL 3 MONTH + o_orderdate AS quarter_later,
+           CAST(date_diff('day', TIMESTAMP '1995-06-15 00:00:00', o_orderdate) AS BIGINT)
+             AS days_from_pivot,
+           CAST(date_diff('month',
+                          CAST(date_trunc('month', TIMESTAMP '1995-06-15 00:00:00') AS TIMESTAMP),
+                          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS BIGINT)
+             AS months_from_pivot,
+           CAST(o_orderdate - INTERVAL '36 hours' AS TIMESTAMP) AS day_and_half_before
+    FROM orders WHERE o_orderkey % 1000 = 0
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic battery over order dates: day/month
+    interval addition, signed day and whole-month differences from a
+    pivot, sub-day interval subtraction. Whole-month diff is computed on
+    month-truncated endpoints in BOTH engines (Spark's months_between
+    counts fractional months, DuckDB's date_diff counts boundary
+    crossings — truncation makes them agree exactly).
+
+    DuckDB 1.0.0 BUG dodged in the oracle: two ``ts + INTERVAL``
+    expressions in one SELECT are CSE-collapsed into ONE even when the
+    interval constants differ (probed: ``+ INTERVAL 3 MONTH`` next to
+    ``+ INTERVAL 90 DAY`` silently returns the 90-day result for both).
+    Writing the month add as ``INTERVAL 3 MONTH + o_orderdate`` (interval
+    on the left) breaks the false CSE match."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 1000 == 0)
+    pivot = F.lit("1995-06-15").cast("timestamp_ntz")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.add_months("o_orderdate", 3).cast("timestamp_ntz").alias("quarter_later"),
+        F.datediff("o_orderdate", pivot).cast("bigint").alias("days_from_pivot"),
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"), F.date_trunc("month", pivot)
+        ).cast("bigint").alias("months_from_pivot"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 36 HOURS")).alias(
+            "day_and_half_before"
+        ),
+    )

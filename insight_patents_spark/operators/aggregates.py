@@ -673,3 +673,35 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("est_users"),
         "exact_users",
     ).unionByName(merged)
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS biggest_total,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS smallest_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates (max_by/min_by): which order is the
+    biggest per segment — one hash aggregate instead of the window +
+    filter detour. o_totalprice values are unique per group on this data
+    (probed), so the argmax is well-defined cross-engine; for columns
+    with ties, pair with a struct tiebreak as in topk_per_group."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.max("o_totalprice").alias("biggest_total"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.min("o_totalprice").alias("smallest_total"),
+        )
+    )
