@@ -701,3 +701,86 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("y_max"),
         )
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT r_regionkey, r_name, NULL AS name_len
+    FROM region WHERE r_regionkey % 2 = 0
+    UNION ALL
+    SELECT r_regionkey, r_name, CAST(LENGTH(r_name) AS BIGINT) AS name_len
+    FROM region WHERE r_regionkey % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingest: two parquet batches of the same logical table
+    written at different pipeline versions (v2 adds a column), read as
+    ONE dataset with mergeSchema — old rows surface NULL for the new
+    column. This is how a 100 TB lake absorbs producer schema evolution
+    without rewriting history; the merged-schema scan stays a plain
+    vectorized parquet read (additive drift only — renames/retypes need
+    a real migration)."""
+    out = _roundtrip_dir(sf_dir, "region_evolving")
+    r = load(spark, sf_dir, "region")
+    v1 = r.filter(F.col("r_regionkey") % 2 == 0).select("r_regionkey", "r_name")
+    v2 = r.filter(F.col("r_regionkey") % 2 == 1).select(
+        "r_regionkey",
+        "r_name",
+        F.length("r_name").cast("bigint").alias("name_len"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "batch=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "batch=v2"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "batch=v1"), os.path.join(out, "batch=v2")
+    )
+    return merged.select("r_regionkey", "r_name", "name_len")
+
+
+@query(
+    "sink_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN rewritten THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten
+    FROM (
+      SELECT o_orderstatus, (o_orderstatus = 'F') AS rewritten FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present
+    in the incoming batch (here status 'F', flagged rewritten=true),
+    leaving sibling partitions untouched — the idempotent daily-reload
+    primitive for a partitioned 100 TB table
+    (``partitionOverwriteMode=dynamic``; static mode would wipe the
+    whole table). The oracle checks both that every partition survived
+    and that exactly the targeted rows carry the rewrite flag."""
+    out = _roundtrip_dir(sf_dir, "orders_dyn_overwrite")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.lit(False).alias("rewritten"), "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", F.lit(True).alias("rewritten"), "o_orderstatus")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("rewritten"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rewritten"),
+    )
