@@ -52,12 +52,14 @@ def main() -> None:
 
     spark = get_spark("ips-bench")
     # Warm-up excludes one-time platform startup from per-query numbers:
-    # JVM/codegen (any JVM query) and the Python UDF worker pool +
-    # DataSource plumbing (~5 s cold), which otherwise lands on whichever
-    # Python-surface query runs first.
+    # JVM/codegen (any JVM query), the Python UDF worker pool + DataSource
+    # plumbing (~5 s cold), and the higher-order-function interpreter
+    # (zip_with/aggregate folds JIT over several seconds on first touch —
+    # measured 11 s -> 4 s on the first vec query otherwise).
     _execute(specs["agg_groupby"].fn(spark, sf_dir))
     _execute(specs["udf_pandas_scalar"].fn(spark, sf_dir))
     _execute(specs["scan_python_datasource"].fn(spark, sf_dir))
+    _execute(specs["vec_ann_lsh"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
