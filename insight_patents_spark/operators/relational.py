@@ -555,7 +555,11 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the flagship star-schema scan-killer: the broadcast
     of the filtered dim is reused as the pruning subquery, and the fact
     scan reads 2 of 5 partitions without the query author saying which."""
-    out = _roundtrip_dir(sf_dir, "orders_part_priority")
+    from ..sources.tables import src_stamp
+
+    out = _roundtrip_dir(
+        sf_dir, f"orders_part_priority_{src_stamp(sf_dir, 'orders')}"
+    )
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
@@ -609,7 +613,11 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost, starved vectorized reads); the production loop is this exact
     rewrite driven by target file size (repartition to
     ceil(bytes/target)), run per landing partition."""
-    frag = _roundtrip_dir(sf_dir, "events_fragmented")
+    from ..sources.tables import src_stamp
+
+    frag = _roundtrip_dir(
+        sf_dir, f"events_fragmented_{src_stamp(sf_dir, 'events')}"
+    )
     compact = _roundtrip_dir(sf_dir, "events_compacted")
     e = load(spark, sf_dir, "events")
     if not os.path.exists(os.path.join(frag, "_SUCCESS")):

@@ -66,3 +66,17 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def src_stamp(sf_dir: str, name: str) -> str:
+    """Version stamp of a source table for marker-gated scratch caches.
+
+    The round driver REGENERATES the testdata between rounds (observed:
+    events.ts changed physical type round 1 -> 2), so any derived copy
+    cached under a path keyed only by sf_dir silently goes stale. Keying
+    the cache dir by (mtime, size) of the source parquet invalidates it
+    exactly when the source changes."""
+    import os
+
+    st = os.stat(f"{sf_dir}/{name}.parquet")
+    return f"{int(st.st_mtime)}_{st.st_size}"

@@ -53,9 +53,13 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize (once) a µs-timestamp copy of events for file streaming."""
+    """Materialize (once per source version) a µs-timestamp copy of events
+    for file streaming. Keyed by src_stamp: the driver regenerates
+    testdata between rounds, which must invalidate this copy."""
+    from ..sources.tables import src_stamp
+
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_STREAM_TMP, key, "events_us")
+    out = os.path.join(_STREAM_TMP, key, f"events_us_{src_stamp(sf_dir, 'events')}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         _events_us(spark, sf_dir).coalesce(4).write.mode("overwrite").parquet(out)
@@ -459,8 +463,10 @@ def _events_stream_dir_single(spark: SparkSession, sf_dir: str) -> str:
     """Single-file µs copy: one input file -> one AvailableNow micro-batch,
     so a watermarked stream-stream inner join emits every match before any
     state eviction (batch-equal by construction)."""
+    from ..sources.tables import src_stamp
+
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_STREAM_TMP, key, "events_us1")
+    out = os.path.join(_STREAM_TMP, key, f"events_us1_{src_stamp(sf_dir, 'events')}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         _events_us(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(out)
