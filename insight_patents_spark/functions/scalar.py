@@ -418,3 +418,50 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_and_half_before"
         ),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param
+    FROM (
+      SELECT doc_id,
+             'https://corpus.example.org/' || lang || '/doc/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&src=' || source AS url
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing battery (crawl-pipeline metadata extraction):
+    protocol / host / path / query string / single query parameter via
+    ``parse_url`` — JVM-side, zero shuffle. URLs are built
+    deterministically from document metadata (the corpus has no URL
+    column); the oracle re-parses the same strings with anchored
+    regexes, which for these well-formed URLs is byte-equivalent."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    url = F.concat(
+        F.lit("https://corpus.example.org/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&src="),
+        F.col("source"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -792,3 +792,44 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rewritten"),
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id % 20 = 0
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-file ingest via the binaryFile source — how image/audio/video
+    corpora enter a multimodal pipeline: one row per file with path,
+    length, and raw bytes; no decode at scan time. Here each sampled
+    document's text bytes are landed as a .bin file, read back through
+    ``format("binaryFile")``, and identity-checked by md5 (ASCII text ->
+    byte length equals char length). The doc id rides in the filename,
+    exactly like asset ids ride object-store keys in production.
+
+    At 100 TB: binaryFile scans parallelize per file and prune with
+    pathGlobFilter/recursiveFileLookup; pair with mm_binary_features /
+    mm_decode_stub for the downstream Arrow-batched decode."""
+    from ..sources.tables import src_stamp
+
+    out = _roundtrip_dir(sf_dir, f"doc_blobs_{src_stamp(sf_dir, 'documents')}")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    if not os.path.exists(os.path.join(out, "_DONE")):
+        os.makedirs(out, exist_ok=True)
+        for r in d.select("doc_id", "text").collect():  # tiny sample; ingest-side setup
+            with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode())
+        open(os.path.join(out, "_DONE"), "w").close()
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("byte_len"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
