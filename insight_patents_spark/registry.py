@@ -66,8 +66,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order after them. A name here that is not registered is a
 # bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # scans / sources
-    "scan_parquet", "scan_csv", "scan_json", "scan_text_parse",
+    # scans / sources (scan_json_permissive covers JSON; binaryFile is
+    # the multimodal-ingest exhibit)
+    "scan_parquet", "scan_csv", "scan_binary_files", "scan_text_parse",
     "scan_json_permissive", "scan_python_datasource",
     # sinks (compaction over csv/orc roundtrips: scale techniques beat
     # extra format roundtrips in the checked window)
