@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.stable import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
@@ -703,5 +704,41 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("biggest_total"),
             F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
             F.min("o_totalprice").alias("smallest_total"),
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS modal_type, n AS modal_count
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent event type per user): count per
+    (group, value) then a rank-1 window with an explicit value tie-break.
+    Built-in ``mode()`` is tie-nondeterministic in BOTH engines, so the
+    checked form is the count+rank expansion — same shape either way:
+    one partial+final aggregate, one WindowGroupLimit-able window."""
+    e = load(spark, sf_dir, "events")
+    counted = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("modal_count"),
         )
     )

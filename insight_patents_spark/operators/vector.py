@@ -674,3 +674,50 @@ def vec_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("code")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+@query(
+    "vec_int8_quantize",
+    oracle="""
+    WITH stats AS (
+      SELECT vec_id,
+             list_aggregate(CAST(embedding AS DOUBLE[]), 'min') AS lo,
+             list_aggregate(CAST(embedding AS DOUBLE[]), 'max') AS hi
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(ROUND(s.lo, 9) AS DOUBLE) AS lo,
+           CAST(ROUND(s.hi, 9) AS DOUBLE) AS hi,
+           array_to_string(
+             list_transform(CAST(e.embedding AS DOUBLE[]),
+               x -> CAST(CAST(ROUND((x - s.lo) * 255.0 / (s.hi - s.lo)) AS BIGINT) AS VARCHAR)),
+             ',') AS codes
+    FROM embeddings e JOIN stats s ON e.vec_id = s.vec_id
+    WHERE e.vec_id % 40 = 0
+    """,
+)
+def vec_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine uint8 quantization (embedding-store compression:
+    4x smaller than float32, the standard serving/training trade): each
+    vector is mapped to 0..255 codes against its own [min, max] range,
+    emitted with the scale params needed to dequantize. Pure narrow
+    projection — quantization happens at scan speed with no shuffle;
+    half-up rounding on exactly-representable affine doubles matches
+    DuckDB's ROUND bit-for-bit (same cast chain both sides)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 40 == 0)
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    codes = F.expr(
+        "array_join(transform(embedding, x -> CAST(CAST(ROUND("
+        "(CAST(x AS DOUBLE) - array_min(transform(embedding, y -> CAST(y AS DOUBLE))))"
+        " * 255.0 / (array_max(transform(embedding, y -> CAST(y AS DOUBLE)))"
+        " - array_min(transform(embedding, y -> CAST(y AS DOUBLE)))), 0) AS BIGINT)"
+        " AS STRING)), ',')"
+    )
+    return e.select(
+        "vec_id",
+        F.round(lo, 9).alias("lo"),
+        F.round(hi, 9).alias("hi"),
+        codes.alias("codes"),
+    )

@@ -310,3 +310,62 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value"
         ),
     )
+
+
+@query(
+    "win_gap_fill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             TIMESTAMP '1970-01-01' + CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 * INTERVAL 1 SECOND AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id % 100 = 0
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM b GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, g.g AS h
+      FROM spans s, LATERAL (SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS g) g
+    )
+    SELECT g.user_id, g.h AS bucket_ts,
+           COALESCE(b.n, 0) AS n_events,
+           (b.n IS NULL) AS was_gap
+    FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
+    """,
+)
+def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per user, the hourly activity series is
+    densified over [first, last] active hour — missing buckets emerge as
+    explicit zero rows flagged was_gap (what a monitoring/feature
+    pipeline needs before windowed models; absent rows are invisible to
+    window functions). The dense grid is generated in-row per user with
+    sequence() — no driver loop, no cross join against a global
+    calendar; grid volume is Σ per-user spans, not |users| × |hours|."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_ts"),
+    )
+    return (
+        grid.join(
+            hourly,
+            (grid.user_id == hourly.user_id) & (grid.bucket_ts == hourly.h),
+            "left",
+        )
+        .select(
+            grid.user_id,
+            "bucket_ts",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("was_gap"),
+        )
+    )
