@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..sources.tables import load
+from ..sources.tables import load, src_stamp
 
 MIN_SUPPORT = 2
 PAGERANK_ITERS = 10
@@ -54,19 +54,35 @@ _EDGES_CTE = f"""
 """
 
 
-_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _edge_partitions(spark: SparkSession, n_fact_rows: int) -> int:
+    """Partition count for the materialized edge tables: scales with the
+    fact-table size feeding the pair build (edges are a bounded multiple
+    of orders) and is capped by cluster parallelism — never a hard-coded
+    small constant (at 100x data, 4 partitions would serialize every
+    iterative consumer onto 4 tasks)."""
+    return max(4, min(
+        2 * spark.sparkContext.defaultParallelism, n_fact_rows // 250_000
+    ))
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected canonical edge list (pa < pb, weight = co-occurrence).
 
-    Materialized once per (session, sf): the fact-table self-join that
-    builds it dominates every graph query, and all seven share it — the
-    graph-snapshot pattern (build the edge table once, traverse many
-    times)."""
-    key = (id(spark), sf_dir)
+    Materialized once per (session, sf, source-stamp): the fact-table
+    self-join that builds it dominates every graph query, and all seven
+    share it — the graph-snapshot pattern (build the edge table once,
+    traverse many times)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        src_stamp(sf_dir, "lineitem"),
+    )
     if key not in _PAIR_CACHE:
         li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        n_parts = _edge_partitions(spark, li.count())
         # Join-free pair generation: one shuffle groups parts per order,
         # then combinations enumerate in-row (per-order line counts are
         # bounded — ~7 in TPC-H-shaped data — so the in-row quadratic is
@@ -91,37 +107,41 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
             .agg(F.count(F.lit(1)).alias("w"))
             .filter(F.col("w") >= MIN_SUPPORT)
-            # repartition AFTER the agg (a 3.6k-row shuffle) — a coalesce
-            # here would fold into the shuffle read and run the pair
-            # aggregation itself on 4 reducers.
-            .repartition(4)
+            # repartition AFTER the agg (a small shuffle of the pruned
+            # edge list) — a coalesce here would fold into the shuffle
+            # read and run the pair aggregation itself on few reducers.
+            .repartition(n_parts)
             .localCheckpoint()
         )
     return _PAIR_CACHE[key]
 
 
-_EDGE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed edge list (both directions of each undirected edge).
 
-    Materialized once per (session, sf) via localCheckpoint and reused by
-    every graph query — the edge build (fact-table self-join) dominates
-    any single traversal, and all six graph operators share it. Few
-    partitions: the pruned edge list is tiny relative to the fact table.
-    """
-    key = (id(spark), sf_dir)
+    Materialized once per (session, sf, source-stamp) via localCheckpoint
+    and reused by every graph query — the edge build (fact-table
+    self-join) dominates any single traversal, and all graph operators
+    share it. Partition count mirrors the pair cache (scales with source
+    size, capped by parallelism)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        src_stamp(sf_dir, "lineitem"),
+    )
     if key not in _EDGE_CACHE:
         p = _pairs(spark, sf_dir)  # already checkpointed
         # Materialized too: iterative queries touch edges ~20 times per
-        # run; a cached 4-partition table beats re-unioning every round.
+        # run; a cached right-sized table beats re-unioning every round.
         _EDGE_CACHE[key] = (
             p.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), "w")
             .unionByName(
                 p.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
             )
-            .coalesce(4)
+            .coalesce(max(4, p.rdd.getNumPartitions()))
             .localCheckpoint()
         )
     return _EDGE_CACHE[key]

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources.tables import load
+from ..sources.tables import load, src_stamp
 
 # Inline fixtures (FIXTURES.md §5): defined identically in both engines.
 LEXICON = [  # (token, integer weight) — integer so group sums are exact
@@ -47,6 +47,10 @@ _SEEDS_SQL = ", ".join(f"('{s}', {i})" for i, s in enumerate(MINHASH_SEEDS))
 
 STOPWORDS = ["the", "a", "of", "and", "to", "data"]
 _STOP_SQL = ", ".join(f"'{t}'" for t in STOPWORDS)
+
+# Above this many distinct token-set classes, _jaccard_bitmask's class
+# all-pairs join loses to PPJoin prefix filtering -> fall back.
+_JACCARD_CLASS_CAP = 10_000
 
 
 def _tokens(col: str = "text") -> F.Column:
@@ -418,7 +422,19 @@ def text_jaccard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     )
     if vocab_size <= 63:
-        return _jaccard_bitmask(d, threshold=0.9)
+        # Second guard: the bitmask path is all-pairs over token-SET
+        # classes. |classes| is usually tiny for a 63-token vocabulary,
+        # but an adversarial corpus can push it toward min(|docs|, 2^63);
+        # past _JACCARD_CLASS_CAP the quadratic class join loses to
+        # PPJoin's prefix filtering, so fall back.
+        toks = F.array_distinct(F.split(F.col("text"), " "))
+        n_classes = (
+            d.select(F.md5(F.array_join(F.sort_array(toks), "|")).alias("sig"))
+            .agg(F.countDistinct("sig"))
+            .collect()[0][0]
+        )
+        if n_classes <= _JACCARD_CLASS_CAP:
+            return _jaccard_bitmask(d, threshold=0.9)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
     )
@@ -516,7 +532,7 @@ def _doc_sig_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (verified in the r1 physical plan: duplicated subtrees). At cluster
 # scale this is "write signatures to a table, then LSH over the table" —
 # localCheckpoint is the single-node equivalent.
-_SIG_CACHE: dict[tuple[int, str], tuple[DataFrame, int]] = {}
+_SIG_CACHE: dict[tuple[str, str, str], tuple[DataFrame, int]] = {}
 
 
 def _doc_sig_mask_chunks(
@@ -536,7 +552,14 @@ def _doc_sig_mask_chunks(
     bitset degrades gracefully back to sorted-int-array intersection;
     the signature path (broadcast of per-token hash rows) is unchanged
     because it only ever ships |vocab| rows, not |docs|."""
-    key = (id(spark), sf_dir)
+    # applicationId (not id(spark): reusable after GC) + source stamp (the
+    # driver regenerates testdata; an in-process regen must not serve a
+    # stale checkpointed signature table).
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        src_stamp(sf_dir, "documents"),
+    )
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
     d = load(spark, sf_dir, "documents")

@@ -362,11 +362,28 @@ def mm_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_PLANES = 8
 _DIM = 64
 
 
-def _plane_weights() -> list[list[float]]:
+def _derived_planes(n_rows: int, occupancy: int, lo: int, hi: int) -> int:
+    """Plane count so mean LSH bucket occupancy stays ~`occupancy` as the
+    table grows: 2^planes ≈ n/occupancy. Integer-only derivation
+    (bit_length == DuckDB length(bin(x)) for x >= 1; the x=0 divergence is
+    absorbed by the lo clamp) so oracle SQL re-derives the identical count
+    from COUNT(*) — no float log2 whose last-ulp could differ between
+    engines. Fixes the r2 scale-killer: 8 fixed planes meant <=256 buckets
+    forever, turning the bucket self-join O(n^2/256)."""
+    return max(lo, min(hi, ((n_rows - 1) // occupancy).bit_length()))
+
+
+# SQL twin of _derived_planes, parameterized the same way.
+def _planes_sql(occupancy: int, lo: int, hi: int) -> str:
+    return (
+        f"GREATEST({lo}, LEAST({hi}, length(bin((COUNT(*)-1)//{occupancy}))))"
+    )
+
+
+def _plane_weights(n_planes: int) -> list[list[float]]:
     """Deterministic 'random' hyperplanes: weight[p][j] derives from hex
     digit j of md5(f'{p}:{j//32}') exactly as DuckDB's md5 reproduces it
     — the planes are part of the cross-engine contract, not a seed-time
@@ -374,7 +391,7 @@ def _plane_weights() -> list[list[float]]:
     import hashlib
 
     planes = []
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         halves = [
             hashlib.md5(f"{p}:{h}".encode()).hexdigest() for h in (0, 1)
         ]
@@ -385,15 +402,16 @@ def _plane_weights() -> list[list[float]]:
 
 @query(
     "vec_ann_lsh",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    np AS (SELECT {_planes_sql(128, 8, 24)} AS n FROM e),
     planes AS (
       SELECT p,
              list_transform(range(1, 65), j ->
                CAST(strpos('0123456789abcdef',
                            substr(md5(CAST(p AS VARCHAR) || ':' || CAST((j-1) // 32 AS VARCHAR)),
                                   ((j-1) % 32) + 1, 1)) - 8.5 AS DOUBLE)) AS w
-      FROM (SELECT unnest(range(0, 8)) AS p)
+      FROM (SELECT unnest(range(0, (SELECT n FROM np))) AS p)
     ),
     bits AS (
       SELECT e.vec_id,
@@ -420,17 +438,19 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign signature; vectors sharing a bucket are candidates; exact
     cosine re-rank keeps top-3. Bucket assignment is a zero-shuffle
     narrow projection (plane weights are literals); the only shuffles
-    are the bucket self-join and the ranking window. At scale: more
-    planes -> smaller buckets; multiple plane-sets (L hash tables)
-    union-ed raise recall — the standard LSH knobs."""
+    are the bucket self-join and the ranking window. The plane count is
+    DERIVED from the table size (one metadata-cheap count) so bucket
+    occupancy stays ~128 as the table grows; the oracle re-derives the
+    identical count from COUNT(*) (integer-only arithmetic)."""
+    src = load(spark, sf_dir, "embeddings")
+    n_planes = _derived_planes(src.count(), occupancy=128, lo=8, hi=24)
     e = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").alias("v"))
+        src.select("vec_id", F.col("embedding").alias("v"))
         # plane folds are the heavy narrow stage; escape the single split
         .repartition(spark.sparkContext.defaultParallelism)
     )
     bucket = F.lit(0).cast("bigint")
-    for p, ws in enumerate(_plane_weights()):
+    for p, ws in enumerate(_plane_weights(n_planes)):
         plane = F.array(*[F.lit(w) for w in ws])
         dot = F.aggregate(
             F.zip_with("v", plane, lambda x, y: x.cast("double") * y),
@@ -467,10 +487,9 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_TABLES = 3
-_PLANES_PER_TABLE = 6
 
 
-def _multi_table_planes() -> list[list[list[float]]]:
+def _multi_table_planes(planes_per_table: int) -> list[list[list[float]]]:
     """L independent plane sets for multi-table LSH; weight digits derive
     from md5(f'{t}:{p}:{half}') so DuckDB rebuilds identical tables."""
     import hashlib
@@ -483,7 +502,7 @@ def _multi_table_planes() -> list[list[list[float]]]:
                     hashlib.md5(f"{t}:{p}:{h}".encode()).hexdigest() for h in (0, 1)
                 )[:_DIM]
             ]
-            for p in range(_PLANES_PER_TABLE)
+            for p in range(planes_per_table)
         ]
         for t in range(_N_TABLES)
     ]
@@ -493,6 +512,7 @@ def _multi_table_planes() -> list[list[list[float]]]:
     "vec_ann_lsh_multi",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    npt AS (SELECT {_planes_sql(512, 6, 20)} AS n FROM e),
     planes AS (
       SELECT t, p,
              list_transform(range(1, 65), j ->
@@ -501,7 +521,7 @@ def _multi_table_planes() -> list[list[list[float]]]:
                                       || CAST((j-1) // 32 AS VARCHAR)),
                                   ((j-1) % 32) + 1, 1)) - 8.5 AS DOUBLE)) AS w
       FROM (SELECT unnest(range(0, {_N_TABLES})) AS t)
-           CROSS JOIN (SELECT unnest(range(0, {_PLANES_PER_TABLE})) AS p)
+           CROSS JOIN (SELECT unnest(range(0, (SELECT n FROM npt))) AS p)
     ),
     bits AS (
       SELECT e.vec_id, pl.t,
@@ -535,17 +555,21 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     chances a true neighbor collides. Bucket assignment stays a narrow
     zero-shuffle projection (3 jobs' worth of literal plane folds in one
     pass); candidate dedup is one exchange on the pair key, and only
-    distinct pairs pay the exact re-rank."""
+    distinct pairs pay the exact re-rank. Planes per table are DERIVED
+    from the table size (occupancy ~512 per table — wider than the
+    single-table variant for recall), mirrored bit-exactly in the
+    oracle's COUNT(*)-based derivation."""
+    src = load(spark, sf_dir, "embeddings")
+    ppt = _derived_planes(src.count(), occupancy=512, lo=6, hi=20)
     e = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").alias("v"))
+        src.select("vec_id", F.col("embedding").alias("v"))
         # plane folds are the heavy narrow stage; escape the single split
         .repartition(spark.sparkContext.defaultParallelism)
     )
     # All L bucket assignments in ONE pass over the vectors (a 3-element
     # posexplode of the per-table bucket ints), not one scan per table.
     buckets = []
-    for planes in _multi_table_planes():
+    for planes in _multi_table_planes(ppt):
         bucket = F.lit(0).cast("bigint")
         for p, ws in enumerate(planes):
             plane = F.array(*[F.lit(w) for w in ws])
