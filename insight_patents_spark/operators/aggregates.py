@@ -99,14 +99,37 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)  # HLL estimates are engine-specific
+@query(
+    "agg_approx_distinct",
+    # HLL estimates are engine-specific, so the ESTIMATE itself can't be
+    # hashed — but the estimate validated against the exact count can:
+    # emit the exact count plus an in-bound flag (rsd=0.02 -> a 10%
+    # bound is ~5 sigma; HLL is deterministic per engine, so the flag is
+    # stable). A regression in approx_count_distinct now flips the flag
+    # and fails the hash, instead of hiding behind a rows-only check.
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct users per event type. Estimates differ across
-    engines by design -> rows-only check; the companion exact query
-    (agg_count_distinct) covers value correctness."""
+    """HyperLogLog distinct users per event type, validated in-query
+    against the exact distinct count (companion exact query:
+    agg_count_distinct)."""
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.1 * F.col("exact_users")
+        ).alias("est_within_10pct"),
     )
 
 
@@ -642,38 +665,59 @@ def time_rollup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch", oracle=None)
+@query(
+    "agg_hll_sketch",
+    # DuckDB has no DataSketches implementation, so the ESTIMATES can't
+    # be hashed — but estimates validated in-query against exact counts
+    # can (lgK=12 -> rse ~1.6%; a 10% bound is ~6 sigma and the sketch
+    # is deterministic per engine, so the flags are stable). A
+    # regression in sketch_agg/union/estimate flips a flag and fails the
+    # hash. Accuracy is additionally property-tested in
+    # tests/test_properties.py. (Upgraded from r2's rows-only.)
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_within_10pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+    """,
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch surface (Apache DataSketches, built into
     Spark 4): per-event-type user sketches via hll_sketch_agg, estimated
     with hll_sketch_estimate, then the per-group BINARY sketches merged
     with hll_union_agg into a corpus-wide distinct estimate — without
-    touching raw data again. Rows-only check (DuckDB has no DataSketches
-    implementation; estimate accuracy is property-tested against the
-    exact distinct count in tests/test_properties.py instead).
+    touching raw data again; each estimate is validated in-query against
+    the exact distinct count (see decorator note).
 
     Scale shape: the sketch IS the shuffle payload — each executor sends
     one ~lgK=12 sketch per group instead of its user-id set, and the same
     sketches are reusable partials for any coarser grouping (the rollup
     property, binary-compatible with other DataSketches impls)."""
     e = load(spark, sf_dir, "events")
+    in_bound = (
+        F.abs(F.col("est_users") - F.col("exact_users"))
+        <= 0.1 * F.col("exact_users")
+    ).alias("est_within_10pct")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    merged = per_type.agg(
-        F.hll_union_agg("sk").alias("sk_all"),
-        F.sum(F.lit(0)).alias("_z"),
-    ).select(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("sk_all").alias("est_users"),
-        F.lit(None).cast("bigint").alias("exact_users"),
+    merged = (
+        per_type.agg(F.hll_union_agg("sk").alias("sk_all"))
+        .crossJoin(e.agg(F.count_distinct("user_id").alias("exact_users")))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("sk_all").alias("est_users"),
+            "exact_users",
+        )
     )
-    return per_type.select(
+    rows = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sk").alias("est_users"),
         "exact_users",
     ).unionByName(merged)
+    return rows.select("event_type", "exact_users", in_bound)
 
 
 @query(

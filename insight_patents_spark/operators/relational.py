@@ -133,7 +133,14 @@ def scan_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_xml", oracle=None)  # rows-only: DuckDB 1.0 has no XML reader
+@query(
+    "scan_xml",
+    # DuckDB 1.0 has no XML reader, but it doesn't need one: the XML is
+    # written FROM the documents table, so a correct parse must
+    # hash-match the source columns read directly from parquet. This
+    # upgrades the r2 rows-only check to a full value oracle.
+    oracle="SELECT doc_id, lang, source FROM documents",
+)
 def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingest via Spark 4's native XML source (USPTO XML-grant analog).
 

@@ -223,26 +223,69 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late", oracle=None)  # rows-only by design (late drop)
+@query(
+    "stream_watermark_late",
+    # Deterministic late-drop, engineered around Spark's late-record
+    # filter LAG (SPARK-40925: batch N filters late rows with the
+    # watermark of batch N-1, while eviction uses batch N's — verified
+    # empirically here: a 2-file source drops NOTHING because the
+    # stragglers merge in the same batch that first evicts). Three
+    # files by ts-range thirds, newest first:
+    #   batch 0 (newest third): sets wm = global max(ts) - 10min.
+    #   batch 1 (middle third): late filter still 0 -> MERGED; at batch
+    #     end eviction emits every window with end <= wm (incl. batch
+    #     1's contributions).
+    #   batch 2 (oldest third): late filter now armed at wm -> every
+    #     row DROPPED; nothing new emits.
+    # Final answer = windows over the newest two thirds with window end
+    # <= wm — exactly SQL-expressible. (Upgraded from r2's rows-only.)
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+    ),
+    keep AS (
+      SELECT ts FROM events, b
+      WHERE epoch_us(ts) > b.mn + (b.mx - b.mn) // 3
+    )
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + CAST(FLOOR(epoch(ts) / 600) AS BIGINT) * 600 * INTERVAL 1 SECOND
+             AS window_start,
+           COUNT(*) AS n_events
+    FROM keep, b
+    WHERE (CAST(FLOOR(epoch(ts) / 600) AS BIGINT) + 1) * 600 * 1000000
+            <= b.mx - 600 * 1000000
+    GROUP BY 1
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-data policy: files arrive out of time order (second half of the
-    data first), watermark = 10 minutes, append mode. Windows finalized
-    before the stragglers arrive drop them — the result is deliberately
-    NOT batch-equal, so this is a rows-only contract; the companion
-    batch-bound check lives in tests (late count ≤ batch count)."""
+    """Late-data policy: files arrive newest-first, watermark = 10
+    minutes, append mode. The oldest third arrives after the late filter
+    is armed and is dropped entirely — the oracle replays the drop rule
+    (see decorator note on the one-batch filter lag)."""
+    from ..sources.tables import src_stamp
+
     key = sf_dir.strip("/").replace("/", "_")
-    out_dir = os.path.join(_STREAM_TMP, key, "events_shuffled")
+    out_dir = os.path.join(
+        _STREAM_TMP, key, f"events_thirds_{src_stamp(sf_dir, 'events')}"
+    )
     if not os.path.exists(os.path.join(out_dir, "_done")):
         ev = _events_us(spark, sf_dir)
-        mid = ev.approxQuantile("event_id", [0.5], 0.01)[0]
-        # file 1 = late half (older timestamps written first... the file
-        # source lists files in order; write newer data as the FIRST file)
-        ev.filter(F.col("event_id") > mid).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "f0")
+        row = ev.agg(
+            F.expr("min(unix_micros(ts))").alias("mn"),
+            F.expr("max(unix_micros(ts))").alias("mx"),
+        ).collect()[0]
+        cut1 = row["mn"] + (row["mx"] - row["mn"]) // 3  # oldest|middle
+        cut2 = row["mn"] + 2 * ((row["mx"] - row["mn"]) // 3)  # middle|newest
+        # Written (and therefore listed/processed) newest-third first.
+        slices = (
+            f"unix_micros(ts) > {cut2}",
+            f"unix_micros(ts) > {cut1} AND unix_micros(ts) <= {cut2}",
+            f"unix_micros(ts) <= {cut1}",
         )
-        ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "f1")
-        )
+        for i, pred in enumerate(slices):
+            ev.filter(F.expr(pred)).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"f{i}")
+            )
         open(os.path.join(out_dir, "_done"), "w").close()
     schema = _events_us(spark, sf_dir).schema
     s = (
