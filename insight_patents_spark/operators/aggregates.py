@@ -722,31 +722,55 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_minmax_by",
+    # DuckDB 1.0 arg_max/arg_min reject composite ordering keys, so the
+    # oracle takes the rank-window form with the SAME explicit
+    # o_orderkey tie-break the Spark struct key encodes. Previously both
+    # sides relied on probed per-group uniqueness of o_totalprice — a
+    # regenerated-testdata tie would have made the engines diverge
+    # nondeterministically (ADVICE r2).
     oracle="""
+    WITH j AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rb,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice ASC, o_orderkey) AS rs
+      FROM j
+    )
     SELECT c_mktsegment,
-           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           MAX(CASE WHEN rb = 1 THEN o_orderkey END) AS biggest_order,
            CAST(MAX(o_totalprice) AS DOUBLE) AS biggest_total,
-           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(CASE WHEN rs = 1 THEN o_orderkey END) AS smallest_order,
            CAST(MIN(o_totalprice) AS DOUBLE) AS smallest_total
-    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    GROUP BY c_mktsegment
+    FROM r GROUP BY c_mktsegment
     """,
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmin/argmax aggregates (max_by/min_by): which order is the
     biggest per segment — one hash aggregate instead of the window +
-    filter detour. o_totalprice values are unique per group on this data
-    (probed), so the argmax is well-defined cross-engine; for columns
-    with ties, pair with a struct tiebreak as in topk_per_group."""
+    filter detour. The ordering key is a STRUCT with an explicit
+    o_orderkey tie-break (smallest orderkey wins on equal totals), so a
+    price tie can never make the answer partitioning-dependent; Spark
+    compares structs lexicographically inside the same single hash
+    aggregate."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.max_by(
+                "o_orderkey",
+                F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("tb")),
+            ).alias("biggest_order"),
             F.max("o_totalprice").alias("biggest_total"),
-            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.min_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("smallest_order"),
             F.min("o_totalprice").alias("smallest_total"),
         )
     )

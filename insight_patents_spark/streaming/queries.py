@@ -610,6 +610,16 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(state_dir, ignore_errors=True)
 
     def merge_partials(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a retried micro-batch must not
+        # double-count. The last merged batch_id travels INSIDE the
+        # state dir (underscore-prefixed -> invisible to the parquet
+        # reader) and swaps atomically with it, so replaying an
+        # already-merged batch is a no-op (ADVICE r2).
+        marker = os.path.join(state_dir, "_last_batch")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return
         sp = batch_df.sparkSession
         part = (
             batch_df.groupBy(
@@ -634,6 +644,8 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         part.write.mode("overwrite").parquet(state_dir + "_next")
+        with open(os.path.join(state_dir + "_next", "_last_batch"), "w") as fh:
+            fh.write(str(batch_id))
         shutil.rmtree(state_dir, ignore_errors=True)
         os.rename(state_dir + "_next", state_dir)
 
