@@ -1486,3 +1486,102 @@ def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.alias("masked_text"),
         (F.length(salted) - F.length(stripped)).cast("bigint").alias("masked_chars"),
     )
+
+
+@query(
+    "dedup_substring",
+    # Token-aligned containment: ' '-padded strpos enforces word
+    # boundaries, which is what makes the anchor-shingle blocking SOUND
+    # (a token-aligned containment implies every token 4-gram of the
+    # contained text, including its min-md5 anchor, appears among the
+    # container's 4-grams). The corpus is augmented with one derived
+    # 8-token snippet per document so containment pairs exist by
+    # construction (same construction in both engines), on top of the
+    # organic contained docs.
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(string_split(text, ' ')[4:11], ' ') AS text
+      FROM documents
+    ),
+    elig AS (
+      SELECT doc_id, text FROM aug WHERE len(string_split(text, ' ')) >= 4
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+           CAST(strpos(' ' || b.text || ' ', ' ' || a.text || ' ') AS BIGINT) AS pos
+    FROM elig a JOIN elig b
+      ON a.doc_id <> b.doc_id
+     AND len(a.text) < len(b.text)
+     AND strpos(' ' || b.text || ' ', ' ' || a.text || ' ') > 0
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring / n-gram-containment dedup (quote & excerpt
+    detection — the dedup modality MinHash/SimHash miss when a short
+    document is embedded verbatim inside a long one, and that Jaccard
+    dilutes away).
+
+    Sub-quadratic candidate stage (anchor-shingle blocking): each
+    document computes its token-4-gram md5 set IN-ROW; the contained
+    side is represented by ONE row (its minimum-md5 anchor shingle), the
+    container side by its distinct shingles. A token-aligned containment
+    forces the anchor to collide, so the equi-join on the shingle
+    signature finds every true pair while candidate volume stays
+    proportional to shingle-set overlap — never |docs|². Verification is
+    one padded instr per candidate. At 100 TB both sides shuffle on the
+    16-byte signature; the anchor side carries one row per document.
+    The oracle (quadratic strpos — fine at oracle SF) independently
+    replays the semantics; the ≥4-token eligibility floor is part of the
+    operator contract (shorter fragments are below containment-dedup
+    granularity)."""
+    d = load(spark, sf_dir, "documents")
+    snip = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 4, 8), " ").alias("text"),
+    )
+    aug = d.select("doc_id", "text").unionByName(snip)
+    toks = F.split(F.col("text"), " ")
+    elig = (
+        aug.filter(F.size(toks) >= 4)
+        .select(
+            "doc_id",
+            "text",
+            F.length("text").alias("n_chars"),
+            F.expr(
+                "array_distinct(transform(sequence(0, size(split(text, ' ')) - 4), "
+                "i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
+                "split(text, ' ')[i+2], split(text, ' ')[i+3]))))"
+            ).alias("grams"),
+        )
+        # feeds both join sides; materialize once (the minhash-family
+        # pattern: signatures to a table, then join over the table)
+        .localCheckpoint()
+    )
+    short = elig.select(
+        F.col("doc_id").alias("contained_id"),
+        F.col("text").alias("a_text"),
+        F.col("n_chars").alias("a_len"),
+        F.array_min("grams").alias("sig"),
+    )
+    long_ = elig.select(
+        F.col("doc_id").alias("container_id"),
+        F.col("text").alias("b_text"),
+        F.col("n_chars").alias("b_len"),
+        F.explode("grams").alias("sig"),
+    )
+    pos = F.instr(
+        F.concat(F.lit(" "), F.col("b_text"), F.lit(" ")),
+        F.concat(F.lit(" "), F.col("a_text"), F.lit(" ")),
+    )
+    return (
+        short.join(long_, "sig")
+        .filter(
+            (F.col("contained_id") != F.col("container_id"))
+            & (F.col("a_len") < F.col("b_len"))
+        )
+        .withColumn("pos", pos.cast("bigint"))
+        .filter(F.col("pos") > 0)
+        .select("contained_id", "container_id", "pos")
+    )

@@ -400,9 +400,9 @@ def _plane_weights(n_planes: int) -> list[list[float]]:
     return planes
 
 
-@query(
-    "vec_ann_lsh",
-    oracle=f"""
+# Shared by vec_ann_lsh and vec_rerank_stub (the rerank consumes the
+# identical ANN shortlist, so its oracle embeds this one as a CTE).
+_LSH_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     np AS (SELECT {_planes_sql(128, 8, 24)} AS n FROM e),
     planes AS (
@@ -430,8 +430,10 @@ def _plane_weights(n_planes: int) -> list[list[float]]:
       JOIN e ea ON a.vec_id = ea.vec_id
       JOIN e eb ON b.vec_id = eb.vec_id
     ) WHERE rn <= 3
-    """,
-)
+    """
+
+
+@query("vec_ann_lsh", oracle=_LSH_ORACLE)
 def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (the bucketed alternative to
     vec_ann_ivf): 8 md5-derived hyperplanes give every vector an 8-bit
@@ -744,4 +746,77 @@ def vec_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lo, 9).alias("lo"),
         F.round(hi, 9).alias("hi"),
         codes.alias("codes"),
+    )
+
+
+_AFFINITY_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR) || ':' "
+    "|| CAST(neighbor_id AS VARCHAR)), 1, 1)) - 1) / 16.0)"
+)
+
+
+@query(
+    "vec_rerank_stub",
+    # The stub scorer is md5-derived, so DuckDB reproduces the whole
+    # retrieve -> rerank chain: the ANN shortlist CTE is vec_ann_lsh's
+    # oracle verbatim; the score is 0.5*cosine + 0.5*affinity with
+    # affinity an exact sixteenth (both terms exact IEEE ops on values
+    # already bit-identical across engines -> no rounding slack needed).
+    oracle=f"""
+    WITH base AS ({_LSH_ORACLE})
+    SELECT vec_id, neighbor_id,
+           0.5 * cosine + 0.5 * {_AFFINITY_SQL} AS rerank_score
+    FROM base
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY ROUND(0.5 * cosine + 0.5 * {_AFFINITY_SQL}, 9) DESC, neighbor_id
+    ) = 1
+    """,
+)
+def vec_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style rerank over the ANN shortlist (the standard
+    two-stage retrieval shape: cheap ANN recall, expensive pairwise
+    scorer on the top-k only). The scorer runs as an Arrow-batched
+    mapInPandas over candidate pairs — the real Spark plumbing for a
+    model-based reranker — with the model gated exactly like
+    mm_decode_stub: no inference libs ship in this container, so the
+    deterministic md5-affinity surrogate scores instead (and the oracle
+    replays it; a real deployment swaps only the scorer body).
+
+    Scale shape: the pandas stage sees ONLY the shortlist (k rows per
+    query vector, never the corpus), so reranker cost scales with query
+    volume; the final blend + top-1 window stays JVM-side."""
+    cands = vec_ann_lsh(spark, sf_dir)  # (vec_id, neighbor_id, cosine)
+
+    def rerank(batches):
+        import hashlib
+
+        try:  # pragma: no cover - inference libs absent in this env
+            import sentence_transformers  # noqa: F401
+
+            raise NotImplementedError(
+                "real cross-encoder path needs model weights not shipped here"
+            )
+        except ImportError:
+            pass
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["affinity"] = [
+                int(hashlib.md5(f"{v}:{n}".encode()).hexdigest()[0], 16) / 16.0
+                for v, n in zip(pdf["vec_id"], pdf["neighbor_id"])
+            ]
+            yield pdf
+
+    scored = cands.mapInPandas(
+        rerank,
+        schema="vec_id bigint, neighbor_id bigint, cosine double, affinity double",
+    )
+    score = 0.5 * F.col("cosine") + 0.5 * F.col("affinity")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(score, 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", score.alias("rerank_score"))
     )
