@@ -878,9 +878,18 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     if not os.path.exists(os.path.join(out, "_DONE")):
         os.makedirs(out, exist_ok=True)
-        for r in d.select("doc_id", "text").collect():  # tiny sample; ingest-side setup
-            with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as f:
-                f.write(r.text.encode())
+
+        # Distributed landing write: executors write the blob files
+        # directly (no driver-side collect loop). Valid wherever `out`
+        # is a shared filesystem — which it must be for binaryFile to
+        # read it back on a cluster anyway; local[<n>] trivially
+        # qualifies.
+        def _land(rows):
+            for r in rows:
+                with open(os.path.join(out, f"doc_{r.doc_id}.bin"), "wb") as fh:
+                    fh.write(r.text.encode())
+
+        d.select("doc_id", "text").foreachPartition(_land)
         open(os.path.join(out, "_DONE"), "w").close()
     files = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
     return files.select(

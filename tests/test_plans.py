@@ -182,3 +182,58 @@ def test_zorder_sorts_within_range_partitions(spark, sf_dir):
     assert "Sort" in plan
     # and the produced result itself must exist with the 16 coarse buckets
     assert df.count() == 16
+
+
+def test_dedup_substring_candidates_are_equi_join(spark, sf_dir):
+    """The containment candidate stage must be a signature equi-join
+    (sort-merge/hash), never a cartesian/nested-loop over doc pairs."""
+    from insight_patents_spark.operators.text import dedup_substring
+
+    plan = formatted_plan(dedup_substring(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rerank_stub_pandas_stage_sees_only_shortlist(spark, sf_dir):
+    """The mapInPandas scorer must sit above the top-k window (shortlist
+    input), not above the raw pair join."""
+    from insight_patents_spark.operators.vector import vec_rerank_stub
+
+    plan = formatted_plan(vec_rerank_stub(spark, sf_dir))
+    assert "MapInPandas" in plan
+    # shortlist filter (rn <= 3) happens below the pandas stage: a
+    # window-limit node must appear after MapInPandas in the top-down
+    # formatted text (i.e. beneath it in the tree)
+    assert "WindowGroupLimit" in plan[plan.index("MapInPandas"):]
+
+
+def test_derived_lsh_planes_match_sql_twin(duck):
+    """_derived_planes (Python bit_length) and _planes_sql (DuckDB
+    length(bin(x))) must agree for any table size, including the clamp
+    edges and exact powers of two."""
+    from insight_patents_spark.operators.vector import (
+        _derived_planes,
+        _planes_sql,
+    )
+
+    for n in [1, 2, 127, 128, 129, 8191, 8192, 8193, 15000, 16384, 16385,
+              1 << 20, (1 << 20) + 1, 100_000_000, 1 << 33]:
+        for occ, lo, hi in ((128, 8, 24), (512, 6, 20)):
+            py = _derived_planes(n, occ, lo, hi)
+            # same expression the oracles embed, with COUNT(*) pinned to
+            # n (generating an n-row range for huge n is pointless)
+            sql = duck.execute(
+                "SELECT "
+                + _planes_sql(occ, lo, hi).replace("COUNT(*)", f"CAST({n} AS BIGINT)")
+            ).fetchone()[0]
+            assert py == sql, (n, occ, py, sql)
+
+
+def test_graph_edge_partitions_scale_with_input(spark):
+    from insight_patents_spark.operators.graph import _edge_partitions
+
+    p = spark.sparkContext.defaultParallelism
+    assert _edge_partitions(spark, 60_000) == 4          # small stays small
+    assert _edge_partitions(spark, 600_000) == 4         # sf0.1 unchanged
+    assert _edge_partitions(spark, 60_000_000) == 2 * p  # 100x scales up
+    assert _edge_partitions(spark, 10_000_000) == min(2 * p, 40)

