@@ -1545,14 +1545,18 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     elig = (
         aug.filter(F.size(toks) >= 4)
+        # the md5-per-gram projection is the heavy narrow stage; escape
+        # the single input split (documents ships as one file locally)
+        .repartition(sh_parts(spark))
+        .withColumn("toks", toks)
         .select(
             "doc_id",
             "text",
             F.length("text").alias("n_chars"),
             F.expr(
-                "array_distinct(transform(sequence(0, size(split(text, ' ')) - 4), "
-                "i -> md5(concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], "
-                "split(text, ' ')[i+2], split(text, ' ')[i+3]))))"
+                "array_distinct(transform(sequence(0, size(toks) - 4), "
+                "i -> md5(concat_ws(' ', toks[i], toks[i+1], "
+                "toks[i+2], toks[i+3]))))"
             ).alias("grams"),
         )
         # feeds both join sides; materialize once (the minhash-family
