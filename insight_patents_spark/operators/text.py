@@ -1545,7 +1545,7 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     elig = (
         aug.filter(F.size(toks) >= 4)
-        # the md5-per-gram projection is the heavy narrow stage; escape
+        # the hash-per-gram projection is the heavy narrow stage; escape
         # the single input split (documents ships as one file locally)
         .repartition(sh_parts(spark))
         .withColumn("toks", toks)
@@ -1553,9 +1553,16 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "text",
             F.length("text").alias("n_chars"),
+            # xxhash64 (not md5): grams are INTERNAL blocking keys that
+            # never reach the output, so the determinism contract's
+            # md5-only rule doesn't apply — any fixed hash keeps the
+            # anchor argument sound (containment => gram-set inclusion
+            # => the contained side's min-gram collides). 8-byte bigint
+            # keys shuffle at 1/4 the width of 32-char md5 strings and
+            # hash ~3x faster.
             F.expr(
                 "array_distinct(transform(sequence(0, size(toks) - 4), "
-                "i -> md5(concat_ws(' ', toks[i], toks[i+1], "
+                "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], "
                 "toks[i+2], toks[i+3]))))"
             ).alias("grams"),
         )
