@@ -123,3 +123,83 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return d.mapInPandas(run, schema=schema).orderBy("doc_id")
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("byte_off", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+_FRAME_BYTES = 16  # fixed-size "frame" window
+_FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampler: slice fixed-size byte windows out of
+    the payload and keep every _FRAME_STRIDE-th one. With a real video
+    decoder this is where ffmpeg would seek keyframes; the batch shape,
+    fan-out (rows out >> rows in), and per-frame digest contract are the
+    production plumbing."""
+    import hashlib
+
+    for pdf in batches:
+        ids, idxs, offs, digests = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // _FRAME_BYTES
+            for k, f in enumerate(range(0, n_frames, _FRAME_STRIDE)):
+                off = f * _FRAME_BYTES
+                ids.append(doc_id)
+                idxs.append(k)
+                offs.append(off)
+                digests.append(
+                    hashlib.md5(payload[off : off + _FRAME_BYTES]).hexdigest()
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "byte_off": pd.Series(offs, dtype="int64"),
+                "frame_md5": pd.Series(digests, dtype="object"),
+            }
+        )
+
+
+@query(
+    "mm_frame_sample",
+    # Video-style frame sampling over a binary column: fixed 16-byte
+    # frames, every 4th kept. The corpus text is pure ASCII (probed), so
+    # byte slicing == char slicing and the oracle replays the digest
+    # with substr+md5.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(k * {_FRAME_STRIDE * _FRAME_BYTES} AS BIGINT) AS byte_off,
+           md5(substr(text, CAST(k * {_FRAME_STRIDE * _FRAME_BYTES} + 1 AS BIGINT),
+                      {_FRAME_BYTES})) AS frame_md5
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, (len(text) // {_FRAME_BYTES}
+                                          + {_FRAME_STRIDE} - 1) // {_FRAME_STRIDE}))
+                  AS k)
+    WHERE len(text) >= {_FRAME_BYTES}
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: binary payload → mapInPandas that
+    windows the byte stream into fixed-size frames and keeps a strided
+    subset, emitting per-frame digests (row fan-out, the multimodal
+    extract shape). Deterministic byte slicing stands in for the decoder
+    so the oracle can verify every frame digest in SQL.
+
+    Plan: narrow mapInPandas (no shuffle); output rows ≈ n_bytes /
+    (frame × stride) per doc — the fan-out stays inside the Arrow batch.
+    At 100 TB the binary column streams through Python workers batch-at-
+    a-time; partition sizing is controlled upstream by the scan's
+    maxPartitionBytes, not by driver logic."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)

@@ -899,3 +899,51 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("byte_len"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@query(
+    "split_train_test",
+    # Deterministic hash-based train/val/test split — the standard way a
+    # training pipeline assigns examples to splits so membership is a
+    # pure function of the key (stable across reruns, resharding, and
+    # engines; no RNG state to checkpoint). Bucket = first 8 md5 hex
+    # digits of the doc id as an integer, mod 100: 0-79 train,
+    # 80-89 val, 90-99 test.
+    oracle="""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 100 AS BIGINT) AS bucket
+      FROM documents
+    )
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 of the
+    document key.
+
+    Plan: pure narrow projection — no shuffle, no RNG; at 100 TB the
+    split column computes at scan speed and any downstream consumer can
+    partition-by-split on write. Hash-mod (not rand() with a seed)
+    means membership survives repartitioning and incremental appends —
+    the property per-row rand() lacks once row order changes."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        "n_chars",
+    )

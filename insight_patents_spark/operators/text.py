@@ -1596,3 +1596,171 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") > 0)
         .select("contained_id", "container_id", "pos")
     )
+
+
+@query(
+    "text_repetition",
+    # Gopher-style repetition filters (Rae et al. 2021, §A1.1, public):
+    # excessive repetition is the strongest cheap signal of low-quality
+    # machine-generated / boilerplate text. Per doc: duplicate-token
+    # fraction (1 - distinct/total) and top-2-gram fraction (share of
+    # all bigrams taken by the most frequent one). Counts are exact ints
+    # so only the two final ratios need the 9dp rounding contract.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t
+    ),
+    gc AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+    ),
+    top AS (
+      SELECT doc_id, MAX(cnt) AS top_2gram_count,
+             CAST(SUM(cnt) AS BIGINT) AS n_2grams
+      FROM gc GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM t
+    )
+    SELECT tok.doc_id,
+           tok.n_tokens,
+           CAST(ROUND(1.0 - CAST(tok.n_distinct AS DOUBLE) / tok.n_tokens, 9)
+                AS DOUBLE) AS dup_token_frac,
+           CAST(top.top_2gram_count AS BIGINT) AS top_2gram_count,
+           CAST(ROUND(CAST(top.top_2gram_count AS DOUBLE) / top.n_2grams, 9)
+                AS DOUBLE) AS top_2gram_frac,
+           CAST(CASE WHEN 1.0 - CAST(tok.n_distinct AS DOUBLE) / tok.n_tokens > 0.6
+                       OR CAST(top.top_2gram_count AS DOUBLE) / top.n_2grams > 0.2
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+    FROM tok JOIN top ON tok.doc_id = top.doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters from the Gopher data-quality rules (Rae et al.
+    2021, public): duplicate-token fraction and most-frequent-bigram
+    share, plus the combined repetitive flag.
+
+    Plan: bigram counting is explode -> hash-agg on (doc_id, gram) ->
+    hash-agg on doc_id — two map-side-combinable shuffles keyed by doc,
+    no skew (keys are per-document). The token-level features are pure
+    in-row array expressions. At 100 TB this is scan + two narrow
+    partial aggs; nothing is corpus-global."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        .filter(F.size("toks") >= 2)
+        # heavy per-doc explode; escape the single input split
+        .repartition(sh_parts(spark))
+        .localCheckpoint()
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i], toks[i+1]))"
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_2gram_count"),
+            F.sum("count").cast("bigint").alias("n_2grams"),
+        )
+    )
+    tok = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+    )
+    dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_frac = F.col("top_2gram_count").cast("double") / F.col("n_2grams")
+    return tok.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_frac, 9).alias("dup_token_frac"),
+        F.col("top_2gram_count").cast("bigint").alias("top_2gram_count"),
+        F.round(top_frac, 9).alias("top_2gram_frac"),
+        F.when((dup_frac > 0.6) | (top_frac > 0.2), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("flag_repetitive"),
+    )
+
+
+@query(
+    "text_entropy",
+    # Character-level Shannon entropy — the cheap gibberish/encoding-
+    # junk detector (low entropy = repeated filler, high = binary/base64
+    # noise). H = log2(n) - (1/n) * sum(c_i * log2(c_i)) over the char
+    # histogram; the per-char terms are folded in sorted-char order on
+    # BOTH engines (list(... ORDER BY ch) / array_sort) so the double
+    # sum is order-canonical, then rounded 9dp.
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, ch, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+            FROM documents)
+      GROUP BY doc_id, ch
+    ),
+    e AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_chars_counted,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             list_aggregate(list(cnt * log2(cnt) ORDER BY ch), 'sum') AS s
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_counted, n_distinct_chars,
+           CAST(ROUND(log2(n_chars_counted) - s / n_chars_counted, 9)
+                AS DOUBLE) AS char_entropy
+    FROM e
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality feature.
+
+    Plan: char histogram via explode -> hash-agg on (doc_id, ch) — the
+    char domain caps group count at |docs| x |alphabet|, partial
+    aggregation absorbs the explode fan-out map-side. The entropy fold
+    runs over the sorted (char, count) list so the floating-point
+    accumulation order is canonical across engines and partitionings —
+    the same trick as vec_centroid's sorted mean."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(sh_parts(spark))
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    counts = d.groupBy("doc_id", "ch").count()
+    ent = counts.groupBy("doc_id").agg(
+        F.sum("count").cast("bigint").alias("n_chars_counted"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ch", "count"))),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + t["count"].cast("double") * F.log2(t["count"].cast("double")),
+        ).alias("s"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        F.round(
+            F.log2(F.col("n_chars_counted").cast("double"))
+            - F.col("s") / F.col("n_chars_counted"),
+            9,
+        ).alias("char_entropy"),
+    )

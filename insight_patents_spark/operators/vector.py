@@ -820,3 +820,180 @@ def vec_rerank_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "neighbor_id", score.alias("rerank_score"))
     )
+
+
+@query(
+    "vec_mips",
+    # Maximum-inner-product search: embeddings carry magnitude (scaled
+    # deterministically by 1 + label/10 to simulate unnormalized
+    # encoder output), every 50th vector is a query, global top-3 items
+    # per query by inner product. Both engines scale each vector
+    # elementwise BEFORE the index-order dot fold so the float sequence
+    # is bit-identical.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             -- 0.1 must be DOUBLE: DuckDB's bare 0.1 literal is DECIMAL(2,1),
+             -- whose exact 1/10 differs from the double 0.1 Spark uses
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x * (CAST(1.0 AS DOUBLE)
+                                      + label * CAST(0.1 AS DOUBLE))) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0)
+    SELECT query_id, item_id, ip
+    FROM (
+      SELECT q.query_id, e.vec_id AS item_id,
+             list_dot_product(q.qv, e.v) AS ip,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY ROUND(list_dot_product(q.qv, e.v), 9) DESC,
+                                         e.vec_id) AS rn
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q.query_id
+    ) WHERE rn <= 3
+    """,
+)
+def vec_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) — retrieval over magnitude-
+    carrying embeddings, where cosine top-k is wrong because norm encodes
+    relevance (the recommender/reranker scoring regime).
+
+    Plan: the query set is a tiny deterministic sample → BROADCAST to
+    every item partition; the scoring pass is one narrow N × Q
+    projection (no shuffle of the item table), then a window on query_id
+    picks top-3. This query-broadcast shape is exactly how MIPS re-rank
+    runs at 100 TB: items never move, queries ride the broadcast. (The
+    norm-augmentation reduction [x̃ = (x, √(M²−‖x‖²))] that turns MIPS
+    into cosine-ANN for the candidate stage composes with vec_ann_* —
+    here we exhibit the exact scoring stage.)"""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                "x -> x * (1.0D + label * 0.1D))"
+            ).alias("v"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("ip", _dot("qv", "v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("ip", 9).desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("vec_id").alias("item_id"), "ip")
+    )
+
+
+@query(
+    "dedup_semantic",
+    # SemDeDup (Abbas et al. 2023, public): cluster embeddings with a
+    # coarse quantizer, then drop near-duplicates WITHIN each cluster,
+    # keeping the member closest to the cluster seed. Dominance (who
+    # survives a duplicate pair) compares seed-cosines at the rounded-9
+    # contract with a vec_id tiebreak so both engines agree exactly.
+    # Threshold 0.35 calibrated on this corpus (~100 intra-cell pairs).
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    ranked AS (
+      SELECT e.vec_id, s.cell_id, e.v,
+             ROUND(list_dot_product(e.v, s.cv), 9) AS cent_cos,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_dot_product(e.v, s.cv), 9) DESC,
+                                         s.cell_id) AS rr
+      FROM e CROSS JOIN seeds s
+    ),
+    assign AS (SELECT vec_id, cell_id, v, cent_cos FROM ranked WHERE rr = 1),
+    dup AS (
+      SELECT a.cell_id,
+             CASE WHEN a.cent_cos > b.cent_cos
+                    OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id)
+                  THEN b.vec_id ELSE a.vec_id END AS removed,
+             CASE WHEN a.cent_cos > b.cent_cos
+                    OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id)
+                  THEN a.vec_id ELSE b.vec_id END AS winner
+      FROM assign a JOIN assign b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) >= 0.35
+    )
+    SELECT removed AS vec_id, cell_id,
+           CAST(MIN(winner) AS BIGINT) AS removed_by,
+           CAST(COUNT(*) AS BIGINT) AS n_dominators
+    FROM dup GROUP BY removed, cell_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarse-quantizer clusters
+    (the IVF assignment stage) scope the pairwise cosine check, and
+    within each duplicate pair the member closer to its cluster seed
+    survives. Emits the removed set with its dominating survivor.
+
+    Plan: seed set broadcast (N × n_list narrow scoring), pairwise work
+    shuffles once on cell_id and is O(occupancy²) per cell — never
+    corpus-quadratic; cell count grows with N so occupancy stays
+    bounded, the same argument as vec_ann_ivf."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    seeds = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("cent_cos", F.round(_dot("v", "cv"), 9))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cent_cos").desc(), F.col("cell_id")
+                )
+            ),
+        )
+    )
+    assign = (
+        ranked.filter(F.col("rr") == 1)
+        .select("vec_id", "cell_id", "v", "cent_cos")
+        .localCheckpoint()  # feeds both sides of the pair join
+    )
+    a = assign.select(
+        F.col("vec_id").alias("id_a"),
+        "cell_id",
+        F.col("v").alias("va"),
+        F.col("cent_cos").alias("cc_a"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell_id").alias("cell_b"),
+        F.col("v").alias("vb"),
+        F.col("cent_cos").alias("cc_b"),
+    )
+    a_wins = (F.col("cc_a") > F.col("cc_b")) | (
+        (F.col("cc_a") == F.col("cc_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dup = (
+        a.join(b, (F.col("cell_id") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(_dot("va", "vb") >= 0.35)
+        .select(
+            "cell_id",
+            F.when(a_wins, F.col("id_b")).otherwise(F.col("id_a")).alias("removed"),
+            F.when(a_wins, F.col("id_a")).otherwise(F.col("id_b")).alias("winner"),
+        )
+    )
+    return dup.groupBy(F.col("removed").alias("vec_id"), "cell_id").agg(
+        F.min("winner").cast("bigint").alias("removed_by"),
+        F.count("*").cast("bigint").alias("n_dominators"),
+    )

@@ -369,3 +369,52 @@ def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("was_gap"),
         )
     )
+
+
+# Truncated-exponential EWMA kernel: weights 0.8^j, 8 taps. Exact decimal
+# literals so both engines perform the identical literal->double rounding;
+# the chained sum is left-associated identically on both sides.
+_EWMA_W = [1.0, 0.8, 0.64, 0.512, 0.4096, 0.32768, 0.262144, 0.2097152]
+
+
+@query(
+    "win_ewma",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           CAST(ROUND((
+             {' + '.join(f"COALESCE(LAG(value, {j}) OVER w, 0.0) * {w!r}" for j, w in enumerate(_EWMA_W))}
+           ) / (
+             {' + '.join(f"CASE WHEN LAG(value, {j}) OVER w IS NULL THEN 0.0 ELSE {w!r} END" for j, w in enumerate(_EWMA_W))}
+           ), 9) AS DOUBLE) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event values per user
+    (8-tap truncated kernel, decay 0.8) — the time-series smoothing
+    primitive a true recursive EWMA can't express in a window frame;
+    the truncation error is bounded by 0.8^8 ≈ 1.7% of mass.
+
+    Plan: ONE window (shuffle on user_id + sort) feeding all 16 lag
+    expressions — Spark collapses same-spec window functions into a
+    single WindowExec pass. Numerator/denominator are left-associated
+    chains of exact-decimal coefficients, so the double arithmetic is
+    bit-identical cross-engine before the 9dp round."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_W):
+        lagged = F.lag("value", j).over(w) if j else F.col("value")
+        t_num = F.coalesce(lagged, F.lit(0.0)) * F.lit(wt)
+        t_den = F.when(lagged.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(num / den, 9).alias("ewma"),
+    )
