@@ -237,3 +237,46 @@ def test_graph_edge_partitions_scale_with_input(spark):
     assert _edge_partitions(spark, 600_000) == 4         # sf0.1 unchanged
     assert _edge_partitions(spark, 60_000_000) == 2 * p  # 100x scales up
     assert _edge_partitions(spark, 10_000_000) == min(2 * p, 40)
+
+
+def test_mips_scoring_join_is_broadcast(spark, sf_dir):
+    # the item table must never shuffle: queries ride a broadcast
+    from insight_patents_spark.operators.vector import vec_mips
+
+    plan = formatted_plan(vec_mips(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_split_train_test_is_narrow(spark, sf_dir):
+    from insight_patents_spark.operators.relational import split_train_test
+
+    plan = formatted_plan(split_train_test(spark, sf_dir))
+    assert "Exchange" not in plan  # pure projection: no shuffle anywhere
+
+
+def test_frame_sample_has_no_shuffle(spark, sf_dir):
+    from insight_patents_spark.operators.multimodal import mm_frame_sample
+
+    plan = formatted_plan(mm_frame_sample(spark, sf_dir))
+    assert "Exchange" not in plan  # fan-out stays inside the Arrow batch
+
+
+def test_repetition_aggs_are_partial(spark, sf_dir):
+    from insight_patents_spark.operators.text import text_repetition
+
+    plan = formatted_plan(text_repetition(spark, sf_dir))
+    # bigram count + per-doc rollup: both hash-aggregates with map-side
+    # partials (4+ HashAggregate nodes across the two stages)
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_ewma_uses_single_window_pass(spark, sf_dir):
+    from insight_patents_spark.operators.windows import win_ewma
+
+    import re
+
+    plan = formatted_plan(win_ewma(spark, sf_dir))
+    # all 16 lag terms collapse into ONE WindowExec (same window spec);
+    # match the detail-section operator headers, not the tree rendering
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+    assert plan.count("Exchange") <= 2  # the one user_id shuffle (tree+detail)
