@@ -223,3 +223,55 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ips_docs_udtf d, LATERAL ips_tokenize(d.text) t
         """
     )
+
+
+@query(
+    "udtf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+           CAST(round(l_discount * 10000) AS BIGINT) AS discount_bps
+    FROM lineitem WHERE l_orderkey % 40 = 0
+    """,
+)
+def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy tier below mapInPandas — the function
+    sees raw pyarrow RecordBatches (no pandas conversion, no object
+    boxing), the right API when the Python stage is itself Arrow-native
+    (e.g. handing batches to a C++/Rust tokenizer or an Arrow-based
+    feature library). Integer cents arithmetic keeps the contract exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def cents(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            qty = pc.cast(
+                pc.round(pc.multiply(batch.column("l_quantity"), 100.0)),
+                pa.int64(),
+            )
+            bps = pc.cast(
+                pc.round(pc.multiply(batch.column("l_discount"), 10000.0)),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column("l_orderkey"), pa.int64()),
+                    pc.cast(batch.column("l_linenumber"), pa.int64()),
+                    qty,
+                    bps,
+                ],
+                names=["l_orderkey", "l_linenumber", "qty_cents", "discount_bps"],
+            )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 40 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+    return li.mapInArrow(
+        cents,
+        schema=(
+            "l_orderkey bigint, l_linenumber bigint, "
+            "qty_cents bigint, discount_bps bigint"
+        ),
+    )
