@@ -66,7 +66,10 @@ def main() -> None:
     _execute(specs["agg_groupby"].fn(spark, sf_dir))
     _execute(specs["udf_pandas_scalar"].fn(spark, sf_dir))
     _execute(specs["scan_python_datasource"].fn(spark, sf_dir))
-    _execute(specs["vec_ann_lsh"].fn(spark, sf_dir))
+    # HOF-interpreter warm-up must use an UNcached vec query: vec_ann_lsh
+    # now materializes a shared bucket/shortlist cache, and warming it up
+    # here would hide that cost from its measured run.
+    _execute(specs["vec_cosine_topk"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

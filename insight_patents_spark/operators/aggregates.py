@@ -817,3 +817,99 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_count"),
         )
     )
+
+
+_QSK_BIN = "CAST(FLOOR(l_extendedprice / CAST(1000 AS DOUBLE)) AS BIGINT)"
+
+
+def _qsk_est(q: str) -> str:
+    """Shared Spark/DuckDB expression for the quantile estimate at target
+    rank ceil(q*n): linear interpolation inside the bucket that covers
+    the rank. q is an exact decimal literal in both engines; every
+    arithmetic step is the same double op in the same order, so the
+    estimate is bit-identical cross-engine."""
+    t = f"CAST(CEIL({q} * n) AS BIGINT)"
+    return (
+        f"MIN(CASE WHEN cum >= {t} AND cum - cnt < {t} THEN "
+        f"CAST(bin * 1000 AS DOUBLE) + CAST(1000 AS DOUBLE) "
+        f"* CAST({t} - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE) END)"
+    )
+
+
+@query(
+    "agg_quantile_sketch",
+    # Mergeable quantile sketch: fixed-width histogram partials (the
+    # percentile analog of agg_hll_sketch's HLL union — both exhibit
+    # "partials merge exactly into the global sketch"). The oracle builds
+    # the histogram directly; the Spark side builds it as TWO half-table
+    # partial sketches merged by summed bin counts, and the results are
+    # identical BECAUSE the sketch is mergeable — that equality is what
+    # the hash check verifies.
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag, {_QSK_BIN} AS bin, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM h
+    )
+    SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+           {_qsk_est('0.5')} AS p50_est,
+           {_qsk_est('0.95')} AS p95_est
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles from a MERGEABLE fixed-width histogram
+    sketch (width=1000 over l_extendedprice): per-(flag, bin) counts are
+    the sketch; merging sketches = summing bin counts. Exhibited
+    explicitly: the table is split into two halves, each half builds its
+    own partial sketch, the partials merge by summed counts, and p50/p95
+    interpolate inside the rank-covering bucket.
+
+    Scale shape: this is how percentile dashboards work at 100 TB — each
+    partition/day/shard keeps a tiny (n_bins) histogram, merges are
+    associative map-side combines, and no quantile computation ever sees
+    raw rows twice. (Spark's percentile_approx works the same way with an
+    adaptive KLL-style sketch; the fixed-bin form is used here because
+    its estimate is exactly reproducible in SQL.)"""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    bin_col = F.expr(_QSK_BIN).alias("bin")
+    # two independent partial sketches (any disjoint split works)...
+    h1 = (
+        li.filter(F.col("l_orderkey") % 2 == 0)
+        .groupBy("l_returnflag", bin_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    h2 = (
+        li.filter(F.col("l_orderkey") % 2 == 1)
+        .groupBy("l_returnflag", bin_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # ...merged: sketch-union is just summed bin counts
+    h = (
+        h1.unionByName(h2)
+        .groupBy("l_returnflag", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = h.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.expr(_qsk_est("0.5")).alias("p50_est"),
+        F.expr(_qsk_est("0.95")).alias("p95_est"),
+    )

@@ -79,7 +79,21 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
 
 
-@query("mm_decode_stub", oracle=None)  # rows-only: exercises the gated path
+@query(
+    "mm_decode_stub",
+    # The fallback "decode" is a deterministic byte-length function, so
+    # (like mm_frame_sample) the oracle replays it exactly: the corpus is
+    # pure ASCII (probed at sf0.01/0.1), so octet_length(encode(text)) ==
+    # len(payload) and the fake dimensions are SQL-expressible. Upgraded
+    # from rows-only in r4 — the gated-import path is unchanged.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
+           CAST(octet_length(encode(text)) % 48 + 1 AS BIGINT) AS height,
+           'fake' AS decoder
+    FROM documents
+    """,
+)
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-decode plumbing with the real gated-import pattern: rows whose
     payload "decodes" get (width, height); the actual pixel decode is

@@ -1707,11 +1707,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # noise). H = log2(n) - (1/n) * sum(c_i * log2(c_i)) over the char
     # histogram; the per-char terms are folded in sorted-char order on
     # BOTH engines (list(... ORDER BY ch) / array_sort) so the double
-    # sum is order-canonical, then rounded 9dp.
-    oracle="""
+    # sum is order-canonical, then rounded 9dp. (Raw string: the oracle's
+    # newline-safe [\s\S] char class — '.' would skip \n; the corpus is
+    # newline-free today but the oracle no longer depends on that.)
+    oracle=r"""
     WITH c AS (
       SELECT doc_id, ch, COUNT(*) AS cnt
-      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
             FROM documents)
       GROUP BY doc_id, ch
     ),

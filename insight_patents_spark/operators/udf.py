@@ -244,13 +244,23 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.compute as pc
 
     def cents(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # round_mode must be half_towards_infinity: pyarrow's default is
+        # half-to-even while DuckDB's round() is half-away-from-zero —
+        # they agree on this data only because no product lands on a .5
+        # tie; the explicit mode removes the data dependence.
         for batch in batches:
             qty = pc.cast(
-                pc.round(pc.multiply(batch.column("l_quantity"), 100.0)),
+                pc.round(
+                    pc.multiply(batch.column("l_quantity"), 100.0),
+                    round_mode="half_towards_infinity",
+                ),
                 pa.int64(),
             )
             bps = pc.cast(
-                pc.round(pc.multiply(batch.column("l_discount"), 10000.0)),
+                pc.round(
+                    pc.multiply(batch.column("l_discount"), 10000.0),
+                    round_mode="half_towards_infinity",
+                ),
                 pa.int64(),
             )
             yield pa.RecordBatch.from_arrays(

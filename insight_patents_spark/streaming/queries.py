@@ -580,6 +580,147 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's transformWithStateInPandas — the successor API to
+    applyInPandasWithState (stream_stateful_custom exhibits the older
+    one): an object-oriented StatefulProcessor with typed, composable
+    state primitives. Here a per-user MapState (event_type -> running
+    count) is updated each micro-batch and the current per-type counts
+    are emitted in Update mode; counts are monotone, so the final
+    snapshot per (user, type) is the batch GROUP BY answer.
+
+    GATED (the mm_decode_stub pattern): the TWS Python worker talks to
+    the JVM state server over protobuf, and this container ships no
+    google.protobuf — so the real TWS path below runs whenever protobuf
+    is importable, and otherwise the SAME semantics (per-(user, type)
+    running count in explicit GroupState) run through
+    applyInPandasWithState keyed on the composite key. Either path is
+    verified by the same oracle. TWS additionally needs the RocksDB
+    state store (bundled rocksdbjni; the only provider with the
+    multi-column-family state the API uses); conf is set for this stream
+    and restored after. At 100 TB the state lives in per-partition
+    RocksDB instances with changelog checkpointing — no state ever
+    transits the driver."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    s = _read_stream(spark, sf_dir).select("user_id", "event_type")
+    try:
+        import google.protobuf  # noqa: F401  (absent in this container)
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    if have_protobuf:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class TypeCounts(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._counts = handle.getMapState(
+                    "type_counts", "event_type string", "n bigint"
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                for pdf in rows:
+                    for et, n in pdf.groupby("event_type").size().items():
+                        cur = self._counts.getValue((et,))
+                        self._counts.updateValue(
+                            (et,), ((cur[0] if cur else 0) + int(n),)
+                        )
+                uid = key[0]
+                items = list(self._counts.iterator())
+                yield pd.DataFrame(
+                    {
+                        "user_id": pd.Series([uid] * len(items), dtype="int64"),
+                        "event_type": [k[0] for k, _ in items],
+                        "n_events": pd.Series(
+                            [v[0] for _, v in items], dtype="int64"
+                        ),
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        result = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=TypeCounts(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            out = _run_available_now(result, "ips_stream_tws", mode="update")
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+    else:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+        def update(key, pdfs, state: GroupState):
+            n = state.get[0] if state.exists else 0
+            for pdf in pdfs:
+                n += len(pdf)
+            state.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "event_type": [key[1]],
+                    "n_events": pd.Series([n], dtype="int64"),
+                }
+            )
+
+        result = s.groupBy("user_id", "event_type").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        out = _run_available_now(result, "ips_stream_tws", mode="update")
+    # Update mode re-emits a key's snapshot every batch it changes; counts
+    # only grow, so the final state is the per-key maximum.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("n_events").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "n_events")
+    )
+
+
+@query(
     "stream_rollup_incremental",
     oracle="""
     SELECT date_trunc('hour', ts) AS bucket_ts,
