@@ -108,6 +108,9 @@ def main() -> None:
     }
     if not only:  # subset runs must not clobber the full per-query record
         (REPO / "BENCH_local.json").write_text(json.dumps(full, indent=1) + "\n")
+    else:  # iteration aid: per-query detail on stderr (stdout stays contract-clean)
+        for name, t in timings.items():
+            print(f"# {name}: {t}", file=sys.stderr)
 
     line = json.dumps(
         {

@@ -39,30 +39,14 @@ def _dot(a: str, b: str) -> F.Column:
     )
 
 
-_DOT_PD = None
-
-
-def _dot_pd(a, b) -> F.Column:
-    """Arrow-batched dot product: elementwise multiply (order-free exact
-    IEEE) then a strict left-to-right prefix sum (np.cumsum is a
-    sequential C loop), so the result is bit-identical to `_dot`'s
-    interpreted fold AND DuckDB's list_dot_product — same doubles, same
-    addition order — at numpy speed. This is the scale path for N×Q
-    scoring: per-row cost drops from 64 interpreted lambda evals to a
-    vectorized batch op. (UDF built lazily: pandas_udf return-type
-    parsing needs an active SparkSession, absent at import time.)"""
-    global _DOT_PD
-    if _DOT_PD is None:
-
-        def dot(a: pd.Series, b: pd.Series) -> pd.Series:
-            import numpy as np
-
-            x = np.array(a.tolist(), dtype=np.float64)
-            y = np.array(b.tolist(), dtype=np.float64)
-            return pd.Series(np.cumsum(x * y, axis=1)[:, -1])
-
-        _DOT_PD = F.pandas_udf(dot, "double")
-    return _DOT_PD(a, b)
+# Measured r4 (sf0.1, interleaved A/B on the dedup_embed_cosine pair
+# workload, 2.5M pairs): warm interpreted-HOF fold 0.9-1.2 s vs an
+# Arrow-batched numpy cumsum pandas_udf 2.2-5.2 s — the Arrow transfer
+# of BOTH 64-double vectors per PAIR row is O(pairs x dim) and dominates,
+# so pairwise scoring stays on the JVM-side `_dot` fold. The numpy path
+# wins only where transfer is O(N x dim), i.e. the per-vector bucket
+# assignment below (`_bucket_assign_udf`), where it replaced L x P
+# interpreted folds recomputed across five plan branches.
 
 
 # Materialized-DataFrame cache shared across queries in one application
@@ -553,7 +537,7 @@ def _lsh_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("a.vec_id").alias("vec_id"),
                 F.col("b.vec_id").alias("neighbor_id"),
-                _dot_pd("a.v", "b.v").alias("cosine"),
+                _dot("a.v", "b.v").alias("cosine"),
             )
         )
         w = Window.partitionBy("vec_id").orderBy(
@@ -701,7 +685,7 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         cand.join(F.broadcast(e.alias("ea")), cand.vec_id == F.col("ea.vec_id"))
         .join(F.broadcast(e.alias("eb")), cand.neighbor_id == F.col("eb.vec_id"))
-        .select(cand.vec_id, cand.neighbor_id, _dot_pd("ea.v", "eb.v").alias("cosine"))
+        .select(cand.vec_id, cand.neighbor_id, _dot("ea.v", "eb.v").alias("cosine"))
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.round("cosine", 9).desc(), F.col("neighbor_id")

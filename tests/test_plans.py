@@ -280,3 +280,43 @@ def test_ewma_uses_single_window_pass(spark, sf_dir):
     # match the detail-section operator headers, not the tree rendering
     assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
     assert plan.count("Exchange") <= 2  # the one user_id shuffle (tree+detail)
+
+
+def test_lsh_bucket_table_is_materialized_once(spark, sf_dir):
+    """r4 gate for the r3 hot spot: the LSH bucket assignment (Arrow
+    numpy UDF) must NOT appear in the candidate-join plan — both sides
+    of the join and the re-rank must read the one cached bucket table
+    (InMemoryTableScan), never re-derive the plane dots."""
+    from insight_patents_spark.operators.vector import (
+        vec_ann_lsh,
+        vec_ann_lsh_multi,
+    )
+
+    for fn in (vec_ann_lsh, vec_ann_lsh_multi):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "InMemoryTableScan" in plan, fn.__name__
+        # the bucket UDF ran once at materialization time; in the plan it
+        # may appear ONLY inside an InMemoryRelation's cached-plan
+        # description, never in the executed region above the first cache
+        executed = plan[: plan.index("InMemoryRelation")]
+        assert "ArrowEvalPython" not in executed, fn.__name__
+        assert "BatchEvalPython" not in executed, fn.__name__
+
+
+def test_rerank_consumes_cached_shortlist(spark, sf_dir):
+    """vec_rerank_stub must feed its pandas scorer from the materialized
+    ANN shortlist (cache scan), not recompute the LSH stage: below the
+    MapInPandas node there is only an InMemoryTableScan — no joins, no
+    windows, no bucket computation."""
+    from insight_patents_spark.operators.vector import vec_rerank_stub
+
+    plan = formatted_plan(vec_rerank_stub(spark, sf_dir))
+    below = plan[plan.index("MapInPandas"):]
+    assert "InMemoryTableScan" in below
+    # between the pandas scorer and the cached shortlist there must be
+    # nothing but the cache scan (joins/windows of the ANN stage live
+    # inside the InMemoryRelation description, where they are not
+    # re-executed)
+    executed_below = below[: below.index("InMemoryRelation")]
+    for node in ("HashJoin", "SortMergeJoin", "ArrowEvalPython", "Window"):
+        assert node not in executed_below, node
