@@ -469,3 +469,72 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT e1.event_id AS eid_a, e2.event_id AS eid_b, e1.user_id,
+           CAST((epoch_us(e2.ts) - epoch_us(e1.ts)) // 1000000 AS BIGINT) AS gap_sec
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_interval's scale path: the same 5-minute forward-window pair
+    semantics, computed through TIME-BUCKETED candidates instead of a
+    pure theta condition. Each left row fans out to its own 5-minute
+    bucket and the next one; the right side sits in its bucket; the join
+    key is the composite (user_id, bucket) EQUI key, and the exact range
+    predicate filters candidates afterwards. A true pair's right bucket
+    is always the left's bucket or the one after, so every pair is found
+    exactly once — no dedup needed.
+
+    Why it matters at 100 TB: the planner hashes on (user, bucket), so
+    per-task work is bounded by bucket occupancy even when one user has
+    millions of events over months (where join_interval's per-user
+    blocking alone degrades to that user's quadratic). Candidate fan-out
+    is exactly 2x rows, independent of data skew in time."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    bucket_us = 300 * 1000 * 1000  # 5 minutes, matches the window width
+    left = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("eid_a"),
+        F.col("us").alias("us_a"),
+        # integer div, NOT float division + cast: a float quotient one ulp
+        # below an integer boundary would truncate into the wrong bucket
+        F.explode(
+            F.array(
+                F.expr(f"us div {bucket_us}"),
+                F.expr(f"us div {bucket_us} + 1"),
+            )
+        ).alias("bkt"),
+    )
+    right = e.select(
+        F.col("user_id").alias("user_r"),
+        F.col("event_id").alias("eid_b"),
+        F.col("us").alias("us_b"),
+        F.expr(f"us div {bucket_us}").alias("bkt_r"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("user_id") == F.col("user_r")) & (F.col("bkt") == F.col("bkt_r")),
+        )
+        .filter(
+            (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") <= F.col("us_a") + bucket_us)
+        )
+        .select(
+            "eid_a",
+            "eid_b",
+            "user_id",
+            F.expr("(us_b - us_a) div 1000000").alias("gap_sec"),
+        )
+    )

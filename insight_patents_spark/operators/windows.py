@@ -418,3 +418,54 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(num / den, 9).alias("ewma"),
     )
+
+
+@query(
+    "win_retention_cohort",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    each user joins the cohort of their first-ever event day; for every
+    later activity day the matrix counts how many of that cohort were
+    active N days after joining.
+
+    Plan shape: the first-touch date is a window MIN over user (one
+    shuffle on user_id, reused by the distinct that follows on the same
+    key), then a hash aggregate on the tiny (cohort, offset) domain —
+    no self-join of the fact table. At 100 TB the events shuffle on
+    user_id once; everything after operates on |users| x |days| rows."""
+    e = load(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id")
+    activity = (
+        e.select(
+            "user_id",
+            F.min(F.col("ts").cast("date")).over(w_user).alias("cohort_day"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        # string dates: DuckDB DATE surfaces as datetime in the compare
+        # harness; a yyyy-MM-dd string is type-stable cross-engine
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        "day_offset",
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
