@@ -76,8 +76,10 @@ def _read_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checkpoint at stream start (we always start fresh). Each partition is a
 # state-store instance with its own snapshot/commit files, so on small/medium
 # key cardinality fewer, larger stores win; on a real cluster raise this to
-# O(executor cores) via the env knob.
-_STREAM_STATE_PARTITIONS = int(os.environ.get("IPS_STREAM_STATE_PARTITIONS", "8"))
+# O(executor cores) via the env knob. (r4: measured 8 -> 4 saves ~0.5 s of
+# per-query store setup at sf0.1 with no task-parallelism loss at this key
+# cardinality; 2 measures the same as 4, so 4 keeps headroom.)
+_STREAM_STATE_PARTITIONS = int(os.environ.get("IPS_STREAM_STATE_PARTITIONS", "4"))
 
 
 def _run_available_now(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
