@@ -947,3 +947,79 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         "n_chars",
     )
+
+
+@query(
+    "sample_priority",
+    # Priority sampling (hash-order top-k): per event_type keep the k=20
+    # events with the smallest md5(event_id) — a uniform deterministic
+    # sample with NO RNG (md5 order is pseudorandom w.r.t. the data) that
+    # is also MERGEABLE: the union of two shards' top-k re-topped is the
+    # global top-k, so samples maintain incrementally, unlike
+    # ORDER BY rand() which reshuffles every run.
+    oracle="""
+    SELECT event_type, event_id, priority
+    FROM (
+      SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS priority,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+      FROM events
+    ) WHERE rn <= 20
+    """,
+)
+def sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group uniform k-sample via hash priorities: rank events inside
+    each type by md5(event_id) and keep the 20 smallest. The plan gets
+    WindowGroupLimit (each task keeps only k rows pre-shuffle), so the
+    sample costs one bounded shuffle at any scale — the reservoir-sample
+    replacement for distributed engines, and the sample is stable under
+    resharding and incremental appends (merge = union + re-top-k)."""
+    e = load(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    pri = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(pri)
+    return (
+        e.select("event_type", "event_id", pri.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("event_type", "event_id", "priority")
+    )
+
+
+@query(
+    "scan_jdbc_partitioned",
+    oracle="""
+    SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer WHERE c_acctbal > 0
+    """,
+)
+def scan_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC PARALLEL read — the scan-side complement to sink_jdbc's
+    write: `spark.read.jdbc` with (partitionColumn, bounds, numParts)
+    issues one range-predicated query per partition so executors scan a
+    server-side table concurrently; the `c_acctbal > 0` filter is pushed
+    into each generated SQL statement (predicate pushdown to the remote
+    engine). Embedded Derby stands in for the warehouse exactly as in
+    sink_jdbc; on a cluster only the URL/driver change, and bounds come
+    from the table's min/max stats."""
+    out = _roundtrip_dir(sf_dir, "customer_derby")
+    url = f"jdbc:derby:{out}/db;create=true"
+    opts = {"url": url, "driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("double").alias("acctbal")
+    )
+    src.write.format("jdbc").options(**opts, dbtable="customer_t").mode(
+        "overwrite"
+    ).save()
+    n_rows = src.count()
+    back = spark.read.jdbc(
+        url=url,
+        table="customer_t",
+        column="c_custkey",
+        lowerBound=1,
+        upperBound=max(2, n_rows),
+        numPartitions=4,
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    return back.filter(F.col("acctbal") > 0)

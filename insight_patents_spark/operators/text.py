@@ -1826,3 +1826,63 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("g").alias("first_gram"),
         )
     )
+
+
+@query(
+    "text_perplexity_proxy",
+    # Unigram-LM pseudo-perplexity — the CCNet-style quality filter
+    # (docs whose tokens are globally rare score high = likely noise;
+    # a real pipeline swaps the unigram model for a KenLM 5-gram, the
+    # Spark plan is identical). score = mean over token OCCURRENCES of
+    # -log2 p(tok) = log2(total) - mean(log2 cnt). The per-doc fold
+    # runs over the cnt-sorted list (equal cnt -> equal addend, so the
+    # sort key fully determines the sum) and rounds 9dp — the
+    # text_entropy contract.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(ROUND(log2((SELECT total FROM tot))
+                      - list_aggregate(list(log2(CAST(f.cnt AS DOUBLE))
+                                            ORDER BY f.cnt), 'sum') / COUNT(*),
+                      9) AS DOUBLE) AS ppl_proxy
+    FROM tok t JOIN freq f ON t.token = f.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, unigram form: build the corpus
+    token-frequency table (one hash agg), broadcast it onto the exploded
+    token stream, and score each document by its mean token surprisal.
+    High scores flag gibberish / rare-vocab noise, low scores flag
+    boilerplate — the standard perplexity-based corpus filter.
+
+    Scale shape: the frequency table is vocabulary-sized (Zipf: tiny vs
+    the corpus) -> broadcast; the corpus explodes once, never shuffles on
+    token except inside the map-side-combined freq agg; per-doc scoring
+    is one hash agg on doc_id. total is a driver-side scalar (bounded
+    metadata, the graph-seed pattern)."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .repartition(sh_parts(spark))
+        .select("doc_id", F.explode(_tokens()).alias("token"))
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = float(tok.count())
+    scored = tok.join(F.broadcast(freq), "token")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.log2(F.lit(total))
+            - F.aggregate(
+                F.array_sort(F.collect_list(F.col("cnt"))),
+                F.lit(0.0),
+                lambda acc, c: acc + F.log2(c.cast("double")),
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("ppl_proxy"),
+    )
