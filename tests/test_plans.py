@@ -320,3 +320,41 @@ def test_rerank_consumes_cached_shortlist(spark, sf_dir):
     executed_below = below[: below.index("InMemoryRelation")]
     for node in ("HashJoin", "SortMergeJoin", "ArrowEvalPython", "Window"):
         assert node not in executed_below, node
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
+    """The benchmark gram set must ride a broadcast; the training corpus
+    must never shuffle on the gram key."""
+    from insight_patents_spark.operators.text import text_decontaminate
+
+    plan = formatted_plan(text_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_freq_table_broadcasts(spark, sf_dir):
+    from insight_patents_spark.operators.text import text_perplexity_proxy
+
+    plan = formatted_plan(text_perplexity_proxy(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_priority_gets_window_group_limit(spark, sf_dir):
+    """Each task must keep only k rows before the shuffle (the property
+    that makes hash-priority sampling constant-cost at any scale)."""
+    from insight_patents_spark.operators.relational import sample_priority
+
+    plan = formatted_plan(sample_priority(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_range_bucketed_join_is_equi_hash(spark, sf_dir):
+    """The bucketed range join must plan as a hash join on the composite
+    equi key — no nested-loop / cartesian fallback for the range part."""
+    from insight_patents_spark.operators.joins import join_range_bucketed
+
+    plan = formatted_plan(join_range_bucketed(spark, sf_dir))
+    assert "HashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
