@@ -913,3 +913,101 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_qsk_est("0.5")).alias("p50_est"),
         F.expr(_qsk_est("0.95")).alias("p95_est"),
     )
+
+
+# Exact integer cents (value has <=2 decimal digits; ROUND(value*100) is
+# the same IEEE double op in Spark and DuckDB, positive-only so HALF_UP ==
+# half-away-from-zero) — integer sums make every downstream mean/variance
+# bit-reproducible regardless of aggregation order. The same trick the
+# money columns use (decimal), specialized for the events fact table.
+_CENTS = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+
+
+@query(
+    "agg_ohlc",
+    oracle="""
+    WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, ts,
+                      CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
+    SELECT day, event_type,
+           first(cents ORDER BY ts) / 100.0 AS open,
+           max(cents) / 100.0 AS high,
+           min(cents) / 100.0 AS low,
+           last(cents ORDER BY ts) / 100.0 AS close,
+           count(*) AS n_trades,
+           sum(cents) / 100.0 AS volume
+    FROM e GROUP BY day, event_type
+    """,
+)
+def agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed OHLC bars (the time-series downsampling primitive:
+    one output row per day x event_type with open/high/low/close/volume).
+    `min_by(v, ts)` / `max_by(v, ts)` give open/close in the SAME single
+    hash aggregate as high/low/volume — one scan, one shuffle on the
+    (day, type) key, partials merge map-side; no window sort and no
+    self-join. `ts` is unique per event (probed) so ordered-first
+    semantics are deterministic. At 100 TB this is the classic
+    "downsample ticks to bars" rollup: output is |days| x |types| rows,
+    thousands of times smaller than the input."""
+    e = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.col("ts"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    agg = e.groupBy("day", "event_type").agg(
+        F.expr("min_by(cents, ts)").alias("open_c"),
+        F.max("cents").alias("high_c"),
+        F.min("cents").alias("low_c"),
+        F.expr("max_by(cents, ts)").alias("close_c"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("cents").alias("vol_c"),
+    )
+    return agg.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        (F.col("open_c") / 100.0).alias("open"),
+        (F.col("high_c") / 100.0).alias("high"),
+        (F.col("low_c") / 100.0).alias("low"),
+        (F.col("close_c") / 100.0).alias("close"),
+        "n_trades",
+        (F.col("vol_c") / 100.0).alias("volume"),
+    )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(round(value*100,0) AS BIGINT) AS c FROM events),
+    r AS (SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn
+          FROM e)
+    SELECT event_type, count(*) AS n,
+           round((2.0*sum(rn*c) - (count(*)+1)*sum(c)) / (count(*)*sum(c)), 9) AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Gini coefficient of the value distribution (inequality /
+    concentration metric — data-quality dashboards use it to spot
+    domination of a corpus by few sources). Rank formula
+    G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)) over ascending-sorted
+    exact integer cents: one within-group sort (window row_number) + one
+    hash agg — no pairwise |x_i - x_j| cross join, which is the naive
+    O(n^2) formulation. All sums are exact int64 so the single final
+    division is the only float op (bit-identical across engines and
+    aggregation orders)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.expr(_CENTS).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    r = e.withColumn("rn", F.row_number().over(w))
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("tot"),
+        F.sum(F.col("rn") * F.col("c")).alias("rsum"),
+    )
+    gini = (2.0 * F.col("rsum") - (F.col("n") + 1) * F.col("tot")) / (
+        F.col("n") * F.col("tot")
+    )
+    return g.select("event_type", "n", F.round(gini, 9).alias("gini"))

@@ -1023,3 +1023,61 @@ def scan_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
     )
     return back.filter(F.col("acctbal") > 0)
+
+
+@query(
+    "sample_weighted",
+    # Weighted priority sampling (Efraimidis–Spirakis keys): priority
+    # u^(1/w) with u a 48-bit md5-derived uniform and w = the event value
+    # — inclusion probability proportional to weight, deterministic (no
+    # RNG), and mergeable exactly like sample_priority. pow() is the one
+    # transcendental, so ranking uses the 9dp-rounded key with event_id
+    # tiebreak (the repo-wide determinism contract for transcendentals).
+    oracle="""
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(round(value*100,0) AS BIGINT) AS c FROM events),
+    p AS (SELECT event_id, event_type, c,
+                 round(pow(
+                   CAST(('0x' || substr(md5('ws:' || CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                     / 281474976710656.0,
+                   1.0 / (c / 100.0)), 9) AS pri
+          FROM e),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY pri DESC, event_id) AS rn FROM p)
+    SELECT event_id, event_type, c/100.0 AS value, pri FROM r WHERE rn <= 50
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): each
+    event draws key u^(1/weight) from a content-hash uniform and the top
+    50 keys per event_type win — heavier events proportionally more
+    likely, yet fully deterministic and stable under resharding. Like
+    sample_priority the per-group top-k gets WindowGroupLimit (k rows
+    kept per task pre-shuffle), so at 100 TB the pass stays one bounded
+    shuffle; merging shard samples = union + re-top-k (the property that
+    makes this THE distributed weighted reservoir replacement)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("event_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**12)
+    )
+    pri = F.round(F.pow(u, 1.0 / (F.col("c").cast("double") / 100.0)), 9)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("pri").desc(), F.col("event_id"))
+    return (
+        e.withColumn("pri", pri)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("event_id", "event_type", (F.col("c") / 100.0).alias("value"), "pri")
+    )

@@ -1071,3 +1071,152 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("winner").cast("bigint").alias("removed_by"),
         F.count("*").cast("bigint").alias("n_dominators"),
     )
+
+
+@query(
+    "vec_matryoshka",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(embedding[1:16] AS DOUBLE[]) AS p
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, label, v,
+             list_transform(p, x -> x / sqrt(list_dot_product(p, p))) AS pn
+      FROM e),
+    pairs AS (
+      SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+             list_dot_product(a.pn, b.pn) AS pre_cos,
+             list_dot_product(a.v, b.v) AS full_cos
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    cand AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY round(pre_cos, 9) DESC, neighbor_id) AS crn
+      FROM pairs)
+    SELECT vec_id, label, neighbor_id, round(pre_cos, 9) AS pre_cos,
+           round(full_cos, 9) AS full_cos
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(full_cos, 9) DESC, neighbor_id) AS rn
+          FROM cand WHERE crn <= 10)
+    WHERE rn <= 3
+    """,
+)
+def vec_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) two-stage retrieval: candidate top-10 by cosine
+    over the RENORMALIZED first-16-dim prefix (4x less arithmetic and 4x
+    less memory traffic per candidate pair — at 100 TB the prefix table
+    is the only thing the candidate stage ever reads), then exact top-3
+    rerank with the full 64-dim vector on the 10-per-probe shortlist.
+    MRL-trained embedding prefixes preserve ranking, so recall@3 vs the
+    exact scan stays high while the dominant stage runs at prefix width.
+    Both stages are label-blocked broadcast joins (the IVF-cell shape
+    shared by every vec_* op); prefix norm uses the same sequential
+    index-order fold as `_dot`, matching DuckDB bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    pref = F.expr("transform(slice(embedding, 1, 16), x -> CAST(x AS DOUBLE))")
+    e = e.select("vec_id", "label", "embedding", pref.alias("p"))
+    norm = F.sqrt(
+        F.expr("aggregate(p, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)")
+    )
+    e = e.withColumn("pnorm", norm).withColumn(
+        "pn", F.expr("transform(p, x -> x / pnorm)")
+    )
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", "label", F.col("pn").alias("pa"), F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("label_b"),
+        F.col("pn").alias("pb"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("label") == F.col("label_b")) & (F.col("vec_id") != F.col("neighbor_id")),
+    ).withColumn("pre_cos", _dot("pa", "pb"))
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.round("pre_cos", 9).desc(), "neighbor_id"
+    )
+    cand = (
+        pairs.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= 10)
+        .withColumn("full_cos", _dot("va", "vb"))
+    )
+    wf = Window.partitionBy("vec_id").orderBy(
+        F.round("full_cos", 9).desc(), "neighbor_id"
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "vec_id",
+            "label",
+            "neighbor_id",
+            F.round("pre_cos", 9).alias("pre_cos"),
+            F.round("full_cos", 9).alias("full_cos"),
+        )
+    )
+
+
+@query(
+    "vec_hamming_sign",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             list_sum(list_transform(list_zip(embedding[1:63], range(63)),
+               z -> CASE WHEN z[1] > 0 THEN CAST(1 AS BIGINT) << z[2]
+                         ELSE CAST(0 AS BIGINT) END)) AS sig
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS hd,
+             list_dot_product(a.v, b.v) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) <= 24)
+    SELECT vec_id, neighbor_id, hd, round(cosine, 9) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY round(cosine, 9) DESC, neighbor_id) AS rn FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def vec_hamming_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit) quantized search: sign bits of the first 63 dims
+    pack into ONE int64 (63 not 64: DuckDB's `<<` errors on 1<<63, and
+    one sign bit costs ~0.3% recall), candidates are pairs within a
+    label cell at Hamming distance <= 24 (a single XOR + POPCNT — 64
+    dims compared in two machine instructions, ~500x cheaper than the
+    float dot), exact cosine reranks the survivors to top-3. This is the
+    binary-quantization prefilter modern vector stores ship: at 100 TB
+    the signature table is 8 bytes/vector (500 GB for 64B vectors — 32x
+    smaller than float32), scans at memory bandwidth, and the expensive
+    float dot runs only on the ~4% of pairs that pass the bit screen."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = F.expr(
+        "aggregate(zip_with(slice(embedding, 1, 63), sequence(0, 62), "
+        "(x, i) -> IF(x > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    e = e.select("vec_id", "label", "embedding", sig.alias("sig"))
+    a = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id",
+        "label",
+        F.col("sig").alias("siga"),
+        F.col("embedding").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("label_b"),
+        F.col("sig").alias("sigb"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("label") == F.col("label_b")) & (F.col("vec_id") != F.col("neighbor_id")),
+    ).withColumn("hd", F.bit_count(F.col("siga").bitwiseXOR(F.col("sigb"))))
+    cand = pairs.filter(F.col("hd") <= 24).withColumn("cosine", _dot("va", "vb"))
+    w = Window.partitionBy("vec_id").orderBy(F.round("cosine", 9).desc(), "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "neighbor_id", "hd", F.round("cosine", 9).alias("cosine"))
+    )

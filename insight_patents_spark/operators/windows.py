@@ -469,3 +469,60 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_day").cast("string").alias("cohort_day"),
         "day_offset",
     ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+@query(
+    "win_anomaly_zscore",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type, ts,
+                      CAST(round(value*100,0) AS BIGINT) AS c FROM events),
+    w AS (
+      SELECT event_id, event_type, c,
+             count(c) OVER win AS n,
+             sum(c) OVER win AS s1,
+             sum(c*c) OVER win AS s2
+      FROM e
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, c/100.0 AS value,
+           round((c - s1/n) / sqrt((s2 - s1*s1/n) / (n-1)), 9) AS z
+    FROM w WHERE n >= 10
+      AND abs(round((c - s1/n) / sqrt((s2 - s1*s1/n) / (n-1)), 9)) > 3.0
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing 20 events of its type (frame ends at 1 PRECEDING so the
+    point never dilutes its own baseline); |z| > 3 flags the outlier.
+    Mean/variance come from exact int64 cent sums over the frame —
+    sliding-window float accumulator drift (subtract-on-evict) can't
+    occur on integers, so both engines and any executor count produce the
+    same doubles. One sort per event_type partition, no self-join; at
+    100 TB the partition key would be (event_type, day-bucket) to bound
+    sort width, with the frame carried across bucket seams by the
+    streaming variant (stream_stateful_custom holds the same state)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    # c2 precomputed BEFORE the window: sum(c*c) as a window expression
+    # would force Spark to split off a second Window node (it projects
+    # the product into a helper column between passes); with c2 as a
+    # plain input, count/sum/sum share ONE WindowExec (plan-gated).
+    e = e.withColumn("c2", F.col("c") * F.col("c"))
+    w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-20, -1)
+    s = (
+        e.withColumn("n", F.count("c").over(w))
+        .withColumn("s1", F.sum("c").over(w))
+        .withColumn("s2", F.sum("c2").over(w))
+        .filter(F.col("n") >= 10)
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    s = s.withColumn("z", F.round((F.col("c") - mean) / F.sqrt(var), 9))
+    return s.filter(F.abs(F.col("z")) > 3.0).select(
+        "event_id", "event_type", (F.col("c") / 100.0).alias("value"), "z"
+    )

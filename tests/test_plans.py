@@ -3,6 +3,8 @@ engine relies on must be visible in the optimized plans, not assumed."""
 
 from __future__ import annotations
 
+import re
+
 import sys
 from pathlib import Path
 
@@ -358,3 +360,58 @@ def test_range_bucketed_join_is_equi_hash(spark, sf_dir):
     assert "HashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ohlc_is_single_hash_aggregate(spark, sf_dir):
+    # open/close via min_by/max_by must ride the SAME hash agg as
+    # high/low/volume: exactly one agg (partial+final pair), no Window.
+    from insight_patents_spark.operators.aggregates import agg_ohlc
+
+    plan = formatted_plan(agg_ohlc(spark, sf_dir))
+    assert "Window" not in plan
+    # one (day,type) shuffle (formatted plans list each node twice:
+    # tree line + "(n) Exchange" detail header)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_gini_has_no_cross_join(spark, sf_dir):
+    # Rank formula, not the O(n^2) pairwise |xi-xj| formulation.
+    from insight_patents_spark.operators.aggregates import agg_gini
+
+    plan = formatted_plan(agg_gini(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
+def test_anomaly_zscore_single_window_pass(spark, sf_dir):
+    # n/s1/s2 share one frame spec -> one WindowExec evaluates all three.
+    from insight_patents_spark.operators.windows import win_anomaly_zscore
+
+    plan = formatted_plan(win_anomaly_zscore(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+
+
+def test_sample_weighted_gets_window_group_limit(spark, sf_dir):
+    # Per-group top-k must prune to k rows per task pre-shuffle.
+    from insight_patents_spark.operators.relational import sample_weighted
+
+    assert_in_plan(sample_weighted(spark, sf_dir), "WindowGroupLimit")
+
+
+def test_matryoshka_stages_are_broadcast_blocked(spark, sf_dir):
+    # Both candidate and rerank joins stay label-blocked broadcast joins
+    # (the shared vec_* cell shape); no sort-merge fallback.
+    from insight_patents_spark.operators.vector import vec_matryoshka
+
+    plan = formatted_plan(vec_matryoshka(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hamming_prescreen_before_dot(spark, sf_dir):
+    # The bit_count prescreen must sit in the join condition / filter so
+    # the float dot only runs on survivors; join stays broadcast.
+    from insight_patents_spark.operators.vector import vec_hamming_sign
+
+    plan = formatted_plan(vec_hamming_sign(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "bit_count" in plan
