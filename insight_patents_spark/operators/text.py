@@ -1886,3 +1886,77 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("ppl_proxy"),
     )
+
+
+@query(
+    "text_cdc_chunk",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    cuts AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n >= 9 THEN
+               list_filter(range(2, n - 7 + 1),
+                           i -> substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 1) = '0')
+             ELSE [] END AS cut
+      FROM d),
+    seg AS (
+      SELECT doc_id, text,
+             list_concat([CAST(1 AS BIGINT)], cut) AS starts,
+             list_concat(list_transform(cut, c -> c - 1), [CAST(n AS BIGINT)]) AS ends
+      FROM cuts),
+    flat AS (
+      SELECT doc_id, text,
+             CAST(generate_subscripts(starts, 1) AS INTEGER) AS chunk_idx,
+             unnest(starts) AS s, unnest(ends) AS e
+      FROM seg)
+    SELECT doc_id, chunk_idx, s AS start, e - s + 1 AS chunk_len,
+           md5(substr(text, CAST(s AS INTEGER), CAST(e - s + 1 AS INTEGER))) AS digest
+    FROM flat
+    """,
+)
+def text_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync shape used by
+    dedup-at-scale stores): a chunk boundary opens wherever the 8-gram
+    at a position hashes into the cut class (md5 first hex digit '0' —
+    expected chunk ~16 chars on this corpus), so equal CONTENT yields
+    equal chunks at any byte offset — insertions shift chunk positions
+    but not the digests of unaffected chunks, which is what makes
+    chunk-level dedup robust where fixed-width blocks break. All
+    in-row: sequence -> filter -> posexplode; no shuffle, scan-speed at
+    100 TB, and the per-position hash is the documented CPU cost (real
+    CDC uses a rolling gear hash; md5 stands in because both engines
+    compute it bit-identically)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    cuts = F.expr(
+        "CASE WHEN n >= 9 THEN "
+        "filter(sequence(CAST(2 AS BIGINT), CAST(n - 7 AS BIGINT)), "
+        "i -> substring(md5(substring(text, CAST(i AS INT), 8)), 1, 1) = '0') "
+        "ELSE array() END"
+    )
+    seg = d.withColumn("cut", cuts).select(
+        "doc_id",
+        "text",
+        F.expr("concat(array(CAST(1 AS BIGINT)), cut)").alias("starts"),
+        F.expr("concat(transform(cut, c -> c - 1), array(CAST(n AS BIGINT)))").alias(
+            "ends"
+        ),
+    )
+    z = seg.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.arrays_zip(F.col("starts").alias("s"), F.col("ends").alias("e"))).alias(
+            "idx", "se"
+        ),
+    )
+    return z.select(
+        "doc_id",
+        (F.col("idx") + 1).cast("int").alias("chunk_idx"),
+        F.col("se.s").alias("start"),
+        (F.col("se.e") - F.col("se.s") + 1).alias("chunk_len"),
+        F.md5(
+            F.expr("substring(text, CAST(se.s AS INT), CAST(se.e - se.s + 1 AS INT))")
+        ).alias("digest"),
+    )

@@ -1220,3 +1220,98 @@ def vec_hamming_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("vec_id", "neighbor_id", "hd", F.round("cosine", 9).alias("cosine"))
     )
+
+
+@query(
+    "vec_kmeans",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id % 64 = 0),
+    a1 AS (
+      SELECT vec_id, v, cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 9), c.cluster_id) AS rn
+        FROM e CROSS JOIN c0 c
+      ) WHERE rn = 1),
+    c1 AS (
+      SELECT cluster_id,
+             list_transform(list_sort(list({'p': pos, 'c': m})), x -> x.c) AS cv
+      FROM (
+        SELECT cluster_id, pos,
+               list_aggregate(list_sort(list(x)), 'sum') / COUNT(*) AS m
+        FROM (SELECT cluster_id, CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
+                     CAST(unnest(v) AS DOUBLE) AS x
+              FROM a1)
+        GROUP BY cluster_id, pos
+      ) GROUP BY cluster_id),
+    a2 AS (
+      SELECT vec_id, cluster_id, d2 FROM (
+        SELECT e.vec_id, c.cluster_id,
+               list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 9), c.cluster_id) AS rn
+        FROM e CROSS JOIN c1 c
+      ) WHERE rn = 1)
+    SELECT cluster_id, COUNT(*) AS n_members,
+           SUM(CAST(ROUND(d2 * 1000000, 0) AS BIGINT)) / 1000000.0 AS inertia
+    FROM a2 GROUP BY cluster_id
+    """,
+)
+def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's), 2 fixed iterations: deterministic
+    seeds (every 64th vec_id — k grows with the corpus like IVF cell
+    counts), assignment = argmin squared-L2 via the dot identity against
+    the BROADCAST (k x 64-double) centroid table, update = element-wise
+    order-canonical mean (posexplode -> (cluster, dim) hash agg -> sorted
+    fold -> array_sort reassembly). The big side never shuffles for
+    assignment — only the k x 64 centroids move — and the update shuffles
+    (cluster, dim, partial) pairs, i.e. k x 64 rows after map-side
+    combine. Inertia is summed in exact integer micro-units so the
+    reduction is order-independent at any executor count (the same trick
+    the money columns use). Fixed iteration count per the repo-wide
+    determinism contract (graph loops do the same)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    cent = e.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(centroids)).withColumn(
+            "d2", _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.round("d2", 9), F.col("cluster_id")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster_id", "d2")
+        )
+
+    a = assign(cent)
+    # one update + one reassignment (iteration 2)
+    cent = (
+        a.select("cluster_id", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(_canonical_mean(F.col("x")).alias("m"))
+        .groupBy("cluster_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos AS p, m AS c))), x -> x.c)"
+            ).alias("cv")
+        )
+    )
+    a = assign(cent)
+    return a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum(F.expr("CAST(ROUND(d2 * 1000000, 0) AS BIGINT)")) / 1000000.0
+        ).alias("inertia"),
+    )

@@ -415,3 +415,25 @@ def test_hamming_prescreen_before_dot(spark, sf_dir):
     plan = formatted_plan(vec_hamming_sign(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "bit_count" in plan
+
+
+def test_kmeans_assignment_is_broadcast(spark, sf_dir):
+    # Both assignment passes join vectors x centroids via broadcast of
+    # the k x 64 centroid table — the big side must never shuffle for
+    # assignment (only the centroid update moves (cluster,dim) partials).
+    from insight_patents_spark.operators.vector import vec_kmeans
+
+    plan = formatted_plan(vec_kmeans(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_chunk_has_no_shuffle(spark, sf_dir):
+    # Chunking is per-row (sequence -> filter -> posexplode): the only
+    # Exchange allowed is the explicit fan-out repartition of the
+    # single-split input, nothing downstream.
+    from insight_patents_spark.operators.text import text_cdc_chunk
+
+    plan = formatted_plan(text_cdc_chunk(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
+    assert "Generate" in plan  # the posexplode fan-out
