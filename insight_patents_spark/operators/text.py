@@ -1960,3 +1960,55 @@ def text_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(text, CAST(se.s AS INT), CAST(se.e - se.s + 1 AS INT))")
         ).alias("digest"),
     )
+
+
+@query(
+    "text_keyword_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(ROUND(tf.tf * (ROUND(LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 9)), 9) AS DOUBLE) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+      WHERE df.df * 10 <= 9 * n.n_docs
+    )
+    SELECT doc_id, token, tf, df, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, token) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document (the
+    lightweight RAKE/YAKE replacement used to tag corpora at scale).
+    Same smoothed-idf scoring as text_tfidf; terms appearing in over
+    90% of the corpus are dropped as stopwords BY STATISTICS (df filter
+    — no language-specific list; threshold calibrated to this corpus's
+    31-token synthetic vocabulary, where median df is 78%). The per-doc top-k ranks on the
+    9dp-rounded score with token tiebreak and gets WindowGroupLimit, so
+    each task keeps 3 rows per doc pre-shuffle; the df table broadcasts
+    (vocabulary << corpus)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; corpus cardinality, not data
+    idf = F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 9)
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .filter(F.col("df") * 10 <= 9 * n_docs)
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 9))
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf")
+    )

@@ -1315,3 +1315,113 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(ROUND(d2 * 1000000, 0) AS BIGINT)")) / 1000000.0
         ).alias("inertia"),
     )
+
+
+@query(
+    "vec_pq_adc",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    coded AS (
+      SELECT e.vec_id, e.label,
+        {" || ".join(
+            "(CASE WHEN "
+            f"list_aggregate(list_transform(range(1, 17), i -> "
+            f"(e.v[{s} * 16 + i] - c{2 * s + 1}.v[{s} * 16 + i]) ^ 2), 'sum') <= "
+            f"list_aggregate(list_transform(range(1, 17), i -> "
+            f"(e.v[{s} * 16 + i] - c{2 * s + 2}.v[{s} * 16 + i]) ^ 2), 'sum') "
+            "THEN '0' ELSE '1' END)"
+            for s in range(4)
+        )} AS code
+      FROM e
+      {" ".join(
+          f"CROSS JOIN (SELECT v FROM e WHERE vec_id = {c}) c{c}"
+          for c in range(1, 9)
+      )}
+    ),
+    q AS (
+      SELECT q.vec_id AS q_id, q.label AS q_label,
+        {", ".join(
+            f"list_aggregate(list_transform(range(1, 17), i -> "
+            f"(q.v[{s} * 16 + i] - c{2 * s + 1 + c}.v[{s} * 16 + i]) ^ 2), 'sum') AS qd{s}_{c}"
+            for s in range(4) for c in range(2)
+        )}
+      FROM e q
+      {" ".join(
+          f"CROSS JOIN (SELECT v FROM e WHERE vec_id = {c}) c{c}"
+          for c in range(1, 9)
+      )}
+      WHERE q.vec_id % 100 = 0
+    ),
+    pairs AS (
+      SELECT q.q_id, coded.vec_id, coded.code,
+             {" + ".join(
+                 f"(CASE WHEN substr(coded.code, {s + 1}, 1) = '0'"
+                 f" THEN q.qd{s}_0 ELSE q.qd{s}_1 END)"
+                 for s in range(4)
+             )} AS adc
+      FROM coded JOIN q ON coded.label = q.q_label AND coded.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, code, ROUND(adc, 9) AS adc
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY ROUND(adc, 9), vec_id) AS rn FROM pairs)
+    WHERE rn <= 3
+    """,
+)
+def vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation (the FAISS
+    IVFPQ composition of vec_ann_ivf + vec_pq_codes): items are stored
+    ONLY as 4-symbol PQ codes inside their coarse cell (label); each
+    query precomputes its 8-entry distance lookup table (one squared-L2
+    per subspace x centroid — 128 mults per QUERY, not per pair), and
+    per (query, item) the approx distance is 4 table lookups + 3 adds.
+    That per-pair cost — lookups instead of a 64-dim dot — is the whole
+    point of PQ at 100 TB: codes are 4 bytes/vector, scanned at memory
+    bandwidth, queries broadcast with their tables, items never shuffle.
+    Exact top-3 per query by rounded ADC with vec_id tiebreak."""
+    cb = _pq_codebook(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+
+    def sub_dist(col: str, c: list[float], s: int) -> F.Column:
+        total = F.lit(0.0)
+        for i in range(16):
+            d = F.element_at(col, s * 16 + i + 1).cast("double") - F.lit(
+                c[s * 16 + i]
+            )
+            total = total + d * d
+        return total
+
+    digits = [
+        F.when(
+            sub_dist("embedding", cb[2 * s], s) <= sub_dist("embedding", cb[2 * s + 1], s),
+            F.lit("0"),
+        ).otherwise(F.lit("1"))
+        for s in range(4)
+    ]
+    coded = e.select(
+        "vec_id", "label", F.concat(*digits).alias("code")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        *[
+            sub_dist("embedding", cb[2 * s + c], s).alias(f"qd{s}_{c}")
+            for s in range(4)
+            for c in range(2)
+        ],
+    )
+    adc = None
+    for s in range(4):
+        term = F.when(
+            F.substring("code", s + 1, 1) == "0", F.col(f"qd{s}_0")
+        ).otherwise(F.col(f"qd{s}_1"))
+        adc = term if adc is None else adc + term
+    pairs = coded.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+    ).withColumn("adc", adc)
+    w = Window.partitionBy("q_id").orderBy(F.round("adc", 9), "vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "vec_id", "code", F.round("adc", 9).alias("adc"))
+    )

@@ -526,3 +526,73 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.abs(F.col("z")) > 3.0).select(
         "event_id", "event_type", (F.col("c") / 100.0).alias("value"), "z"
     )
+
+
+@query(
+    "win_rolling_corr",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type, ts,
+                      CAST(round(value*100,0) AS BIGINT) AS x FROM events),
+    l AS (SELECT event_id, event_type, ts, x,
+                 lag(x) OVER (PARTITION BY event_type ORDER BY ts) AS y
+          FROM e),
+    w AS (
+      SELECT event_id, event_type, x, y,
+             count(*) OVER win AS n,
+             sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+             sum(x*x) OVER win AS sxx, sum(y*y) OVER win AS syy,
+             sum(x*y) OVER win AS sxy
+      FROM l WHERE y IS NOT NULL
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type,
+           round((n*sxy - sx*sy) /
+                 sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)),
+                 9) AS autocorr
+    FROM w
+    WHERE n >= 30 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation per event_type (regime-change /
+    trend detector): Pearson r of (x, lag(x)) over the trailing 30
+    pairs. Every moment (sx, sy, sxx, syy, sxy) is an exact int64 cent
+    sum — the variance products are cast to double only for the final
+    sqrt, so the one float expression is evaluated identically in both
+    engines and at any parallelism. Two window passes over ONE sort
+    order (lag, then the frame sums — same partition+order, Spark reuses
+    the sort); no self-join. Degenerate-variance rows are filtered
+    exactly (integer zero test, not a float epsilon)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("x"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("ts")
+    l = e.withColumn("y", F.lag("x").over(wl)).filter(F.col("y").isNotNull())
+    l = l.withColumn("xx", F.col("x") * F.col("x")).withColumn(
+        "yy", F.col("y") * F.col("y")
+    ).withColumn("xy", F.col("x") * F.col("y"))
+    w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-29, 0)
+    s = (
+        l.withColumn("n", F.count("x").over(w))
+        .withColumn("sx", F.sum("x").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sxx", F.sum("xx").over(w))
+        .withColumn("syy", F.sum("yy").over(w))
+        .withColumn("sxy", F.sum("xy").over(w))
+        .filter(F.col("n") >= 30)
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter((vx > 0) & (vy > 0))
+        .withColumn(
+            "autocorr",
+            F.round(num / F.sqrt(vx.cast("double") * vy.cast("double")), 9),
+        )
+        .select("event_id", "event_type", "autocorr")
+    )

@@ -437,3 +437,29 @@ def test_cdc_chunk_has_no_shuffle(spark, sf_dir):
     plan = formatted_plan(text_cdc_chunk(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 1
     assert "Generate" in plan  # the posexplode fan-out
+
+
+def test_rolling_corr_reuses_one_sort(spark, sf_dir):
+    # lag pass and frame-sum pass share (event_type, ts) order -> one Sort.
+    from insight_patents_spark.operators.windows import win_rolling_corr
+
+    plan = formatted_plan(win_rolling_corr(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Sort$", plan, re.M)) == 1
+
+
+def test_keyword_topk_df_broadcast_and_group_limit(spark, sf_dir):
+    from insight_patents_spark.operators.text import text_keyword_topk
+
+    plan = formatted_plan(text_keyword_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pq_adc_items_never_shuffle_for_join(spark, sf_dir):
+    # The query side (with its lookup tables) broadcasts; the coded item
+    # table must not sort-merge.
+    from insight_patents_spark.operators.vector import vec_pq_adc
+
+    plan = formatted_plan(vec_pq_adc(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
