@@ -1040,7 +1040,7 @@ def scan_jdbc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  round(pow(
                    CAST(('0x' || substr(md5('ws:' || CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
                      / 281474976710656.0,
-                   1.0 / (c / 100.0)), 9) AS pri
+                   1.0 / (greatest(c, 1) / 100.0)), 9) AS pri
           FROM e),
     r AS (SELECT *, row_number() OVER (PARTITION BY event_type
                     ORDER BY pri DESC, event_id) AS rn FROM p)
@@ -1071,7 +1071,11 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         / float(16**12)
     )
-    pri = F.round(F.pow(u, 1.0 / (F.col("c").cast("double") / 100.0)), 9)
+    # weight clamped to >= 1 cent: sf0.1 contains value = 0.00 events,
+    # and u^(1/0) divides by zero under ANSI mode (bench r4 discovery)
+    pri = F.round(
+        F.pow(u, 1.0 / (F.greatest(F.col("c"), F.lit(1)).cast("double") / 100.0)), 9
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("event_type").orderBy(F.col("pri").desc(), F.col("event_id"))
