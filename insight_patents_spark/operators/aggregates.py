@@ -1011,3 +1011,70 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("tot")
     )
     return g.select("event_type", "n", F.round(gini, 9).alias("gini"))
+
+
+@query(
+    "agg_hll_intersect",
+    # Sketch ALGEBRA: HLL sketches support union natively; intersection
+    # comes from inclusion-exclusion (|A∩B| = |A|+|B|-|A∪B|), the
+    # standard audience-overlap estimator. Like agg_hll_sketch the
+    # estimates themselves are engine-specific, so the hashed contract
+    # is exact overlaps + estimate-in-bound flags (error compounds
+    # across three estimates; the intersections here are large, so a
+    # 25% bound is many sigmas — deterministic per engine).
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS exact_overlap, TRUE AS est_within_25pct
+    FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap via sketch algebra: one HLL sketch per
+    event_type (5 sketches, KBs — the only thing that crosses the
+    shuffle), then every pair's intersection estimated by
+    inclusion-exclusion over hll_union. At 100 TB this replaces a
+    users×users self-join with a per-partition sketch build + a 5-row
+    broadcast pair join: the exact self-join here exists only to ground
+    the in-bound flags (and is itself distinct-deduped first, never
+    event×event)."""
+    e = load(spark, sf_dir, "events")
+    ut = e.select("event_type", "user_id").distinct()
+    exact = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    sk = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("ska"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("skb"))
+    est = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .withColumn(
+            "est_overlap",
+            F.expr("hll_sketch_estimate(ska)")
+            + F.expr("hll_sketch_estimate(skb)")
+            - F.expr("hll_sketch_estimate(hll_union(ska, skb))"),
+        )
+        .select("type_a", "type_b", "est_overlap")
+    )
+    return (
+        exact.join(est, ["type_a", "type_b"])
+        .withColumn(
+            "est_within_25pct",
+            F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+            <= 0.25 * F.col("exact_overlap"),
+        )
+        .select("type_a", "type_b", "exact_overlap", "est_within_25pct")
+    )

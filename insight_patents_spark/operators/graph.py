@@ -804,3 +804,65 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         if t % 3 == 0:
             ranks = ranks.coalesce(4).localCheckpoint()
     return ranks.select("node", "rank")
+
+
+_CLOSENESS_SEED_PRED = "src % 250 = 0"
+_CLOSENESS_DEPTH = 3
+
+
+def _closeness_oracle() -> str:
+    sql = _EDGES_CTE + f"""
+    , c0 AS (SELECT DISTINCT src AS seed, src AS node, 0 AS dist
+             FROM edges WHERE {_CLOSENESS_SEED_PRED})"""
+    for r in range(1, _CLOSENESS_DEPTH + 1):
+        sql += f"""
+    , c{r} AS MATERIALIZED (
+      SELECT seed, node, MIN(dist) AS dist FROM (
+        SELECT seed, node, dist FROM c{r - 1}
+        UNION ALL
+        SELECT d.seed, e.dst AS node, d.dist + 1 AS dist
+        FROM c{r - 1} d JOIN edges e ON e.src = d.node
+      ) GROUP BY seed, node
+    )"""
+    return sql + f"""
+    SELECT node, COUNT(*) AS n_seeds_reached,
+           SUM(CAST(6 / dist AS BIGINT)) / 6.0 AS harmonic
+    FROM c{_CLOSENESS_DEPTH} WHERE dist > 0
+    GROUP BY node"""
+
+
+@query("graph_closeness", oracle=_closeness_oracle())
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic closeness centrality (Eppstein–Wang estimator
+    shape): per-SEED BFS to depth 3 from a deterministic ~|V|/250 seed
+    sample, then C(v) = Σ_seeds 1/d(seed, v). Per-seed distances ride
+    the same frontier-expansion loop as graph_bfs_khop with (seed, node)
+    as the min-agg key — state is |seeds| × reach, not |V|²; at 100 TB
+    the seed count is the precision/cost dial (error ∝ 1/√seeds). The
+    harmonic sum accumulates in exact SIXTHS (6/d is an integer for
+    every d ≤ 3), so the reduction is order-independent and the one
+    float op is the final /6."""
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    dist = (
+        edges.filter(F.expr(_CLOSENESS_SEED_PRED))
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    for r in range(1, _CLOSENESS_DEPTH + 1):
+        expanded = dist.join(edges, dist.node == edges.src).select(
+            "seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_seeds_reached"),
+            (F.sum((6 / F.col("dist")).cast("bigint")) / 6.0).alias("harmonic"),
+        )
+    )

@@ -596,3 +596,58 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "autocorr")
     )
+
+
+@query(
+    "win_drawdown",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type, ts,
+                      CAST(round(value*100,0) AS BIGINT) AS c FROM events),
+    r AS (SELECT event_id, event_type, c,
+                 max(c) OVER (PARTITION BY event_type ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          FROM e),
+    d AS (SELECT event_id, event_type, c, peak, peak - c AS dd FROM r)
+    SELECT event_type, event_id AS trough_event_id,
+           peak / 100.0 AS peak_value, c / 100.0 AS trough_value,
+           dd / 100.0 AS max_drawdown
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY dd DESC, event_id) AS rn FROM d)
+    WHERE rn = 1
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series (the classic risk metric): running
+    peak via an UNBOUNDED PRECEDING max frame, drawdown = peak - value,
+    then the per-series argmax row (event_id tiebreak). Entirely exact
+    integer cents — running max and subtraction have no float issues at
+    any parallelism — and both window passes share one (event_type, ts)
+    sort; WindowGroupLimit prunes the argmax to one row per task."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = e.withColumn("peak", F.max("c").over(w_run)).withColumn(
+        "dd", F.col("peak") - F.col("c")
+    )
+    w_top = Window.partitionBy("event_type").orderBy(
+        F.col("dd").desc(), F.col("event_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("trough_event_id"),
+            (F.col("peak") / 100.0).alias("peak_value"),
+            (F.col("c") / 100.0).alias("trough_value"),
+            (F.col("dd") / 100.0).alias("max_drawdown"),
+        )
+    )

@@ -463,3 +463,22 @@ def test_pq_adc_items_never_shuffle_for_join(spark, sf_dir):
     plan = formatted_plan(vec_pq_adc(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_drawdown_shares_one_sort(spark, sf_dir):
+    # Running-peak pass and argmax pass share (event_type, ts)-compatible
+    # sorts; the argmax gets WindowGroupLimit.
+    from insight_patents_spark.operators.windows import win_drawdown
+
+    plan = formatted_plan(win_drawdown(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_hll_intersect_pair_join_is_broadcast(spark, sf_dir):
+    # 5 sketch rows pair-join via broadcast; sketches are the only
+    # aggregate payload (ObjectHashAggregate carries them).
+    from insight_patents_spark.operators.aggregates import agg_hll_intersect
+
+    plan = formatted_plan(agg_hll_intersect(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "ObjectHashAggregate" in plan
