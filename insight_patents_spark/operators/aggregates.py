@@ -1078,3 +1078,57 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("type_a", "type_b", "exact_overlap", "est_within_25pct")
     )
+
+
+@query(
+    "agg_heavy_hitters",
+    # Two-pass heavy hitters (the distributed SpaceSaving/Misra-Gries
+    # replacement): pass 1 finds candidates on a deterministic 10%
+    # hash-sample (global top-20 by sampled count), pass 2 recounts the
+    # candidates EXACTLY over the full table via a broadcast semi join.
+    # The exact recount makes the answer verifiable — the sample only
+    # risks missing a hitter, never reporting a wrong count.
+    oracle="""
+    WITH samp AS (
+      SELECT user_id, COUNT(*) AS sample_count FROM events
+      WHERE (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) % 10 = 0
+      GROUP BY user_id
+      ORDER BY sample_count DESC, user_id LIMIT 20),
+    exact AS (
+      SELECT e.user_id, COUNT(*) AS exact_count
+      FROM events e JOIN samp s ON e.user_id = s.user_id
+      GROUP BY e.user_id)
+    SELECT s.user_id, s.sample_count, x.exact_count
+    FROM samp s JOIN exact x ON s.user_id = x.user_id
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items via sample-then-verify: candidate generation runs
+    on a 10% deterministic hash sample (pushdown-friendly filter, global
+    top-20 compiles to TakeOrderedAndProject — no full sort), then the
+    exact pass recounts ONLY the 20 candidates (broadcast semi-shaped
+    join prunes the fact scan's aggregation to 20 keys). At 100 TB this
+    is the standard two-pass heavy-hitters harness: the sample pass is
+    10% of one scan, the verify pass aggregates a 20-key subset, and no
+    per-key state ever exceeds the candidate list."""
+    e = load(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        % 10
+    )
+    samp = (
+        e.filter(bucket == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("sample_count"))
+        .orderBy(F.col("sample_count").desc(), F.col("user_id"))
+        .limit(20)
+    )
+    exact = (
+        e.join(F.broadcast(samp.select("user_id")), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return samp.join(F.broadcast(exact), "user_id").select(
+        "user_id", "sample_count", "exact_count"
+    )

@@ -1085,3 +1085,64 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("event_id", "event_type", (F.col("c") / 100.0).alias("value"), "pri")
     )
+
+
+@query(
+    "split_backtest_folds",
+    # Rolling-origin backtest folds (time-series cross-validation): fold
+    # f trains on [t0, t0 + 10 + 5(f-1) days) and tests on the next 3
+    # days. Events span 30 days (probed); membership is a pure function
+    # of (ts, fold spec) so folds are stable under resharding — the
+    # time-series analog of split_train_test's hash buckets.
+    oracle="""
+    WITH t0 AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    folds AS (SELECT unnest(range(1, 5)) AS fold),
+    spec AS (
+      SELECT fold,
+             d0 + INTERVAL ((10 + 5 * (fold - 1))) DAY AS cutoff,
+             d0 + INTERVAL ((13 + 5 * (fold - 1))) DAY AS test_end
+      FROM folds CROSS JOIN t0),
+    tagged AS (
+      SELECT s.fold,
+             CASE WHEN e.ts < s.cutoff THEN 'train'
+                  WHEN e.ts < s.test_end THEN 'test' END AS split,
+             e.user_id, CAST(round(e.value*100,0) AS BIGINT) AS c
+      FROM events e CROSS JOIN spec s
+      WHERE e.ts < s.test_end)
+    SELECT fold, split, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(c) / 100.0 AS sum_value
+    FROM tagged GROUP BY fold, split
+    """,
+)
+def split_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest splits (time-series CV — the evaluation
+    harness for any forecasting model trained off this engine): 4
+    expanding-window folds, each with a 3-day test horizon after its
+    cutoff. The 4-row fold-spec table broadcasts and each event tags
+    itself by pure timestamp comparison — membership is deterministic,
+    shard-stable, and leakage-free by construction (train strictly
+    precedes test). One broadcast join + one hash agg; the fan-out is
+    x4 (folds), independent of data volume."""
+    e = load(spark, sf_dir, "events").select(
+        "ts", "user_id", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c")
+    )
+    t0 = e.agg(F.min(F.to_date("ts")).alias("d0"))
+    folds = spark.range(1, 5).select(F.col("id").cast("int").alias("fold"))
+    spec = folds.crossJoin(t0).select(
+        "fold",
+        F.expr("date_add(d0, 10 + 5 * (fold - 1))").cast("timestamp").alias("cutoff"),
+        F.expr("date_add(d0, 13 + 5 * (fold - 1))").cast("timestamp").alias("test_end"),
+    )
+    tagged = (
+        e.join(F.broadcast(spec), e.ts < spec.test_end)
+        .withColumn(
+            "split",
+            F.when(F.col("ts") < F.col("cutoff"), "train").otherwise("test"),
+        )
+    )
+    return tagged.groupBy("fold", "split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (F.sum("c") / 100.0).alias("sum_value"),
+    )

@@ -482,3 +482,23 @@ def test_hll_intersect_pair_join_is_broadcast(spark, sf_dir):
     plan = formatted_plan(agg_hll_intersect(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "ObjectHashAggregate" in plan
+
+
+def test_heavy_hitters_sample_pass_is_take_ordered(spark, sf_dir):
+    # Candidate stage must be TakeOrderedAndProject (global top-k without
+    # a global sort); the verify pass joins the broadcast candidate list.
+    from insight_patents_spark.operators.aggregates import agg_heavy_hitters
+
+    plan = formatted_plan(agg_heavy_hitters(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_backtest_folds_spec_broadcasts(spark, sf_dir):
+    # The 4-row fold-spec table must broadcast; the fact side fans out x4
+    # with no shuffle before the final aggregate.
+    from insight_patents_spark.operators.relational import split_backtest_folds
+
+    plan = formatted_plan(split_backtest_folds(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
