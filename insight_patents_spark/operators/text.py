@@ -2012,3 +2012,108 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", "df", "tfidf")
     )
+
+
+@query(
+    "dedup_bloom_prefilter",
+    # Bloom-filter membership prefilter for incremental dedup: the
+    # history corpus folds into a 4096-bit / k=3 Bloom filter (64 int64
+    # words — bytes, not data, cross the shuffle); each new-batch doc
+    # probes the broadcast filter and only BLOOM HITS pay the exact
+    # verification join. All bit positions are md5-derived integer
+    # arithmetic, so the filter is bit-identical in both engines and
+    # the no-false-negative guarantee is hash-checked, not assumed.
+    oracle="""
+    WITH h AS (SELECT md5(text) AS dig FROM documents WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id, md5(text) AS dig FROM documents WHERE doc_id % 2 = 1),
+    hbits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(dig || ':' || k), 1, 8)) AS BIGINT) % 4096 AS bit
+      FROM h CROSS JOIN (SELECT CAST(unnest(range(3)) AS VARCHAR) AS k)),
+    bloom AS (
+      SELECT bit // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS word
+      FROM hbits GROUP BY bit // 32),
+    probes AS (
+      SELECT b.doc_id, b.dig,
+             CAST(('0x' || substr(md5(b.dig || ':' || k), 1, 8)) AS BIGINT) % 4096 AS bit
+      FROM b CROSS JOIN (SELECT CAST(unnest(range(3)) AS VARCHAR) AS k)),
+    hits AS (
+      SELECT p.doc_id, p.dig,
+             min(CASE WHEN bloom.word IS NOT NULL
+                      AND (bloom.word >> CAST(p.bit % 32 AS INTEGER)) % 2 = 1
+                 THEN 1 ELSE 0 END) AS all_bits_set
+      FROM probes p LEFT JOIN bloom ON bloom.word_idx = p.bit // 32
+      GROUP BY p.doc_id, p.dig)
+    SELECT h.doc_id, h.all_bits_set = 1 AS bloom_hit,
+           EXISTS (SELECT 1 FROM (SELECT dig FROM documents d2,
+                   (SELECT 1) WHERE d2.doc_id % 2 = 0 AND md5(d2.text) = h.dig)) AS exact_dup
+    FROM hits h
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter for incremental dedup (the accelerator in
+    front of dedup_incremental's signature join): history text digests
+    fold into a 4096-bit, k=3 Bloom filter — the aggregate ships 128
+    32-bit words total, regardless of corpus size — and every new-batch
+    doc probes the BROADCAST filter with 3 md5-derived bit positions.
+    Only bloom hits need the exact membership join; misses are
+    guaranteed-new (no false negatives — hash-verified here by emitting
+    both flags). At 100 TB the filter for 10⁹ history docs is ~1.2 GB
+    at 1% FPR (m = -n·ln p / ln²2), still broadcastable, and saves the
+    full history shuffle for the ~99% of new docs that miss."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dig")
+    )
+    hist = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    ks = F.array([F.lit(str(k)) for k in range(3)])
+    bit = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("dig"), F.lit(":"), F.col("k"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 4096
+    )
+    hbits = (
+        hist.select(F.explode(ks).alias("k"), "dig")
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+    # 32-bit words (128 of them): DuckDB's `<<` errors on 1 << 63, so the
+    # word width stays safely below the sign bit in BOTH engines.
+    bloom = hbits.groupBy(F.expr("bit div 32").alias("word_idx")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT)))").alias(
+            "word"
+        )
+    )
+    probes = batch.select("doc_id", "dig", F.explode(ks).alias("k")).select(
+        "doc_id", "dig", bit.alias("bit")
+    )
+    hits = (
+        probes.join(
+            F.broadcast(bloom),
+            F.expr("bit div 32") == F.col("word_idx"),
+            "left",
+        )
+        .withColumn(
+            "bit_set",
+            F.when(
+                F.col("word").isNotNull()
+                & F.expr("shiftright(word, CAST(bit % 32 AS INT)) % 2 = 1"),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("doc_id", "dig")
+        .agg(F.min("bit_set").alias("all_bits_set"))
+    )
+    exact = hist.select(F.col("dig").alias("hdig")).distinct()
+    return (
+        hits.join(F.broadcast(exact), hits.dig == exact.hdig, "left")
+        .select(
+            "doc_id",
+            (F.col("all_bits_set") == 1).alias("bloom_hit"),
+            F.col("hdig").isNotNull().alias("exact_dup"),
+        )
+    )

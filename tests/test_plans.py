@@ -502,3 +502,13 @@ def test_backtest_folds_spec_broadcasts(spark, sf_dir):
     plan = formatted_plan(split_backtest_folds(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_filter_broadcasts(spark, sf_dir):
+    # The 128-word filter and the history digest set must both broadcast;
+    # the batch side never shuffles.
+    from insight_patents_spark.operators.text import dedup_bloom_prefilter
+
+    plan = formatted_plan(dedup_bloom_prefilter(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -518,3 +518,15 @@ def test_hamming_sign_candidates_are_near(spark, sf_dir):
     rows = vec_hamming_sign(spark, sf_dir).collect()
     assert rows
     assert all(r.hd <= 24 for r in rows)
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every exact duplicate is a bloom hit (misses are
+    guaranteed-new); and the filter actually filters (some non-dup docs
+    miss)."""
+    from insight_patents_spark.operators.text import dedup_bloom_prefilter
+
+    rows = dedup_bloom_prefilter(spark, sf_dir).collect()
+    assert rows
+    assert all(r.bloom_hit for r in rows if r.exact_dup)
+    assert any(not r.bloom_hit for r in rows if not r.exact_dup)
