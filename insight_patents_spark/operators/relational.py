@@ -1146,3 +1146,59 @@ def split_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         (F.sum("c") / 100.0).alias("sum_value"),
     )
+
+
+@query(
+    "join_runtime_bloom",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (the shuffle-join sibling of
+    join_dpp's partition pruning): with a selective filter on the build
+    side, Catalyst injects `bloom_filter_agg` over the filtered keys and
+    rewrites the probe side's scan condition to `might_contain(...)` —
+    the fact table drops non-matching rows BEFORE paying the shuffle,
+    cutting shuffled bytes by the filter's selectivity. The exhibit
+    forces the shuffle-join path (runtime filters don't apply to
+    broadcast joins, where the dim itself is already the filter); the
+    plan gate pins `might_contain` on the probe scan. At 100 TB this is
+    the optimizer feature that makes fact-fact joins with selective dims
+    survivable without manual semi-join staging."""
+    filters = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in filters}
+    for k, v in filters.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(22,6)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        # materialize the PLAN under the forced confs; restore after
+        out.count()
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -512,3 +512,37 @@ def test_bloom_filter_broadcasts(spark, sf_dir):
     plan = formatted_plan(dedup_bloom_prefilter(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_reaches_probe_scan(spark, sf_dir):
+    # Under the operator's forced confs the probe-side condition must
+    # carry might_contain(bloom subquery) — rebuilt here because the
+    # operator restores session confs before returning (a leaked
+    # autoBroadcastJoinThreshold=-1 would poison every later query).
+    from insight_patents_spark.sources.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = formatted_plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
