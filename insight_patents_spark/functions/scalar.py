@@ -465,3 +465,38 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(substr(text, 1, 3) AS INTEGER) AS first3_as_int,
+           CASE WHEN n_chars - 300 = 0 THEN NULL
+                ELSE CAST(FLOOR(10000.0 / (n_chars - 300)) AS INTEGER) END AS inv_offset,
+           TRY_CAST(lang AS INTEGER) AS lang_as_int,
+           CASE WHEN n_chars = 0 THEN NULL ELSE n_chars % 7 END AS mod7
+    FROM documents
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-handling battery (`try_*`): under ANSI SQL mode
+    (Spark 4's default) a bad cast or division by zero FAILS the job —
+    on a 100 TB corpus one malformed row would kill an hours-long
+    pipeline run. `try_cast`/`try_divide`/`try_mod` convert those rows
+    to NULL instead, making data-cleaning passes total functions. DuckDB
+    has no try_divide so the oracle spells the NULL-on-zero contract
+    with CASE; the division result is FLOORed before the int cast
+    (DuckDB's double→int cast rounds, Spark's truncates)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("try_cast(substring(text, 1, 3) AS INT)").alias("first3_as_int"),
+        # FLOOR before the int cast: DuckDB's double->int cast ROUNDS
+        # while Spark's truncates; floor of the same double is identical
+        F.expr("CAST(FLOOR(try_divide(10000, n_chars - 300)) AS INT)").alias(
+            "inv_offset"
+        ),
+        F.expr("try_cast(lang AS INT)").alias("lang_as_int"),
+        F.expr("try_mod(n_chars, 7)").alias("mod7"),
+    )
