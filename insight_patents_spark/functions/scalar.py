@@ -475,7 +475,7 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n_chars - 300 = 0 THEN NULL
                 ELSE CAST(FLOOR(10000.0 / (n_chars - 300)) AS INTEGER) END AS inv_offset,
            TRY_CAST(lang AS INTEGER) AS lang_as_int,
-           CASE WHEN n_chars = 0 THEN NULL ELSE n_chars % 7 END AS mod7
+           n_chars % 7 AS mod7
     FROM documents
     """,
 )

@@ -1083,8 +1083,9 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_heavy_hitters",
     # Two-pass heavy hitters (the distributed SpaceSaving/Misra-Gries
-    # replacement): pass 1 finds candidates on a deterministic 10%
-    # hash-sample (global top-20 by sampled count), pass 2 recounts the
+    # replacement): pass 1 finds candidates on a deterministic 12.5%
+    # hash-sample (first md5 hex digit in {0, a} = 2/16 of rows; global
+    # top-20 by sampled count), pass 2 recounts the
     # candidates EXACTLY over the full table via a broadcast semi join.
     # The exact recount makes the answer verifiable — the sample only
     # risks missing a hitter, never reporting a wrong count.
@@ -1104,12 +1105,13 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items via sample-then-verify: candidate generation runs
-    on a 10% deterministic hash sample (pushdown-friendly filter, global
+    on a 12.5% deterministic hash sample (2 of 16 first-hex-digit
+    buckets) (pushdown-friendly filter, global
     top-20 compiles to TakeOrderedAndProject — no full sort), then the
     exact pass recounts ONLY the 20 candidates (broadcast semi-shaped
     join prunes the fact scan's aggregation to 20 keys). At 100 TB this
     is the standard two-pass heavy-hitters harness: the sample pass is
-    10% of one scan, the verify pass aggregates a 20-key subset, and no
+    an eighth of one scan, the verify pass aggregates a 20-key subset, and no
     per-key state ever exceeds the candidate list."""
     e = load(spark, sf_dir, "events")
     bucket = (

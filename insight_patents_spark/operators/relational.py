@@ -1193,9 +1193,14 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("revenue"),
             )
         )
-        # materialize the PLAN under the forced confs; restore after
-        out.count()
-        return out
+        # Materialize UNDER the forced confs: localCheckpoint executes
+        # the bloom-filtered plan exactly once and pins its RESULT, so
+        # the harness's later collect reads the checkpoint instead of
+        # re-optimizing (which, with confs restored, would silently
+        # replan to a broadcast join without might_contain and execute
+        # the whole join a second time). 1-row result: checkpoint cost
+        # is nil.
+        return out.localCheckpoint()
     finally:
         for k, v in prev.items():
             if v is None:

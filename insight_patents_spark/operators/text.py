@@ -2004,9 +2004,7 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") * 10 <= 9 * n_docs)
         .withColumn("tfidf", F.round(F.col("tf") * idf, 9))
     )
-    from pyspark.sql.window import Window as _W
-
-    w = _W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -2017,8 +2015,8 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_bloom_prefilter",
     # Bloom-filter membership prefilter for incremental dedup: the
-    # history corpus folds into a 4096-bit / k=3 Bloom filter (64 int64
-    # words — bytes, not data, cross the shuffle); each new-batch doc
+    # history corpus folds into a 4096-bit / k=3 Bloom filter (128
+    # 32-bit words — bytes, not data, cross the shuffle); each new-batch doc
     # probes the broadcast filter and only BLOOM HITS pay the exact
     # verification join. All bit positions are md5-derived integer
     # arithmetic, so the filter is bit-identical in both engines and

@@ -487,7 +487,7 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, event_type, c/100.0 AS value,
            round((c - s1/n) / sqrt((s2 - s1*s1/n) / (n-1)), 9) AS z
-    FROM w WHERE n >= 10
+    FROM w WHERE n >= 10 AND n*s2 - s1*s1 > 0
       AND abs(round((c - s1/n) / sqrt((s2 - s1*s1/n) / (n-1)), 9)) > 3.0
     """,
 )
@@ -519,6 +519,11 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("s1", F.sum("c").over(w))
         .withColumn("s2", F.sum("c2").over(w))
         .filter(F.col("n") >= 10)
+        # zero-variance guard (EXACT integer test — a flat 20-event frame
+        # would make sqrt(var)=0 and throw DIVIDE_BY_ZERO under ANSI mode
+        # while the oracle silently NULLs; win_rolling_corr guards the
+        # same way)
+        .filter(F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
     )
     mean = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)

@@ -433,7 +433,11 @@ def test_cdc_chunks_reconstruct_documents(spark, sf_dir):
     from insight_patents_spark.sources.tables import load
 
     chunks = text_cdc_chunk(spark, sf_dir)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    # tile against length(text), NOT the n_chars metadata column —
+    # FIXTURES.md warns n_chars need not equal length(text)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("text_len")
+    )
     joined = (
         chunks.groupBy("doc_id")
         .agg(
@@ -445,9 +449,9 @@ def test_cdc_chunks_reconstruct_documents(spark, sf_dir):
         .join(docs, "doc_id")
     )
     bad = joined.filter(
-        (F.col("len_sum") != F.col("n_chars"))
+        (F.col("len_sum") != F.col("text_len"))
         | (F.col("min_start") != 1)
-        | (F.col("max_end") != F.col("n_chars"))
+        | (F.col("max_end") != F.col("text_len"))
     )
     assert bad.count() == 0
     # spot-rebuild a few docs from their chunks
@@ -511,13 +515,16 @@ def test_backtest_folds_expand_monotonically(spark, sf_dir):
 
 def test_hamming_sign_candidates_are_near(spark, sf_dir):
     """Binary-quantization soundness: every reported neighbor is within
-    the Hamming threshold, and the exact cosine of a reported pair is
-    >= the cosine of the rank-3 cutoff for that probe (top-k order)."""
+    the Hamming threshold and each probe reports at most k=3 rows."""
+    from collections import Counter
+
     from insight_patents_spark.operators.vector import vec_hamming_sign
 
     rows = vec_hamming_sign(spark, sf_dir).collect()
     assert rows
     assert all(r.hd <= 24 for r in rows)
+    per_probe = Counter(r.vec_id for r in rows)
+    assert max(per_probe.values()) <= 3
 
 
 def test_bloom_has_no_false_negatives(spark, sf_dir):
