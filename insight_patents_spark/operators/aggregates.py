@@ -1134,3 +1134,44 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp.join(F.broadcast(exact), "user_id").select(
         "user_id", "sample_count", "exact_count"
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    # EXACT distinct via bitmap aggregation (the ClickHouse/Doris
+    # groupBitmap pattern): user ids pack into 32-bit words
+    # (word = id div 32, bit = id % 32), per-(group, word) bit_or folds
+    # map-side, popcounts sum to the exact distinct count. Unlike HLL
+    # this is exact AND mergeable; unlike count(distinct) the shuffle
+    # carries O(id_range / 32) words per group, not one row per
+    # (group, id) pair. 32-bit words: DuckDB's `<<` errors at bit 63.
+    oracle="""
+    WITH w AS (
+      SELECT event_type, user_id // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS word
+      FROM events GROUP BY event_type, user_id // 32)
+    SELECT event_type, CAST(SUM(bit_count(word)) AS BIGINT) AS n_distinct_users
+    FROM w GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting via bitmap aggregation: each (group,
+    id-range word) partial is a 32-bit bitmap built with a map-side
+    `bit_or` combine, and the distinct count is the popcount sum — exact
+    like COUNT(DISTINCT) but MERGEABLE like a sketch (union = OR), so
+    partials roll up across shards, days, or rollup levels without
+    re-touching raw data. Shuffle payload is id_range/32 words per
+    group regardless of row count; for sparse 64-bit id spaces the
+    production form is a roaring bitmap, same algebra. The oracle
+    replays the identical pack/popcount arithmetic."""
+    e = load(spark, sf_dir, "events")
+    w = e.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word_idx")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+        ).alias("word")
+    )
+    return w.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_distinct_users")
+    )

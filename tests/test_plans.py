@@ -546,3 +546,12 @@ def test_runtime_bloom_filter_reaches_probe_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bitmap_distinct_has_partial_bitor(spark, sf_dir):
+    # Both aggregation levels must show map-side partials (bit_or and
+    # the popcount sum both combine) — the mergeability the op claims.
+    from insight_patents_spark.operators.aggregates import agg_bitmap_distinct
+
+    plan = formatted_plan(agg_bitmap_distinct(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # 2 levels x (partial+final)
