@@ -1175,3 +1175,151 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("event_type").agg(
         F.sum(F.bit_count("word")).cast("bigint").alias("n_distinct_users")
     )
+
+
+@query(
+    "time_downsample_lttb",
+    # LTTB downsampling (largest-triangle-three-buckets, the standard
+    # visualization downsampler), parallel variant: interior buckets
+    # pick the point with max triangle area against the NEIGHBOR BUCKET
+    # AVERAGES (the classic sequential LTTB uses the previously selected
+    # point; the bucket-average variant is order-free and hence
+    # distributable). Integer bucket math (width = span div 20 + 1);
+    # areas are doubles derived from exact ints -> identical cross-engine.
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS x,
+             CAST(round(value*100,0) AS BIGINT) AS y
+      FROM events),
+    span AS (
+      SELECT event_type, min(x) AS t0,
+             (max(x) - min(x)) // 20 + 1 AS width
+      FROM e GROUP BY event_type),
+    p AS (
+      SELECT e.event_type, e.event_id, e.x, e.y,
+             (e.x - s.t0) // s.width AS bucket
+      FROM e JOIN span s ON e.event_type = s.event_type),
+    a AS (
+      SELECT event_type, bucket,
+             sum(x) / count(*) AS ax, sum(y) / count(*) AS ay
+      FROM p GROUP BY event_type, bucket),
+    bmax AS (SELECT event_type, max(bucket) AS mb FROM p GROUP BY event_type),
+    lo AS (
+      SELECT event_type, bucket, x, y FROM (
+        SELECT p.*, row_number() OVER (PARTITION BY p.event_type
+                     ORDER BY p.x, p.event_id) AS rn
+        FROM p WHERE p.bucket = 0) WHERE rn = 1),
+    hi AS (
+      SELECT p.event_type, p.bucket, p.x, p.y FROM (
+        SELECT p.*, row_number() OVER (PARTITION BY p.event_type
+                     ORDER BY p.x DESC, p.event_id) AS rn
+        FROM p JOIN bmax ON p.event_type = bmax.event_type
+        WHERE p.bucket = bmax.mb) p WHERE rn = 1),
+    mid AS (
+      SELECT event_type, bucket, x, y FROM (
+        SELECT p.event_type, p.bucket, p.x, p.y,
+               row_number() OVER (PARTITION BY p.event_type, p.bucket
+                 ORDER BY round(abs((ap.ax - an.ax) * (p.y - ap.ay)
+                                  - (ap.ax - p.x) * (an.ay - ap.ay)), 6) DESC,
+                          p.event_id) AS rn
+        FROM p
+        JOIN bmax ON p.event_type = bmax.event_type
+        JOIN a ap ON ap.event_type = p.event_type AND ap.bucket = p.bucket - 1
+        JOIN a an ON an.event_type = p.event_type AND an.bucket = p.bucket + 1
+        WHERE p.bucket > 0 AND p.bucket < bmax.mb)
+      WHERE rn = 1)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, x AS epoch_sec,
+           y / 100.0 AS value
+    FROM (SELECT * FROM lo UNION ALL SELECT * FROM mid UNION ALL SELECT * FROM hi)
+    """,
+)
+def time_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB chart downsampling: ~20 points per series that preserve the
+    visual shape (peaks and slopes beat uniform sampling). Interior
+    buckets keep their max-triangle-area point vs the neighbor buckets'
+    centroids — the order-free variant of LTTB, so every bucket scores
+    independently and the whole pass is one groupBy + one broadcast join
+    of the 20-row-per-series average table + one WindowGroupLimit
+    argmax. Endpoints keep the series' first/last point (LTTB contract).
+    Bucketing is integer (width = span div 20 + 1); areas are doubles
+    derived from exact integer sums, bit-identical cross-engine. At
+    100 TB this downsampled table IS what dashboards read — 20 points
+    per (series, zoom level) regardless of tick volume."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("x"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("y"),
+    )
+    span = e.groupBy("event_type").agg(
+        F.min("x").alias("t0"),
+        ((F.max("x") - F.min("x")) / 20).cast("bigint").alias("w0"),
+    ).select("event_type", "t0", (F.col("w0") + 1).alias("width"))
+    p = e.join(F.broadcast(span), "event_type").withColumn(
+        "bucket", ((F.col("x") - F.col("t0")) / F.col("width")).cast("bigint")
+    ).select("event_type", "event_id", "x", "y", "bucket")
+    a = p.groupBy("event_type", "bucket").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("ax"),
+        (F.sum("y") / F.count(F.lit(1))).alias("ay"),
+    )
+    bmax = p.groupBy("event_type").agg(F.max("bucket").alias("mb"))
+    w_lo = Window.partitionBy("event_type").orderBy("x", "event_id")
+    lo = (
+        p.filter(F.col("bucket") == 0)
+        .withColumn("rn", F.row_number().over(w_lo))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket", "x", "y")
+    )
+    w_hi = Window.partitionBy("event_type").orderBy(F.col("x").desc(), "event_id")
+    hi = (
+        p.join(F.broadcast(bmax), "event_type")
+        .filter(F.col("bucket") == F.col("mb"))
+        .withColumn("rn", F.row_number().over(w_hi))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket", "x", "y")
+    )
+    ap = a.select(
+        F.col("event_type").alias("et_p"),
+        (F.col("bucket") + 1).alias("b_p"),
+        F.col("ax").alias("axp"),
+        F.col("ay").alias("ayp"),
+    )
+    an = a.select(
+        F.col("event_type").alias("et_n"),
+        (F.col("bucket") - 1).alias("b_n"),
+        F.col("ax").alias("axn"),
+        F.col("ay").alias("ayn"),
+    )
+    area = F.abs(
+        (F.col("axp") - F.col("axn")) * (F.col("y") - F.col("ayp"))
+        - (F.col("axp") - F.col("x")) * (F.col("ayn") - F.col("ayp"))
+    )
+    w_mid = Window.partitionBy("event_type", "bucket").orderBy(
+        F.round(area, 6).desc(), F.col("event_id")
+    )
+    mid = (
+        p.join(F.broadcast(bmax), "event_type")
+        .filter((F.col("bucket") > 0) & (F.col("bucket") < F.col("mb")))
+        .join(
+            F.broadcast(ap),
+            (F.col("event_type") == F.col("et_p")) & (F.col("bucket") == F.col("b_p")),
+        )
+        .join(
+            F.broadcast(an),
+            (F.col("event_type") == F.col("et_n")) & (F.col("bucket") == F.col("b_n")),
+        )
+        .withColumn("rn", F.row_number().over(w_mid))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bucket", "x", "y")
+    )
+    return (
+        lo.unionByName(mid)
+        .unionByName(hi)
+        .select(
+            "event_type",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("x").alias("epoch_sec"),
+            (F.col("y") / 100.0).alias("value"),
+        )
+    )

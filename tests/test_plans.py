@@ -555,3 +555,13 @@ def test_bitmap_distinct_has_partial_bitor(spark, sf_dir):
 
     plan = formatted_plan(agg_bitmap_distinct(spark, sf_dir))
     assert plan.count("HashAggregate") >= 4  # 2 levels x (partial+final)
+
+
+def test_lttb_avg_tables_broadcast(spark, sf_dir):
+    # The per-bucket average/bounds tables (20 rows per series) must all
+    # broadcast; the tick table never sort-merge joins.
+    from insight_patents_spark.operators.aggregates import time_downsample_lttb
+
+    plan = formatted_plan(time_downsample_lttb(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
