@@ -538,3 +538,35 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(us_b - us_a) div 1000000").alias("gap_sec"),
         )
     )
+
+
+@query(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH join hint: when the smaller side exceeds the
+    broadcast threshold but one partition of it still fits in executor
+    memory, a shuffled hash join beats sort-merge — it skips BOTH sort
+    passes (the dominant cost for large-but-hashable sides). The hint
+    pins the physical strategy (plan-gated: ShuffledHashJoin, no sort);
+    at 100 TB this is the middle tier of the join-strategy ladder
+    broadcast < shuffle-hash < sort-merge, and choosing it per join is
+    exactly the knob AQE cannot always infer from stats alone."""
+    c = load(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

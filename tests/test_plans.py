@@ -565,3 +565,11 @@ def test_lttb_avg_tables_broadcast(spark, sf_dir):
     plan = formatted_plan(time_downsample_lttb(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_hash_hint_pins_strategy(spark, sf_dir):
+    from insight_patents_spark.operators.joins import join_shuffle_hash
+
+    plan = formatted_plan(join_shuffle_hash(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
