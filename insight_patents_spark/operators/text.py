@@ -2115,3 +2115,83 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hdig").isNotNull().alias("exact_dup"),
         )
     )
+
+
+_CDC_CHUNKS_CTE = """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    cuts AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n >= 9 THEN
+               list_filter(range(2, n - 7 + 1),
+                           i -> substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 1) = '0')
+             ELSE [] END AS cut
+      FROM d),
+    seg AS (
+      SELECT doc_id, text,
+             list_concat([CAST(1 AS BIGINT)], cut) AS starts,
+             list_concat(list_transform(cut, c -> c - 1), [CAST(n AS BIGINT)]) AS ends
+      FROM cuts),
+    flat AS (
+      SELECT doc_id, text,
+             unnest(starts) AS s, unnest(ends) AS e
+      FROM seg),
+    chunks AS (
+      SELECT doc_id, e - s + 1 AS chunk_len,
+             md5(substr(text, CAST(s AS INTEGER), CAST(e - s + 1 AS INTEGER))) AS digest
+      FROM flat)
+"""
+
+
+@query(
+    "dedup_cdc_chunks",
+    # The payoff of content-defined chunking: cross-document shared
+    # content is an EQUI-JOIN on chunk digest — the same sub-quadratic
+    # candidate shape as the MinHash family, but exact at chunk
+    # granularity and robust to insertions. Chunks under 16 chars are
+    # excluded (short boilerplate chunks are hot join keys: the
+    # digest-frequency skew an engine would salt at scale).
+    oracle=_CDC_CHUNKS_CTE
+    + """
+    , c AS (SELECT DISTINCT doc_id, digest, chunk_len
+            FROM chunks WHERE chunk_len >= 16)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared_chunks,
+           CAST(SUM(a.chunk_len) AS BIGINT) AS shared_bytes
+    FROM c a JOIN c b ON a.digest = b.digest AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level cross-document dedup — what text_cdc_chunk's digests
+    are FOR: two docs share content iff they share chunk digests, so
+    shared-content discovery over a 100 TB corpus is one equi-join on
+    digest (sub-quadratic like the MinHash candidates, but exact and
+    offset-robust). Per doc pair: shared chunk count + shared bytes.
+    Chunks < 16 chars are dropped before the join — short common
+    fragments are the hot keys of this workload; at scale those digests
+    are exactly what you'd hash-salt or blocklist, and excluding them
+    keeps per-key fan-out bounded. Composes the registered chunker, so
+    boundary semantics stay identical by construction."""
+    chunks = text_cdc_chunk(spark, sf_dir)
+    c = (
+        chunks.filter(F.col("chunk_len") >= 16)
+        .select("doc_id", "digest", "chunk_len")
+        .distinct()
+    )
+    a = c.select(
+        F.col("doc_id").alias("doc_a"),
+        "digest",
+        F.col("chunk_len").alias("len_a"),
+    )
+    b = c.select(F.col("doc_id").alias("doc_b"), F.col("digest").alias("digest_b"))
+    return (
+        a.join(
+            b,
+            (F.col("digest") == F.col("digest_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_chunks"),
+            F.sum("len_a").cast("bigint").alias("shared_bytes"),
+        )
+    )

@@ -573,3 +573,13 @@ def test_shuffle_hash_hint_pins_strategy(spark, sf_dir):
     plan = formatted_plan(join_shuffle_hash(spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cdc_pair_join_is_equi(spark, sf_dir):
+    # Cross-doc chunk sharing must join on digest equality (hash/merge
+    # join), never a nested-loop over document pairs.
+    from insight_patents_spark.operators.text import dedup_cdc_chunks
+
+    plan = formatted_plan(dedup_cdc_chunks(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
