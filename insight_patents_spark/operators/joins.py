@@ -570,3 +570,39 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH o AS (SELECT o_orderkey,
+                      NULLIF(substr(o_orderpriority, 1, 1), '3') AS pri FROM orders),
+    p AS (SELECT DISTINCT NULLIF(CAST(p_size % 5 + 1 AS VARCHAR), '3') AS pri FROM part)
+    SELECT COALESCE(o.pri, 'NULL') AS pri_key, COUNT(*) AS n_orders
+    FROM o JOIN p ON o.pri IS NOT DISTINCT FROM p.pri
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): ordinary
+    equi-joins silently DROP null keys (NULL = NULL is unknown), which
+    corrupts dimension joins whenever the key is legitimately absent —
+    a classic silent-wrong-answer at any scale. `eqNullSafe` keeps the
+    null bucket as a real join group while still planning as a hash
+    join on the coalesced key (no nested-loop fallback). The synthetic
+    NULLIF keys guarantee the null group is populated so the contract
+    is hash-checked, not vacuous."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("NULLIF(substring(o_orderpriority, 1, 1), '3')").alias("pri"),
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .select(F.expr("NULLIF(CAST(p_size % 5 + 1 AS STRING), '3')").alias("pri_p"))
+        .distinct()
+    )
+    return (
+        o.join(F.broadcast(p), o.pri.eqNullSafe(p.pri_p))
+        .groupBy(F.coalesce(F.col("pri"), F.lit("NULL")).alias("pri_key"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -656,3 +656,47 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dd") / 100.0).alias("max_drawdown"),
         )
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type, ts,
+                      CAST(round(value*100,0) AS BIGINT) AS c FROM events),
+    w AS (
+      SELECT event_id, event_type, c,
+             list_sort(list(c) OVER win) AS frame
+      FROM e
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts
+                     ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, event_type, c / 100.0 AS value,
+           (frame[8]) / 100.0 AS rolling_median
+    FROM w WHERE len(frame) = 15
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median (robust smoother — unlike the moving mean it
+    shrugs off the outliers win_anomaly_zscore flags): the trailing
+    15-value frame is collected in-row, sorted, and the middle element
+    picked — exact integer cents, so there is no percentile
+    interpolation to diverge cross-engine. The frame list lives inside
+    the row (15 int64s), so cost is one sort per partition + O(k log k)
+    per row with NO extra shuffle; at 100 TB the same plan holds with
+    the frame k as the memory knob (true streaming percentiles swap in
+    the mergeable quantile sketch — agg_quantile_sketch — when k grows
+    past in-row sizes)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-14, 0)
+    s = e.withColumn("frame", F.sort_array(F.collect_list("c").over(w)))
+    return s.filter(F.size("frame") == 15).select(
+        "event_id",
+        "event_type",
+        (F.col("c") / 100.0).alias("value"),
+        (F.element_at("frame", 8) / 100.0).alias("rolling_median"),
+    )
