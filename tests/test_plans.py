@@ -583,3 +583,13 @@ def test_cdc_pair_join_is_equi(spark, sf_dir):
     plan = formatted_plan(dedup_cdc_chunks(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_residual_pq_is_broadcast_plus_projection(spark, sf_dir):
+    # Centroids broadcast; residual + encode are narrow projections —
+    # the only shuffles are the centroid build and the final aggregate.
+    from insight_patents_spark.operators.vector import vec_residual_pq
+
+    plan = formatted_plan(vec_residual_pq(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
