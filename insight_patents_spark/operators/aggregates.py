@@ -926,13 +926,13 @@ _CENTS = "CAST(ROUND(value * 100, 0) AS BIGINT)"
 @query(
     "agg_ohlc",
     oracle="""
-    WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, ts,
+    WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, ts, event_id,
                       CAST(round(value*100, 0) AS BIGINT) AS cents FROM events)
     SELECT day, event_type,
-           first(cents ORDER BY ts) / 100.0 AS open,
+           first(cents ORDER BY ts, event_id) / 100.0 AS open,
            max(cents) / 100.0 AS high,
            min(cents) / 100.0 AS low,
-           last(cents ORDER BY ts) / 100.0 AS close,
+           last(cents ORDER BY ts, event_id) / 100.0 AS close,
            count(*) AS n_trades,
            sum(cents) / 100.0 AS volume
     FROM e GROUP BY day, event_type
@@ -941,24 +941,29 @@ _CENTS = "CAST(ROUND(value * 100, 0) AS BIGINT)"
 def agg_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed OHLC bars (the time-series downsampling primitive:
     one output row per day x event_type with open/high/low/close/volume).
-    `min_by(v, ts)` / `max_by(v, ts)` give open/close in the SAME single
+    `min_by(v, (ts, id))` / `max_by(v, (ts, id))` give open/close in the SAME single
     hash aggregate as high/low/volume — one scan, one shuffle on the
     (day, type) key, partials merge map-side; no window sort and no
-    self-join. `ts` is unique per event (probed) so ordered-first
-    semantics are deterministic. At 100 TB this is the classic
+    self-join; event_id tiebreak keeps ordered-first semantics
+    deterministic even under duplicate timestamps. At 100 TB this is the classic
     "downsample ticks to bars" rollup: output is |days| x |types| rows,
     thousands of times smaller than the input."""
     e = load(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"),
         "event_type",
         F.col("ts"),
+        F.col("event_id"),
         F.expr(_CENTS).alias("cents"),
     )
+    # (ts, event_id) struct ordering: ts is unique today, but the driver
+    # regenerates testdata between rounds — the tiebreak keeps min_by/
+    # max_by deterministic (and matching the oracle's ordered first/last)
+    # even if duplicate timestamps appear.
     agg = e.groupBy("day", "event_type").agg(
-        F.expr("min_by(cents, ts)").alias("open_c"),
+        F.expr("min_by(cents, struct(ts, event_id))").alias("open_c"),
         F.max("cents").alias("high_c"),
         F.min("cents").alias("low_c"),
-        F.expr("max_by(cents, ts)").alias("close_c"),
+        F.expr("max_by(cents, struct(ts, event_id))").alias("close_c"),
         F.count(F.lit(1)).alias("n_trades"),
         F.sum("cents").alias("vol_c"),
     )

@@ -482,7 +482,7 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(c) OVER win AS s1,
              sum(c*c) OVER win AS s2
       FROM e
-      WINDOW win AS (PARTITION BY event_type ORDER BY ts
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_id, event_type, c/100.0 AS value,
@@ -513,7 +513,7 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the product into a helper column between passes); with c2 as a
     # plain input, count/sum/sum share ONE WindowExec (plan-gated).
     e = e.withColumn("c2", F.col("c") * F.col("c"))
-    w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-20, -1)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-20, -1)
     s = (
         e.withColumn("n", F.count("c").over(w))
         .withColumn("s1", F.sum("c").over(w))
@@ -539,7 +539,7 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT event_id, event_type, ts,
                       CAST(round(value*100,0) AS BIGINT) AS x FROM events),
     l AS (SELECT event_id, event_type, ts, x,
-                 lag(x) OVER (PARTITION BY event_type ORDER BY ts) AS y
+                 lag(x) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
           FROM e),
     w AS (
       SELECT event_id, event_type, x, y,
@@ -548,7 +548,7 @@ def win_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(x*x) OVER win AS sxx, sum(y*y) OVER win AS syy,
              sum(x*y) OVER win AS sxy
       FROM l WHERE y IS NOT NULL
-      WINDOW win AS (PARTITION BY event_type ORDER BY ts
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, event_type,
@@ -575,12 +575,12 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("x"),
     )
-    wl = Window.partitionBy("event_type").orderBy("ts")
+    wl = Window.partitionBy("event_type").orderBy("ts", "event_id")
     l = e.withColumn("y", F.lag("x").over(wl)).filter(F.col("y").isNotNull())
     l = l.withColumn("xx", F.col("x") * F.col("x")).withColumn(
         "yy", F.col("y") * F.col("y")
     ).withColumn("xy", F.col("x") * F.col("y"))
-    w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-29, 0)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-29, 0)
     s = (
         l.withColumn("n", F.count("x").over(w))
         .withColumn("sx", F.sum("x").over(w))
@@ -609,7 +609,7 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT event_id, event_type, ts,
                       CAST(round(value*100,0) AS BIGINT) AS c FROM events),
     r AS (SELECT event_id, event_type, c,
-                 max(c) OVER (PARTITION BY event_type ORDER BY ts
+                 max(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
           FROM e),
     d AS (SELECT event_id, event_type, c, peak, peak - c AS dd FROM r)
@@ -636,7 +636,7 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("event_type")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = e.withColumn("peak", F.max("c").over(w_run)).withColumn(
@@ -667,7 +667,7 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, event_type, c,
              list_sort(list(c) OVER win) AS frame
       FROM e
-      WINDOW win AS (PARTITION BY event_type ORDER BY ts
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
     )
     SELECT event_id, event_type, c / 100.0 AS value,
@@ -692,7 +692,7 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
     )
-    w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-14, 0)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-14, 0)
     s = e.withColumn("frame", F.sort_array(F.collect_list("c").over(w)))
     return s.filter(F.size("frame") == 15).select(
         "event_id",
