@@ -2195,3 +2195,63 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("len_a").cast("bigint").alias("shared_bytes"),
         )
     )
+
+
+@query(
+    "text_bigram_lm",
+    # One n-gram-LM training step: bigram conditional probabilities
+    # P(w2|w1) = c(w1 w2) / c(w1 ·) with add-one smoothing over the
+    # observed vocabulary. Counts are exact ints; the single division is
+    # the only float op (identical cross-engine). Top-3 continuations
+    # per w1 keep the output bounded.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM (
+        SELECT ws[CAST(i AS INTEGER)] AS w1, ws[CAST(i AS INTEGER) + 1] AS w2
+        FROM tok, (SELECT unnest(range(1, len(ws))) AS i)
+      ) GROUP BY w1, w2),
+    uni AS (SELECT w1, SUM(c2) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vsize FROM big),
+    scored AS (
+      SELECT b.w1, b.w2, b.c2, u.c1,
+             round((b.c2 + 1.0) / (u.c1 + v.vsize), 9) AS p
+      FROM big b JOIN uni u ON b.w1 = u.w1 CROSS JOIN v)
+    SELECT w1, w2, c2, p
+    FROM (SELECT *, row_number() OVER (PARTITION BY w1
+                 ORDER BY p DESC, w2) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One bigram-LM training step (the n-gram sibling of
+    text_bpe_pairs' BPE step and the model behind
+    text_perplexity_proxy's scoring): adjacent-token pair counts →
+    add-one-smoothed conditional probabilities P(w2|w1), top-3
+    continuations per context. Pair extraction is in-row (sequence over
+    positions, no self-join); counts shuffle at vocabulary² granularity
+    (not corpus size) and merge map-side — at 100 TB the count table
+    for a 100k vocabulary is the only thing that ever crosses the wire,
+    which is why n-gram LMs were THE scalable LM before neural ones."""
+    d = load(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("ws")
+    )
+    pairs = d.select(
+        F.expr(
+            "explode(transform(sequence(1, size(ws) - 1), "
+            "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))"
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vsize = big.select("w2").distinct().count()  # scalar: vocab size
+    scored = big.join(F.broadcast(uni), "w1").withColumn(
+        "p", F.round((F.col("c2") + 1.0) / (F.col("c1") + F.lit(vsize)), 9)
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("p").desc(), F.col("w2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("w1", "w2", "c2", "p")
+    )
