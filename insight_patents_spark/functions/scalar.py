@@ -500,3 +500,49 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(lang AS INT)").alias("lang_as_int"),
         F.expr("try_mod(n_chars, 7)").alias("mod7"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src_mixed
+      FROM documents)
+    SELECT lower(src_mixed) AS source_ci,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT src_mixed) AS n_case_variants
+    FROM d GROUP BY lower(src_mixed)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface: grouping under UTF8_LCASE compares
+    case-insensitively WITHOUT materializing a lowercased copy — the
+    collation travels with the column, so every comparison, join key,
+    and aggregate key downstream inherits the semantics (and at 100 TB
+    you skip one full projection of every string column you'd otherwise
+    lower()). Mixed-case input is synthesized (upper() on even doc_ids)
+    so the case-fold has hash-checked work; the emitted group key is
+    explicitly lowercased because the ORACLE has no collations — the
+    group MEMBERSHIP, though, is decided by the collation."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("src_mixed"),
+    )
+    ci = F.expr("src_mixed COLLATE UTF8_LCASE")
+    return (
+        d.groupBy(ci.alias("src_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.expr("src_mixed COLLATE UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("src_ci")).alias("source_ci"),
+            "n_docs",
+            "n_case_variants",
+        )
+    )
