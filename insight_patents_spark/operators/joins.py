@@ -606,3 +606,54 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce(F.col("pri"), F.lit("NULL")).alias("pri_key"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query(
+    "join_star_schema",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY r_name, n_name
+    """,
+)
+def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped star join: the fact table joined through a full
+    dimension chain (orders → customer → nation → region) with a
+    selective dim predicate. Declared as five plain joins — Catalyst
+    orders them, broadcasts every dimension (nation/region are
+    BROADCAST_DIMS; customer and the filtered orders fall under the
+    broadcast threshold at this sf, and AQE converts at runtime on a
+    cluster), so the fact table is scanned once and never shuffled for
+    any of the four hops. This is THE star-schema pattern 100 TB BI
+    queries live on; revenue in decimal-exact money units."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(22,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

@@ -700,3 +700,78 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") / 100.0).alias("value"),
         (F.element_at("frame", 8) / 100.0).alias("rolling_median"),
     )
+
+
+@query(
+    "win_cusum_changepoint",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type, ts,
+                      CAST(round(value*100,0) AS BIGINT) AS c FROM events),
+    g AS (SELECT event_type, SUM(c) AS tot, COUNT(*) AS n FROM e GROUP BY event_type),
+    s AS (
+      SELECT e.event_id, e.event_type, e.ts,
+             SUM(e.c) OVER (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+             ROW_NUMBER() OVER (PARTITION BY e.event_type
+                                ORDER BY e.ts, e.event_id) AS t,
+             g.tot, g.n
+      FROM e JOIN g ON e.event_type = g.event_type),
+    dev AS (
+      SELECT event_id, event_type, t, n,
+             (pre * n - t * tot) AS s_scaled   -- n * S_t in exact cent units
+      FROM s)
+    SELECT event_type, event_id AS changepoint_event_id,
+           CAST(t AS BIGINT) AS t_index,
+           round(CAST(abs(s_scaled) AS DOUBLE) / n / 100.0, 9) AS cusum_peak
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY abs(s_scaled) DESC, event_id) AS rn FROM dev)
+    WHERE rn = 1
+    """,
+)
+def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimation: S_t = Σ_{i<=t}(x_i − mean) peaks
+    at the most likely mean-shift point (the classic offline CUSUM
+    estimator argmax|S_t|). The recurrence is LINEAR, so it distributes
+    as prefix_sum − t·mean — one window pass, no sequential loop — and
+    everything stays in exact integer cent units by scaling by n
+    (S_t·n = n·prefix − t·total, all int64) until the single final
+    division. Argmax ranks on the exact integer with event_id tiebreak,
+    so the reported change-point is deterministic at any parallelism."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    g = e.groupBy("event_type").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    w_pre = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = (
+        e.join(F.broadcast(g), "event_type")
+        .withColumn("pre", F.sum("c").over(w_pre))
+        .withColumn("t", F.row_number().over(w_rn))
+        .withColumn(
+            "s_scaled", F.col("pre") * F.col("n") - F.col("t") * F.col("tot")
+        )
+    )
+    w_top = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.col("event_id")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("event_id").alias("changepoint_event_id"),
+            F.col("t").cast("bigint").alias("t_index"),
+            F.round(
+                F.abs(F.col("s_scaled")).cast("double") / F.col("n") / 100.0, 9
+            ).alias("cusum_peak"),
+        )
+    )

@@ -593,3 +593,13 @@ def test_residual_pq_is_broadcast_plus_projection(spark, sf_dir):
     plan = formatted_plan(vec_residual_pq(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_star_schema_fact_never_shuffles(spark, sf_dir):
+    # All four dimension hops must be broadcast joins; the fact side has
+    # no Exchange below the final aggregate.
+    from insight_patents_spark.operators.joins import join_star_schema
+
+    plan = formatted_plan(join_star_schema(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
