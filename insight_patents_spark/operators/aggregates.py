@@ -1328,3 +1328,69 @@ def time_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("y") / 100.0).alias("value"),
         )
     )
+
+
+@query(
+    "agg_weighted_median",
+    # Weighted median (the percentile most engines don't ship): sort by
+    # value, take the first row whose 2x cumulative weight reaches the
+    # total — all exact int64 (quantities are integral, prices exact
+    # cents), so the crossing row is unambiguous cross-engine; l_orderkey,
+    # l_linenumber tiebreak pins equal-price orderings.
+    oracle="""
+    WITH e AS (SELECT l_returnflag,
+                      CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_c,
+                      CAST(round(l_quantity,0) AS BIGINT) AS w,
+                      l_orderkey, l_linenumber
+               FROM lineitem),
+    s AS (
+      SELECT l_returnflag, price_c, w,
+             SUM(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY price_c, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM e)
+    SELECT l_returnflag, price_c / 100.0 AS weighted_median_price,
+           CAST(tw AS BIGINT) AS total_weight
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY cw, price_c) AS rn
+          FROM s WHERE 2 * cw >= tw)
+    WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    percentile that `percentile()` families don't cover (each row
+    counts `w` times; computing it by exploding w copies would be
+    insane at 100 TB). One sort per group + running weight sum; the
+    median is the first row where 2·cumweight ≥ totalweight — an exact
+    integer test, so no interpolation and no float divergence. The same
+    shape generalizes to any weighted quantile q by changing the
+    crossing fraction."""
+    e = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("price_c"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    s = e.withColumn("cw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(w_tot)
+    )
+    w_pick = Window.partitionBy("l_returnflag").orderBy("cw", "price_c")
+    return (
+        s.filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            (F.col("price_c") / 100.0).alias("weighted_median_price"),
+            F.col("tw").cast("bigint").alias("total_weight"),
+        )
+    )

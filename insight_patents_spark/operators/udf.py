@@ -285,3 +285,30 @@ def udtf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_cents bigint, discount_bps bigint"
         ),
     )
+
+
+@query(
+    "udf_python_arrow",
+    oracle="""
+    SELECT c_custkey,
+           (c_custkey % 97) * 31 + length(CAST(c_custkey AS VARCHAR)) AS checksum
+    FROM customer
+    """,
+)
+def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-optimized Python UDF (`@udf(useArrow=True)`): the
+    SAME scalar function as udf_python_scalar, but rows cross the
+    JVM↔Python boundary in Arrow batches instead of pickled one-at-a-
+    time — typically ~2x faster than the legacy pickler while keeping
+    the plain-Python programming model (no pandas Series handling as in
+    pandas_udf). The middle rung of the Python-UDF ladder: legacy
+    pickle < Arrow-optimized < pandas_udf (vectorized execution, not
+    just vectorized transfer). Identical results to the row exhibit —
+    the oracle is the same SQL."""
+
+    @F.udf(returnType=T.LongType(), useArrow=True)
+    def checksum(k: int) -> int:
+        return (k % 97) * 31 + len(str(k))
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", checksum("c_custkey").alias("checksum"))
