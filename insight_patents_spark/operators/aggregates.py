@@ -1394,3 +1394,88 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@query(
+    "agg_ab_ttest",
+    # Welch's two-sample t-test between every event-type pair (the A/B
+    # experiment readout): per-group n / mean / variance come from exact
+    # int64 cent sums, so the t statistic and Welch–Satterthwaite df are
+    # single float expressions over identical inputs — bit-equal
+    # cross-engine after the repo's 9dp rounding.
+    oracle="""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c*c) AS s2
+      FROM (SELECT event_type, CAST(round(value*100,0) AS BIGINT) AS c FROM events)
+      GROUP BY event_type),
+    st AS (
+      SELECT event_type, n,
+             s1 / CAST(n AS DOUBLE) AS m,
+             (s2 - s1 * (s1 / CAST(n AS DOUBLE)))
+               / CAST(n - 1 AS DOUBLE) AS v
+      FROM g)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 9) AS t_stat,
+           round(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1)
+                    + pow(b.v / b.n, 2) / (b.n - 1)), 9) AS welch_df
+    FROM st a JOIN st b ON a.event_type < b.event_type
+    """,
+)
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's t statistic + Welch–Satterthwaite
+    degrees of freedom for every event-type pair. The expensive part —
+    per-group moments — is ONE hash aggregate over exact integer cents
+    (mergeable partials, so at 100 TB the experiment stats job is a
+    single map-side-combining scan); the 5-row stats table pair-joins
+    via broadcast and the t/df formulas are pure post-aggregation
+    arithmetic. Deliberately no p-value: the CDF needs a special
+    function both engines would approximate differently — downstream
+    tooling thresholds on |t| with df."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    m = F.col("s1") / F.col("n").cast("double")
+    st = g.select(
+        "event_type",
+        "n",
+        m.alias("m"),
+        (
+            (F.col("s2") - F.col("s1") * (F.col("s1") / F.col("n").cast("double")))
+            / (F.col("n") - 1).cast("double")
+        ).alias("v"),
+    )
+    a = st.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = st.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    df_num = F.pow(se2, 2)
+    df_den = F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1) + F.pow(
+        F.col("v_b") / F.col("n_b"), 2
+    ) / (F.col("n_b") - 1)
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 9).alias("t_stat"),
+            F.round(df_num / df_den, 9).alias("welch_df"),
+        )
+    )

@@ -866,3 +866,89 @@ def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum((6 / F.col("dist")).cast("bigint")) / 6.0).alias("harmonic"),
         )
     )
+
+
+HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    # Directed subgraph (pa < pb half of the co-purchase pairs): on the
+    # symmetric graph hubs == authorities and the exhibit is vacuous.
+    sql = _EDGES_CTE + """
+    , de AS (SELECT src, dst FROM edges WHERE src < dst),
+    a0 AS (SELECT DISTINCT dst AS node, 1.0 AS a FROM de)"""
+    for t in range(1, HITS_ITERS + 1):
+        sql += f"""
+    , hraw{t} AS MATERIALIZED (
+      SELECT de.src AS node,
+             list_aggregate(list_sort(list(a.a)), 'sum') AS h
+      FROM de JOIN a{t - 1} a ON de.dst = a.node GROUP BY de.src),
+    h{t} AS (SELECT node, h / (SELECT MAX(h) FROM hraw{t}) AS h FROM hraw{t}),
+    araw{t} AS MATERIALIZED (
+      SELECT de.dst AS node,
+             list_aggregate(list_sort(list(h.h)), 'sum') AS a
+      FROM de JOIN h{t} h ON de.src = h.node GROUP BY de.dst),
+    a{t} AS (SELECT node, a / (SELECT MAX(a) FROM araw{t}) AS a FROM araw{t})"""
+    return sql + f"""
+    SELECT COALESCE(h.node, a.node) AS node,
+           COALESCE(h.h, 0.0) AS hub, COALESCE(a.a, 0.0) AS authority
+    FROM h{HITS_ITERS} h FULL OUTER JOIN a{HITS_ITERS} a ON h.node = a.node"""
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the DIRECTED half of the
+    co-purchase graph, fixed 3 iterations: h(u) = Σ a(v) over u→v, then
+    a(v) = Σ h(u), each normalized by the MAX score — max-normalization
+    instead of the L2 norm because max is order-free and exact, where a
+    global float L2 sum would be reduction-order-dependent (the same
+    determinism reasoning as PageRank's canonical folds, which the
+    contribution sums here also use). Same Pregel shape as PageRank —
+    per iteration one join + one canonical-fold agg per side, the
+    1-row max broadcast — so the 100 TB cost model is identical."""
+    de = _edges(spark, sf_dir).select("src", "dst").filter(F.col("src") < F.col("dst"))
+    a = de.select(F.col("dst").alias("node")).distinct().withColumn("a", F.lit(1.0))
+    a = a.coalesce(4)
+    h = None
+    for t in range(1, HITS_ITERS + 1):
+        hraw = (
+            de.join(a, de.dst == a.node)
+            .groupBy(de.src.alias("hnode"))
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("a")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("h")
+            )
+        )
+        hmax = hraw.agg(F.max("h").alias("hm"))
+        h = hraw.crossJoin(F.broadcast(hmax)).select(
+            F.col("hnode").alias("node"), (F.col("h") / F.col("hm")).alias("h")
+        )
+        araw = (
+            de.join(h, de.src == h.node)
+            .groupBy(de.dst.alias("anode"))
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list("h")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("a")
+            )
+        )
+        amax = araw.agg(F.max("a").alias("am"))
+        a = araw.crossJoin(F.broadcast(amax)).select(
+            F.col("anode").alias("node"), (F.col("a") / F.col("am")).alias("a")
+        )
+        a = a.coalesce(4).localCheckpoint()
+        h = h.coalesce(4).localCheckpoint()
+    return (
+        h.withColumnRenamed("node", "hnode")
+        .join(a.withColumnRenamed("node", "anode"), F.col("hnode") == F.col("anode"), "full")
+        .select(
+            F.coalesce(F.col("hnode"), F.col("anode")).alias("node"),
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("a"), F.lit(0.0)).alias("authority"),
+        )
+    )
