@@ -1479,3 +1479,70 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(df_num / df_den, 9).alias("welch_df"),
         )
     )
+
+
+@query(
+    "agg_trend_ols",
+    # Closed-form OLS trend per series (value vs time): slope/intercept
+    # from exact int64 moments. x is minutes since the series start so
+    # every product (n·Sxy, Sx², n·Sxx) stays within int64 at sf0.1
+    # scale (epoch seconds would overflow n·Sxy); the two divisions at
+    # the end are the only float ops.
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS xs,
+             CAST(round(value*100,0) AS BIGINT) AS y
+      FROM events),
+    b AS (
+      SELECT event_type, (xs - MIN(xs) OVER (PARTITION BY event_type)) // 60 AS x, y
+      FROM e),
+    m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy
+      FROM b GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) / 100.0, 9) AS slope_per_min,
+           round((CAST(sy AS DOUBLE) / n
+                  - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / n)) / 100.0, 9) AS intercept
+    FROM m
+    """,
+)
+def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trend line (closed-form OLS of value on time): the
+    five moments (n, Σx, Σy, Σx², Σxy) come from ONE mergeable hash
+    aggregate over exact integers — at 100 TB trend fitting over a
+    million series is a single map-side-combining scan, no ML library
+    and no iterative solver. x is minutes since each series' start
+    (keeps every int64 product in range AND makes the intercept the
+    series' fitted starting value); slope is cents/minute → value units
+    via the final /100."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("xs"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("y"),
+    )
+    w = Window.partitionBy("event_type")
+    b = e.withColumn("x", F.expr("(xs - min(xs) OVER (PARTITION BY event_type)) div 60"))
+    m = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") / F.col("n")
+        - slope * (F.col("sx").cast("double") / F.col("n"))
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope / 100.0, 9).alias("slope_per_min"),
+        F.round(intercept / 100.0, 9).alias("intercept"),
+    )

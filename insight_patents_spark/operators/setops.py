@@ -195,3 +195,26 @@ def dedup_subset_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", F.col("event_id").alias("latest_event_id"), "value"
         )
     )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 0
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_custkey % 7 = 0
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference with MULTIPLICITY (each right-side
+    occurrence cancels exactly one left-side occurrence), where
+    `set_except`'s DISTINCT semantics collapse duplicates first. The
+    difference matters whenever rows are observations, not identities
+    (inventory reconciliation, event-stream diffs): dropping 3 of 7
+    duplicates must leave 4, not 0. Spark plans it as a single
+    counting-aggregate join (no distinct pass, no explode) — the same
+    one-shuffle cost as EXCEPT at any scale."""
+    o = load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_custkey") % 3 == 0).select("o_orderpriority")
+    right = o.filter(F.col("o_custkey") % 7 == 0).select("o_orderpriority")
+    return left.exceptAll(right)
