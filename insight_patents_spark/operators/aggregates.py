@@ -1524,7 +1524,6 @@ def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("xs"),
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("y"),
     )
-    w = Window.partitionBy("event_type")
     b = e.withColumn("x", F.expr("(xs - min(xs) OVER (PARTITION BY event_type)) div 60"))
     m = b.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
