@@ -952,3 +952,91 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("a"), F.lit(0.0)).alias("authority"),
         )
     )
+
+
+WALK_STEPS = 4
+_WALK_SEED_PRED = "src % 100 = 0"
+
+
+def _walks_oracle() -> str:
+    sql = _EDGES_CTE + f"""
+    , nbr AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS r,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM edges),
+    w0 AS (SELECT DISTINCT src AS start, src AS cur, CAST(src AS VARCHAR) AS path
+           FROM edges WHERE {_WALK_SEED_PRED})"""
+    for t in range(1, WALK_STEPS + 1):
+        sql += f"""
+    , w{t} AS MATERIALIZED (
+      SELECT w.start, n.dst AS cur, w.path || '->' || CAST(n.dst AS VARCHAR) AS path
+      FROM w{t - 1} w
+      JOIN nbr n ON n.src = w.cur
+       AND n.r = 1 + CAST(('0x' || substr(md5(CAST(w.start AS VARCHAR) || ':' ||
+                     CAST(w.cur AS VARCHAR) || ':{t}'), 1, 8)) AS BIGINT) % n.deg
+    )"""
+    return sql + f"""
+    SELECT start, cur AS end_node, path FROM w{WALK_STEPS}"""
+
+
+@query("graph_random_walks", oracle=_walks_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec walk-corpus generation, made deterministic: one
+    4-step walk per seed node, each step choosing the md5((start, cur,
+    step))-ranked neighbor — pseudorandom w.r.t. the graph but fully
+    reproducible (RNG-seeded walkers diverge across retries/engines,
+    which poisons embedding-training reproducibility). Each step is one
+    join against the neighbor-rank table (rank + degree via one window
+    over the edge list); walk state is (start, cur, path) rows, so 10⁹
+    walkers × k steps is k joins co-partitioned on cur — the standard
+    distributed walk-corpus shape for graph-embedding training data."""
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    w_r = Window.partitionBy("src").orderBy("dst")
+    w_d = Window.partitionBy("src")
+    nbr = edges.select(
+        "src",
+        "dst",
+        F.row_number().over(w_r).alias("r"),
+        F.count(F.lit(1)).over(w_d).alias("deg"),
+    )
+    walks = (
+        edges.filter(F.expr(_WALK_SEED_PRED))
+        .select(F.col("src").alias("start"))
+        .distinct()
+        .withColumn("cur", F.col("start"))
+        .withColumn("path", F.col("start").cast("string"))
+    )
+    for t in range(1, WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("start").cast("string"),
+                            F.lit(":"),
+                            F.col("cur").cast("string"),
+                            F.lit(f":{t}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("deg")
+            + 1
+        )
+        walks = (
+            walks.join(nbr, walks.cur == nbr.src)
+            .filter(F.col("r") == pick)
+            .select(
+                "start",
+                F.col("dst").alias("cur"),
+                F.concat(F.col("path"), F.lit("->"), F.col("dst").cast("string")).alias(
+                    "path"
+                ),
+            )
+        )
+    return walks.select("start", F.col("cur").alias("end_node"), "path")

@@ -2255,3 +2255,60 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("w1", "w2", "c2", "p")
     )
+
+
+@query(
+    "text_hashing_trick",
+    # Feature hashing (the "hashing trick"): token -> md5 % 16 bucket,
+    # per-doc bucket counts assembled into a fixed-width feature string.
+    # No vocabulary table at all — the defining property: featurization
+    # is stateless, so it never needs a fitted dictionary shipped to
+    # executors and never drifts between training runs.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 AS bucket
+      FROM tok),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY doc_id, bucket),
+    g AS (SELECT doc_id, CAST(unnest(range(16)) AS BIGINT) AS bucket FROM documents)
+    SELECT g.doc_id,
+           string_agg(CAST(COALESCE(c.cnt, 0) AS VARCHAR), '|'
+                      ORDER BY g.bucket) AS features
+    FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.bucket = c.bucket
+    GROUP BY g.doc_id
+    """,
+)
+def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al.): each token hashes straight
+    into one of 16 buckets and the doc's feature vector is the bucket
+    count array — NO vocabulary, so featurization is a stateless narrow
+    pipeline (explode → hash → count) that never ships a fitted
+    dictionary and cannot drift between runs; collisions are the
+    accepted trade (production uses 2^18+ buckets where they're rare).
+    The dense 16-wide vector is emitted as a '|'-joined string per the
+    scalar-only results contract; densification is an in-row sequence
+    join, not a pivot shuffle."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint") % 16
+    )
+    c = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    g = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bucket")
+    ).withColumn("bucket", F.col("bucket").cast("bigint"))
+    joined = g.join(c, ["doc_id", "bucket"], "left").select(
+        "doc_id", "bucket", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(bucket, cnt))), "
+            "x -> CAST(x.cnt AS STRING)), '|')"
+        ).alias("features")
+    )
