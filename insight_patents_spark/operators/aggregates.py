@@ -1545,3 +1545,49 @@ def agg_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope / 100.0, 9).alias("slope_per_min"),
         F.round(intercept / 100.0, 9).alias("intercept"),
     )
+
+
+@query(
+    "agg_dau_mau",
+    # DAU/MAU stickiness (the product-engagement ratio): daily distinct
+    # users over the calendar month's distinct users. Both cardinalities
+    # are exact; the ratio is one float division of two int64s.
+    oracle="""
+    WITH d AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                      strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+                      user_id
+               FROM events),
+    dau AS (SELECT day, month, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY day, month),
+    mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM d GROUP BY month)
+    SELECT dau.day, dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 9) AS stickiness
+    FROM dau JOIN mau ON dau.month = mau.month
+    """,
+)
+def agg_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day: two exact distinct-count aggregates
+    (day grain and month grain — the month one is NOT derivable from
+    daily partials because distinct doesn't sum, which is exactly why
+    agg_hll_sketch / agg_bitmap_distinct exist as the mergeable
+    alternatives at 100 TB) joined on month via broadcast. The
+    registered query keeps the exact form; the sketch ops are its
+    scale path."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    d = e.select(
+        F.col("d").cast("string").alias("day"),
+        F.date_format("d", "yyyy-MM").alias("month"),
+        "user_id",
+    )
+    dau = d.groupBy("day", "month").agg(F.countDistinct("user_id").alias("dau"))
+    mau = d.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), "month")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 9).alias("stickiness"),
+        )
+    )

@@ -1207,3 +1207,55 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "time_calendar_dim",
+    # Calendar dimension generator (every warehouse's first dim table):
+    # one row per date spanning the fact table, with derived attributes.
+    # Day-of-week comes from epoch-day arithmetic ((days + 4) % 7,
+    # 1970-01-01 was a Thursday) because the engines' dayofweek()
+    # conventions differ (Spark 1=Sunday, DuckDB 0=Sunday) — arithmetic
+    # on exact ints has no convention to disagree on.
+    oracle="""
+    WITH span AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+                  FROM events),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM span)
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS epoch_day,
+           CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7 AS INTEGER) AS dow,
+           CAST(EXTRACT(day FROM d) AS INTEGER) AS day_of_month,
+           CAST(EXTRACT(month FROM d) AS INTEGER) AS month,
+           CAST((EXTRACT(month FROM d) + 2) // 3 AS INTEGER) AS quarter,
+           (date_diff('day', DATE '1970-01-01', d) + 4) % 7 IN (0, 6) AS is_weekend
+    FROM days
+    """,
+)
+def time_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generator: one row per date across the fact
+    table's span with the derived attributes BI joins need (dow, month,
+    quarter, weekend flag) — generated, never loaded, so it is always
+    exactly as wide as the data. In-row `sequence(lo, hi)` + explode on
+    a 1-row span; at any scale this stays a broadcast-sized dim that
+    every date join consumes (and join_dpp's partition pruning rides
+    such dims). Day-of-week via epoch-day arithmetic — the engines'
+    dayofweek() conventions disagree, integer arithmetic cannot."""
+    e = load(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    epoch_day = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    dow = ((epoch_day + 4) % 7).cast("int")
+    return days.select(
+        F.col("d").cast("string").alias("day"),
+        epoch_day.alias("epoch_day"),
+        dow.alias("dow"),
+        F.dayofmonth("d").cast("int").alias("day_of_month"),
+        F.month("d").cast("int").alias("month"),
+        ((F.month("d") + 2) / 3).cast("int").alias("quarter"),
+        dow.isin(0, 6).alias("is_weekend"),
+    )
