@@ -1591,3 +1591,82 @@ def agg_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("mau"), 9).alias("stickiness"),
         )
     )
+
+
+@query(
+    "agg_iqr_outliers",
+    # Tukey-fence outlier screening per group: rank-based q1/q3 (type-1
+    # quantile picks — no interpolation, so the quartiles are actual
+    # data values and everything stays exact int64; fences use 4x-scaled
+    # integers to absorb the 1.5 factor), then one conditional count.
+    oracle="""
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(round(value*100,0) AS BIGINT) AS c FROM events),
+    r AS (SELECT event_type, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM e),
+    q AS (SELECT event_type,
+                 MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN c END) AS q1,
+                 MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN c END) AS q3,
+                 MAX(n) AS n
+          FROM r GROUP BY event_type)
+    SELECT e.event_type, CAST(q.n AS BIGINT) AS n,
+           q.q1 / 100.0 AS q1, q.q3 / 100.0 AS q3,
+           COUNT(CASE WHEN 4*e.c < 4*q.q1 - 6*(q.q3 - q.q1)
+                        OR 4*e.c > 4*q.q3 + 6*(q.q3 - q.q1) THEN 1 END) AS n_outliers
+    FROM e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type, q.n, q.q1, q.q3
+    """,
+)
+def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screening (the box-plot rule, the data-quality
+    screen run before training on any numeric column): q1/q3 as exact
+    rank picks (type-1 quantiles — actual data values, no
+    interpolation), fences at q1−1.5·IQR / q3+1.5·IQR evaluated in
+    4×-scaled integers so even the 1.5 factor stays exact int64. Two
+    passes: one within-group sort for the rank picks, one broadcast
+    join + conditional count for the screen — at 100 TB the second pass
+    is a map-side-combining scan against a |groups|-row fence table."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c")
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("c", "event_id")
+    w_n = Window.partitionBy("event_type")
+    r = e.withColumn("rn", F.row_number().over(w_rn)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    q = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"), F.col("c")
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"), F.col("c")
+            )
+        ).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.count(
+                F.when(
+                    (4 * F.col("c") < 4 * F.col("q1") - 6 * iqr)
+                    | (4 * F.col("c") > 4 * F.col("q3") + 6 * iqr),
+                    1,
+                )
+            ).alias("n_outliers")
+        )
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("q1") / 100.0).alias("q1"),
+        (F.col("q3") / 100.0).alias("q3"),
+        "n_outliers",
+    )
