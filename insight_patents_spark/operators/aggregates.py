@@ -1670,3 +1670,86 @@ def agg_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q3") / 100.0).alias("q3"),
         "n_outliers",
     )
+
+
+@query(
+    "time_pct_change",
+    # Period-over-period change (the BI staple): daily revenue per type,
+    # then day-over-day delta and % change via lag. Daily sums are exact
+    # int64 cents; the single division is rounded 9dp.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             SUM(CAST(round(value*100,0) AS BIGINT)) AS rev_c
+      FROM events GROUP BY event_type, CAST(CAST(ts AS DATE) AS VARCHAR)),
+    l AS (SELECT event_type, day, rev_c,
+                 lag(rev_c) OVER (PARTITION BY event_type ORDER BY day) AS prev_c
+          FROM d)
+    SELECT event_type, day, rev_c / 100.0 AS revenue,
+           (rev_c - prev_c) / 100.0 AS delta,
+           round(CAST(rev_c - prev_c AS DOUBLE) / prev_c, 9) AS pct_change
+    FROM l WHERE prev_c IS NOT NULL AND prev_c > 0
+    """,
+)
+def time_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue change per series: the rollup shrinks the
+    fact table to |days|×|types| rows FIRST, so the lag window sorts
+    the tiny aggregate, never the events — at 100 TB the window input
+    is thousands of rows regardless of tick volume (ordering by the
+    day string is safe: ISO dates sort lexicographically). Deltas are
+    exact integer cents; the one division is 9dp-rounded."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    d = e.groupBy("event_type", "day").agg(F.sum("c").alias("rev_c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.withColumn("prev_c", F.lag("rev_c").over(w))
+    return (
+        l.filter(F.col("prev_c").isNotNull() & (F.col("prev_c") > 0))
+        .select(
+            "event_type",
+            "day",
+            (F.col("rev_c") / 100.0).alias("revenue"),
+            ((F.col("rev_c") - F.col("prev_c")) / 100.0).alias("delta"),
+            F.round(
+                (F.col("rev_c") - F.col("prev_c")).cast("double") / F.col("prev_c"), 9
+            ).alias("pct_change"),
+        )
+    )
+
+
+@query(
+    "agg_new_returning",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+               FROM events),
+    f AS (SELECT user_id, day,
+                 MIN(day) OVER (PARTITION BY user_id) AS first_day
+          FROM d)
+    SELECT day,
+           COUNT(CASE WHEN day = first_day THEN 1 END) AS new_users,
+           COUNT(CASE WHEN day <> first_day THEN 1 END) AS returning_users
+    FROM f GROUP BY day
+    """,
+)
+def agg_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning users per day (the acquisition/retention split
+    every growth dashboard leads with): dedupe to (user, day), window
+    min gives each user's first day, one conditional-count agg splits
+    the cohorts. The user_id shuffle is shared by the window and the
+    dedupe (same key), so the whole metric costs one shuffle of the
+    distinct pairs — |users|×|active days|, not |events|."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").cast("string").alias("day")
+    )
+    d = e.distinct()
+    w = Window.partitionBy("user_id")
+    f = d.withColumn("first_day", F.min("day").over(w))
+    return f.groupBy("day").agg(
+        F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias("new_users"),
+        F.count(F.when(F.col("day") != F.col("first_day"), 1)).alias(
+            "returning_users"
+        ),
+    )
