@@ -1,0 +1,254 @@
+"""Ordered-event sequence mining (SURVEY §2.12).
+
+Clickstream/session-sequence analytics over the ``events`` table: Markov
+transition estimation, frequent-path mining, interval-union coverage
+(gaps-and-islands), and seasonal indexing. The reference's event surface
+is reconstructed (SURVEY §0.1); these are the standard sequence-mining
+battery every event-analytics engine ships.
+
+Scale notes: every operator here is one window pass over
+(user_id-partitioned, ts-ordered) events plus a hash aggregation whose
+output domain is tiny (|event_type| ≤ 5 ⇒ ≤25 transition cells, ≤125
+paths, 24 hours). Per-user partitions are bounded (human-scale event
+counts), so the window sort never concentrates; the aggregates are
+map-side-combinable. Nothing is quadratic in events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources.tables import load
+
+# Exact epoch-microseconds of the NTZ wall clock. Absolute values are
+# session-tz-shifted vs DuckDB's epoch_us, but every use below is
+# delta/comparison-only, so the constant shift cancels (same posture as
+# win_lag_lead's ms_since_prev).
+_TS_US = "unix_micros(CAST(ts AS TIMESTAMP))"
+
+
+@query(
+    "seq_markov_chain",
+    # First-order Markov transition matrix over each user's time-ordered
+    # event stream. cnt/tot is one double division of exact int64s ->
+    # bit-identical across engines and aggregation orders.
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS curr,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    )
+    SELECT prev, curr, COUNT(*) AS cnt,
+           CAST(ROUND(COUNT(*) * 1.0 /
+                SUM(COUNT(*)) OVER (PARTITION BY prev), 9) AS DOUBLE) AS prob
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, curr
+    """,
+)
+def seq_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain of event types (next-action model — the
+    classic clickstream personalization/anomaly baseline). One window
+    pass builds (prev, curr) bigrams per user; a hash agg counts them;
+    row-normalized probabilities come from a window sum over the ≤25-row
+    transition table, so the second window is over an already-tiny
+    aggregate, never the fact. event_id tiebreak keeps the ordering
+    regeneration-proof."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("curr"),
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "curr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = Window.partitionBy("prev")
+    return pairs.select(
+        "prev",
+        "curr",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(tot), 9).alias("prob"),
+    )
+
+
+@query(
+    "seq_topk_paths",
+    # Top-10 3-step paths with (cnt DESC, path ASC) total order -> the
+    # LIMIT is deterministic in both engines.
+    oracle="""
+    WITH seq AS (
+      SELECT LAG(event_type, 2) OVER w AS a,
+             LAG(event_type, 1) OVER w AS b,
+             event_type AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS cnt
+    FROM seq WHERE a IS NOT NULL
+    GROUP BY 1
+    ORDER BY cnt DESC, path
+    LIMIT 10
+    """,
+)
+def seq_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-path mining: the 10 most common 3-event subsequences
+    across user streams (funnel discovery — which journeys actually
+    happen, vs funnel_stages which checks a prescribed one). The path
+    domain is |event_type|^3 ≤ 125 rows after the map-side-combined
+    count, so the global top-10 is a TakeOrdered over a trivial set; the
+    only full-data work is the one shared user-window pass."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.lag("event_type", 2).over(w).alias("a"),
+            F.lag("event_type", 1).over(w).alias("b"),
+            F.col("event_type").alias("c"),
+        )
+        .where(F.col("a").isNotNull())
+        .select(F.concat_ws(">", "a", "b", "c").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "time_interval_merge",
+    # Gaps-and-islands interval union: an interval starts a new island
+    # iff its start exceeds the running max end of all earlier intervals
+    # (ROWS .. 1 PRECEDING). All arithmetic is exact int64 micros;
+    # outputs are deltas/counts, so the session-tz epoch shift cancels.
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(ROUND(value * 1000000, 0) AS BIGINT) AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, COUNT(*) AS n_merged,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_us,
+           MAX(me - ms) AS longest_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def time_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval-union coverage: each event spans [ts, ts +
+    value seconds]; overlapping spans merge (the classic
+    gaps-and-islands sweep — resource utilization / on-screen time /
+    machine uptime). One user-partitioned sort feeds both window passes
+    (running-max-end island detection, then running island id); the
+    merge itself is a hash agg on (user, island). No self-join — the
+    naive interval-overlap join is O(n²) per user and this is O(n log
+    n), the only shape that survives dense per-key interval counts."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(_TS_US).alias("s"),
+        (
+            F.expr(_TS_US)
+            + F.expr("CAST(ROUND(value * 1000000, 0) AS BIGINT)")
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("is_new").over(w_run).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
+        F.max(F.col("me") - F.col("ms")).alias("longest_us"),
+    )
+
+
+@query(
+    "time_seasonal_index",
+    # Seasonal index = hour-mean / series-mean, computed as one double
+    # division of exact int64 cross-products (cents·Σn)/(n·Σcents) so
+    # no intermediate float mean exists to disagree on.
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hr, n,
+           CAST(ROUND((cents * SUM(n) OVER (PARTITION BY event_type) * 1.0) /
+                (n * SUM(cents) OVER (PARTITION BY event_type)), 9) AS DOUBLE)
+             AS seasonal_index
+    FROM h
+    """,
+)
+def time_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition (index form): per event_type,
+    each hour's mean value relative to the series mean — the
+    detrend/deseasonalize building block (index > 1 ⇒ hot hour). The
+    fact table collapses to ≤ |types|×24 cells in one partial-agg pass;
+    the normalizing window runs over that tiny aggregate. Hour is taken
+    from the NTZ wall clock, identical in both engines. The int64
+    cross-product keeps the division exact-input: max |cents·Σn| ≈
+    1e8·1e5 ≪ 2^63 at sf0.1 (and a 1000× fact still fits)."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias("cents"),
+    )
+    w = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "hr",
+        "n",
+        F.round(
+            (F.col("cents") * F.sum("n").over(w)).cast("double")
+            / (F.col("n") * F.sum("cents").over(w)),
+            9,
+        ).alias("seasonal_index"),
+    )

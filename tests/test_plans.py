@@ -603,3 +603,49 @@ def test_star_schema_fact_never_shuffles(spark, sf_dir):
     plan = formatted_plan(join_star_schema(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_merge_shares_one_user_sort(spark, sf_dir):
+    # Island-flag pass and island-id pass both order by (user, s,
+    # event_id) -> Catalyst must plan ONE Sort (plus at most one for the
+    # exchange); a second full sort means the windows diverged.
+    from insight_patents_spark.operators.sequences import time_interval_merge
+
+    plan = formatted_plan(time_interval_merge(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Sort$", plan, re.M)) == 1
+
+
+def test_markov_normalizing_window_is_post_agg(spark, sf_dir):
+    # The prob-normalizing window must sit ABOVE the aggregate (<=25
+    # rows), not over the fact: exactly one HashAggregate pair below the
+    # Window in the plan ordering, and the window's child is the agg.
+    from insight_patents_spark.operators.sequences import seq_markov_chain
+
+    plan = formatted_plan(seq_markov_chain(spark, sf_dir))
+    assert "WindowGroupLimit" not in plan
+    # formatted plans list operators leaves-first: the lag Window over
+    # events comes first, then the partial/final aggregate, then the
+    # tiny normalizing Window.
+    idx_aggs = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) == 2 and len(idx_aggs) >= 2
+    assert idx_wins[0] < idx_aggs[0] < idx_wins[1]
+
+
+def test_topk_paths_is_take_ordered(spark, sf_dir):
+    from insight_patents_spark.operators.sequences import seq_topk_paths
+
+    plan = formatted_plan(seq_topk_paths(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_seasonal_index_aggregates_before_window(spark, sf_dir):
+    # Partial aggregation must collapse the fact before the normalizing
+    # window: HashAggregate (partial+final) precede the single Window.
+    from insight_patents_spark.operators.sequences import time_seasonal_index
+
+    plan = formatted_plan(time_seasonal_index(spark, sf_dir))
+    idx_aggs = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) == 1 and len(idx_aggs) >= 2
+    assert max(idx_aggs) < idx_wins[0]
