@@ -252,3 +252,65 @@ def time_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("seasonal_index"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    # First 'view' -> first subsequent 'purchase' per user; deltas are
+    # exact int64 micros; both engines linearly interpolate exact
+    # percentiles over the same int set (quantile_cont = F.percentile).
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), fp AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) - MAX(fv.v_us) AS delta_us
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.v_us
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           MIN(delta_us) AS min_us,
+           CAST(ROUND(quantile_cont(delta_us, 0.5), 4) AS DOUBLE) AS median_us,
+           CAST(ROUND(quantile_cont(delta_us, 0.9), 4) AS DOUBLE) AS p90_us,
+           MAX(delta_us) AS max_us
+    FROM fp
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the gap between the
+    first 'view' and the first 'purchase' strictly after it, summarized
+    as count/min/median/p90/max (funnel_stages counts WHO converts;
+    this measures HOW FAST — the other half of every funnel dashboard).
+
+    Plan: first-view is a window MIN over user_id; the purchase filter
+    reuses the same user_id shuffle; the final summary aggregates
+    |users| rows. No events×events self-join — the naive formulation
+    joins the fact to itself on user and this stays one shuffle. The
+    oracle's MAX(fv.v_us) inside fp is a no-op (v_us is per-user
+    unique) required only because SQL GROUP BY can't reference the
+    joined scalar directly."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_TS_US).alias("us")
+    )
+    w_user = Window.partitionBy("user_id")
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", F.col("us"))
+    ).over(w_user)
+    deltas = (
+        e.withColumn("v_us", first_view)
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("v_us").isNotNull()
+            & (F.col("us") > F.col("v_us"))
+        )
+        .groupBy("user_id")
+        .agg((F.min("us") - F.first("v_us")).alias("delta_us"))
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("delta_us").alias("min_us"),
+        F.round(F.percentile("delta_us", F.lit(0.5)), 4).alias("median_us"),
+        F.round(F.percentile("delta_us", F.lit(0.9)), 4).alias("p90_us"),
+        F.max("delta_us").alias("max_us"),
+    )

@@ -649,3 +649,22 @@ def test_seasonal_index_aggregates_before_window(spark, sf_dir):
     idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
     assert len(idx_wins) == 1 and len(idx_aggs) >= 2
     assert max(idx_aggs) < idx_wins[0]
+
+
+def test_holt_forecast_single_window_pass(spark, sf_dir):
+    # All 12 lag taps share one window spec -> exactly one WindowExec
+    # and one Sort; a second means Spark split the kernel.
+    from insight_patents_spark.operators.windows import win_holt_forecast
+
+    plan = formatted_plan(win_holt_forecast(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Sort$", plan, re.M)) == 1
+
+
+def test_time_to_convert_has_no_self_join(spark, sf_dir):
+    # first-view via window MIN, not an events-to-events join: the plan
+    # must contain no join at all.
+    from insight_patents_spark.operators.sequences import funnel_time_to_convert
+
+    plan = formatted_plan(funnel_time_to_convert(spark, sf_dir))
+    assert "Join" not in plan
