@@ -673,7 +673,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 4
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte() -> str:
     sql = _EDGES_CTE + """
     , l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges)"""
     for i in range(LPA_ITERS):
@@ -689,21 +689,32 @@ def _lpa_oracle() -> str:
           FROM c{i+1}
         ) WHERE rn = 1)"""
     sql += f"""
-    SELECT node, CAST(label AS BIGINT) AS community FROM l{LPA_ITERS}
+    , lpa AS MATERIALIZED (
+        SELECT node, CAST(label AS BIGINT) AS community FROM l{LPA_ITERS})
     """
     return sql
 
 
-@query("graph_label_prop", oracle=_lpa_oracle())
-def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation, fixed 4
-    iterations (fixed-iter determinism, SURVEY §5): every vertex starts
-    in its own community; each round it adopts the label carrying the
-    most edge weight among its neighbors, ties broken by smallest label
-    (the tie-break makes sync LPA fully deterministic — no RNG, no
-    update-order dependence). Per round: one edge⋈labels join + one
-    weighted count + one per-node argmax window; localCheckpoint stops
-    lineage growth like the other fixpoint loops."""
+def _lpa_oracle() -> str:
+    return _lpa_cte() + "SELECT node, community FROM lpa"
+
+
+_LPA_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA communities, fixed LPA_ITERS rounds (see
+    graph_label_prop for semantics). Cached per (session, sf, stamp)
+    like _PAIR_CACHE: graph_modularity consumes the same assignment, and
+    recomputing an iterative loop inside a downstream query is the
+    r3-verdict anti-pattern (vec_rerank_stub's original sin)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        src_stamp(sf_dir, "lineitem"),
+    )
+    if key in _LPA_CACHE:
+        return _LPA_CACHE[key]
     e = _edges(spark, sf_dir)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -721,7 +732,22 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .localCheckpoint()
         )
-    return labels.select("node", F.col("label").cast("bigint").alias("community"))
+    out = labels.select("node", F.col("label").cast("bigint").alias("community"))
+    _LPA_CACHE[key] = out
+    return out
+
+
+@query("graph_label_prop", oracle=_lpa_oracle())
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation, fixed 4
+    iterations (fixed-iter determinism, SURVEY §5): every vertex starts
+    in its own community; each round it adopts the label carrying the
+    most edge weight among its neighbors, ties broken by smallest label
+    (the tie-break makes sync LPA fully deterministic — no RNG, no
+    update-order dependence). Per round: one edge⋈labels join + one
+    weighted count + one per-node argmax window; localCheckpoint stops
+    lineage growth like the other fixpoint loops."""
+    return _lpa_labels(spark, sf_dir)
 
 
 PPR_ITERS = 6
@@ -1040,3 +1066,82 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return walks.select("start", F.col("cur").alias("end_node"), "path")
+
+
+def _modularity_oracle() -> str:
+    return _lpa_cte() + """
+    , tot AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM edges)
+    , wdeg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS d
+               FROM edges GROUP BY src)
+    , comm AS (
+        SELECT la.community, COUNT(*) AS n_nodes,
+               CAST(SUM(wd.d) AS BIGINT) AS s_c
+        FROM lpa la JOIN wdeg wd ON la.node = wd.node
+        GROUP BY la.community)
+    , win AS (
+        SELECT ls.community, CAST(SUM(e.w) AS BIGINT) AS w_in
+        FROM edges e
+        JOIN lpa ls ON e.src = ls.node
+        JOIN lpa ld ON e.dst = ld.node
+        WHERE ls.community = ld.community
+        GROUP BY ls.community)
+    SELECT c.community, c.n_nodes, COALESCE(w.w_in, 0) AS w_in, c.s_c,
+           CAST(ROUND((COALESCE(w.w_in, 0) * t.m2 - c.s_c * c.s_c) * 1.0
+                      / (t.m2 * t.m2), 9) AS DOUBLE) AS q_contrib
+    FROM comm c
+    LEFT JOIN win w ON c.community = w.community
+    CROSS JOIN tot t
+    """
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity contribution of the LPA partition
+    (Newman's Q, the standard community-quality score; ΣQ_c over rows =
+    the graph's modularity). Q_c = W_in_c/2m − (S_c/2m)² on the
+    both-direction weighted edge table (2m = Σw since every undirected
+    edge appears twice, W_in counts both directions).
+
+    Plan shape: reuses the cached LPA assignment (_lpa_labels — never
+    recomputes the iterative loop) and the cached edge table; the label
+    table is |nodes|-sized (~3.7k), so both endpoint joins broadcast it
+    against the edge list; 2m rides along as a broadcast 1-row cross
+    join. All masses are exact int64 (weights are counts), so the single
+    final double division is order-independent: w_in·2m ≤ (2m)² ≈ 2³⁰
+    at sf0.1 and still ≪ 2⁶³ at 1000×."""
+    e = _edges(spark, sf_dir)
+    lab = _lpa_labels(spark, sf_dir)
+    tot = e.agg(F.sum("w").alias("m2"))
+    wdeg = e.groupBy("src").agg(F.sum("w").alias("d"))
+    comm = (
+        lab.join(wdeg, lab.node == wdeg.src)
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("s_c"))
+    )
+    ls = lab.select(F.col("node").alias("sn"), F.col("community").alias("sc"))
+    ld = lab.select(F.col("node").alias("dn"), F.col("community").alias("dc"))
+    win = (
+        e.join(F.broadcast(ls), e.src == F.col("sn"))
+        .join(F.broadcast(ld), e.dst == F.col("dn"))
+        .where(F.col("sc") == F.col("dc"))
+        .groupBy(F.col("sc").alias("community"))
+        .agg(F.sum("w").alias("w_in"))
+    )
+    return (
+        comm.join(F.broadcast(win), "community", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("w_in"), F.lit(0)).alias("w_in"),
+            "s_c",
+            F.round(
+                (
+                    F.coalesce(F.col("w_in"), F.lit(0)) * F.col("m2")
+                    - F.col("s_c") * F.col("s_c")
+                ).cast("double")
+                / (F.col("m2") * F.col("m2")),
+                9,
+            ).alias("q_contrib"),
+        )
+    )

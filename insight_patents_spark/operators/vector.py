@@ -1537,3 +1537,103 @@ def vec_residual_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(ROUND(err * 1000000, 0) AS BIGINT)")) / 1000000.0
         ).alias("total_err"),
     )
+
+
+@query(
+    "vec_cell_refine",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 64 = 0),
+    a1 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 9), c.cell) AS rn
+        FROM e CROSS JOIN c0 c
+      ) WHERE rn = 1),
+    seeds AS (SELECT cell, MIN(vec_id) AS s0, MAX(vec_id) AS s1
+              FROM a1 GROUP BY cell),
+    sv AS (SELECT s.cell, e0.v AS v0, e1.v AS v1
+           FROM seeds s
+           JOIN e e0 ON e0.vec_id = s.s0
+           JOIN e e1 ON e1.vec_id = s.s1),
+    a2 AS (
+      SELECT vec_id, cell,
+             CASE WHEN ROUND(d0, 9) <= ROUND(d1, 9) THEN 0 ELSE 1 END AS subcell,
+             CASE WHEN ROUND(d0, 9) <= ROUND(d1, 9) THEN d0 ELSE d1 END AS d2
+      FROM (
+        SELECT a.vec_id, a.cell,
+               list_dot_product(a.v, a.v) - 2*list_dot_product(a.v, s.v0)
+                 + list_dot_product(s.v0, s.v0) AS d0,
+               list_dot_product(a.v, a.v) - 2*list_dot_product(a.v, s.v1)
+                 + list_dot_product(s.v1, s.v1) AS d1
+        FROM a1 a JOIN sv s ON a.cell = s.cell))
+    SELECT cell, subcell, COUNT(*) AS n_members,
+           SUM(CAST(ROUND(d2 * 1000000, 0) AS BIGINT)) / 1000000.0 AS inertia
+    FROM a2 GROUP BY cell, subcell
+    """,
+)
+def vec_cell_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical quantizer refinement: split every coarse IVF cell
+    into 2 sub-cells (the IMI / hierarchical-kmeans shape — the
+    standard fix when coarse-cell occupancy grows past what per-cell
+    scans tolerate). Coarse assignment = one broadcast-centroid argmin
+    pass (same seeds as vec_ann_ivf/vec_kmeans: every 64th vec_id);
+    sub-seeds are the min/max member vec_id per cell (deterministic, no
+    RNG); one assignment pass against the broadcast (cell, v0, v1)
+    table splits members by nearer sub-seed. Items never shuffle for
+    either assignment — only the KB-sized centroid/seed tables move —
+    and per-(cell, subcell) inertia reduces in exact integer
+    micro-units (order-independent at any executor count). Single-member
+    cells degenerate to s0 = s1 and land in subcell 0, identically in
+    both engines."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    cent = e.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "d2", _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("cell"))
+    a1 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    seeds = a1.groupBy("cell").agg(
+        F.min("vec_id").alias("s0"), F.max("vec_id").alias("s1")
+    )
+    e0 = e.select(F.col("vec_id").alias("i0"), F.col("v").alias("v0"))
+    e1 = e.select(F.col("vec_id").alias("i1"), F.col("v").alias("v1"))
+    sv = (
+        e0.join(F.broadcast(seeds), F.col("i0") == F.col("s0"))
+        .join(e1, F.col("i1") == F.col("s1"))
+        .select("cell", "v0", "v1")
+    )
+    d0 = _dot("v", "v") - 2 * _dot("v", "v0") + _dot("v0", "v0")
+    d1 = _dot("v", "v") - 2 * _dot("v", "v1") + _dot("v1", "v1")
+    a2 = (
+        a1.join(F.broadcast(sv), "cell")
+        .withColumn("d0", d0)
+        .withColumn("d1", d1)
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.round("d0", 9) <= F.round("d1", 9), 0)
+            .otherwise(1)
+            .alias("subcell"),
+            F.when(F.round("d0", 9) <= F.round("d1", 9), F.col("d0"))
+            .otherwise(F.col("d1"))
+            .alias("d2"),
+        )
+    )
+    return a2.groupBy("cell", "subcell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum(F.expr("CAST(ROUND(d2 * 1000000, 0) AS BIGINT)")) / 1000000.0
+        ).alias("inertia"),
+    )

@@ -668,3 +668,24 @@ def test_time_to_convert_has_no_self_join(spark, sf_dir):
 
     plan = formatted_plan(funnel_time_to_convert(spark, sf_dir))
     assert "Join" not in plan
+
+
+def test_modularity_endpoint_joins_broadcast(spark, sf_dir):
+    # Both label-endpoint joins and the 2m scalar must broadcast: no
+    # sort-merge join anywhere in the plan.
+    from insight_patents_spark.operators.graph import graph_modularity
+
+    plan = formatted_plan(graph_modularity(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_cell_refine_items_never_shuffle_for_join(spark, sf_dir):
+    # Coarse assignment and sub-seed assignment must both be broadcast
+    # joins against the item table; items shuffle only for the window
+    # argmin, never for a join.
+    from insight_patents_spark.operators.vector import vec_cell_refine
+
+    plan = formatted_plan(vec_cell_refine(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
