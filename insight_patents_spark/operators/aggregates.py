@@ -1753,3 +1753,85 @@ def agg_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_users"
         ),
     )
+
+
+@query(
+    "agg_cohort_ltv",
+    # Cumulative-revenue-per-user by cohort age: the LTV curve every
+    # retention dashboard pairs with win_retention_cohort's activity
+    # matrix. All masses exact int64 cents; the running sum windows over
+    # the tiny (cohort × age) aggregate, never the fact.
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    sz AS (SELECT cohort_day, COUNT(*) AS n_users FROM first_day GROUP BY 1),
+    rev AS (
+      SELECT f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age,
+             SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS cents
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(r.age AS BIGINT) AS age, s.n_users,
+           CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_day ORDER BY r.age
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cents,
+           CAST(ROUND(CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_day
+                 ORDER BY r.age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                 ROW) AS DOUBLE) / (100.0 * s.n_users), 9) AS DOUBLE)
+             AS ltv_per_user
+    FROM rev r JOIN sz s ON r.cohort_day = s.cohort_day
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV curve: cumulative purchase revenue per user by cohort age
+    (users cohorted on first-ever event day). Plan: first-touch day is
+    one hash agg to a |users|-sized table (a window-MIN variant was
+    measured to duplicate the fact window across the size/revenue
+    branches); the purchase-filtered fact joins it on user_id (AQE
+    broadcasts at small scale, co-shuffles at large) and collapses to
+    the (cohort × age) grid in one partial-agg pass; the cumulative
+    window and the cohort-size broadcast join run over that grid
+    (≤ days² rows). cum_cents stays exact int64; the per-user
+    normalization is one double division."""
+    e = load(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    sz = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .join(first_day, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("age"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w_cum = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sz), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("age").cast("bigint").alias("age"),
+            "n_users",
+            F.sum("cents").over(w_cum).alias("cum_cents"),
+            F.round(
+                F.sum("cents").over(w_cum).cast("double")
+                / (100.0 * F.col("n_users")),
+                9,
+            ).alias("ltv_per_user"),
+        )
+    )

@@ -2312,3 +2312,131 @@ def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x -> CAST(x.cnt AS STRING)), '|')"
         ).alias("features")
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("spark", "hash", "window")  # fixed probe query, in-vocab
+
+
+@query(
+    "text_bm25",
+    # Per-term scores aggregate through FIXED conditional columns (one
+    # per query term) and sum in literal order s1+s2+s3 — never a
+    # float SUM whose accumulation order the engines could disagree on.
+    # idf is rounded 9dp immediately after ln() (libm divergence, same
+    # posture as text_tfidf); everything downstream is IEEE mul/div of
+    # identical inputs.
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+    ),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN {str(tuple(_BM25_TERMS))} GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok
+      WHERE token IN {str(tuple(_BM25_TERMS))} GROUP BY token
+    ),
+    scored AS (
+      SELECT t.doc_id, t.token,
+             ROUND(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 9)
+               * (t.tf * ({_BM25_K1} + 1.0))
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * l.dl * s.n_docs * 1.0 / s.sum_dl)) AS s
+      FROM tf t
+      JOIN dl l ON t.doc_id = l.doc_id
+      JOIN df d ON t.token = d.token
+      CROSS JOIN stats s
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             {', '.join(f"COALESCE(SUM(CASE WHEN token = '{t}' THEN s END), 0.0) AS s_{t}" for t in _BM25_TERMS)}
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, {', '.join(f"CAST(ROUND(s_{t}, 9) AS DOUBLE) AS s_{t}" for t in _BM25_TERMS)},
+           CAST(ROUND({' + '.join(f's_{t}' for t in _BM25_TERMS)}, 9) AS DOUBLE) AS bm25
+    FROM per_doc
+    ORDER BY ROUND({' + '.join(f's_{t}' for t in _BM25_TERMS)}, 9) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term probe
+    query — the full-text-search ranking baseline (tf saturation +
+    doc-length normalization, the two things text_tfidf lacks). Top-20
+    docs by total score.
+
+    Plan shape: tf is filtered to the query terms BEFORE the (doc,term)
+    aggregate, so the heavy explode stream collapses to |terms|·|docs|
+    rows immediately; df (≤3 rows) and the corpus stats (1 row)
+    broadcast; dl/avgdl enters as the exact integer triple
+    (dl·N)/Σdl so both engines divide identical inputs. The per-doc
+    total sums per-term columns in literal order — no float aggregation
+    order to diverge. Top-20 is TakeOrdered with doc_id tiebreak."""
+    d = load(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(_tokens()).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    qt = list(_BM25_TERMS)
+    tf = (
+        tok.filter(F.col("token").isin(qt))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = (
+        tok.filter(F.col("token").isin(qt))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ),
+        9,
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0
+        - _BM25_B
+        + _BM25_B
+        * (F.col("dl") * F.col("n_docs")).cast("double")
+        / F.col("sum_dl")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom)
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{t}")
+            for t in qt
+        ]
+    )
+    total = None
+    for t in qt:
+        total = F.col(f"s_{t}") if total is None else total + F.col(f"s_{t}")
+    return (
+        per_doc.select(
+            "doc_id",
+            *[F.round(f"s_{t}", 9).alias(f"s_{t}") for t in qt],
+            F.round(total, 9).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -1637,3 +1637,88 @@ def vec_cell_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(ROUND(d2 * 1000000, 0) AS BIGINT)")) / 1000000.0
         ).alias("inertia"),
     )
+
+
+@query(
+    "vec_ann_recall",
+    # Recall@3 of the LSH shortlist vs exact brute-force top-3 for a
+    # probe subset (every 50th vec_id). The oracle embeds the full LSH
+    # oracle as a derived table; exact ground truth shares the same
+    # (cosine DESC, id) tie-break so both engines rank identically.
+    oracle=f"""
+    WITH lsh AS (SELECT * FROM ({_LSH_ORACLE}) t),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+    exact AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT q.vec_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_dot_product(q.v, b.v), 9) DESC, b.vec_id)
+                 AS rn
+        FROM q JOIN e b ON b.vec_id <> q.vec_id
+      ) WHERE rn <= 3),
+    hits AS (
+      SELECT x.vec_id, COUNT(l.neighbor_id) AS n_hits
+      FROM exact x
+      LEFT JOIN lsh l ON x.vec_id = l.vec_id AND x.neighbor_id = l.neighbor_id
+      GROUP BY x.vec_id)
+    SELECT vec_id, n_hits,
+           CAST(ROUND(n_hits / 3.0, 9) AS DOUBLE) AS recall_at_3
+    FROM hits
+    """,
+)
+def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the LSH shortlist against
+    exact brute-force top-3, for a 2% probe sample (every 50th vec_id)
+    — the measurement loop every production ANN deployment runs before
+    trusting an index (tune planes/nprobe until recall clears a bar).
+
+    Plan shape: ground truth is probe-broadcast × items (items never
+    shuffle; cost is |probes|·N, not N², and |probes| is a fixed
+    fraction chosen to keep the eval O(N)); the shortlist side is the
+    CACHED vec_ann_lsh result (never recomputes the ANN stage — the
+    r3-verdict lesson); the hit join is exact-key on (query, neighbor).
+    Identical (round(cosine,9) DESC, id) tie-breaks on both rankings
+    keep borderline neighbors deterministic cross-engine."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot("qv", "v").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "neighbor_id")
+    )
+    sl = _lsh_shortlist(spark, sf_dir).select(
+        F.col("vec_id").alias("l_id"), F.col("neighbor_id").alias("l_nb")
+    )
+    hits = (
+        exact.join(
+            F.broadcast(sl),
+            (F.col("q_id") == F.col("l_id"))
+            & (F.col("neighbor_id") == F.col("l_nb")),
+            "left",
+        )
+        .groupBy(F.col("q_id").alias("vec_id"))
+        .agg(F.count("l_nb").alias("n_hits"))
+    )
+    return hits.select(
+        "vec_id",
+        "n_hits",
+        F.round(F.col("n_hits") / 3.0, 9).alias("recall_at_3"),
+    )

@@ -689,3 +689,36 @@ def test_cell_refine_items_never_shuffle_for_join(spark, sf_dir):
     plan = formatted_plan(vec_cell_refine(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_bm25_df_and_stats_broadcast(spark, sf_dir):
+    # df (<=3 rows) and corpus stats (1 row) must broadcast; the token
+    # stream must never sort-merge.
+    from insight_patents_spark.operators.text import text_bm25
+
+    plan = formatted_plan(text_bm25(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cohort_ltv_grid_window_is_post_agg(spark, sf_dir):
+    # The cumulative window must run over the (cohort, age) grid, i.e.
+    # AFTER the revenue aggregate, and the cohort-size join broadcasts.
+    from insight_patents_spark.operators.aggregates import agg_cohort_ltv
+
+    plan = formatted_plan(agg_cohort_ltv(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    idx_aggs = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    # the ONLY window is the cumulative one over the aggregated grid
+    # (first-touch day is a hash agg, not a fact-wide window)
+    assert len(idx_wins) == 1
+    assert any(a < idx_wins[0] for a in idx_aggs)
+
+
+def test_ann_recall_items_never_shuffle_for_join(spark, sf_dir):
+    from insight_patents_spark.operators.vector import vec_ann_recall
+
+    plan = formatted_plan(vec_ann_recall(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
