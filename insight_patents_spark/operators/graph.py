@@ -1145,3 +1145,63 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+@query(
+    "graph_clustering_coef",
+    oracle=_EDGES_CTE
+    + """
+    , tri AS (
+      SELECT p1.pa AS a, p1.pb AS b, p2.pb AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p1.pb = p2.pa
+      JOIN pairs p3 ON p3.pa = p1.pa AND p3.pb = p2.pb
+    ),
+    pertex AS (
+      SELECT a AS node FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    ),
+    tc AS (SELECT node, COUNT(*) AS n_tri FROM pertex GROUP BY node),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src)
+    SELECT d.node, d.degree, COALESCE(t.n_tri, 0) AS n_triangles,
+           CAST(ROUND(CASE WHEN d.degree >= 2
+                THEN 2.0 * COALESCE(t.n_tri, 0) / (d.degree * (d.degree - 1))
+                ELSE 0.0 END, 9) AS DOUBLE) AS clustering_coef
+    FROM deg d LEFT JOIN tc t ON d.node = t.node
+    """,
+)
+def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex: cc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)) — how close v's neighborhood is to a clique
+    (the transitivity signal community and fraud pipelines threshold
+    on). Composes two already-cached products: the per-node triangle
+    count (graph_triangles — ordered enumeration over the canonical
+    pair cache, never a 3-way full self-join of the directed table) and
+    the degree table; both are |nodes|-sized, so the combining join
+    broadcasts. T and deg are exact ints; the single double division
+    rounds 9dp."""
+    tri = graph_triangles(spark, sf_dir).select(
+        F.col("node").alias("t_node"), F.col("n_triangles").alias("n_tri")
+    )
+    deg = (
+        _edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(
+        F.broadcast(tri), deg.node == F.col("t_node"), "left"
+    ).select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(0.0),
+            9,
+        ).alias("clustering_coef"),
+    )

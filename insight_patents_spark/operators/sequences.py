@@ -314,3 +314,193 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("delta_us", F.lit(0.9)), 4).alias("p90_us"),
         F.max("delta_us").alias("max_us"),
     )
+
+
+@query(
+    "agg_survival_curve",
+    # Survival function of user lifetimes (days between first and last
+    # event): S(t) = #users with lifetime >= t / #users. The descending
+    # cumulative window runs over the <=|days| lifetime grid.
+    oracle="""
+    WITH lt AS (
+      SELECT user_id,
+             date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS lifetime
+      FROM events GROUP BY user_id
+    ),
+    d AS (SELECT lifetime, COUNT(*) AS n FROM lt GROUP BY lifetime),
+    t AS (SELECT COUNT(*) AS total FROM lt)
+    SELECT CAST(lifetime AS BIGINT) AS lifetime_days,
+           CAST(SUM(n) OVER (ORDER BY lifetime DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_surviving,
+           CAST(ROUND(CAST(SUM(n) OVER (ORDER BY lifetime DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / t.total, 9) AS DOUBLE) AS survival
+    FROM d CROSS JOIN t
+    """,
+)
+def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention survival curve: S(t) = fraction of users whose observed
+    lifetime (first→last event) reaches t days — the aggregate
+    complement of win_retention_cohort's per-cohort matrix (churn teams
+    read S directly). One hash agg collapses the fact to |users| rows,
+    a second to the ≤|days| lifetime grid; the descending cumulative
+    window and the total-count broadcast operate on that grid only.
+    Counts exact int64; one double division per row."""
+    e = load(spark, sf_dir, "events")
+    lt = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))
+        ).alias("lifetime")
+    )
+    d = lt.groupBy("lifetime").agg(F.count(F.lit(1)).alias("n"))
+    t = lt.agg(F.count(F.lit(1)).alias("total"))
+    w = (
+        Window.orderBy(F.col("lifetime").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        F.col("lifetime").cast("bigint").alias("lifetime_days"),
+        F.sum("n").over(w).alias("n_surviving"),
+        F.round(
+            F.sum("n").over(w).cast("double") / F.col("total"), 9
+        ).alias("survival"),
+    )
+
+
+@query(
+    "win_streaks",
+    # Consecutive-day activity streaks per user: the classic
+    # date-minus-row_number gaps-and-islands (consecutive days share a
+    # constant difference), over the deduped (user, day) grid.
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM ud
+    ),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+    SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (engagement /
+    habit metric; the daily-grain sibling of win_sessionize's intra-day
+    gaps). distinct(user, day) collapses the fact first, so the window
+    sorts ≤|users|×|days| rows; consecutive days then share a constant
+    (day − row_number) — one window pass + two hash aggs, no self-join
+    against shifted copies. All outputs exact int64."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = ud.withColumn("grp", F.expr("date_sub(day, row_number() OVER (PARTITION BY user_id ORDER BY day))"))
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+@query(
+    "agg_rfm_segments",
+    # RFM segmentation with BROADCAST quintile boundaries (exact
+    # interpolated percentiles), NOT a global ntile: ntile needs a
+    # single-partition sort of the full user table, boundaries need a
+    # 4-scalar broadcast — only the latter survives a billion users.
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             date_diff('day', CAST(MAX(ts) AS DATE),
+                       (SELECT CAST(MAX(ts) AS DATE) FROM events)) AS recency,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS frequency,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    q AS (
+      SELECT quantile_cont(recency, 0.2) AS r1, quantile_cont(recency, 0.4) AS r2,
+             quantile_cont(recency, 0.6) AS r3, quantile_cont(recency, 0.8) AS r4,
+             quantile_cont(frequency, 0.2) AS f1, quantile_cont(frequency, 0.4) AS f2,
+             quantile_cont(frequency, 0.6) AS f3, quantile_cont(frequency, 0.8) AS f4,
+             quantile_cont(monetary, 0.2) AS m1, quantile_cont(monetary, 0.4) AS m2,
+             quantile_cont(monetary, 0.6) AS m3, quantile_cont(monetary, 0.8) AS m4
+      FROM m
+    )
+    SELECT user_id, recency, frequency, monetary,
+           1 + CAST(recency > q.r1 AS INT) + CAST(recency > q.r2 AS INT)
+             + CAST(recency > q.r3 AS INT) + CAST(recency > q.r4 AS INT) AS r_bucket,
+           1 + CAST(frequency > q.f1 AS INT) + CAST(frequency > q.f2 AS INT)
+             + CAST(frequency > q.f3 AS INT) + CAST(frequency > q.f4 AS INT) AS f_bucket,
+           1 + CAST(monetary > q.m1 AS INT) + CAST(monetary > q.m2 AS INT)
+             + CAST(monetary > q.m3 AS INT) + CAST(monetary > q.m4 AS INT) AS m_bucket
+    FROM m CROSS JOIN q
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-base cut. One hash agg builds the |users| metric table;
+    quintile BOUNDARIES (exact interpolated percentiles, 12 scalars)
+    broadcast back for bucket assignment by comparison. Deliberately
+    not ntile: a global ntile sorts the whole user table in one
+    partition, boundary-broadcast assignment is embarrassingly
+    parallel — the only shape that survives 10⁹ users. recency anchors
+    to the corpus max day (broadcast scalar), metrics exact int64, and
+    boundary comparisons int-vs-interpolated-double are identical in
+    both engines."""
+    e = load(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.col("ts").cast("date")).alias("anchor"))
+    m = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "frequency"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("anchor", "last_day").alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    q = m.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"{c[0]}{i}")
+            for c in ("recency", "frequency", "monetary")
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+
+    def bucket(col: str) -> F.Column:
+        acc = F.lit(1)
+        for i in range(1, 5):
+            acc = acc + (F.col(col) > F.col(f"{col[0]}{i}")).cast("int")
+        return acc.alias(f"{col[0]}_bucket")
+
+    return m.crossJoin(F.broadcast(q)).select(
+        "user_id",
+        "recency",
+        "frequency",
+        "monetary",
+        bucket("recency"),
+        bucket("frequency"),
+        bucket("monetary"),
+    )
