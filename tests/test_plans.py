@@ -722,3 +722,49 @@ def test_ann_recall_items_never_shuffle_for_join(spark, sf_dir):
     plan = formatted_plan(vec_ann_recall(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_rfm_boundaries_broadcast_no_global_sort(spark, sf_dir):
+    # Quintile assignment must be boundary-broadcast (two 1-row
+    # BroadcastNestedLoopJoins: anchor day + percentile boundaries),
+    # never a global ntile window (single-partition sort of all users).
+    from insight_patents_spark.operators.sequences import agg_rfm_segments
+
+    plan = formatted_plan(agg_rfm_segments(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_survival_curve_window_is_post_agg(spark, sf_dir):
+    # The descending cumulative window must run over the <=|days| grid
+    # (AFTER both hash aggs), and the total-count join broadcasts.
+    from insight_patents_spark.operators.sequences import agg_survival_curve
+
+    plan = formatted_plan(agg_survival_curve(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    idx_aggs = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) == 1
+    assert sum(1 for a in idx_aggs if a < idx_wins[0]) >= 2
+
+
+def test_streaks_window_runs_on_deduped_grid(spark, sf_dir):
+    # The island window must sort the distinct (user, day) grid, i.e.
+    # the dedup HashAggregate precedes the single Window node.
+    from insight_patents_spark.operators.sequences import win_streaks
+
+    plan = formatted_plan(win_streaks(spark, sf_dir))
+    idx_aggs = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) == 1
+    assert any(a < idx_wins[0] for a in idx_aggs)
+
+
+def test_clustering_coef_combine_join_broadcasts(spark, sf_dir):
+    # The triangle-count/degree combine is |nodes|x|nodes| — it must be
+    # a broadcast hash join, never a shuffle.
+    from insight_patents_spark.operators.graph import graph_clustering_coef
+
+    plan = formatted_plan(graph_clustering_coef(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

@@ -537,3 +537,104 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
     assert rows
     assert all(r.bloom_hit for r in rows if r.exact_dup)
     assert any(not r.bloom_hit for r in rows if not r.exact_dup)
+
+
+def test_clustering_coef_matches_bruteforce(spark, sf_dir):
+    """graph_clustering_coef vs a pure-Python recount on the collected
+    edge list (bounded: ~3.7k canonical pairs at test SF): per-node
+    triangle counts and cc = 2T/(d(d-1)) must match exactly (cc to the
+    operator's 9dp rounding); cc always in [0, 1]; deg<2 nodes get 0."""
+    from insight_patents_spark.operators.graph import _pairs, graph_clustering_coef
+
+    adj: dict[int, set[int]] = {}
+    for r in _pairs(spark, sf_dir).collect():
+        adj.setdefault(r.pa, set()).add(r.pb)
+        adj.setdefault(r.pb, set()).add(r.pa)
+    want = {}
+    for v, nb in adj.items():
+        deg = len(nb)
+        tri = sum(len(adj[u] & nb) for u in nb) // 2
+        cc = round(2.0 * tri / (deg * (deg - 1)), 9) if deg >= 2 else 0.0
+        want[v] = (deg, tri, cc)
+    got = {
+        r.node: (r.degree, r.n_triangles, r.clustering_coef)
+        for r in graph_clustering_coef(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(0.0 <= cc <= 1.0 for (_, _, cc) in got.values())
+
+
+def test_streaks_match_bruteforce(spark, sf_dir):
+    """win_streaks vs a pure-Python recount over distinct (user, day):
+    islands of consecutive days, exact counts per user."""
+    from insight_patents_spark.operators.sequences import win_streaks
+    from insight_patents_spark.sources.tables import load
+
+    days: dict = {}
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    for r in e.collect():
+        days.setdefault(r.user_id, []).append(r.day.toordinal())
+    want = {}
+    for u, ds in days.items():
+        ds.sort()
+        runs, cur = [], 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        want[u] = (len(runs), max(runs), sum(runs))
+    got = {
+        r.user_id: (r.n_streaks, r.longest_streak, r.active_days)
+        for r in win_streaks(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_survival_curve_is_monotone_and_anchored(spark, sf_dir):
+    """S(t) properties: S at the minimum lifetime is exactly 1 (every
+    user survives to the shortest observed lifetime), n_surviving is
+    strictly decreasing as lifetime grows (cumulative-from-the-top), and
+    the largest per-lifetime increment sum equals the user count."""
+    from insight_patents_spark.operators.sequences import agg_survival_curve
+    from insight_patents_spark.sources.tables import load
+
+    rows = sorted(
+        agg_survival_curve(spark, sf_dir).collect(),
+        key=lambda r: r.lifetime_days,
+    )
+    assert rows[0].survival == 1.0
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[0].n_surviving == n_users
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_surviving < a.n_surviving
+        assert 0.0 < b.survival < a.survival <= 1.0
+
+
+def test_rfm_buckets_are_monotone_quintiles(spark, sf_dir):
+    """Bucket assignment properties: every bucket in 1..5; bucket is
+    monotone non-decreasing in its metric; and each dimension's bucket
+    counts are within one interpolation boundary of exact quintiles
+    (each bucket holds >=10% of users on the test data)."""
+    from insight_patents_spark.operators.sequences import agg_rfm_segments
+
+    rows = agg_rfm_segments(spark, sf_dir).collect()
+    n = len(rows)
+    for metric, bucket in (
+        ("recency", "r_bucket"),
+        ("frequency", "f_bucket"),
+        ("monetary", "m_bucket"),
+    ):
+        pairs = sorted((r[metric], r[bucket]) for r in rows)
+        assert all(1 <= b <= 5 for _, b in pairs)
+        assert all(b1 <= b2 for (_, b1), (_, b2) in zip(pairs, pairs[1:]))
+        from collections import Counter
+
+        per = Counter(b for _, b in pairs)
+        assert all(per[b] >= 0.1 * n for b in per)
