@@ -1205,3 +1205,150 @@ def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("clustering_coef"),
     )
+
+
+_BETWEENNESS_SEED_PRED = "src % 250 = 0"
+_BETWEENNESS_DEPTH = 3
+
+
+def _betweenness_oracle() -> str:
+    sql = _EDGES_CTE + f"""
+    , v0 AS (SELECT DISTINCT src AS seed, src AS node, CAST(1 AS BIGINT) AS sigma
+             FROM edges WHERE {_BETWEENNESS_SEED_PRED})"""
+    vis = ["v0"]
+    for lv in range(1, _BETWEENNESS_DEPTH + 1):
+        prev = vis[-1]
+        visited_union = " UNION ALL ".join(
+            f"SELECT seed, node FROM {v}" for v in vis
+        )
+        sql += f"""
+    , l{lv} AS MATERIALIZED (
+      SELECT f.seed, e.dst AS node, SUM(f.sigma) AS sigma
+      FROM {prev} f JOIN edges e ON e.src = f.node
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ({visited_union}) v
+        WHERE v.seed = f.seed AND v.node = e.dst)
+      GROUP BY f.seed, e.dst
+    )"""
+        vis.append(f"l{lv}")
+    sql += f"""
+    , d{_BETWEENNESS_DEPTH} AS (
+      SELECT seed, node, sigma, 0.0 AS delta FROM l{_BETWEENNESS_DEPTH})"""
+    for lv in range(_BETWEENNESS_DEPTH - 1, 0, -1):
+        sql += f"""
+    , a{lv} AS MATERIALIZED (
+      SELECT w.seed, p.node,
+             list_aggregate(list_sort(list(
+               (CAST(p.sigma AS DOUBLE) / w.sigma) * (1.0 + w.delta))),
+               'sum') AS delta
+      FROM d{lv + 1} w
+      JOIN edges e ON e.dst = w.node
+      JOIN l{lv} p ON p.seed = w.seed AND p.node = e.src
+      GROUP BY w.seed, p.node
+    ),
+    d{lv} AS (
+      SELECT p.seed, p.node, p.sigma, COALESCE(a.delta, 0.0) AS delta
+      FROM l{lv} p LEFT JOIN a{lv} a
+        ON a.seed = p.seed AND a.node = p.node
+    )"""
+    union = " UNION ALL ".join(
+        f"SELECT seed, node, delta FROM d{lv}"
+        for lv in range(1, _BETWEENNESS_DEPTH + 1)
+    )
+    return sql + f"""
+    SELECT node, COUNT(*) AS n_seeds,
+           list_aggregate(list_sort(list(delta)), 'sum') AS betweenness
+    FROM ({union}) GROUP BY node"""
+
+
+@query("graph_betweenness", oracle=_betweenness_oracle())
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality (Brandes' dependency accumulation,
+    depth-limited): per-seed BFS from the same deterministic ~|V|/250
+    sample as graph_closeness computes shortest-path counts sigma (exact
+    int64 — layer-wise sums of predecessor sigmas), then the backward
+    pass folds delta(v) = sum sigma_v/sigma_w * (1 + delta_w) over each
+    layer's successors; bc(v) = sum of per-seed deltas. The bridge/
+    broker signal fraud and infrastructure teams rank by.
+
+    Determinism: sigma is integer arithmetic; every float reduction (the
+    per-(seed,pred) delta fold and the final per-node fold across seeds)
+    is an order-canonical sorted fold, and the sigma_v/sigma_w ratio is
+    one double division of exact ints — bit-identical to the oracle's
+    identical unrolled CTE by induction, no rounding needed.
+
+    Scale shape: forward state is |seeds| x reach (never |V|^2) exactly
+    like graph_closeness; the backward pass touches only (frontier x
+    edges) per layer with a fixed depth, and everything runs on the
+    shared cached edge table. Seed count is the precision/cost dial
+    (error ~ 1/sqrt(seeds), Brandes-Pich sampling)."""
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    v0 = (
+        edges.filter(F.expr(_BETWEENNESS_SEED_PRED))
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+        .distinct()
+        .withColumn("sigma", F.lit(1).cast("bigint"))
+    )
+    levels = [v0]
+    vis = v0.select("seed", "node")
+    for _ in range(_BETWEENNESS_DEPTH):
+        fr = levels[-1]
+        cand = fr.join(edges, fr.node == edges.src).select(
+            "seed", F.col("dst").alias("node"), "sigma"
+        )
+        new = (
+            cand.join(vis, ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        levels.append(new)
+        vis = vis.unionByName(new.select("seed", "node"))
+
+    def canon(col: str) -> F.Column:
+        return F.aggregate(
+            F.sort_array(F.collect_list(col)), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    deltas = {
+        _BETWEENNESS_DEPTH: levels[_BETWEENNESS_DEPTH].withColumn(
+            "delta", F.lit(0.0)
+        )
+    }
+    for lv in range(_BETWEENNESS_DEPTH - 1, 0, -1):
+        w = deltas[lv + 1].alias("w")
+        p = levels[lv].alias("p")
+        acc = (
+            w.join(edges.alias("e"), F.col("w.node") == F.col("e.dst"))
+            .join(
+                p,
+                (F.col("p.seed") == F.col("w.seed"))
+                & (F.col("p.node") == F.col("e.src")),
+            )
+            .select(
+                F.col("w.seed").alias("seed"),
+                F.col("p.node").alias("node"),
+                (
+                    (F.col("p.sigma").cast("double") / F.col("w.sigma"))
+                    * (F.lit(1.0) + F.col("w.delta"))
+                ).alias("c"),
+            )
+            .groupBy("seed", "node")
+            .agg(canon("c").alias("delta"))
+        )
+        deltas[lv] = (
+            levels[lv]
+            .join(acc, ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+        )
+    allv = deltas[1].select("seed", "node", "delta")
+    for lv in range(2, _BETWEENNESS_DEPTH + 1):
+        allv = allv.unionByName(deltas[lv].select("seed", "node", "delta"))
+    return allv.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_seeds"),
+        canon("delta").alias("betweenness"),
+    )

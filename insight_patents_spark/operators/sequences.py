@@ -369,6 +369,112 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_WINDOW_H = 72  # Type-I administrative censoring horizon (hours)
+
+
+@query(
+    "agg_survival_km",
+    # Kaplan-Meier product-limit estimator on hours-to-first-purchase
+    # with Type-I (administrative, 72 h) right-censoring: a user whose
+    # first purchase lands inside the window dies at that hour; everyone
+    # else is censored at min(observed lifetime, 72 h) — in observation,
+    # not converted. S(t) steps only at death hours via Π (n_i-d_i)/n_i.
+    # Durations are exact int64 hour buckets of µs deltas; each factor
+    # is one double division of exact ints; both engines run the product
+    # over the SAME ascending hour order and cumulative frame, and
+    # round(9) absorbs last-ulp accumulation differences.
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS t0,
+             MAX(epoch_us(ts)) AS tl,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS fp
+      FROM events GROUP BY user_id
+    ),
+    dur AS (
+      SELECT CASE WHEN fp IS NOT NULL
+                   AND (fp - t0) // 3600000000 <= {_KM_WINDOW_H}
+                  THEN (fp - t0) // 3600000000
+                  ELSE LEAST((tl - t0) // 3600000000, {_KM_WINDOW_H})
+             END AS t,
+             CASE WHEN fp IS NOT NULL
+                   AND (fp - t0) // 3600000000 <= {_KM_WINDOW_H}
+                  THEN 1 ELSE 0 END AS death
+      FROM u
+    ),
+    grid AS (
+      SELECT t, COUNT(*) AS n, SUM(death) AS d FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             SUM(n) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+      FROM grid
+    )
+    SELECT CAST(t AS BIGINT) AS hour,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_deaths,
+           CAST(ROUND(product(CAST(at_risk - d AS DOUBLE) / at_risk) OVER (
+                 ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
+                AS DOUBLE) AS km_survival
+    FROM risk WHERE d > 0
+    """,
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival with right-censoring — the
+    censored-data sibling of agg_survival_curve (which treats every
+    observed lifetime as complete). Duration = hours from a user's first
+    event to their first purchase, administratively censored at 72 h
+    (Type I): users who convert later — or leave observation earlier —
+    stay in the at-risk denominator up to their censoring hour without
+    counting a conversion, removing the bias of the naive curve.
+
+    Plan shape mirrors agg_survival_curve: one hash agg to |users|
+    (conditional-min aggregates, exact int64 µs), one to the ≤72-cell
+    hour grid; the descending at-risk cumsum, the d>0 filter, and the
+    ascending product window all run on that grid only. The windowed
+    product is the only float chain and is 9dp-rounded. Wall-clock
+    epoch_us differs from Spark's unix_micros by the fixed session-tz
+    shift, which cancels in the t-t0 deltas (the §2.12 _TS_US posture)."""
+    e = load(spark, sf_dir, "events")
+    us = F.expr(_TS_US)
+    u = e.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("tl"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("fp"),
+    )
+    fp_h = F.expr(f"(fp - t0) div 3600000000")
+    life_h = F.expr(f"(tl - t0) div 3600000000")
+    is_death = F.col("fp").isNotNull() & (fp_h <= _KM_WINDOW_H)
+    dur = u.select(
+        F.when(is_death, fp_h)
+        .otherwise(F.least(life_h, F.lit(_KM_WINDOW_H)))
+        .alias("t"),
+        is_death.cast("int").alias("death"),
+    )
+    grid = dur.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("death").alias("d")
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "t", "d", F.sum("n").over(w_desc).alias("at_risk")
+    ).filter(F.col("d") > 0)
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    factor = (F.col("at_risk") - F.col("d")).cast("double") / F.col("at_risk")
+    return risk.select(
+        F.col("t").cast("bigint").alias("hour"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_deaths"),
+        F.round(F.product(factor).over(w_asc), 9).alias("km_survival"),
+    )
+
+
 @query(
     "win_streaks",
     # Consecutive-day activity streaks per user: the classic

@@ -238,6 +238,55 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_streaks",
+    # Streaming twin of win_streaks: same islands, same outputs, but the
+    # island detection runs INCREMENTALLY as session-window state instead
+    # of a batch sort. Oracle = the batch gaps-and-islands rewrite.
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM ud
+    ),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY user_id, grp)
+    SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def stream_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks computed as STREAMING session
+    windows — the incremental twin of the batch win_streaks (new events
+    extend or open a user's current streak in state; no daily re-sort of
+    history, the posture a 100 TB events feed needs). Timestamps are
+    day-truncated so a 25-hour session gap merges points exactly 24 h
+    apart (consecutive days) and never 48 h (a skipped day): each closed
+    session IS one streak island. Same-day duplicates land inside the
+    running session, so streak length is the exact day span; the tiny
+    per-user rollup (count/max/sum over |streaks| rows) runs as a batch
+    agg on the sink, the stream_rollup_incremental posture."""
+    s = _read_stream(spark, sf_dir).select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day_ts")
+    )
+    agg = (
+        s.withWatermark("day_ts", "1 day")
+        .groupBy(F.col("user_id"), F.session_window("day_ts", "25 hours"))
+        .agg(F.min("day_ts").alias("d0"), F.max("day_ts").alias("d1"))
+    )
+    out = _run_available_now(agg, "ips_stream_streaks")
+    streak = out.select(
+        "user_id", (F.datediff("d1", "d0") + 1).cast("bigint").alias("len")
+    )
+    return streak.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+@query(
     "stream_watermark_late",
     # Deterministic late-drop, engineered around Spark's late-record
     # filter LAG (SPARK-40925: batch N filters late rows with the

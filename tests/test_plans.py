@@ -768,3 +768,28 @@ def test_clustering_coef_combine_join_broadcasts(spark, sf_dir):
 
     plan = formatted_plan(graph_clustering_coef(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_km_windows_run_on_hour_grid(spark, sf_dir):
+    # Both windows (descending at-risk cumsum, ascending product-limit)
+    # must run AFTER the two hash aggs collapse the fact to the <=72-cell
+    # hour grid — never over per-user or per-event rows.
+    from insight_patents_spark.operators.sequences import agg_survival_km
+
+    plan = formatted_plan(agg_survival_km(spark, sf_dir))
+    idx_aggs = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) == 2
+    assert sum(1 for a in idx_aggs if a < min(idx_wins)) >= 2
+
+
+def test_betweenness_reuses_cached_edges(spark, sf_dir):
+    # Every forward layer and backward fold must read the one cached
+    # edge table (InMemoryTableScan), never rebuild the pair self-join;
+    # and no cartesian anywhere in the layered joins.
+    from insight_patents_spark.operators.graph import graph_betweenness
+
+    plan = formatted_plan(graph_betweenness(spark, sf_dir))
+    assert "ExistingRDD" in plan  # the localCheckpointed edge cache
+    assert "CartesianProduct" not in plan
+    assert "lineitem" not in plan  # pair build never re-enters the plan

@@ -638,3 +638,132 @@ def test_rfm_buckets_are_monotone_quintiles(spark, sf_dir):
 
         per = Counter(b for _, b in pairs)
         assert all(per[b] >= 0.1 * n for b in per)
+
+
+def test_km_matches_bruteforce(spark, sf_dir):
+    """agg_survival_km vs a pure-Python Kaplan-Meier on the collected
+    per-user durations: at-risk counts and death counts exact, survival
+    equal to 9dp; survival strictly decreasing and in (0, 1); censored
+    users never counted as deaths."""
+    from insight_patents_spark.operators.sequences import agg_survival_km
+    from insight_patents_spark.sources.tables import load
+
+    e = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+            "event_type",
+        )
+        .collect()
+    )
+    per_user: dict = {}
+    for r in e:
+        t0, tl, fp = per_user.get(r.user_id, (r.us, r.us, None))
+        t0, tl = min(t0, r.us), max(tl, r.us)
+        if r.event_type == "purchase":
+            fp = r.us if fp is None else min(fp, r.us)
+        per_user[r.user_id] = (t0, tl, fp)
+    H = 72
+    durs = []
+    for t0, tl, fp in per_user.values():
+        fph = (fp - t0) // 3_600_000_000 if fp is not None else None
+        if fph is not None and fph <= H:
+            durs.append((fph, 1))
+        else:
+            durs.append((min((tl - t0) // 3_600_000_000, H), 0))
+    from collections import Counter
+
+    n_at = Counter()
+    d_at = Counter()
+    for t, death in durs:
+        n_at[t] += 1
+        d_at[t] += death
+    want = {}
+    s = 1.0
+    remaining = len(durs)
+    for t in sorted(n_at):
+        d = d_at[t]
+        if d > 0:
+            s *= (remaining - d) / remaining
+            want[t] = (remaining, d, round(s, 9))
+        else:
+            s *= 1.0
+        remaining -= n_at[t]
+    got = {
+        r.hour: (r.n_at_risk, r.n_deaths, r.km_survival)
+        for r in agg_survival_km(spark, sf_dir).collect()
+    }
+    assert got == want
+    vals = [v for *_, v in (got[k] for k in sorted(got))]
+    assert all(0.0 < b < a for a, b in zip(vals, vals[1:]))
+
+
+def test_stream_streaks_equals_batch_twin(spark, sf_dir):
+    """The streaming session-window islands must reproduce the batch
+    gaps-and-islands result row-for-row (the batch-equal contract every
+    AvailableNow exhibit rests on)."""
+    from insight_patents_spark.operators.sequences import win_streaks
+    from insight_patents_spark.streaming.queries import stream_streaks
+
+    got = {
+        r.user_id: (r.n_streaks, r.longest_streak, r.active_days)
+        for r in stream_streaks(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_streaks, r.longest_streak, r.active_days)
+        for r in win_streaks(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_betweenness_matches_bruteforce(spark, sf_dir):
+    """graph_betweenness vs a pure-Python depth-limited Brandes on the
+    collected edge list: identical seed set, per-node seed counts exact,
+    dependency scores equal to 1e-9 (the Spark side is an order-canonical
+    fold; Python sums the same finite sets)."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.graph import (
+        _BETWEENNESS_DEPTH,
+        _pairs,
+        graph_betweenness,
+    )
+
+    adj = defaultdict(set)
+    for r in _pairs(spark, sf_dir).collect():
+        adj[r.pa].add(r.pb)
+        adj[r.pb].add(r.pa)
+    seeds = [v for v in adj if v % 250 == 0]
+    bc = defaultdict(float)
+    n_seeds = defaultdict(int)
+    for s in seeds:
+        dist = {s: 0}
+        sigma = {s: 1}
+        layers = [[s]]
+        for d in range(_BETWEENNESS_DEPTH):
+            nxt = defaultdict(int)
+            for u in layers[-1]:
+                for v in adj[u]:
+                    if v not in dist:
+                        nxt[v] += sigma[u]
+            for v in nxt:
+                dist[v] = d + 1
+            sigma.update(nxt)
+            layers.append(sorted(nxt))
+        delta = defaultdict(float)
+        for d in range(_BETWEENNESS_DEPTH, 0, -1):
+            for w in layers[d]:
+                for u in adj[w]:
+                    if dist.get(u) == d - 1:
+                        delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+        for d in range(1, _BETWEENNESS_DEPTH + 1):
+            for v in layers[d]:
+                bc[v] += delta[v]
+                n_seeds[v] += 1
+    got = {r.node: (r.n_seeds, r.betweenness) for r in
+           graph_betweenness(spark, sf_dir).collect()}
+    assert set(got) == set(bc)
+    for v, (ns, b) in got.items():
+        assert ns == n_seeds[v]
+        assert abs(b - bc[v]) < 1e-9, (v, b, bc[v])
