@@ -1259,3 +1259,267 @@ def time_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.month("d") + 2) / 3).cast("int").alias("quarter"),
         dow.isin(0, 6).alias("is_weekend"),
     )
+
+
+# --- operational / data-quality family (r5) ------------------------------
+
+_PROFILE_COLS = (
+    # (name, kind, spark min/max expr, duckdb min/max expr)
+    ("o_orderkey", "num", "CAST(o_orderkey AS DOUBLE)"),
+    ("o_custkey", "num", "CAST(o_custkey AS DOUBLE)"),
+    ("o_totalprice", "num", "o_totalprice"),
+    ("o_orderstatus", "str", "o_orderstatus"),
+    ("o_orderpriority", "str", "o_orderpriority"),
+    ("o_orderdate", "str", "CAST(CAST(o_orderdate AS DATE) AS STRING)"),
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind, expr in _PROFILE_COLS:
+        ddb_expr = expr.replace("AS STRING", "AS VARCHAR")
+        mn_num = f"CAST(MIN({ddb_expr}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx_num = f"CAST(MAX({ddb_expr}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_str = f"MIN({ddb_expr})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        mx_str = f"MAX({ddb_expr})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        parts.append(f"""
+    SELECT '{name}' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({name}) AS n_null,
+           COUNT(DISTINCT {name}) AS n_distinct,
+           {mn_num} AS min_num, {mx_num} AS max_num,
+           {mn_str} AS min_str, {mx_str} AS max_str
+    FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_table", oracle=_profile_oracle())
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile audit — the first query every pipeline runs against
+    an unknown 100 TB table: per column, row/null/exact-distinct counts
+    and typed min/max (numeric columns in min_num/max_num, strings and
+    date renderings in min_str/max_str, the other pair NULL — no
+    cross-engine float-formatting games).
+
+    ONE pass over the table: all 6 columns' metrics are aggregated in a
+    single agg (Catalyst plans the multi-DISTINCT via Expand — a 6x
+    map-side row multiplication, the standard exact-profiling cost; swap
+    COUNT(DISTINCT) for approx_count_distinct when 2% error is
+    acceptable and the Expand disappears), then the 1-row x 36-metric
+    result unpivots driver-free via stack()."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, kind, expr in _PROFILE_COLS:
+        e = F.expr(expr)
+        aggs += [
+            F.count(F.when(F.col(name).isNull(), 1)).alias(f"null_{name}"),
+            F.countDistinct(F.col(name)).alias(f"nd_{name}"),
+            F.min(e).alias(f"mn_{name}"),
+            F.max(e).alias(f"mx_{name}"),
+        ]
+    row = o.agg(*aggs)
+    stack_args = []
+    for name, kind, _ in _PROFILE_COLS:
+        mn_num = f"mn_{name}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx_num = f"mx_{name}" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mn_str = f"mn_{name}" if kind == "str" else "CAST(NULL AS STRING)"
+        mx_str = f"mx_{name}" if kind == "str" else "CAST(NULL AS STRING)"
+        stack_args.append(
+            f"'{name}', null_{name}, nd_{name}, {mn_num}, {mx_num}, {mn_str}, {mx_str}"
+        )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        "(col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)",
+        "n_rows",
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+@query(
+    "dq_expectations",
+    # Expectation-suite audit (the Great-Expectations/dbt-test shape):
+    # each rule is a tiny aggregate or anti-join; results union into one
+    # report. All counts exact int64.
+    oracle="""
+    SELECT 'fk_orders_custkey' AS rule, (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'fk_lineitem_orderkey', (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'uniq_orders_orderkey', (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'domain_orderstatus', (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P'))
+    UNION ALL
+    SELECT 'range_lineitem_qty', (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity NOT BETWEEN 1 AND 50)
+    UNION ALL
+    SELECT 'range_totalprice_positive', (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite — referential integrity, key
+    uniqueness, domain and range rules, each reported as (rule,
+    n_checked, n_violations). The contract-test layer a production
+    warehouse runs after every load; violations > 0 gate promotion.
+
+    Scale shape: each FK check is a LEFT ANTI join counted (Catalyst
+    picks broadcast for the dim side, shuffle-hash past that); the
+    uniqueness rule is count-minus-distinct in one agg; domain/range
+    rules are pushed-down filter counts. Every rule reduces to one row
+    before the union, so the report assembly is free."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(rule: str, checked, violations) -> DataFrame:
+        return (
+            checked.crossJoin(violations)
+            .select(
+                F.lit(rule).alias("rule"),
+                F.col("n_checked"),
+                F.col("n_violations"),
+            )
+        )
+
+    n_o = o.agg(F.count(F.lit(1)).alias("n_checked"))
+    n_l = li.agg(F.count(F.lit(1)).alias("n_checked"))
+    fk_o = one(
+        "fk_orders_custkey",
+        n_o,
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        ),
+    )
+    fk_l = one(
+        "fk_lineitem_orderkey",
+        n_l,
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_violations")
+        ),
+    )
+    uniq = one(
+        "uniq_orders_orderkey",
+        n_o,
+        o.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                "n_violations"
+            )
+        ),
+    )
+    domain = one(
+        "domain_orderstatus",
+        n_o,
+        o.agg(
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+            ).alias("n_violations")
+        ),
+    )
+    rng_q = one(
+        "range_lineitem_qty",
+        n_l,
+        li.agg(
+            F.count(
+                F.when(~F.col("l_quantity").between(1, 50), 1)
+            ).alias("n_violations")
+        ),
+    )
+    rng_p = one(
+        "range_totalprice_positive",
+        n_o,
+        o.agg(
+            F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+                "n_violations"
+            )
+        ),
+    )
+    out = fk_o
+    for df in (fk_l, uniq, domain, rng_q, rng_p):
+        out = out.unionByName(df)
+    return out
+
+
+_SCD2_BATCH_DATE = "2024-06-01"
+_SCD2_BASE_DATE = "2024-01-01"
+
+
+@query(
+    "sink_scd2",
+    # Slowly-changing-dimension type 2 merge: incoming batch = customers
+    # with custkey % 10 = 0 at acctbal + 100. Changed keys close their
+    # current row at the batch date and open a new current version;
+    # unchanged keys pass through. One row per surviving version.
+    oracle=f"""
+    WITH incoming AS (
+      SELECT c_custkey, c_acctbal + 100 AS new_bal FROM customer
+      WHERE c_custkey % 10 = 0
+    )
+    SELECT c.c_custkey, c.c_acctbal,
+           '{_SCD2_BASE_DATE}' AS valid_from,
+           CASE WHEN i.c_custkey IS NULL THEN CAST(NULL AS VARCHAR)
+                ELSE '{_SCD2_BATCH_DATE}' END AS valid_to,
+           i.c_custkey IS NULL AS is_current
+    FROM customer c LEFT JOIN incoming i ON c.c_custkey = i.c_custkey
+    UNION ALL
+    SELECT c_custkey, new_bal, '{_SCD2_BATCH_DATE}',
+           CAST(NULL AS VARCHAR), TRUE
+    FROM incoming
+    """,
+)
+def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge — the warehouse history-keeping
+    primitive: an incoming change batch closes each changed key's
+    current version (valid_to = batch date, is_current = false) and
+    opens a new current one; unchanged keys pass through untouched. The
+    merged dimension round-trips through a parquet sink partitioned by
+    is_current (current-version reads prune to one partition — the
+    access pattern that matters, since 99% of queries want only current
+    rows while history stays cheap and append-only).
+
+    Scale shape: the change batch is the small side — its key set drives
+    one join against the dimension (broadcast until it outgrows the
+    threshold, then shuffle-hash on the key); the close/open rewrite is
+    two narrow projections + union, never a row-by-row merge loop."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    incoming = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100).alias("new_bal")
+    )
+    merged = (
+        c.join(
+            incoming.select(F.col("c_custkey").alias("k")),
+            c.c_custkey == F.col("k"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.lit(_SCD2_BASE_DATE).alias("valid_from"),
+            F.when(
+                F.col("k").isNull(), F.lit(None).cast("string")
+            ).otherwise(F.lit(_SCD2_BATCH_DATE)).alias("valid_to"),
+            F.col("k").isNull().alias("is_current"),
+        )
+        .unionByName(
+            incoming.select(
+                "c_custkey",
+                F.col("new_bal").alias("c_acctbal"),
+                F.lit(_SCD2_BATCH_DATE).alias("valid_from"),
+                F.lit(None).cast("string").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+    )
+    out = _roundtrip_dir(sf_dir, "scd2")
+    merged.write.mode("overwrite").partitionBy("is_current").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "c_custkey", "c_acctbal", "valid_from", "valid_to",
+        F.col("is_current").cast("boolean").alias("is_current"),
+    )

@@ -793,3 +793,41 @@ def test_betweenness_reuses_cached_edges(spark, sf_dir):
     assert "ExistingRDD" in plan  # the localCheckpointed edge cache
     assert "CartesianProduct" not in plan
     assert "lineitem" not in plan  # pair build never re-enters the plan
+
+
+def test_profile_single_scan_with_expand(spark, sf_dir):
+    # All 6 columns' metrics must come from ONE scan of orders; the
+    # exact multi-DISTINCT shows up as an Expand (the documented cost).
+    from insight_patents_spark.operators.relational import profile_table
+
+    plan = formatted_plan(profile_table(spark, sf_dir))
+    assert plan.count("orders.parquet") == 1
+    assert "Expand" in plan
+
+
+def test_dq_fk_checks_are_anti_joins(spark, sf_dir):
+    # Referential-integrity rules must be LEFT ANTI joins (broadcast at
+    # this dim size), never correlated per-row lookups or cartesians.
+    from insight_patents_spark.operators.relational import dq_expectations
+
+    plan = formatted_plan(dq_expectations(spark, sf_dir))
+    assert plan.count("LeftAnti") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_current_reads_prune_partitions(spark, sf_dir):
+    # The is_current partitioning must let current-version reads prune:
+    # filtering the sink on is_current shows a PartitionFilter.
+    from insight_patents_spark.operators.relational import (
+        _roundtrip_dir,
+        sink_scd2,
+    )
+
+    sink_scd2(spark, sf_dir)  # materializes the sink
+    # partition values are directory strings on the raw read
+    back = spark.read.parquet(_roundtrip_dir(sf_dir, "scd2")).filter(
+        "is_current = 'true'"
+    )
+    plan = formatted_plan(back)
+    assert "PartitionFilters: [" in plan
+    assert "is_current" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]

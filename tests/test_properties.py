@@ -767,3 +767,91 @@ def test_betweenness_matches_bruteforce(spark, sf_dir):
     for v, (ns, b) in got.items():
         assert ns == n_seeds[v]
         assert abs(b - bc[v]) < 1e-9, (v, b, bc[v])
+
+
+def test_profile_metrics_are_consistent(spark, sf_dir):
+    """Invariants of the column profile: distinct+nulls never exceed
+    rows, exactly one typed min/max pair per column, min <= max."""
+    from insight_patents_spark.operators.relational import profile_table
+
+    rows = profile_table(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert 0 <= r.n_null <= r.n_rows
+        assert 1 <= r.n_distinct <= r.n_rows
+        num = r.min_num is not None
+        assert num == (r.max_num is not None)
+        assert (r.min_str is not None) == (r.max_str is not None)
+        assert num != (r.min_str is not None)
+        if num:
+            assert r.min_num <= r.max_num
+        else:
+            assert r.min_str <= r.max_str
+
+
+def test_dq_detects_injected_violations(spark, tmp_path_factory):
+    """Seed a corrupt micro-warehouse and check every rule reports the
+    exact violation count (and clean rules report zero)."""
+    import uuid
+
+    from insight_patents_spark.operators.relational import dq_expectations
+
+    sf = str(tmp_path_factory.mktemp("dq")) + f"/{uuid.uuid4().hex[:8]}"
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, "a", 1, 0.0, "B"), (2, "b", 1, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [
+            (10, 1, "O", 5.0, "2024-01-01 00:00:00", "1-URGENT"),
+            (10, 2, "F", 6.0, "2024-01-01 00:00:00", "1-URGENT"),  # dup key
+            (11, 99, "P", 7.0, "2024-01-01 00:00:00", "1-URGENT"),  # bad FK
+            (12, 1, "X", -1.0, "2024-01-01 00:00:00", "1-URGENT"),  # bad status+price
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate", "o_orderpriority",
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 1, 1, 1, 5.0), (11, 1, 1, 1, 99.0), (77, 1, 1, 1, 3.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double",
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+    got = {r.rule: (r.n_checked, r.n_violations)
+           for r in dq_expectations(spark, sf).collect()}
+    assert got == {
+        "fk_orders_custkey": (4, 1),
+        "fk_lineitem_orderkey": (3, 1),
+        "uniq_orders_orderkey": (4, 1),
+        "domain_orderstatus": (4, 1),
+        "range_lineitem_qty": (3, 1),
+        "range_totalprice_positive": (4, 1),
+    }
+
+
+def test_scd2_versioning_invariants(spark, sf_dir):
+    """Changed keys carry exactly one closed + one current version with
+    the +100 balance delta; unchanged keys exactly one open row."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.relational import sink_scd2
+
+    rows = defaultdict(list)
+    for r in sink_scd2(spark, sf_dir).collect():
+        rows[r.c_custkey].append(r)
+    for k, vs in rows.items():
+        if k % 10 == 0:
+            assert len(vs) == 2
+            closed = next(v for v in vs if not v.is_current)
+            cur = next(v for v in vs if v.is_current)
+            assert closed.valid_to == "2024-06-01"
+            assert cur.valid_from == "2024-06-01" and cur.valid_to is None
+            assert abs(cur.c_acctbal - (closed.c_acctbal + 100)) < 1e-9
+        else:
+            assert len(vs) == 1 and vs[0].is_current
+            assert vs[0].valid_to is None
