@@ -1835,3 +1835,99 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+@query(
+    "agg_pareto",
+    # Revenue-concentration (Pareto/80-20) readout: customers bucketed by
+    # BROADCAST revenue-decile boundaries (exact interpolated
+    # percentiles of per-customer cents — the agg_rfm_segments shape,
+    # never a global ntile sort), then per-bucket customer counts,
+    # revenue mass, and top-down cumulative share. Revenue exact int64
+    # cents; shares single divisions of exact ints over the 10-row grid.
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT quantile_cont(cents, 0.1) q1, quantile_cont(cents, 0.2) q2,
+             quantile_cont(cents, 0.3) q3, quantile_cont(cents, 0.4) q4,
+             quantile_cont(cents, 0.5) q5, quantile_cont(cents, 0.6) q6,
+             quantile_cont(cents, 0.7) q7, quantile_cont(cents, 0.8) q8,
+             quantile_cont(cents, 0.9) q9
+      FROM rev
+    ),
+    b AS (
+      SELECT 10 - (CAST(cents > q.q1 AS INT) + CAST(cents > q.q2 AS INT)
+                 + CAST(cents > q.q3 AS INT) + CAST(cents > q.q4 AS INT)
+                 + CAST(cents > q.q5 AS INT) + CAST(cents > q.q6 AS INT)
+                 + CAST(cents > q.q7 AS INT) + CAST(cents > q.q8 AS INT)
+                 + CAST(cents > q.q9 AS INT)) AS decile,
+             cents
+      FROM rev CROSS JOIN q
+    ),
+    g AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM b GROUP BY decile
+    ),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM g)
+    SELECT decile, n_customers,
+           CAST(ROUND(cents / 100.0, 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(CAST(SUM(cents) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / t.total, 9) AS DOUBLE) AS cum_share
+    FROM g CROSS JOIN t
+    """,
+)
+def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration curve (the Pareto/80-20 board slide):
+    customers fall into revenue deciles — decile 1 = highest spenders —
+    with per-decile headcount, revenue, and top-down cumulative share
+    (read: 'decile 1's cum_share of revenue comes from 10% of
+    customers').
+
+    Deliberately boundary-broadcast, not ntile: nine exact interpolated
+    percentile scalars broadcast back for comparison-based bucketing
+    (the only shape that survives 10^9 customers; a global ntile is a
+    single-partition sort). Revenue exact int64 cents; the cumulative
+    window runs over the 10-row decile grid only."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias(
+            "cents"
+        )
+    )
+    q = rev.agg(
+        *[
+            F.percentile("cents", F.lit(i / 10)).alias(f"q{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(10)
+    for i in range(1, 10):
+        decile = decile - (F.col("cents") > F.col(f"q{i}")).cast("int")
+    g = (
+        rev.crossJoin(F.broadcast(q))
+        .select(decile.alias("decile"), "cents")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    t = g.agg(F.sum("cents").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_customers",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.sum("cents").over(w).cast("double") / F.col("total"), 9
+        ).alias("cum_share"),
+    )

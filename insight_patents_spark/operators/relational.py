@@ -1523,3 +1523,119 @@ def sink_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_acctbal", "valid_from", "valid_to",
         F.col("is_current").cast("boolean").alias("is_current"),
     )
+
+
+@query(
+    "sink_cdc_apply",
+    # CDC apply = log compaction (latest-wins per key over the change
+    # sequence) + MERGE into the snapshot: deletes drop keys, updates
+    # override in place, inserts add. The synthetic log derives
+    # deterministically from the dimension: two sequenced updates for
+    # custkey%10=0 (latest wins), deletes for %13=0 (deletes beat the
+    # updates via higher seq), inserts at key+100000 for %97=0.
+    oracle="""
+    WITH log AS (
+      SELECT c_custkey AS k, 1 AS seq, 'U' AS op, c_acctbal + 50 AS bal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 2, 'U', c_acctbal + 75
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 3, 'D', CAST(NULL AS DOUBLE)
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey + 100000, 4, 'I', 1000.0
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    latest AS (
+      SELECT k, op, bal FROM (
+        SELECT k, op, bal,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_acctbal AS acctbal, 'kept' AS change
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.k
+    WHERE l.k IS NULL
+    UNION ALL
+    SELECT c.c_custkey, l.bal, 'updated'
+    FROM customer c JOIN latest l ON c.c_custkey = l.k AND l.op = 'U'
+    UNION ALL
+    SELECT l.k, l.bal, 'inserted' FROM latest l
+    WHERE l.op = 'I' AND NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = l.k)
+    """,
+)
+def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log apply — the batch MERGE INTO primitive: compact a
+    sequenced change log to latest-wins per key (the Debezium/Kafka
+    compaction step), then merge into the snapshot — deletes drop keys,
+    updates override, inserts append. A key carrying updates AND a later
+    delete correctly vanishes; two sequenced updates resolve to the
+    newest.
+
+    Scale shape: compaction is one window (rank by seq desc) over the
+    log partitioned by key — the log shuffles once and is typically tiny
+    vs the snapshot; the merge itself is one join of snapshot x compacted
+    log (broadcast while the day's changes fit, shuffle-hash on the key
+    past that) plus an insert anti-join, never a row-wise upsert loop."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    log = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("k"), F.lit(1).alias("seq"),
+            F.lit("U").alias("op"), (F.col("c_acctbal") + 50).alias("bal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                F.col("c_custkey").alias("k"), F.lit(2).alias("seq"),
+                F.lit("U").alias("op"), (F.col("c_acctbal") + 75).alias("bal"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                F.col("c_custkey").alias("k"), F.lit(3).alias("seq"),
+                F.lit("D").alias("op"), F.lit(None).cast("double").alias("bal"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 100000).alias("k"), F.lit(4).alias("seq"),
+                F.lit("I").alias("op"), F.lit(1000.0).alias("bal"),
+            )
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "op", "bal")
+    )
+    kept = (
+        c.join(F.broadcast(latest), c.c_custkey == F.col("k"), "left_anti")
+        .select(
+            "c_custkey", F.col("c_acctbal").alias("acctbal"),
+            F.lit("kept").alias("change"),
+        )
+    )
+    updated = (
+        c.join(
+            F.broadcast(latest.filter(F.col("op") == "U")),
+            c.c_custkey == F.col("k"),
+        )
+        .select(
+            "c_custkey", F.col("bal").alias("acctbal"),
+            F.lit("updated").alias("change"),
+        )
+    )
+    inserted = (
+        latest.filter(F.col("op") == "I")
+        .join(c, F.col("k") == c.c_custkey, "left_anti")
+        .select(
+            F.col("k").alias("c_custkey"), F.col("bal").alias("acctbal"),
+            F.lit("inserted").alias("change"),
+        )
+    )
+    return kept.unionByName(updated).unionByName(inserted)

@@ -2440,3 +2440,225 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "dedup_eval",
+    # Banding-recall evaluation of the MinHash-LSH dedup index: ground
+    # truth = ALL pairs with exact token-set Jaccard >= 0.7 (shared-token
+    # equi-join — exact above any positive threshold, since disjoint
+    # docs can't reach it); predicted = the LSH pipeline's verified
+    # pairs. Verification makes precision 1.0 by construction, so the
+    # informative readout is recall per Jaccard bin — the banding
+    # s-curve, measured: high-similarity pairs should almost always
+    # collide in some band, threshold-edge pairs less often.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents
+    ),
+    sizes AS (
+      SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n
+      FROM documents
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
+               MIN(sa.n) AS na, MIN(sb.n) AS nb
+        FROM tok a
+        JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
+    ),
+    seeds(seed, seed_id) AS (VALUES {_SEEDS_SQL}),
+    sig AS (
+      SELECT t.doc_id, s.seed_id, MIN(md5(s.seed || ':' || t.token)) AS mh
+      FROM tok t CROSS JOIN seeds s
+      GROUP BY t.doc_id, s.seed_id
+    ),
+    bands AS (
+      SELECT doc_id, seed_id // 4 AS band_id,
+             md5(string_agg(mh, '|' ORDER BY seed_id)) AS band_key
+      FROM sig GROUP BY doc_id, seed_id // 4
+    ),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT CASE WHEN t.jaccard >= 0.9 THEN '0.9+'
+                WHEN t.jaccard >= 0.8 THEN '0.8-0.9'
+                ELSE '0.7-0.8' END AS bin,
+           COUNT(*) AS n_truth,
+           COUNT(p.doc_a) AS n_hit,
+           CAST(ROUND(CAST(COUNT(p.doc_a) AS DOUBLE) / COUNT(*), 9)
+                AS DOUBLE) AS recall
+    FROM truth t
+    LEFT JOIN pred p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+    GROUP BY 1
+    """,
+)
+def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup index-quality evaluation — the dedup analog of
+    vec_ann_recall: exact ground truth (every pair with token-set
+    Jaccard >= 0.7, built by the shared-token equi-join that is exact
+    above any positive threshold) versus the MinHash-LSH pipeline's
+    pairs, reported as RECALL PER JACCARD BIN. This is the banding
+    s-curve measured on real data: the knob every production dedup run
+    tunes (bands x rows) before trusting the index; precision is 1.0 by
+    construction because the pipeline exact-verifies candidates.
+
+    Scale shape: truth cost is sum_t df(t)^2 over shared tokens (at
+    corpus scale a df cap drops boilerplate tokens first — documented
+    trade-off, same as dedup_ngram_jaccard); the predicted side reuses
+    the CACHED LSH candidate pairs (never re-runs signatures); the hit
+    join broadcasts the predicted side (bounded by true-dup density) and
+    the bin rollup is three rows."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+        .repartition(sh_parts(spark))
+    )
+    sizes = d.select(
+        "doc_id", F.size(F.array_distinct(_tokens())).alias("n")
+    )
+    inter = (
+        tok.alias("a")
+        .join(
+            tok.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    pred = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("p_a"), F.col("doc_b").alias("p_b")
+    )
+    hit = truth.join(
+        F.broadcast(pred),
+        (F.col("doc_a") == F.col("p_a")) & (F.col("doc_b") == F.col("p_b")),
+        "left",
+    )
+    return (
+        hit.groupBy(
+            F.when(F.col("jaccard") >= 0.9, "0.9+")
+            .when(F.col("jaccard") >= 0.8, "0.8-0.9")
+            .otherwise("0.7-0.8")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("p_a").alias("n_hit"),
+            F.round(
+                F.count("p_a").cast("double") / F.count(F.lit(1)), 9
+            ).alias("recall"),
+        )
+    )
+
+
+@query(
+    "text_domain_mix",
+    # Training-mixture balancing: per-(source, lang) token mass, actual
+    # share of the corpus, and the resampling multiplier that would move
+    # the mix to the uniform-over-sources x observed-lang target. Token
+    # counts exact int64; shares/weights are single divisions of exact
+    # ints (x1e9-scaled ratios rounded 9dp).
+    oracle="""
+    WITH cell AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_total,
+             COUNT(DISTINCT source) AS n_sources
+      FROM cell
+    ),
+    lang_tot AS (
+      SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+      FROM cell GROUP BY lang
+    )
+    SELECT c.source, c.lang, c.n_docs, c.n_tokens,
+           CAST(ROUND(CAST(c.n_tokens AS DOUBLE) / t.tok_total, 9) AS DOUBLE)
+             AS actual_share,
+           CAST(ROUND((CAST(l.lang_tokens AS DOUBLE) / t.tok_total)
+                      / t.n_sources, 9) AS DOUBLE) AS target_share,
+           CAST(ROUND((CAST(l.lang_tokens AS DOUBLE) * t.tok_total)
+                      / (CAST(t.n_sources AS DOUBLE) * t.tok_total
+                         * c.n_tokens), 9) AS DOUBLE) AS mix_weight
+    FROM cell c CROSS JOIN tot t JOIN lang_tot l ON c.lang = l.lang
+    """,
+)
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture audit + reweighting — the step every LLM training
+    run does before sampling: per (source, lang) cell, exact token mass,
+    its actual share, the target share under a uniform-over-sources
+    within-language policy, and mix_weight = target/actual (the sampling
+    multiplier; >1 upsample, <1 downsample).
+
+    ONE partial-agg pass collapses the corpus to |sources|x|langs| cells;
+    the corpus total (1 row) and per-lang totals (|langs| rows) broadcast
+    back. Token counts exact int64; every float is a single division of
+    exact ints, 9dp-rounded identically in both engines."""
+    d = load(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = cell.agg(
+        F.sum("n_tokens").alias("tok_total"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    lang_tot = cell.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lang_tokens")
+    )
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(lang_tot), "lang")
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tok_total"), 9
+            ).alias("actual_share"),
+            F.round(
+                (F.col("lang_tokens").cast("double") / F.col("tok_total"))
+                / F.col("n_sources"),
+                9,
+            ).alias("target_share"),
+            F.round(
+                (F.col("lang_tokens").cast("double") * F.col("tok_total"))
+                / (
+                    F.col("n_sources").cast("double")
+                    * F.col("tok_total")
+                    * F.col("n_tokens")
+                ),
+                9,
+            ).alias("mix_weight"),
+        )
+    )

@@ -831,3 +831,49 @@ def test_scd2_current_reads_prune_partitions(spark, sf_dir):
     plan = formatted_plan(back)
     assert "PartitionFilters: [" in plan
     assert "is_current" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_dedup_eval_truth_is_equi_join(spark, sf_dir):
+    # Ground truth must be the shared-token equi-join (sort-merge/hash),
+    # never a doc x doc cartesian; the predicted-pairs hit join and the
+    # size joins broadcast.
+    from insight_patents_spark.operators.text import dedup_eval
+
+    plan = formatted_plan(dedup_eval(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_domain_mix_totals_broadcast(spark, sf_dir):
+    # Corpus total (1 row) and per-lang totals must broadcast back to the
+    # cell grid — no shuffle join anywhere.
+    from insight_patents_spark.operators.text import text_domain_mix
+
+    plan = formatted_plan(text_domain_mix(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # lang totals
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row corpus total
+
+
+def test_cdc_compaction_is_one_log_window(spark, sf_dir):
+    # Latest-wins compaction must be ONE window over the log; the merge
+    # joins broadcast the compacted side.
+    from insight_patents_spark.operators.relational import sink_cdc_apply
+
+    plan = formatted_plan(sink_cdc_apply(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_boundaries_broadcast_no_global_sort(spark, sf_dir):
+    # Decile assignment must be boundary-broadcast comparisons; the only
+    # window runs over the 10-row decile grid (post-agg), no ntile.
+    from insight_patents_spark.operators.aggregates import agg_pareto
+
+    plan = formatted_plan(agg_pareto(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    idx_aggs = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) == 1
+    assert sum(1 for a in idx_aggs if a < idx_wins[0]) >= 2

@@ -855,3 +855,88 @@ def test_scd2_versioning_invariants(spark, sf_dir):
         else:
             assert len(vs) == 1 and vs[0].is_current
             assert vs[0].valid_to is None
+
+
+def test_dedup_eval_recall_bounds_and_prediction_subset(spark, sf_dir):
+    """Recall in [0,1] per bin; hits never exceed truth; the verified
+    LSH pairs are a SUBSET of the exact-threshold truth (precision 1)."""
+    from insight_patents_spark.operators.text import (
+        dedup_eval,
+        dedup_minhash_pairs,
+    )
+
+    rows = dedup_eval(spark, sf_dir).collect()
+    assert rows
+    total_truth = sum(r.n_truth for r in rows)
+    total_hit = sum(r.n_hit for r in rows)
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_truth
+        assert 0.0 <= r.recall <= 1.0
+    n_pred = dedup_minhash_pairs(spark, sf_dir).count()
+    assert n_pred == total_hit  # every predicted pair is true
+    assert total_hit <= total_truth
+
+
+def test_domain_mix_shares_and_weights_balance(spark, sf_dir):
+    """Actual shares sum to 1; target shares sum to 1; applying
+    mix_weight to every cell's token mass reproduces the target mix."""
+    from insight_patents_spark.operators.text import text_domain_mix
+
+    rows = text_domain_mix(spark, sf_dir).collect()
+    assert abs(sum(r.actual_share for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r.mix_weight > 0
+        assert abs(r.actual_share * r.mix_weight - r.target_share) < 1e-6
+    # uniform-over-sources policy: every observed cell of a language gets
+    # the SAME target share (absent cells receive none, so per-lang
+    # targets sum to lang_share * observed/|sources|)
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, set()).add(round(r.target_share, 9))
+    assert all(len(v) == 1 for v in per_lang.values())
+
+
+def test_cdc_apply_matches_bruteforce(spark, sf_dir):
+    """sink_cdc_apply vs a dict-based replay of the same change log."""
+    from insight_patents_spark.operators.relational import sink_cdc_apply
+    from insight_patents_spark.sources.tables import load
+
+    base = {
+        r.c_custkey: r.c_acctbal
+        for r in load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    }
+    snap = {}
+    for k, v in base.items():
+        if k % 13 == 0:
+            continue  # delete wins (seq 3 > 2)
+        elif k % 10 == 0:
+            snap[k] = (round(v + 75, 9), "updated")  # seq-2 update wins
+        else:
+            snap[k] = (v, "kept")
+    for k, v in base.items():
+        if k % 97 == 0 and (k + 100000) not in base:
+            snap[k + 100000] = (1000.0, "inserted")
+    got = {
+        r.c_custkey: (round(r.acctbal, 9), r.change)
+        for r in sink_cdc_apply(spark, sf_dir).collect()
+    }
+    assert got == snap
+
+
+def test_pareto_curve_invariants(spark, sf_dir):
+    """Deciles 1..10 all present, cum_share strictly increasing to 1.0,
+    per-decile revenue non-increasing from decile 1 down, and headcounts
+    near-uniform (boundary-interpolation ties only)."""
+    from insight_patents_spark.operators.aggregates import agg_pareto
+
+    rows = sorted(agg_pareto(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert abs(rows[-1].cum_share - 1.0) < 1e-9
+    shares = [r.cum_share for r in rows]
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    revs = [r.revenue for r in rows]
+    assert all(a >= b for a, b in zip(revs, revs[1:]))
+    n = sum(r.n_customers for r in rows)
+    assert all(abs(r.n_customers - n / 10) <= n * 0.02 + 2 for r in rows)
