@@ -657,3 +657,89 @@ def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "join_scd2_asof",
+    # Point-in-time dimension lookup against an SCD2 history: each order
+    # joins the customer version VALID AT its order date (valid_from <=
+    # d < valid_to, open-ended current row). The versioned dim derives
+    # deterministically: custkey%10=0 keys change balance (+100) on
+    # 1998-01-01, everyone else keeps one open version.
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_acctbal AS bal,
+             DATE '1990-01-01' AS valid_from,
+             CASE WHEN c_custkey % 10 = 0 THEN DATE '1998-01-01' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 100, DATE '1998-01-01', NULL
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           d.bal AS acctbal_asof,
+           d.valid_to IS NULL AS from_current_version
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+    WHERE o.o_custkey % 10 = 0
+    """,
+)
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF lookup against SCD2 history — the query side of sink_scd2:
+    'what was this customer's balance WHEN the order was placed', the
+    backtest-correct temporal join every revenue-restatement audit and
+    feature-pipeline (no leakage from future versions) depends on.
+
+    Scale shape: an equi-join on the dimension key carries the validity
+    range as a residual predicate — per key at most |versions| rows fan
+    out before the filter keeps exactly one, so cost is the key join,
+    never an interval cross product; Catalyst broadcasts the versioned
+    dim while it fits (dims with few versions stay dim-shaped). The fact
+    filter (changed keys only) pushes to the orders scan."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    dim = (
+        c.select(
+            "c_custkey",
+            F.col("c_acctbal").alias("bal"),
+            F.lit("1990-01-01").cast("date").alias("valid_from"),
+            F.when(
+                F.col("c_custkey") % 10 == 0,
+                F.lit("1998-01-01").cast("date"),
+            ).alias("valid_to"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                "c_custkey",
+                (F.col("c_acctbal") + 100).alias("bal"),
+                F.lit("1998-01-01").cast("date").alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+            )
+        )
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+    )
+    return (
+        o.join(
+            broadcast(dim),
+            (o.o_custkey == dim.c_custkey)
+            & (F.col("od") >= dim.valid_from)
+            & (dim.valid_to.isNull() | (F.col("od") < dim.valid_to)),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("od").cast("string").alias("order_date"),
+            F.col("bal").alias("acctbal_asof"),
+            F.col("valid_to").isNull().alias("from_current_version"),
+        )
+    )

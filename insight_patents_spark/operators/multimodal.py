@@ -217,3 +217,122 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return d.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+
+
+_PHASH_PIXELS = 60  # 60-bit fingerprint (bit 63 avoided: signed int64)
+_PHASH_BANDS = 4  # 4 x 15-bit multi-index bands
+_PHASH_MAX_HD = 8
+
+
+@query(
+    "mm_phash_dedup",
+    # Perceptual-hash near-duplicate search over a binary column, the
+    # image-dedup pipeline shape: decode -> 60-"pixel" average-hash
+    # (bit_i = 60*p_i > sum p, integer-exact in both engines) -> 4x15-bit
+    # multi-index bands (any band equal => candidate; guarantees every
+    # pair within hamming 3 collides) -> exact bit_count verify <= 8.
+    # The deterministic "decode" is utf-8 codepoints of the first 60
+    # chars (ord() in DuckDB = Python ord() — the container has no image
+    # codecs; a real pHash swaps only the pixel extractor).
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, list_transform(range(1, {_PHASH_PIXELS + 1}), i ->
+        CASE WHEN i <= len(text) THEN ord(substr(text, CAST(i AS INT), 1))
+             ELSE 0 END) AS p
+      FROM documents
+    ),
+    sums AS (SELECT doc_id, list_aggregate(p, 'sum') AS s, p FROM px),
+    h AS (
+      SELECT doc_id,
+        list_aggregate(list_transform(range(1, {_PHASH_PIXELS + 1}), i ->
+          CASE WHEN {_PHASH_PIXELS}*p[i] > s
+               THEN 1::BIGINT << CAST(i-1 AS INT) ELSE 0 END), 'sum') AS ph
+      FROM sums
+    ),
+    b AS (
+      SELECT doc_id, ph, band,
+             (ph >> CAST(band*15 AS INT)) & 32767 AS bv
+      FROM h CROSS JOIN (SELECT unnest(range(0, {_PHASH_BANDS})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             bit_count(xor(a.ph, b2.ph)) AS hamming
+      FROM b a JOIN b b2
+        ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+    FROM cand WHERE hamming <= {_PHASH_MAX_HD}
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image search by perceptual hash — the multimodal
+    dedup pipeline: binary payload -> Arrow-batched decode + average-hash
+    fingerprint (mapInPandas; a real deployment swaps the codepoint
+    extractor for PIL grayscale pixels, everything downstream unchanged)
+    -> multi-index hamming search: 4 x 15-bit bands of the 60-bit hash,
+    any equal band makes a candidate (guaranteeing no pair within
+    hamming 3 is missed — the multi-index-hashing pigeonhole), exact
+    bit_count(xor) verifies <= 8.
+
+    Scale shape: fingerprints are one narrow Python batch pass
+    (transfer O(N x payload), output 2 ints per doc); the band self-join
+    is an equi-join on (band, value) — never all-pairs; candidates
+    dedup once, verification is two bitops per pair. Degenerate bands
+    (e.g. all-zero from uniform payloads) are the hot-key risk — at
+    corpus scale cap band-bucket width or add a band-salt, same posture
+    as the LSH families."""
+    import hashlib  # noqa: F401  (parity with module header)
+
+    d = load(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for raw in pdf["payload"]:
+                chars = bytes(raw).decode("utf-8")[:_PHASH_PIXELS]
+                p = [ord(c) for c in chars] + [0] * (_PHASH_PIXELS - len(chars))
+                s = sum(p)
+                ph = 0
+                for i, v in enumerate(p):
+                    if _PHASH_PIXELS * v > s:
+                        ph |= 1 << i
+                hashes.append(ph)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ph": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    h = payload.mapInPandas(fingerprint, "doc_id long, ph long")
+    bands = h.select(
+        "doc_id",
+        "ph",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftrightunsigned(ph, {k * 15}) & 32767")
+                    for k in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.expr("a.ph ^ b.ph")).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= _PHASH_MAX_HD)

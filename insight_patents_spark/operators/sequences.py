@@ -610,3 +610,122 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket("frequency"),
         bucket("monetary"),
     )
+
+
+_ATTR_WINDOW_H = 72  # attribution lookback (hours)
+
+
+@query(
+    "agg_attribution",
+    # Multi-touch attribution over the 72 h pre-purchase window: each
+    # purchase credits its touches (click/view/signup) twice — linear
+    # (1/n each) and last-touch (1 to the latest, ts then event_id
+    # tie-break). The linear float sum is made deterministic by first
+    # collapsing to (channel, n) -> cnt cells (exact ints) and folding
+    # cnt/n in ascending-n order — a <=|distinct n| fold, never a
+    # million-element float reduction.
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, epoch_us(ts) AS pt FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, event_id AS tid, event_type AS channel,
+             epoch_us(ts) AS tt
+      FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ),
+    touch AS (
+      SELECT p.pid, t.channel, t.tt, t.tid
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.tt >= p.pt - {_ATTR_WINDOW_H} * 3600000000::BIGINT
+       AND t.tt < p.pt
+    ),
+    ranked AS (
+      SELECT pid, channel,
+             COUNT(*) OVER (PARTITION BY pid) AS n,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY tt DESC, tid DESC) AS rn
+      FROM touch
+    ),
+    cells AS (
+      SELECT channel, n, COUNT(*) AS cnt,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_cnt
+      FROM ranked GROUP BY channel, n
+    )
+    SELECT channel,
+           CAST(SUM(cnt) AS BIGINT) AS n_touches,
+           CAST(SUM(last_cnt) AS BIGINT) AS last_touch_credit,
+           CAST(ROUND(list_aggregate(
+                 list(CAST(cnt AS DOUBLE) / n ORDER BY n), 'sum'), 9)
+                AS DOUBLE) AS linear_credit
+    FROM cells GROUP BY channel
+    """,
+)
+def agg_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — the marketing staple: every purchase
+    distributes conversion credit over the touches (click/view/signup)
+    in its 72 h lookback, under two models at once: LINEAR (1/n per
+    touch) and LAST-TOUCH (all credit to the latest touch; ts then
+    event_id tie-break keeps simultaneous touches deterministic).
+
+    Scale shape: the purchase x touch join is per-user with a bounded
+    time window (fanout = touches within 72 h, human-bounded; the
+    user_id shuffle is the only wide op); per-purchase n and the
+    last-touch flag ride two windows on that join's partitioning. The
+    linear credit folds EXACT (channel, n)->cnt cells in ascending-n
+    order — a <=|distinct n| deterministic fold per channel, not a
+    touch-count-sized float reduction."""
+    e = load(spark, sf_dir, "events")
+    us = F.expr(_TS_US)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), us.alias("pt")
+    )
+    t = e.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("channel"),
+        us.alias("tt"),
+    )
+    touch = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.tt >= p.pt - _ATTR_WINDOW_H * 3_600_000_000)
+        & (t.tt < p.pt),
+    ).select("pid", "channel", "tt", "tid")
+    w_n = Window.partitionBy("pid")
+    w_rn = Window.partitionBy("pid").orderBy(
+        F.col("tt").desc(), F.col("tid").desc()
+    )
+    ranked = touch.select(
+        "pid",
+        "channel",
+        F.count(F.lit(1)).over(w_n).alias("n"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    cells = ranked.groupBy("channel", "n").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("last_cnt"),
+    )
+    return cells.groupBy("channel").agg(
+        F.sum("cnt").alias("n_touches"),
+        F.sum("last_cnt").alias("last_touch_credit"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("n"),
+                            (F.col("cnt").cast("double") / F.col("n")).alias(
+                                "v"
+                            ),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            ),
+            9,
+        ).alias("linear_credit"),
+    )

@@ -877,3 +877,36 @@ def test_pareto_boundaries_broadcast_no_global_sort(spark, sf_dir):
     idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
     assert len(idx_wins) == 1
     assert sum(1 for a in idx_aggs if a < idx_wins[0]) >= 2
+
+
+def test_phash_bands_are_equi_join(spark, sf_dir):
+    # The multi-index candidate build must be an equi-join on
+    # (band, value) — never an all-pairs nested loop over docs.
+    from insight_patents_spark.operators.multimodal import mm_phash_dedup
+
+    plan = formatted_plan(mm_phash_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_join_is_user_keyed(spark, sf_dir):
+    # The purchase x touch join must key on user_id (time bound as
+    # residual), and both windows reuse the pid partitioning — exactly
+    # one Exchange pair feeds the windows, no cartesian.
+    from insight_patents_spark.operators.sequences import agg_attribution
+
+    plan = formatted_plan(agg_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "user_id" in plan
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) <= 2
+
+
+def test_scd2_asof_dim_broadcasts_and_fact_filter_pushes(spark, sf_dir):
+    from insight_patents_spark.operators.joins import join_scd2_asof
+
+    plan = formatted_plan(join_scd2_asof(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the changed-keys fact filter reaches the orders scan
+    assert "PushedFilters" in plan

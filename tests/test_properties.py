@@ -940,3 +940,83 @@ def test_pareto_curve_invariants(spark, sf_dir):
     assert all(a >= b for a, b in zip(revs, revs[1:]))
     n = sum(r.n_customers for r in rows)
     assert all(abs(r.n_customers - n / 10) <= n * 0.02 + 2 for r in rows)
+
+
+def test_phash_pairs_sound_and_find_exact_dups(spark, sf_dir):
+    """Soundness: every emitted pair is within the hamming threshold and
+    shares at least one 15-bit band; completeness floor: identical texts
+    have identical fingerprints and always pair (hamming 0)."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.multimodal import (
+        _PHASH_MAX_HD,
+        _PHASH_PIXELS,
+        mm_phash_dedup,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def ahash(t: str) -> int:
+        p = [ord(c) for c in t[:_PHASH_PIXELS]]
+        p += [0] * (_PHASH_PIXELS - len(p))
+        s = sum(p)
+        return sum(1 << i for i, v in enumerate(p) if _PHASH_PIXELS * v > s)
+
+    h = {d: ahash(t) for d, t in texts.items()}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in mm_phash_dedup(spark, sf_dir).collect()}
+    for (a, b), hd in got.items():
+        x = h[a] ^ h[b]
+        assert bin(x).count("1") == hd <= _PHASH_MAX_HD
+        assert any((h[a] >> (15 * k)) & 32767 == (h[b] >> (15 * k)) & 32767
+                   for k in range(4))
+    by_text = defaultdict(list)
+    for d, t in texts.items():
+        by_text[t].append(d)
+    for ids in by_text.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert got.get((min(a, b), max(a, b))) == 0
+
+
+def test_attribution_credit_conservation(spark, sf_dir):
+    """Linear credits across channels sum to the number of purchases
+    with >=1 touch; last-touch credits do too; touches are exact."""
+    from insight_patents_spark.operators.sequences import agg_attribution
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    rows = agg_attribution(spark, sf_dir).collect()
+    total_linear = sum(r.linear_credit for r in rows)
+    total_last = sum(r.last_touch_credit for r in rows)
+    assert abs(total_linear - total_last) < 1e-6  # both = attributed purchases
+    assert total_last == round(total_last)
+    assert all(r.n_touches >= r.last_touch_credit for r in rows)
+
+
+def test_scd2_asof_picks_exactly_one_version(spark, sf_dir):
+    """Every changed-key order resolves to exactly one version, and the
+    version flips at the 1998-01-01 cut: pre-cut orders read the closed
+    row, later ones the current row (+100)."""
+    from insight_patents_spark.operators.joins import join_scd2_asof
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    rows = join_scd2_asof(spark, sf_dir).collect()
+    n_fact = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .count()
+    )
+    assert len(rows) == n_fact  # 1:1, no fanout survives the validity filter
+    bal = {}
+    for r in rows:
+        assert r.from_current_version == (r.order_date >= "1998-01-01")
+        bal.setdefault(r.o_custkey, {})[r.from_current_version] = r.acctbal_asof
+    for k, v in bal.items():
+        if True in v and False in v:
+            assert abs(v[True] - (v[False] + 100)) < 1e-9
