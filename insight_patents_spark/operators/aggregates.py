@@ -1931,3 +1931,106 @@ def agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").over(w).cast("double") / F.col("total"), 9
         ).alias("cum_share"),
     )
+
+
+@query(
+    "agg_benford",
+    # Benford first-significant-digit audit per event_type. cents =
+    # ROUND(value*100) shifts the decimal without changing significant
+    # digits, so digit = first char of the exact int64 — no float log
+    # tricks. Expected Benford mass log10(1+1/d) is rounded 9dp the
+    # instant it is computed; the chi-square sum folds per-digit terms
+    # in ascending-digit order (order-canonical float fold).
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             COUNT(*) AS n
+      FROM events WHERE value >= 0.01
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, digit, n,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM cells),
+    terms AS (
+      SELECT event_type, digit, n, total,
+             CAST(ROUND(LOG10(1.0 + 1.0 / digit), 9) AS DOUBLE) AS expected,
+             POW(n - total * CAST(ROUND(LOG10(1.0 + 1.0 / digit), 9) AS DOUBLE), 2)
+               / (total * CAST(ROUND(LOG10(1.0 + 1.0 / digit), 9) AS DOUBLE))
+               AS term
+      FROM tot),
+    chi AS (
+      SELECT event_type,
+             CAST(ROUND(list_aggregate(list(term ORDER BY digit), 'sum'), 9)
+                  AS DOUBLE) AS chi_square
+      FROM terms GROUP BY event_type)
+    SELECT t.event_type, t.digit, CAST(t.n AS BIGINT) AS n,
+           CAST(ROUND(t.n * 1.0 / t.total, 9) AS DOUBLE) AS observed_frac,
+           t.expected, c.chi_square
+    FROM terms t JOIN chi c ON t.event_type = c.event_type
+    """,
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit — the classic fraud / data-fabrication screen:
+    per event_type, the first-significant-digit distribution of value vs
+    the Benford expectation log10(1+1/d), with the per-type chi-square
+    statistic attached to every digit row. Exact digit extraction: cents
+    is an exact int64 whose decimal shift preserves significant digits,
+    so the digit is substring(cast(cents)), never a float log/pow dance.
+
+    Scale shape: ONE map-side-combinable hash agg collapses the fact to
+    ≤|types|·9 cells; everything after (per-type total, expected mass,
+    chi-square) is windows over that tiny grid. The chi-square fold is
+    order-canonical (array_sort by digit before the float fold), so the
+    9-term double sum is bit-stable regardless of partitioning."""
+    e = load(spark, sf_dir, "events").filter(F.col("value") >= 0.01)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cells = (
+        e.select(
+            "event_type",
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit"),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_t = Window.partitionBy("event_type")
+    expected = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9)
+    t = cells.select(
+        "event_type",
+        "digit",
+        "n",
+        F.sum("n").over(w_t).alias("total"),
+    ).select(
+        "event_type",
+        "digit",
+        "n",
+        "total",
+        expected.alias("expected"),
+        (
+            F.pow(F.col("n") - F.col("total") * expected, 2)
+            / (F.col("total") * expected)
+        ).alias("term"),
+    )
+    chi = F.round(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("digit", "term")).over(w_t)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ),
+        9,
+    )
+    return t.select(
+        "event_type",
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("total"), 9)
+        .cast("double")
+        .alias("observed_frac"),
+        F.col("expected").cast("double").alias("expected"),
+        chi.cast("double").alias("chi_square"),
+    )

@@ -729,3 +729,107 @@ def agg_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("linear_credit"),
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "time_acf",
+    # Autocorrelation function per event_type at lags 1..7 over the
+    # daily-revenue series. The fact collapses to the (type, day) grid
+    # (exact int64 cents) FIRST; lagged pairs come from a grid self-join
+    # on (type, day + lag); Pearson r per (type, lag) runs entirely on
+    # exact int64 moment sums (n, Sx, Sy, Sxy, Sxx, Syy) with ONE
+    # double expression at the end, sqrt rounded 9dp.
+    oracle=f"""
+    WITH grid AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.cents AS x, b.cents AS y
+      FROM grid a CROSS JOIN lags l
+      JOIN grid b ON b.event_type = a.event_type
+                 AND b.day = a.day + CAST(l.lag AS INT)),
+    m AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY event_type, lag)
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy) /
+                     SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(n * syy - sy * sy AS DOUBLE)), 9)
+                ELSE 0.0 END AS DOUBLE) AS acf
+    FROM m
+    """,
+)
+def time_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue per event_type at lags
+    1..7 — the time-series diagnostic behind seasonality detection and
+    forecast-model order selection (the ACF plot every analyst draws).
+
+    Scale shape: one map-side-combinable hash agg collapses the fact to
+    the (type, day) grid (≤|types|·|days| rows — thousands at any SF);
+    every downstream op (lag explode, grid self-join on (type, day+lag),
+    moment agg) runs on the grid only, so cost is agg-dominated and the
+    fact shuffles exactly once. Pearson r per (type, lag) uses exact
+    int64 moment sums — order-independent, no float accumulation — and
+    one final double expression (sqrt rounded 9dp). Int64 headroom:
+    daily-cents² · |days| must stay < 2⁶³; at larger SF rescale to whole
+    currency units (same contract as win_rolling_corr)."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    grid = (
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    lags = grid.select(
+        "event_type",
+        "day",
+        F.col("cents").alias("x"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))
+        ).alias("lag"),
+    ).withColumn("day_y", F.date_add(F.col("day"), F.col("lag")))
+    b = grid.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("cents").alias("y"),
+    )
+    pairs = lags.join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & (F.col("day_y") == F.col("day_b")),
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+        9,
+    )
+    return m.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.when((vx > 0) & (vy > 0), r).otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("acf"),
+    )

@@ -36,6 +36,7 @@ _OPERATOR_MODULES = (
     "insight_patents_spark.operators.graph",
     "insight_patents_spark.operators.udf",
     "insight_patents_spark.operators.sequences",
+    "insight_patents_spark.operators.ml",
     "insight_patents_spark.streaming.queries",
 )
 

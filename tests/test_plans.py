@@ -910,3 +910,54 @@ def test_scd2_asof_dim_broadcasts_and_fact_filter_pushes(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # the changed-keys fact filter reaches the orders scan
     assert "PushedFilters" in plan
+
+
+def test_lr_inference_is_stateless_narrow(spark, sf_dir):
+    # The hashed-weights model means NO weight-table join of any kind:
+    # the plan must contain zero joins and exactly two hash aggregates
+    # (doc,bucket counts then per-doc dot product), both partial+final.
+    from insight_patents_spark.operators.ml import ml_lr_inference
+
+    plan = formatted_plan(ml_lr_inference(spark, sf_dir))
+    assert "Join" not in plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 2  # the two agg shuffles, nothing else
+
+
+def test_pr_curve_aggs_before_window(spark, sf_dir):
+    # The corpus must collapse to bins via hash aggs BEFORE any window:
+    # the single-partition sweep windows may only see the ≤101-bin grid.
+    from insight_patents_spark.operators.ml import ml_pr_curve
+
+    plan = formatted_plan(ml_pr_curve(spark, sf_dir))
+    idx_aggs = [
+        m.start()
+        for m in re.finditer(r"^\(\d+\) (?:Hash|Sort)Aggregate", plan, re.M)
+    ]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert idx_wins and idx_aggs
+    # both the per-doc agg and the bin-cell agg run before any window
+    assert sum(1 for a in idx_aggs if a < min(idx_wins)) >= 2
+
+
+def test_acf_fact_shuffles_once_then_grid_only(spark, sf_dir):
+    # The events fact is aggregated to the (type, day) grid first; the
+    # lag self-join and moment agg run on grids — no CartesianProduct,
+    # and the join keys on event_type/day equality.
+    from insight_patents_spark.operators.sequences import time_acf
+
+    plan = formatted_plan(time_acf(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_benford_single_fact_agg(spark, sf_dir):
+    # One hash-agg pass over events (partial+final on (type, digit));
+    # the chi-square fold and fractions ride windows over the tiny grid.
+    from insight_patents_spark.operators.aggregates import agg_benford
+
+    plan = formatted_plan(agg_benford(spark, sf_dir))
+    idx_aggs = [m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)
+    assert "CartesianProduct" not in plan

@@ -1020,3 +1020,87 @@ def test_scd2_asof_picks_exactly_one_version(spark, sf_dir):
     for k, v in bal.items():
         if True in v and False in v:
             assert abs(v[True] - (v[False] + 100)) < 1e-9
+
+
+def test_lr_inference_matches_reference_model(spark, sf_dir):
+    """Recompute one doc's logit with a pure-Python reference model and
+    check keep == (logit > 0) exactly; scores are valid probabilities."""
+    import hashlib
+
+    from insight_patents_spark.operators.ml import (
+        _LR_BIAS_CENTI,
+        _LR_BUCKETS,
+        ml_lr_inference,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    rows = {r.doc_id: r for r in ml_lr_inference(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(5).collect()
+    for d in docs:
+        z, n = 0, 0
+        for tok in d.text.split(" "):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _LR_BUCKETS
+            w = int(hashlib.md5(f"w{b}".encode()).hexdigest()[:4], 16) % 101 - 50
+            z += w
+            n += 1
+        got = rows[d.doc_id]
+        assert got.n_tokens == n
+        z_total = z + _LR_BIAS_CENTI * n
+        assert got.keep == (z_total > 0)
+        assert abs(got.logit - z_total / (100 * n)) < 1e-8
+        assert 0.0 < got.score < 1.0
+
+
+def test_pr_curve_monotone_and_bounded(spark, sf_dir):
+    """Recall is monotone nonincreasing as the threshold rises; tp+fp is
+    monotone too; precision/recall/f1 all within [0,1]; the lowest
+    threshold recovers every positive (recall = 1)."""
+    from insight_patents_spark.operators.ml import ml_pr_curve
+
+    rows = sorted(ml_pr_curve(spark, sf_dir).collect(), key=lambda r: r.threshold_bin)
+    for r in rows:
+        assert 0.0 <= r.precision_at <= 1.0
+        assert 0.0 <= r.recall_at <= 1.0
+        assert 0.0 <= r.f1_at <= 1.0
+    recalls = [r.recall_at for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    assert recalls[0] == 1.0
+    totals = [r.tp + r.fp for r in rows]
+    assert totals == sorted(totals, reverse=True)
+
+
+def test_acf_lag0_identity_and_bounds(spark, sf_dir):
+    """ACF values are within [-1, 1]; pair counts shrink by construction
+    as the lag grows (n_lag <= n_{lag-1} per type)."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.sequences import time_acf
+
+    rows = time_acf(spark, sf_dir).collect()
+    assert rows
+    by_type = defaultdict(dict)
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+        by_type[r.event_type][r.lag] = r.n
+    for lags in by_type.values():
+        ks = sorted(lags)
+        for a, b in zip(ks, ks[1:]):
+            assert lags[b] <= lags[a]
+
+
+def test_benford_fracs_sum_to_one(spark, sf_dir):
+    """Per type: observed fractions sum to ~1, digits are 1..9, the
+    chi-square column is constant within the type and nonnegative."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import agg_benford
+
+    rows = agg_benford(spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        assert 1 <= r.digit <= 9
+        assert r.chi_square >= 0
+        by_type[r.event_type].append(r)
+    for rs in by_type.values():
+        assert abs(sum(r.observed_frac for r in rs) - 1.0) < 1e-6
+        assert len({r.chi_square for r in rs}) == 1
