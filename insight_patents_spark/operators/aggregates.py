@@ -2034,3 +2034,173 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("expected").cast("double").alias("expected"),
         chi.cast("double").alias("chi_square"),
     )
+
+
+_EQD_BUCKETS = 8
+
+
+@query(
+    "agg_histogram_equidepth",
+    # Equi-depth histogram (the optimizer-statistics shape: ANALYZE
+    # builds exactly this): 7 interpolated octile BOUNDARIES from one
+    # exact-int64-cents percentile agg, broadcast back; bucket = count
+    # of boundaries below the value (comparison arithmetic, exact);
+    # per-bucket count/lo/hi. Same boundary-broadcast posture as
+    # agg_rfm_segments/agg_pareto — never a global ntile sort.
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders),
+    q AS (
+      SELECT {", ".join(
+        f"quantile_cont(cents, {k}.0/{_EQD_BUCKETS}) AS q{k}"
+        for k in range(1, _EQD_BUCKETS))}
+      FROM c)
+    SELECT CAST(1 {" ".join(
+        f"+ CASE WHEN c.cents > q.q{k} THEN 1 ELSE 0 END"
+        for k in range(1, _EQD_BUCKETS))} AS INTEGER) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(c.cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(c.cents) AS BIGINT) AS hi_cents
+    FROM c CROSS JOIN q
+    GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram — the other histogram every engine's
+    statistics collector builds (equi-WIDTH is agg_histogram): buckets
+    hold ~equal row counts, so boundaries are the octiles. The 7
+    interpolated percentile boundaries come from ONE aggregate row and
+    broadcast back for comparison-based assignment — deliberately NOT
+    ntile (a global single-partition sort); this is the only shape that
+    survives 10⁹ rows, and it is exactly how ANALYZE TABLE computes
+    equi-height column stats. Cents exact int64; interpolated
+    boundaries are doubles of exact halves, bit-identical cross-engine.
+
+    Scale shape: percentile agg (one pass) + broadcast 1-row join +
+    map-side-combinable hash agg. Nothing sorts globally; nothing
+    shuffles except the two aggs."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    )
+    q = c.agg(
+        *[
+            F.percentile("cents", F.lit(k / _EQD_BUCKETS)).alias(f"q{k}")
+            for k in range(1, _EQD_BUCKETS)
+        ]
+    )
+    bucket = F.lit(1)
+    for k in range(1, _EQD_BUCKETS):
+        bucket = bucket + (F.col("cents") > F.col(f"q{k}")).cast("int")
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(bucket.cast("int").alias("bucket"), "cents")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+    )
+
+
+@query(
+    "agg_mutual_info",
+    # Mutual information between event_type and hour-of-day (is usage
+    # time-of-day dependent, in nats): one hash agg to the ≤|types|·24
+    # contingency grid; margins via windows over the grid; per-cell PMI
+    # ln-term rounded 9dp at birth; the MI total folds cells in
+    # ascending (x, y) order — order-canonical, never a partition-order
+    # float sum.
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS x, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT x, y, n,
+             SUM(n) OVER (PARTITION BY x) AS nx,
+             SUM(n) OVER (PARTITION BY y) AS ny,
+             SUM(n) OVER () AS nt
+      FROM cells),
+    terms AS (
+      SELECT x, y, n, nt,
+             CAST(ROUND(LN((n * 1.0 * nt) / (nx * 1.0 * ny)), 9) AS DOUBLE)
+               AS pmi,
+             (n * 1.0 / nt) *
+               CAST(ROUND(LN((n * 1.0 * nt) / (nx * 1.0 * ny)), 9) AS DOUBLE)
+               AS term
+      FROM m),
+    tot AS (
+      SELECT CAST(ROUND(list_aggregate(
+               list(term ORDER BY x, y), 'sum'), 9) AS DOUBLE) AS mi
+      FROM terms)
+    SELECT t.x AS event_type, t.y AS hour, CAST(t.n AS BIGINT) AS n,
+           t.pmi, tt.mi AS mi_total
+    FROM terms t CROSS JOIN tot tt
+    """,
+)
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; hour-of-day) — the dependence
+    screen behind feature selection and drift detection: how many nats
+    does knowing the hour tell you about what users do. Per-cell
+    pointwise MI (PMI) is attached to every contingency cell, with the
+    corpus-level MI total on each row.
+
+    Scale shape: ONE map-side-combinable hash agg collapses the fact to
+    the ≤|types|·24 contingency grid; margins, PMI, and the
+    order-canonical MI fold all run on that grid (windows + one ≤120
+    element ascending-(x,y) float fold). The fact shuffles once."""
+    e = load(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.col("event_type").alias("x"),
+            F.hour("ts").cast("bigint").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = cells.select(
+        "x",
+        "y",
+        "n",
+        F.sum("n").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("n").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("n").over(w_all).alias("nt"),
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n") * 1.0 * F.col("nt"))
+            / (F.col("nx") * 1.0 * F.col("ny"))
+        ),
+        9,
+    )
+    terms = m.select(
+        "x",
+        "y",
+        "n",
+        "nt",
+        pmi.cast("double").alias("pmi"),
+        ((F.col("n") * 1.0 / F.col("nt")) * pmi).alias("term"),
+    )
+    mi = F.round(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("x", "y", "term")).over(w_all)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["term"],
+        ),
+        9,
+    )
+    return terms.select(
+        F.col("x").alias("event_type"),
+        F.col("y").alias("hour"),
+        F.col("n").cast("bigint").alias("n"),
+        "pmi",
+        mi.cast("double").alias("mi_total"),
+    )

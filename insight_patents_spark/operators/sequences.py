@@ -833,3 +833,65 @@ def time_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("acf"),
     )
+
+
+@query(
+    "time_interarrival",
+    # Inter-arrival gap distribution per event_type: per-user lag gaps
+    # in exact int64 micros (one window pass on the (user, type) sort),
+    # then per-type count / mean / median / p90 / max. mean is one
+    # double division of exact int64s; quantile_cont == Spark
+    # percentile (linear interpolation) on identical int inputs.
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS gap_us
+      FROM events)
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           CAST(ROUND(SUM(gap_us) * 1.0 / COUNT(gap_us), 9) AS DOUBLE)
+             AS mean_us,
+           CAST(quantile_cont(gap_us, 0.5) AS DOUBLE) AS median_us,
+           CAST(quantile_cont(gap_us, 0.9) AS DOUBLE) AS p90_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def time_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event_type — the queueing /
+    engagement-cadence diagnostic (how often does the same user repeat
+    the same action): per-user consecutive-event gaps from one window
+    pass, summarized count/mean/median/p90/max per type. Gaps are exact
+    int64 micros (delta-only, so the session-tz shift of the NTZ wall
+    clock cancels); the mean is one double division of exact int64
+    sums; percentiles interpolate identical ints in both engines.
+
+    Scale shape: one (user_id, event_type)-partitioned window sort —
+    per-partition volume is human-bounded — then a per-type agg whose
+    exact percentiles sort within ≤|types| groups. At 100 TB the
+    percentile sort is the wide cost; swap F.percentile for
+    percentile_approx at a documented error bound if |gaps| per type
+    outgrows a partition (same degrade note as agg_percentile)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    us = F.expr(_TS_US)
+    g = e.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(
+            F.sum("gap_us") * 1.0 / F.count("gap_us"), 9
+        )
+        .cast("double")
+        .alias("mean_us"),
+        F.percentile("gap_us", F.lit(0.5)).cast("double").alias("median_us"),
+        F.percentile("gap_us", F.lit(0.9)).cast("double").alias("p90_us"),
+        F.max("gap_us").cast("bigint").alias("max_us"),
+    )

@@ -961,3 +961,36 @@ def test_benford_single_fact_agg(spark, sf_dir):
     idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
     assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)
     assert "CartesianProduct" not in plan
+
+
+def test_equidepth_boundaries_broadcast_no_global_sort(spark, sf_dir):
+    # Boundary agg + BroadcastNestedLoopJoin of the 1-row boundary table
+    # (the agg_pareto posture); no global Sort of the fact, no ntile.
+    from insight_patents_spark.operators.aggregates import agg_histogram_equidepth
+
+    plan = formatted_plan(agg_histogram_equidepth(spark, sf_dir))
+    assert "Window" not in plan  # no ntile/global-sort assignment path
+    assert re.search(r"Broadcast(NestedLoop)?Join|BroadcastExchange", plan)
+
+
+def test_mutual_info_single_fact_agg_then_grid(spark, sf_dir):
+    from insight_patents_spark.operators.aggregates import agg_mutual_info
+
+    plan = formatted_plan(agg_mutual_info(spark, sf_dir))
+    idx_aggs = [
+        m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)
+    ]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)
+    assert "CartesianProduct" not in plan
+
+
+def test_interarrival_one_window_pass(spark, sf_dir):
+    # One user/type-partitioned WindowExec over the fact; percentile agg
+    # after it. No self-join.
+    from insight_patents_spark.operators.sequences import time_interarrival
+
+    plan = formatted_plan(time_interarrival(spark, sf_dir))
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) == 1
+    assert "Join" not in plan

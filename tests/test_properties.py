@@ -1104,3 +1104,59 @@ def test_benford_fracs_sum_to_one(spark, sf_dir):
     for rs in by_type.values():
         assert abs(sum(r.observed_frac for r in rs) - 1.0) < 1e-6
         assert len({r.chi_square for r in rs}) == 1
+
+
+def test_equidepth_buckets_roughly_equal(spark, sf_dir):
+    """Bucket counts are within interpolation slack of equal; bucket
+    ranges tile [min, max] without overlap; total count is exact."""
+    from insight_patents_spark.operators.aggregates import agg_histogram_equidepth
+    from insight_patents_spark.sources.tables import load
+
+    rows = sorted(agg_histogram_equidepth(spark, sf_dir).collect(),
+                  key=lambda r: r.bucket)
+    n_total = load(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_total
+    expect = n_total / len(rows)
+    for r in rows:
+        assert abs(r.n_orders - expect) <= expect * 0.05 + 2
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_cents <= b.lo_cents
+
+
+def test_mutual_info_nonnegative_and_consistent(spark, sf_dir):
+    """MI total is nonnegative (information inequality), identical on
+    every row, and equals the n-weighted PMI mean within fold slack."""
+    from insight_patents_spark.operators.aggregates import agg_mutual_info
+
+    rows = agg_mutual_info(spark, sf_dir).collect()
+    assert rows
+    mis = {r.mi_total for r in rows}
+    assert len(mis) == 1
+    mi = mis.pop()
+    assert mi >= -1e-9
+    n = sum(r.n for r in rows)
+    recomputed = sum(r.n / n * r.pmi for r in rows)
+    assert abs(recomputed - mi) < 1e-6
+
+
+def test_interarrival_quantile_ordering(spark, sf_dir):
+    """Per type: median <= p90 <= max, gaps positive, and the gap count
+    equals events-of-type minus users-having-that-type."""
+    from insight_patents_spark.operators.sequences import time_interarrival
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in time_interarrival(spark, sf_dir).collect()}
+    base = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("u"),
+        )
+        .collect()
+    )
+    for b in base:
+        r = rows[b.event_type]
+        assert r.n_gaps == b.n - b.u
+        assert 0 < r.median_us <= r.p90_us <= r.max_us
