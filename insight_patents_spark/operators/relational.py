@@ -1639,3 +1639,80 @@ def sink_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept.unionByName(updated).unionByName(inserted)
+
+
+@query(
+    "sql_recursive_cte",
+    # Recursive hierarchy flatten (Spark 4 WITH RECURSIVE — the BOM /
+    # org-chart explosion SQL could not express before): a 3-level
+    # region -> nation -> customer hierarchy walks down from the roots,
+    # accumulating depth and '/'-joined path. Edges derive from the dim
+    # tables (customers sampled custkey%50=0 to stay dim-shaped); both
+    # engines run the identical fixpoint.
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT 'R' || CAST(r_regionkey AS VARCHAR) AS node,
+             CAST(NULL AS VARCHAR) AS parent, r_name AS name
+      FROM region
+      UNION ALL
+      SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+             'R' || CAST(n_regionkey AS VARCHAR), n_name
+      FROM nation
+      UNION ALL
+      SELECT 'C' || CAST(c_custkey AS VARCHAR),
+             'N' || CAST(c_nationkey AS VARCHAR), c_name
+      FROM customer WHERE c_custkey % 50 = 0
+    ),
+    walk(node, root, depth, path) AS (
+      SELECT node, node, 0, name
+      FROM edges WHERE parent IS NULL
+      UNION ALL
+      SELECT e.node, w.root, w.depth + 1, w.path || '/' || e.name
+      FROM walk w JOIN edges e ON e.parent = w.node
+    )
+    SELECT node, root, CAST(depth AS INT) AS depth, path FROM walk
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE hierarchy explosion (WITH RECURSIVE, new SQL
+    surface in Spark 4): flattens the region→nation→customer tree from
+    its adjacency list, emitting (node, root, depth, materialized
+    path) — the BOM-explosion / org-chart / account-rollup query class
+    that previously required the iterative-DataFrame loop graph_bfs_khop
+    hand-rolls.
+
+    Scale shape: each fixpoint iteration is one equi-join of the
+    frontier against the edge table — identical physical work to the
+    checkpointed loops in graph.py, but planned by Catalyst from
+    declarative SQL. Depth is bounded by the hierarchy (3 here);
+    frontier rows only ever shuffle on the join key. For deep/cyclic
+    graphs the imperative loop with localCheckpoint stays preferable
+    (documented in graph.py); for warehouse-dim hierarchies this is
+    the idiomatic form."""
+    _reg_views(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, root, depth, path) AS (
+          SELECT node, node AS root, 0 AS depth, name AS path
+          FROM (
+            SELECT 'R' || CAST(r_regionkey AS STRING) AS node,
+                   CAST(NULL AS STRING) AS parent, r_name AS name
+            FROM ips_region
+          ) WHERE parent IS NULL
+          UNION ALL
+          SELECT e.node, w.root, w.depth + 1, w.path || '/' || e.name
+          FROM walk w
+          JOIN (
+            SELECT 'N' || CAST(n_nationkey AS STRING) AS node,
+                   'R' || CAST(n_regionkey AS STRING) AS parent,
+                   n_name AS name
+            FROM ips_nation
+            UNION ALL
+            SELECT 'C' || CAST(c_custkey AS STRING),
+                   'N' || CAST(c_nationkey AS STRING), c_name
+            FROM ips_customer WHERE c_custkey % 50 = 0
+          ) e ON e.parent = w.node
+        )
+        SELECT node, root, CAST(depth AS INT) AS depth, path FROM walk
+        """
+    )

@@ -2518,47 +2518,88 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale a df cap drops boilerplate tokens first — documented
     trade-off, same as dedup_ngram_jaccard); the predicted side reuses
     the CACHED LSH candidate pairs (never re-runs signatures); the hit
-    join broadcasts the predicted side (bounded by true-dup density) and
-    the bin rollup is three rows."""
+    join is a (doc_a, doc_b) equi-join sized by true-dup density and the
+    bin rollup is three rows.
+
+    Truth physical strategy mirrors text_jaccard_tokens: when the vocab
+    fits 63 bits and the token-SET class count is under the cap, truth
+    comes from the popcount class join (quadratic only in |classes| —
+    this corpus's uniform high-df tokens make the shared-token join
+    Σdf(t)² ≈ |docs|²·|vocab|, which measured 50 s of the full bench at
+    sf0.1; the class path is seconds). Sparse/high-class corpora fall
+    back to the shared-token equi-join, which is then genuinely
+    sub-quadratic."""
     d = load(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
-        .repartition(sh_parts(spark))
+    vocab_size = (
+        d.select(F.explode(F.array_distinct(_tokens())).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
     )
-    sizes = d.select(
-        "doc_id", F.size(F.array_distinct(_tokens())).alias("n")
-    )
-    inter = (
-        tok.alias("a")
-        .join(
-            tok.alias("b"),
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    truth = None
+    if vocab_size <= 63:
+        toks = F.array_distinct(_tokens())
+        n_classes = (
+            d.select(F.md5(F.array_join(F.sort_array(toks), "|")).alias("sig"))
+            .agg(F.countDistinct("sig"))
+            .collect()[0][0]
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    truth = (
-        inter.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))),
-            "doc_a",
+        if n_classes <= _JACCARD_CLASS_CAP:
+            truth = _jaccard_bitmask(d, threshold=0.7).select(
+                "doc_a", "doc_b", "jaccard"
+            )
+    if truth is None:
+        tok = (
+            d.select(
+                "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
+            )
+            .repartition(sh_parts(spark))
         )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))),
-            "doc_b",
+        sizes = d.select(
+            "doc_id", F.size(F.array_distinct(_tokens())).alias("n")
         )
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")),
+        inter = (
+            tok.alias("a")
+            .join(
+                tok.alias("b"),
+                (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
         )
-        .filter(F.col("jaccard") >= 0.7)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+        truth = (
+            inter.join(
+                F.broadcast(
+                    sizes.select(
+                        F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+                    )
+                ),
+                "doc_a",
+            )
+            .join(
+                F.broadcast(
+                    sizes.select(
+                        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                    )
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= 0.7)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     pred = dedup_minhash_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("p_a"), F.col("doc_b").alias("p_b")
     )
     hit = truth.join(
-        F.broadcast(pred),
+        pred,
         (F.col("doc_a") == F.col("p_a")) & (F.col("doc_b") == F.col("p_b")),
         "left",
     )

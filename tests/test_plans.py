@@ -994,3 +994,14 @@ def test_interarrival_one_window_pass(spark, sf_dir):
     idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
     assert len(idx_wins) == 1
     assert "Join" not in plan
+
+
+def test_recursive_cte_plans_joins_not_subqueries(spark, sf_dir):
+    # The fixpoint must plan as frontier-vs-edges joins (UnionLoop /
+    # repeated join stages), with no per-row subquery and no cartesian.
+    from insight_patents_spark.operators.relational import sql_recursive_cte
+
+    df = sql_recursive_cte(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert df.count() == 60  # 5 regions + 25 nations + 30 sampled customers

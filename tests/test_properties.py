@@ -1160,3 +1160,18 @@ def test_interarrival_quantile_ordering(spark, sf_dir):
         r = rows[b.event_type]
         assert r.n_gaps == b.n - b.u
         assert 0 < r.median_us <= r.p90_us <= r.max_us
+
+
+def test_recursive_cte_tree_invariants(spark, sf_dir):
+    """Depth matches node kind (R=0, N=1, C=2), every path starts at the
+    node's root region name, and child counts reconcile with the dims."""
+    from insight_patents_spark.operators.relational import sql_recursive_cte
+
+    rows = sql_recursive_cte(spark, sf_dir).collect()
+    kinds = {"R": 0, "N": 1, "C": 2}
+    for r in rows:
+        assert r.depth == kinds[r.node[0]]
+        assert r.root.startswith("R")
+        assert r.path.count("/") == r.depth
+    assert sum(1 for r in rows if r.depth == 0) == 5
+    assert sum(1 for r in rows if r.depth == 1) == 25
