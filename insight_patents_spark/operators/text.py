@@ -2703,3 +2703,89 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mix_weight"),
         )
     )
+
+
+@query(
+    "text_zipf_fit",
+    # Zipf-law fit per language: token frequencies -> (freq DESC, token
+    # ASC) ranks over the <=|vocab| grid -> log-log OLS slope. ln() is
+    # rounded 9dp at birth; the four OLS moment sums fold the <=|vocab|
+    # cells in ascending-rank order (order-canonical float folds), and
+    # the slope is one arithmetic expression of those four doubles.
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (
+      SELECT lang, token, COUNT(*) AS f FROM tok GROUP BY lang, token),
+    ranked AS (
+      SELECT lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY f DESC, token) AS r,
+             CAST(ROUND(LN(ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY f DESC, token)), 9) AS DOUBLE) AS x,
+             CAST(ROUND(LN(f), 9) AS DOUBLE) AS y
+      FROM freq),
+    m AS (
+      SELECT lang, COUNT(*) AS n,
+             list_aggregate(list(x ORDER BY r), 'sum') AS sx,
+             list_aggregate(list(y ORDER BY r), 'sum') AS sy,
+             list_aggregate(list(x * y ORDER BY r), 'sum') AS sxy,
+             list_aggregate(list(x * x ORDER BY r), 'sum') AS sxx
+      FROM ranked GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n_vocab,
+           CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+                AS DOUBLE) AS zipf_slope
+    FROM m
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent per language — the corpus-health diagnostic
+    (natural text fits slope ≈ -1 on the log-log rank/frequency line;
+    boilerplate-heavy or synthetic corpora deviate sharply; this
+    word-salad fixture reads near 0, which is the point of measuring).
+    Log-log OLS over the ranked vocabulary.
+
+    Scale shape: the corpus collapses to the ≤|vocab|·|langs| frequency
+    grid in one map-side-combinable hash agg; ranking windows and the
+    four OLS moment folds run on that grid only. ln() rounds 9dp at
+    birth and every float sum folds in ascending-rank order — the same
+    order-canonical posture as agg_benford/agg_mutual_info."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(_tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), "token")
+    ranked = freq.select(
+        "lang",
+        F.row_number().over(w).alias("r"),
+        F.round(F.log(F.row_number().over(w).cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 9).alias("y"),
+    )
+
+    def fold(col: F.Column) -> F.Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("r"), col.alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        )
+
+    m = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_vocab"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            9,
+        )
+        .cast("double")
+        .alias("zipf_slope"),
+    )

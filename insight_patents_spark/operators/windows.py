@@ -852,3 +852,92 @@ def win_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_peak"),
         )
     )
+
+
+_RSI_PERIOD = 14
+
+
+@query(
+    "win_rsi",
+    # Wilder's Relative Strength Index over the per-type daily-revenue
+    # series: the fact collapses to the (type, day) grid first; one lag
+    # gives exact int64 deltas; gains/losses split exactly; RSI over the
+    # trailing 14-day frame uses the RATIO OF FRAME SUMS (sum gain /
+    # sum loss — both exact int64), so the only float op is the final
+    # 100 - 100/(1+rs) expression, rounded 9dp. Frames with zero loss
+    # pin RSI to 100 exactly (integer comparison, no division).
+    oracle=f"""
+    WITH grid AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT event_type, day, cents,
+             cents - LAG(cents) OVER w AS delta
+      FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+    gl AS (
+      SELECT event_type, day,
+             CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+             CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss,
+             COUNT(delta) OVER w2 AS n_deltas,
+             CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+                  OVER w2 AS BIGINT) AS sg,
+             CAST(SUM(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+                  OVER w2 AS BIGINT) AS sl
+      FROM d
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {_RSI_PERIOD - 1} PRECEDING AND CURRENT ROW))
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(CASE WHEN sl = 0 THEN 100.0
+                ELSE ROUND(100.0 - 100.0 / (1.0 + CAST(sg AS DOUBLE) / sl), 9)
+                END AS DOUBLE) AS rsi
+    FROM gl WHERE n_deltas >= {_RSI_PERIOD}
+    """,
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Wilder's momentum oscillator, the
+    overbought/oversold screen next to agg_ohlc and win_drawdown in the
+    finance battery) per event_type over daily revenue, 14-day simple
+    frame. RSI needs the ratio of average gain to average loss; both
+    averages share the frame length, so rs reduces to the ratio of two
+    exact int64 FRAME SUMS — no float accumulates anywhere, and the
+    single float expression at the end is rounded 9dp. All-gain frames
+    hit the sl=0 branch (exact integer test) and pin to 100.
+
+    Scale shape: one map-side-combinable hash agg to the (type, day)
+    grid, then two windows (lag + trailing frame) sharing the same
+    (type)-partitioned day sort — the fact shuffles once, the windows
+    sort ≤|days| rows per type."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    grid = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    d = grid.select(
+        "event_type",
+        "day",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta"),
+    )
+    w2 = w.rowsBetween(-(_RSI_PERIOD - 1), Window.currentRow)
+    gain = F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)
+    loss = F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)
+    gl = d.select(
+        "event_type",
+        "day",
+        F.count("delta").over(w2).alias("n_deltas"),
+        F.sum(gain).over(w2).cast("bigint").alias("sg"),
+        F.sum(loss).over(w2).cast("bigint").alias("sl"),
+    )
+    rsi = F.when(F.col("sl") == 0, F.lit(100.0)).otherwise(
+        F.round(
+            100.0 - 100.0 / (1.0 + F.col("sg").cast("double") / F.col("sl")),
+            9,
+        )
+    )
+    return gl.filter(F.col("n_deltas") >= _RSI_PERIOD).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        rsi.cast("double").alias("rsi"),
+    )

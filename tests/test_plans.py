@@ -1005,3 +1005,27 @@ def test_recursive_cte_plans_joins_not_subqueries(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert df.count() == 60  # 5 regions + 25 nations + 30 sampled customers
+
+
+def test_rsi_two_windows_share_one_sort(spark, sf_dir):
+    # grid agg -> lag window -> frame window on the SAME (type, day)
+    # sort: exactly 2 Windows, and only 2 Exchanges (agg + window).
+    from insight_patents_spark.operators.windows import win_rsi
+
+    plan = formatted_plan(win_rsi(spark, sf_dir))
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) == 2
+    n_sorts = len(re.findall(r"^\(\d+\) Sort$", plan, re.M))
+    assert n_sorts == 1
+
+
+def test_zipf_fact_collapses_before_window(spark, sf_dir):
+    from insight_patents_spark.operators.text import text_zipf_fit
+
+    plan = formatted_plan(text_zipf_fit(spark, sf_dir))
+    idx_aggs = [
+        m.start()
+        for m in re.finditer(r"^\(\d+\) (?:Hash|Sort|ObjectHash)Aggregate", plan, re.M)
+    ]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)

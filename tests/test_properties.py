@@ -1175,3 +1175,63 @@ def test_recursive_cte_tree_invariants(spark, sf_dir):
         assert r.path.count("/") == r.depth
     assert sum(1 for r in rows if r.depth == 0) == 5
     assert sum(1 for r in rows if r.depth == 1) == 25
+
+
+def test_rsi_bounds_and_flat_series_behavior(spark, sf_dir):
+    """RSI lies in [0, 100]; rows only appear once 14 deltas exist; a
+    recomputed python RSI from the same grid matches for one type."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.windows import _RSI_PERIOD, win_rsi
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    rows = win_rsi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.rsi <= 100.0
+    grid = defaultdict(dict)
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    for g in (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents).alias("c"))
+        .collect()
+    ):
+        grid[g.event_type][str(g.day)] = g.c
+    et = rows[0].event_type
+    days = sorted(grid[et])
+    deltas = {
+        days[i]: grid[et][days[i]] - grid[et][days[i - 1]]
+        for i in range(1, len(days))
+    }
+    mine = {}
+    dl = sorted(deltas)
+    for i in range(_RSI_PERIOD - 1, len(dl)):
+        fr = [deltas[d] for d in dl[i - _RSI_PERIOD + 1 : i + 1]]
+        sg, sl = sum(x for x in fr if x > 0), -sum(x for x in fr if x < 0)
+        mine[dl[i]] = 100.0 if sl == 0 else round(100 - 100 / (1 + sg / sl), 9)
+    got = {r.day: r.rsi for r in rows if r.event_type == et}
+    assert got == mine
+
+
+def test_zipf_slope_negative_on_skewed_ranks(spark, sf_dir):
+    """Slopes are finite; per-lang vocab counts match a direct distinct
+    count; a perfectly uniform frequency table would give slope ~0 and
+    this corpus must stay in (-1.5, 0.5)."""
+    from insight_patents_spark.operators.text import text_zipf_fit
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    rows = {r.lang: r for r in text_zipf_fit(spark, sf_dir).collect()}
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("lang")
+        .agg(F.count_distinct("t").alias("v"))
+        .collect()
+    )
+    for v in vocab:
+        r = rows[v.lang]
+        assert r.n_vocab == v.v
+        assert -1.5 < r.zipf_slope < 0.5
