@@ -1744,3 +1744,167 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_3"
         ),
     )
+
+
+_PCA_ITERS = 3
+_PCA_Q = "1e9"  # nano-unit quantization for the matvec reduction
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTE chain (see vec_pca_project): the
+    per-iteration matvec folds per-vector dots in dim order and reduces
+    per-dim contributions as FLOOR-quantized exact int64 nano-units, so
+    the only cross-row float reductions are ordered folds; norm and the
+    normalized component round 9dp each iteration."""
+    sql = """
+    WITH dims AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    mu AS (
+      SELECT dim, list_aggregate(list_sort(list(x)), 'sum') / COUNT(*) AS m
+      FROM dims GROUP BY dim),
+    c AS (
+      SELECT d.vec_id, d.dim, d.x - mu.m AS cx
+      FROM dims d JOIN mu USING (dim)),
+    w0 AS (
+      SELECT unnest(range(1, 65)) AS dim, 0.125 AS w)"""
+    for k in range(1, _PCA_ITERS + 1):
+        sql += f""",
+    d{k} AS (
+      SELECT c.vec_id,
+             list_aggregate(list(c.cx * w.w ORDER BY c.dim), 'sum') AS dot
+      FROM c JOIN w{k - 1} w ON c.dim = w.dim
+      GROUP BY c.vec_id),
+    s{k} AS (
+      SELECT c.dim,
+             CAST(SUM(CAST(FLOOR(c.cx * d.dot * {_PCA_Q}) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM c JOIN d{k} d ON c.vec_id = d.vec_id
+      GROUP BY c.dim),
+    wp{k} AS (SELECT dim, s / {_PCA_Q} AS wp FROM s{k}),
+    n{k} AS (
+      SELECT ROUND(SQRT(list_aggregate(list(wp * wp ORDER BY dim), 'sum')), 9)
+               AS nm
+      FROM wp{k}),
+    w{k} AS (
+      SELECT dim, ROUND(wp / (SELECT nm FROM n{k}), 9) AS w FROM wp{k})"""
+    sql += f"""
+    SELECT c.vec_id,
+           CAST(ROUND(list_aggregate(list(c.cx * w.w ORDER BY c.dim), 'sum'),
+                      9) AS DOUBLE) AS pc1
+    FROM c JOIN w{_PCA_ITERS} w ON c.dim = w.dim
+    GROUP BY c.vec_id
+    """
+    return sql
+
+
+@query("vec_pca_project", oracle=_pca_oracle())
+def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, top component, by power iteration — the
+    dimensionality-reduction / visualization / whitening primitive every
+    embedding pipeline wants next to k-means and PQ: center the corpus,
+    run v <- normalize(Cv) without EVER materializing the covariance C
+    (each iteration is one pass: per-vector dot d_i = x̃_i·v, then the
+    per-dim reduction Σ_i x̃_ij·d_i — the textbook matvec-only power
+    method), finally project every vector onto the component.
+
+    Determinism: the per-vector dot folds in dim order (the _dot
+    contract); the ONLY cross-row float reduction — Σ_i x̃_ij·d_i — is
+    quantized to exact int64 nano-units with FLOOR (floor is
+    sign-uniform across engines, unlike round-half), so the sum is
+    order-independent at any executor count; norm and component round
+    9dp per iteration; fixed {_PCA_ITERS} iterations per the repo
+    contract (converged-ness is not part of the oracle, the exact
+    arithmetic chain is).
+
+    Scale shape: centering is one broadcast of the 64-double mean;
+    every iteration shuffles exactly the (dim, partial-int64) pairs —
+    64 rows after map-side combine — and broadcasts back a 64-double
+    component; vectors never shuffle, C (64x64) never exists. The
+    persisted centered table is the only cache (persist, not
+    localCheckpoint — the vec-stage SMJ-demotion note in STATE.md)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    mu_row = (
+        e.select(F.posexplode("v").alias("pos0", "x"))
+        .groupBy((F.col("pos0") + 1).alias("dim"))
+        .agg(_canonical_mean(F.col("x")).alias("m"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), t -> t.m)"
+            ).alias("mu")
+        )
+    )
+    cdf = (
+        e.crossJoin(F.broadcast(mu_row))
+        .select(
+            "vec_id",
+            F.expr("zip_with(v, mu, (x, m) -> x - m)").alias("c"),
+        )
+        .persist()
+    )
+    w_row = spark.range(1).select(
+        F.expr("array_repeat(CAST(0.125 AS DOUBLE), 64)").alias("w")
+    )
+    for _ in range(_PCA_ITERS):
+        scored = cdf.crossJoin(F.broadcast(w_row)).select(
+            "vec_id",
+            "c",
+            F.expr(
+                "aggregate(zip_with(c, w, (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+        s = (
+            scored.select(F.posexplode("c").alias("pos0", "cx"), "dot")
+            .select(
+                (F.col("pos0") + 1).alias("dim"),
+                F.floor(F.col("cx") * F.col("dot") * F.lit(1e9))
+                .cast("long")
+                .alias("q"),
+            )
+            .groupBy("dim")
+            .agg(F.sum("q").alias("s"))
+        )
+        w_row = (
+            s.groupBy()
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, s))), "
+                    "t -> t.s / 1e9)"
+                ).alias("wp")
+            )
+            .select(
+                "wp",
+                F.round(
+                    F.sqrt(
+                        F.expr(
+                            "aggregate(transform(wp, x -> x * x), "
+                            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                        )
+                    ),
+                    9,
+                ).alias("nm"),
+            )
+            .select(
+                F.transform(
+                    F.col("wp"), lambda x: F.round(x / F.col("nm"), 9)
+                ).alias("w")
+            )
+        )
+    return cdf.crossJoin(F.broadcast(w_row)).select(
+        "vec_id",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(c, w, (x, y) -> x * y), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+            9,
+        )
+        .cast("double")
+        .alias("pc1"),
+    )

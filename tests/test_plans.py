@@ -1029,3 +1029,16 @@ def test_zipf_fact_collapses_before_window(spark, sf_dir):
     ]
     idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
     assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)
+
+
+def test_pca_vectors_never_shuffle(spark, sf_dir):
+    # Every iteration shuffles only (dim, int64-partial) pairs; the
+    # vector table itself is never hash-partitioned by vec_id and the
+    # 1-row mean/component tables arrive via broadcast.
+    from insight_patents_spark.operators.vector import vec_pca_project
+
+    plan = formatted_plan(vec_pca_project(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "vec_id" not in m.group(1)
+    assert "BroadcastExchange" in plan

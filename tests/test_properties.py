@@ -1235,3 +1235,30 @@ def test_zipf_slope_negative_on_skewed_ranks(spark, sf_dir):
         r = rows[v.lang]
         assert r.n_vocab == v.v
         assert -1.5 < r.zipf_slope < 0.5
+
+
+def test_pca_projection_invariants(spark, sf_dir):
+    """Projections are centered (sum ~ 0); the component direction after
+    3 power iterations captures at least as much variance as the uniform
+    start direction (Rayleigh monotonicity), both measured in numpy."""
+    import numpy as np
+
+    from insight_patents_spark.operators.vector import vec_pca_project
+    from insight_patents_spark.sources.tables import load
+
+    rows = vec_pca_project(spark, sf_dir).collect()
+    scores = np.array([r.pc1 for r in rows])
+    assert abs(scores.mean()) < 1e-3
+    assert scores.std() > 0
+    X = np.array(
+        [
+            r.v
+            for r in load(spark, sf_dir, "embeddings")
+            .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+            .collect()
+        ]
+    )
+    Xc = X - X.mean(axis=0)
+    w0 = np.full(64, 0.125)
+    base = ((Xc @ w0) ** 2).mean()
+    assert scores.var() >= base * 0.999
