@@ -2204,3 +2204,89 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pmi",
         mi.cast("double").alias("mi_total"),
     )
+
+
+@query(
+    "agg_anova_f",
+    # One-way ANOVA F across event_type groups on exact int64 cents:
+    # per-group (n, s, ss) exact moments in one hash agg; SSB/SSW built
+    # from s_g^2/n_g terms — each a double division of exact ints —
+    # folded over the <=|types| groups in ascending-type order
+    # (order-canonical); F is one arithmetic expression, rounded 9dp.
+    oracle="""
+    WITH g AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                      * CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS ss
+      FROM events GROUP BY event_type),
+    t AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(s) AS BIGINT) AS st,
+             CAST(SUM(ss) AS BIGINT) AS sst,
+             list_aggregate(list(s * 1.0 * s / n ORDER BY event_type), 'sum')
+               AS between_raw
+      FROM g)
+    SELECT CAST(k AS BIGINT) AS k_groups, nt AS n_total,
+           CAST(ROUND(between_raw - st * 1.0 * st / nt, 9) AS DOUBLE) AS ss_between,
+           CAST(ROUND(sst - between_raw, 9) AS DOUBLE) AS ss_within,
+           CAST(ROUND(((between_raw - st * 1.0 * st / nt) / (k - 1))
+                      / ((sst - between_raw) / (nt - k)), 9) AS DOUBLE) AS f_stat
+    FROM t
+    """,
+)
+def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types on transaction value — the
+    k-group generalization of agg_ab_ttest (do the segment means differ
+    at all, before pairwise tests): F = (SSB/(k−1)) / (SSW/(N−k)) from
+    the standard moment decomposition SSB = Σ s_g²/n_g − S²/N,
+    SSW = ΣSS − Σ s_g²/n_g.
+
+    Scale shape: ONE map-side-combinable hash agg produces per-group
+    exact int64 moments; everything after runs on the ≤|types|-row
+    group table — the s_g²/n_g float terms (each a double division of
+    exact ints) fold in ascending-type order, so the statistic is
+    bit-stable at any parallelism. s_g² demands the documented int64
+    headroom (cents² · rows < 2⁶³ — rescale units past that, same
+    contract as time_acf)."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("bigint").alias("s"),
+        F.sum(cents * cents).cast("bigint").alias("ss"),
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("ss").cast("bigint").alias("sst"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "event_type",
+                        (F.col("s") * 1.0 * F.col("s") / F.col("n")).alias(
+                            "v"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("between_raw"),
+    )
+    ssb = F.col("between_raw") - F.col("st") * 1.0 * F.col("st") / F.col("nt")
+    ssw = F.col("sst") - F.col("between_raw")
+    return t.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("nt").alias("n_total"),
+        F.round(ssb, 9).cast("double").alias("ss_between"),
+        F.round(ssw, 9).cast("double").alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("nt") - F.col("k"))), 9
+        )
+        .cast("double")
+        .alias("f_stat"),
+    )

@@ -216,3 +216,263 @@ def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("f1_at"),
     )
+
+
+@query(
+    "ml_confusion_matrix",
+    # Binary confusion matrix + derived metrics for the lr filter vs the
+    # lang='en' label: one hash agg to 4 cells, every metric a single
+    # division of exact int64s (MCC's sqrt rounds 9dp). The metric
+    # columns repeat per row by design (scalar-only results contract).
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+               % {_LR_BUCKETS} AS bucket
+      FROM tok),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
+          GROUP BY doc_id, bucket),
+    z AS (
+      SELECT doc_id,
+             CAST(SUM(cnt * (CAST(('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 4))
+                                  AS BIGINT) % 101 - 50)) AS BIGINT)
+               + {_LR_BIAS_CENTI} * CAST(SUM(cnt) AS BIGINT) AS zc
+      FROM c GROUP BY doc_id),
+    joined AS (
+      SELECT (z.zc > 0) AS pred, (d.lang = 'en') AS actual
+      FROM z JOIN documents d ON z.doc_id = d.doc_id),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT pred AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM joined)
+    SELECT quadrant, n, accuracy, mcc FROM (
+      SELECT unnest(['tp', 'fp', 'fn', 'tn']) AS quadrant,
+             unnest([tp, fp, fn, tn]) AS n,
+             CAST(ROUND((tp + tn) * 1.0 / (tp + fp + fn + tn), 9) AS DOUBLE)
+               AS accuracy,
+             CAST(CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) > 0
+                  THEN ROUND((tp*tn - fp*fn) /
+                       SQRT(CAST((tp+fp)*(tp+fn) AS DOUBLE) *
+                            CAST((tn+fp)*(tn+fn) AS DOUBLE)), 9)
+                  ELSE 0.0 END AS DOUBLE) AS mcc
+      FROM m)
+    """,
+)
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + accuracy + Matthews correlation for the
+    ml_lr_inference filter against the lang='en' label — the
+    classifier-audit readout next to ml_pr_curve (PR sweeps thresholds;
+    this scores the DEPLOYED cut at logit>0). The prediction recomputes
+    the exact int64 decision (shared arithmetic with ml_lr_inference),
+    so the whole evaluation is one narrow pipeline + two hash aggs + a
+    4-cell rollup; every metric is one division of exact ints (MCC's
+    denominator factors split into two exact products before ONE double
+    multiply — (tp+fp)(tp+fn)(tn+fp)(tn+fn) would overflow int64 at
+    10⁹ docs; paired products stay < 2⁶² there).
+
+    Scale shape: identical to ml_lr_inference (stateless, no weight
+    table) plus a broadcast-sized label join and a 4-cell aggregate."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _LR_BUCKETS
+    )
+    w_centi = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 101
+        - 50
+    )
+    c = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    z = c.groupBy("doc_id").agg(
+        (
+            F.sum(F.col("cnt") * w_centi)
+            + _LR_BIAS_CENTI * F.sum("cnt")
+        )
+        .cast("bigint")
+        .alias("zc")
+    )
+    joined = z.join(d.select("doc_id", "lang"), "doc_id").select(
+        (F.col("zc") > 0).alias("pred"), (F.col("lang") == "en").alias("actual")
+    )
+    m = joined.agg(
+        F.sum(F.when(F.col("pred") & F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    d1 = (tp + fp) * (tp + fn)
+    d2 = (tn + fp) * (tn + fn)
+    mcc = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.round(
+            (tp * tn - fp * fn)
+            / F.sqrt(d1.cast("double") * d2.cast("double")),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    wide = m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round((tp + tn) / (tp + fp + fn + tn), 9)
+        .cast("double")
+        .alias("accuracy"),
+        mcc.cast("double").alias("mcc"),
+    )
+    return wide.select(
+        F.posexplode(
+            F.create_map(
+                F.lit("tp"), tp, F.lit("fp"), fp, F.lit("fn"), fn,
+                F.lit("tn"), tn,
+            )
+        ).alias("_", "quadrant", "n"),
+        "accuracy",
+        "mcc",
+    ).select("quadrant", F.col("n").cast("bigint").alias("n"), "accuracy", "mcc")
+
+
+@query(
+    "ml_calibration_bins",
+    # Reliability diagram: predicted probability (the lr sigmoid) binned
+    # to centiles; per bin the observed positive rate (exact int
+    # division) vs the mean predicted probability. The mean of a float
+    # column is made order-independent by FLOOR-quantizing each score to
+    # exact int64 nano-units before summing (documented quantization —
+    # at 1e-9 resolution the bias is below the 9dp output rounding).
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+               % {_LR_BUCKETS} AS bucket
+      FROM tok),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
+          GROUP BY doc_id, bucket),
+    w AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * (CAST(('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 4))
+                                  AS BIGINT) % 101 - 50)) AS BIGINT) AS z_centi
+      FROM c GROUP BY doc_id),
+    sc AS (
+      SELECT w.doc_id,
+             ROUND(1.0 / (1.0 + EXP(-ROUND((z_centi + {_LR_BIAS_CENTI} * n_tokens) * 1.0
+                   / (100 * n_tokens), 9))), 9) AS score,
+             (d.lang = 'en') AS pos
+      FROM w JOIN documents d ON w.doc_id = d.doc_id),
+    cells AS (
+      SELECT CAST(FLOOR(score * 100) AS BIGINT) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CAST(FLOOR(score * 1e9) AS BIGINT)) AS BIGINT) AS sq
+      FROM sc GROUP BY 1)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           CAST(ROUND(n_pos * 1.0 / n, 9) AS DOUBLE) AS observed_rate,
+           CAST(ROUND(sq / (n * 1e9), 9) AS DOUBLE) AS mean_predicted
+    FROM cells
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability diagram for the lr filter: predicted
+    probabilities binned to centiles, observed positive rate vs mean
+    predicted probability per bin — the readout that tells you whether
+    a 0.8 score means 80% (and feeds temperature scaling if not).
+    Completes the in-engine evaluation set: ml_pr_curve sweeps
+    thresholds, ml_confusion_matrix scores the deployed cut, this
+    audits the probabilities themselves.
+
+    Scale shape: the score pipeline is the stateless lr chain; the
+    diagram is ONE hash agg to ≤100 cells. The only float mean is made
+    order-independent by floor-quantizing scores to exact int64
+    nano-units before summing (same posture as vec_pca_project's matvec
+    reduction) — no collect_list of scores, no per-bin sort, at any
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _LR_BUCKETS
+    )
+    w_centi = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 101
+        - 50
+    )
+    c = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cnt") * w_centi).cast("bigint").alias("z_centi"),
+    )
+    logit = F.round(
+        (F.col("z_centi") + _LR_BIAS_CENTI * F.col("n_tokens"))
+        / (100.0 * F.col("n_tokens")),
+        9,
+    )
+    sc = w.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.round(1.0 / (1.0 + F.exp(-logit)), 9).alias("score"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    cells = sc.groupBy(
+        F.floor(F.col("score") * 100).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.floor(F.col("score") * F.lit(1e9)).cast("long"))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    return cells.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n_pos") / F.col("n"), 9)
+        .cast("double")
+        .alias("observed_rate"),
+        F.round(F.col("sq") / (F.col("n") * F.lit(1e9)), 9)
+        .cast("double")
+        .alias("mean_predicted"),
+    )

@@ -1042,3 +1042,34 @@ def test_pca_vectors_never_shuffle(spark, sf_dir):
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "vec_id" not in m.group(1)
     assert "BroadcastExchange" in plan
+
+
+def test_confusion_matrix_single_label_join(spark, sf_dir):
+    # stateless decision chain + one label join + 4-cell rollup; the
+    # label join must not be a sort-merge and no cartesian appears
+    # (the 1-row metric crossJoin is broadcast-shaped).
+    from insight_patents_spark.operators.ml import ml_confusion_matrix
+
+    plan = formatted_plan(ml_confusion_matrix(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_calibration_no_score_collect(spark, sf_dir):
+    # the float mean must come from quantized int64 sums inside the
+    # hash agg — no collect_list / sort of scores anywhere.
+    from insight_patents_spark.operators.ml import ml_calibration_bins
+
+    plan = formatted_plan(ml_calibration_bins(spark, sf_dir))
+    assert "collect_list" not in plan
+
+
+def test_anova_single_fact_agg(spark, sf_dir):
+    from insight_patents_spark.operators.aggregates import agg_anova_f
+
+    plan = formatted_plan(agg_anova_f(spark, sf_dir))
+    idx_aggs = [
+        m.start()
+        for m in re.finditer(r"^\(\d+\) (?:Hash|Sort|ObjectHash)Aggregate", plan, re.M)
+    ]
+    assert idx_aggs
+    assert plan.count("events.parquet") == 1

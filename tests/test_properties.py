@@ -1262,3 +1262,65 @@ def test_pca_projection_invariants(spark, sf_dir):
     w0 = np.full(64, 0.125)
     base = ((Xc @ w0) ** 2).mean()
     assert scores.var() >= base * 0.999
+
+
+def test_confusion_matrix_reconciles_with_lr(spark, sf_dir):
+    """Quadrants partition the corpus; tp+fn equals the english doc
+    count; accuracy recomputes from the cells."""
+    from insight_patents_spark.operators.ml import ml_confusion_matrix
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    rows = {r.quadrant: r for r in ml_confusion_matrix(spark, sf_dir).collect()}
+    d = load(spark, sf_dir, "documents")
+    n = d.count()
+    n_en = d.filter(F.col("lang") == "en").count()
+    total = sum(r.n for r in rows.values())
+    assert total == n
+    assert rows["tp"].n + rows["fn"].n == n_en
+    acc = (rows["tp"].n + rows["tn"].n) / n
+    assert abs(rows["tp"].accuracy - round(acc, 9)) < 1e-12
+    assert -1.0 <= rows["tp"].mcc <= 1.0
+
+
+def test_calibration_bins_partition_and_bound(spark, sf_dir):
+    """Bin populations sum to the corpus; observed rates and mean
+    predictions are valid probabilities; mean_predicted lies within the
+    bin's centile bounds."""
+    from insight_patents_spark.operators.ml import ml_calibration_bins
+    from insight_patents_spark.sources.tables import load
+
+    rows = ml_calibration_bins(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n
+    for r in rows:
+        assert 0.0 <= r.observed_rate <= 1.0
+        assert r.bin / 100 - 1e-9 <= r.mean_predicted < (r.bin + 1) / 100 + 1e-9
+
+
+def test_anova_f_matches_scipy_formula(spark, sf_dir):
+    """Recompute the F statistic directly from the grouped cents in
+    python; SSB and SSW are nonnegative and F matches."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import agg_anova_f
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    row = agg_anova_f(spark, sf_dir).collect()[0]
+    assert row.ss_between >= 0 and row.ss_within >= 0
+    groups = defaultdict(list)
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    for r in e.collect():
+        groups[r.event_type].append(r.c)
+    k = len(groups)
+    nt = sum(len(v) for v in groups.values())
+    st = sum(sum(v) for v in groups.values())
+    between_raw = sum(sum(groups[g]) ** 2 / len(groups[g]) for g in sorted(groups))
+    sst = sum(x * x for v in groups.values() for x in v)
+    ssb = between_raw - st * st / nt
+    ssw = sst - between_raw
+    f = (ssb / (k - 1)) / (ssw / (nt - k))
+    assert abs(row.f_stat - f) < max(1e-6, abs(f) * 1e-9)
