@@ -2290,3 +2290,108 @@ def agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("f_stat"),
     )
+
+
+@query(
+    "agg_log_histogram",
+    # HdrHistogram-style log2-bucketed value summary per event_type:
+    # bucket = floor(log2(cents)) computed EXACTLY as the binary-string
+    # length minus one (identical in both engines; no float log edge
+    # cases); per-type p50/p95/p99 are the LOWER BOUND 2^bucket of the
+    # first bucket whose cumulative count crosses the quantile — the
+    # HdrHistogram contract (relative error bounded by bucket width).
+    # The quantile crossings are exact integer comparisons (2·cum ≥ n,
+    # 20·cum ≥ 19·n, 100·cum ≥ 99·n) — no float fractions.
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE value >= 0.01),
+    cells AS (
+      SELECT event_type,
+             CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM c GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cm,
+             SUM(n) OVER (PARTITION BY event_type) AS nt
+      FROM cells)
+    SELECT event_type,
+           CAST(MAX(nt) AS BIGINT) AS n,
+           CAST((1::BIGINT << CAST(MIN(CASE WHEN 2 * cm >= nt
+                                       THEN bucket END) AS INT))
+                AS BIGINT) AS p50_lo_cents,
+           CAST((1::BIGINT << CAST(MIN(CASE WHEN 20 * cm >= 19 * nt
+                                       THEN bucket END) AS INT))
+                AS BIGINT) AS p95_lo_cents,
+           CAST((1::BIGINT << CAST(MIN(CASE WHEN 100 * cm >= 99 * nt
+                                       THEN bucket END) AS INT))
+                AS BIGINT) AS p99_lo_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram percentiles per event_type — the
+    HdrHistogram / latency-dashboard shape: constant relative error at
+    any value range, and the bucket table is MERGEABLE (summed counts),
+    so shards/time-slices roll up without revisiting raw data — the
+    property exact percentiles (agg_percentile) lack and fixed-width
+    sketches (agg_quantile_sketch) only give at a chosen absolute
+    resolution. Buckets come from the int's binary length (exact in
+    both engines); p50/p95/p99 are bucket lower bounds 2^bucket with
+    exact integer quantile crossings.
+
+    Scale shape: one map-side-combinable hash agg to ≤|types|·64 cells;
+    cumulative windows and the min-bucket picks run on that grid. The
+    fact shuffles once; the state is 64 int64s per group forever."""
+    e = load(spark, sf_dir, "events").filter(F.col("value") >= 0.01)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cells = (
+        e.select(
+            "event_type",
+            (F.length(F.bin(cents)) - 1).cast("bigint").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = cells.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(w_cum).alias("cm"),
+        F.sum("n").over(w_all).alias("nt"),
+    )
+
+    def pick(mult_c: int, mult_n: int) -> F.Column:
+        return F.min(
+            F.when(
+                mult_c * F.col("cm") >= mult_n * F.col("nt"),
+                F.col("bucket"),
+            )
+        )
+
+    picked = cum.groupBy("event_type").agg(
+        F.max("nt").cast("bigint").alias("n"),
+        pick(2, 1).alias("b50"),
+        pick(20, 19).alias("b95"),
+        pick(100, 99).alias("b99"),
+    )
+    return picked.select(
+        "event_type",
+        "n",
+        *[
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), CAST({b} AS INT)) AS BIGINT)"
+            ).alias(a)
+            for b, a in (
+                ("b50", "p50_lo_cents"),
+                ("b95", "p95_lo_cents"),
+                ("b99", "p99_lo_cents"),
+            )
+        ],
+    )

@@ -1073,3 +1073,15 @@ def test_anova_single_fact_agg(spark, sf_dir):
     ]
     assert idx_aggs
     assert plan.count("events.parquet") == 1
+
+
+def test_log_histogram_single_fact_agg(spark, sf_dir):
+    from insight_patents_spark.operators.aggregates import agg_log_histogram
+
+    plan = formatted_plan(agg_log_histogram(spark, sf_dir))
+    assert plan.count("events.parquet") == 1
+    idx_aggs = [
+        m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)
+    ]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)

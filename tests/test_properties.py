@@ -1324,3 +1324,30 @@ def test_anova_f_matches_scipy_formula(spark, sf_dir):
     ssw = sst - between_raw
     f = (ssb / (k - 1)) / (ssw / (nt - k))
     assert abs(row.f_stat - f) < max(1e-6, abs(f) * 1e-9)
+
+
+def test_log_histogram_brackets_exact_percentiles(spark, sf_dir):
+    """The HdrHistogram contract: each reported lower bound is <= the
+    exact percentile and within one bucket (2x) of it."""
+    from insight_patents_spark.operators.aggregates import agg_log_histogram
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in agg_log_histogram(spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "events").filter(F.col("value") >= 0.01)
+    exact = (
+        e.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(CAST(ROUND(value*100,0) AS BIGINT), array(0.5, 0.95, 0.99))"
+            ).alias("p")
+        )
+        .collect()
+    )
+    for x in exact:
+        r = rows[x.event_type]
+        for lo, ex in zip(
+            (r.p50_lo_cents, r.p95_lo_cents, r.p99_lo_cents), x.p
+        ):
+            assert lo <= ex + 1e-9
+            assert ex < lo * 2 + 1  # within one log2 bucket
