@@ -743,3 +743,145 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("valid_to").isNull().alias("from_current_version"),
         )
     )
+
+
+_GEO_LAT_CELL = 500_000  # 1e-4-degree units: 50 deg... no — 5 degrees
+_GEO_LON_CELL = 1_000_000  # 10 degrees in 1e-4-degree units
+_GEO_R2 = 45_000**2  # 4.5 degrees (≈500 km N-S) squared, in units²
+
+
+@query(
+    "geo_grid_join",
+    # Spatial neighbor join via grid bucketing (the Sedona/PostGIS
+    # partitioned spatial-join shape): deterministic synthetic
+    # coordinates per customer (md5-derived, lat clamped to ±60°, in
+    # EXACT 1e-4-degree integer units), cells of 5°x10°, candidates from
+    # the 3x3 neighbor-cell equi-join, verified with the exact integer
+    # equirectangular metric d² = Δlat² + (Δlon/2)² <= R² (fixed-scale
+    # cos φ = 0.5; a production system swaps in haversine — the grid
+    # join SHAPE is what scales). Cell math guarantees completeness:
+    # within ±60°, any pair within R has Δlat < 1 lat-cell and
+    # Δlon < 1 lon-cell, so it lands in adjacent cells.
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('lat' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1200001 - 600000 AS lat,
+             CAST(('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 3600001 - 1800000 AS lon
+      FROM customer),
+    cells AS (
+      SELECT id, lat, lon,
+             CAST(FLOOR(lat * 1.0 / {_GEO_LAT_CELL}) AS BIGINT) AS cy,
+             CAST(FLOOR(lon * 1.0 / {_GEO_LON_CELL}) AS BIGINT) AS cx
+      FROM pts),
+    probe AS (
+      SELECT id, lat, lon, cy + dy.d AS cy, cx + dx.d AS cx
+      FROM cells
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             4::BIGINT * (a.lat - b.lat) * (a.lat - b.lat)
+               + (a.lon - b.lon) * (a.lon - b.lon) AS d2q
+      FROM probe a JOIN cells b
+        ON a.cy = b.cy AND a.cx = b.cx AND a.id < b.id)
+    SELECT id_a, id_b, CAST(d2q AS BIGINT) AS d2q_units,
+           CAST(ROUND(SQRT(CAST(d2q AS DOUBLE)) * 0.00555225, 9) AS DOUBLE)
+             AS approx_km
+    FROM pairs WHERE d2q <= 4::BIGINT * {_GEO_R2}
+    """,
+)
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial neighbor join — 'which customers are within ~500 km of
+    each other' — via grid bucketing, the shape every distributed
+    spatial engine (Sedona, PostGIS partitioning) uses: points land in
+    5°x10° cells, each point probes its 3x3 neighborhood, candidates
+    come from a cell equi-join (NEVER all-pairs), and the metric
+    verifies exactly. Coordinates are md5-derived synthetic integers
+    (1e-4-degree units, lat within ±60°) and the verify metric is the
+    exact-integer equirectangular d² — swap in real columns and a
+    haversine expression without touching the join topology.
+
+    Scale shape: the probe side fans out exactly 9x; the join is an
+    equi-join on (cy, cx); per-task work is bounded by cell occupancy
+    (skewed cells get the LSH salt posture). Completeness: within ±60°
+    any pair inside R differs by < 1 cell in each axis, so adjacency
+    suffices — the argument a production geohash join makes per zoom
+    level. The metric is cross-multiplied (4·Δlat² + Δlon²) so it stays
+    pure integer arithmetic — no division whose floor/truncate
+    semantics could differ between engines."""
+    c = load(spark, sf_dir, "customer")
+    h = lambda p: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(p), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (h("lat") % 1200001 - 600000).alias("lat"),
+        (h("lon") % 3600001 - 1800000).alias("lon"),
+    )
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        F.floor(F.col("lat") * 1.0 / _GEO_LAT_CELL).cast("bigint").alias("cy"),
+        F.floor(F.col("lon") * 1.0 / _GEO_LON_CELL).cast("bigint").alias("cx"),
+    )
+    probe = cells.select(
+        "id",
+        "lat",
+        "lon",
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        "cy",
+        "cx",
+    ).select(
+        "id",
+        "lat",
+        "lon",
+        (F.col("cy") + F.col("dy")).alias("cy"),
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+        "cx",
+    ).select(
+        "id", "lat", "lon", "cy", (F.col("cx") + F.col("dx")).alias("cx")
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        "cy",
+        "cx",
+    )
+    dlat = F.col("lat") - F.col("lat_b")
+    pairs = (
+        probe.alias("p").join(
+            b.alias("q"),
+            (F.col("p.cy") == F.col("q.cy"))
+            & (F.col("p.cx") == F.col("q.cx"))
+            & (F.col("p.id") < F.col("q.id_b")),
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            (
+                4 * dlat * dlat
+                + (F.col("lon") - F.col("lon_b"))
+                * (F.col("lon") - F.col("lon_b"))
+            ).alias("d2q"),
+        )
+    )
+    return pairs.filter(F.col("d2q") <= 4 * _GEO_R2).select(
+        "id_a",
+        "id_b",
+        F.col("d2q").cast("bigint").alias("d2q_units"),
+        F.round(F.sqrt(F.col("d2q").cast("double")) * 0.00555225, 9)
+        .cast("double")
+        .alias("approx_km"),
+    )

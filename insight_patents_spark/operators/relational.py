@@ -1716,3 +1716,74 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, root, CAST(depth AS INT) AS depth, path FROM walk
         """
     )
+
+
+@query(
+    "dq_impute",
+    # Median imputation — the repair step after dq_expectations flags
+    # gaps: a deterministic 10% of events (md5 bucket 0) plays the
+    # missing-value role; imputation fills from the BROADCAST per-type
+    # exact median of the surviving values (boundary-broadcast posture,
+    # never a per-row correlated subquery). Cents exact int64; the
+    # interpolated median is a double of exact halves, identical in
+    # both engines.
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 10 = 0 AS is_missing
+      FROM events),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS m
+      FROM flagged WHERE NOT is_missing GROUP BY event_type)
+    SELECT f.event_id, f.event_type, f.is_missing,
+           CAST(CASE WHEN f.is_missing THEN ROUND(med.m, 9)
+                     ELSE CAST(f.cents AS DOUBLE) END AS DOUBLE)
+             AS cents_imputed
+    FROM flagged f JOIN med ON f.event_type = med.event_type
+    """,
+)
+def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value repair by group median — the imputation stage that
+    follows dq_expectations' detection: rows flagged missing (a
+    deterministic md5 bucket stands in for real nulls — the fixture has
+    none) are filled with their event_type's exact median of the
+    observed values, everything else passes through, and the flag is
+    kept so downstream consumers can weight or audit imputed rows.
+
+    Scale shape: one hash agg builds the ≤|types|-row median table,
+    which BROADCASTS back onto the fact (the boundary-broadcast posture
+    of agg_rfm_segments/agg_histogram_equidepth) — never a correlated
+    per-row subquery, never a window over the fact. At corpus scale
+    swap the exact median for percentile_approx, same degrade note as
+    agg_percentile."""
+    e = load(spark, sf_dir, "events")
+    flagged = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+                16,
+                10,
+            ).cast("bigint")
+            % 10
+            == 0
+        ).alias("is_missing"),
+    )
+    med = (
+        flagged.filter(~F.col("is_missing"))
+        .groupBy("event_type")
+        .agg(F.percentile("cents", F.lit(0.5)).alias("m"))
+    )
+    return flagged.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "is_missing",
+        F.when(F.col("is_missing"), F.round(F.col("m"), 9))
+        .otherwise(F.col("cents").cast("double"))
+        .cast("double")
+        .alias("cents_imputed"),
+    )

@@ -941,3 +941,74 @@ def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         rsi.cast("double").alias("rsi"),
     )
+
+
+_SLIDE_DAYS = 7
+
+
+@query(
+    "win_sliding_distinct",
+    # Sliding exact distinct users (7-day trailing window per type) —
+    # the DAU-over-window metric windows cannot express (no
+    # count_distinct frame in any engine): dedup to (type, user, day),
+    # explode each row to the <=7 window-ends it serves, ONE hash
+    # count-distinct per (type, window_end). Window ends clamp to the
+    # observed day grid.
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day
+      FROM events),
+    contrib AS (
+      SELECT event_type, user_id, day + CAST(o.k AS INT) AS wend
+      FROM ud CROSS JOIN (SELECT unnest(range(0, {_SLIDE_DAYS})) AS k) o),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT c.event_type, CAST(c.wend AS VARCHAR) AS window_end,
+           COUNT(DISTINCT c.user_id) AS distinct_users
+    FROM contrib c JOIN days d ON c.wend = d.day
+    GROUP BY c.event_type, c.wend
+    """,
+)
+def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per trailing 7-day window per event_type —
+    the rolling-DAU/WAU metric. No engine supports count_distinct in a
+    window frame, and carrying per-day user SETS through a frame is the
+    memory cliff; the scale shape is explode-to-windows: dedup the fact
+    to (type, user, day) first (one hash agg), fan each row out to the
+    ≤7 window-ends it contributes to (in-row Generate, ×7 — bounded and
+    explicit), and run ONE count-distinct hash agg keyed by (type,
+    window_end). Window ends clamp to observed days via a broadcast
+    day-grid join.
+
+    At 10⁹ users swap exact count-distinct for HLL sketches per
+    (type, day) OR-folded across the frame (agg_bitmap_distinct /
+    agg_hll_sketch show both state shapes); the explode-to-windows
+    topology is unchanged."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_SLIDE_DAYS - 1))
+        ).alias("k"),
+        "day",
+    ).select(
+        "event_type",
+        "user_id",
+        F.date_add(F.col("day"), F.col("k")).alias("wend"),
+    )
+    days = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    return (
+        contrib.join(
+            F.broadcast(days), contrib.wend == days.day
+        )
+        .groupBy("event_type", "wend")
+        .agg(F.count_distinct("user_id").alias("distinct_users"))
+        .select(
+            "event_type",
+            F.col("wend").cast("string").alias("window_end"),
+            "distinct_users",
+        )
+    )

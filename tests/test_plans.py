@@ -1085,3 +1085,29 @@ def test_log_histogram_single_fact_agg(spark, sf_dir):
     ]
     idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
     assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)
+
+
+def test_geo_join_is_cell_equi_join(spark, sf_dir):
+    from insight_patents_spark.operators.joins import geo_grid_join
+
+    plan = formatted_plan(geo_grid_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_impute_median_broadcasts(spark, sf_dir):
+    # the ≤|types|-row median table must broadcast; no fact window
+    from insight_patents_spark.operators.relational import dq_impute
+
+    plan = formatted_plan(dq_impute(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_sliding_distinct_explodes_then_aggregates(spark, sf_dir):
+    from insight_patents_spark.operators.windows import win_sliding_distinct
+
+    plan = formatted_plan(win_sliding_distinct(spark, sf_dir))
+    assert "Generate" in plan  # the explicit ≤7x fan-out
+    assert "Window" not in plan  # never a frame over the fact
+    assert "BroadcastHashJoin" in plan  # day-grid clamp

@@ -1351,3 +1351,76 @@ def test_log_histogram_brackets_exact_percentiles(spark, sf_dir):
         ):
             assert lo <= ex + 1e-9
             assert ex < lo * 2 + 1  # within one log2 bucket
+
+
+def test_geo_pairs_sound_and_complete_in_cell(spark, sf_dir):
+    """Soundness: every pair satisfies the integer metric; completeness:
+    brute-force over the derived points finds exactly the same pairs."""
+    import hashlib
+
+    from insight_patents_spark.operators.joins import _GEO_R2, geo_grid_join
+    from insight_patents_spark.sources.tables import load
+
+    ids = [
+        r.c_custkey
+        for r in load(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+
+    def coord(p, k):
+        h = int(hashlib.md5(f"{p}{k}".encode()).hexdigest()[:8], 16)
+        return (h % 1200001 - 600000) if p == "lat" else (h % 3600001 - 1800000)
+
+    pts = {k: (coord("lat", k), coord("lon", k)) for k in ids}
+    want = set()
+    for a in ids:
+        for b in ids:
+            if a < b:
+                d2q = 4 * (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+                if d2q <= 4 * _GEO_R2:
+                    want.add((a, b))
+    got = {(r.id_a, r.id_b) for r in geo_grid_join(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_impute_preserves_observed_and_fills_missing(spark, sf_dir):
+    """Non-missing rows keep their cents; missing rows all get their
+    type's median of observed values; row count is the full fact."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.relational import dq_impute
+    from insight_patents_spark.sources.tables import load
+
+    rows = dq_impute(spark, sf_dir).collect()
+    assert len(rows) == load(spark, sf_dir, "events").count()
+    fills = defaultdict(set)
+    for r in rows:
+        if r.is_missing:
+            fills[r.event_type].add(r.cents_imputed)
+        else:
+            assert r.cents_imputed == int(r.cents_imputed)
+    for vals in fills.values():
+        assert len(vals) == 1  # one median per type
+
+
+def test_sliding_distinct_dominates_daily(spark, sf_dir):
+    """The 7-day distinct count is >= the single-day distinct count at
+    the same (type, end day) and <= the all-time distinct count."""
+    from insight_patents_spark.operators.windows import win_sliding_distinct
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    rows = {(r.event_type, r.window_end): r.distinct_users
+            for r in win_sliding_distinct(spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").cast("string").alias("d")
+    ).agg(F.count_distinct("user_id").alias("u")).collect()
+    alltime = {
+        r.event_type: r.u
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()
+    }
+    for d in daily:
+        w = rows[(d.event_type, d.d)]
+        assert d.u <= w <= alltime[d.event_type]
