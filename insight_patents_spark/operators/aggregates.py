@@ -2395,3 +2395,103 @@ def agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+_KS_A, _KS_B = "view", "purchase"
+
+
+@query(
+    "agg_ks_test",
+    # Two-sample Kolmogorov-Smirnov D between the 'view' and 'purchase'
+    # value distributions: per-cent-value conditional counts collapse
+    # the fact to the ≤|distinct cents| grid in one hash agg; ECDFs are
+    # cumulative windows over the value-sorted grid; D keeps EXACT
+    # integer form max|c1·n2 − c2·n1| until ONE final division. The
+    # 5%-level critical value is the only transcendental (sqrt, 9dp).
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY 1),
+    cum AS (
+      SELECT SUM(a) OVER (ORDER BY cents) AS ca,
+             SUM(b) OVER (ORDER BY cents) AS cb,
+             SUM(a) OVER () AS na, SUM(b) OVER () AS nb
+      FROM v),
+    m AS (
+      SELECT CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS num,
+             CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb
+      FROM cum)
+    SELECT na AS n_{_KS_A}, nb AS n_{_KS_B},
+           CAST(ROUND(num * 1.0 / (na * nb), 9) AS DOUBLE) AS d_stat,
+           CAST(ROUND(1.358 * SQRT((na + nb) * 1.0 / (na * nb)), 9)
+                AS DOUBLE) AS crit_05,
+           num * 1.0 / (na * nb) >
+             ROUND(1.358 * SQRT((na + nb) * 1.0 / (na * nb)), 9) AS reject_05
+    FROM m
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the view and purchase
+    value distributions — the nonparametric distribution-drift check
+    (data-drift monitors and A/B sanity checks both reduce to it;
+    complements agg_ab_ttest, which only compares means). D = sup
+    |ECDF_a − ECDF_b| stays an exact integer maximum (|c1·n2 − c2·n1|)
+    until one final division, so the statistic is bit-stable at any
+    parallelism; the asymptotic 5% critical value 1.358·√((n1+n2)/n1n2)
+    is the lone transcendental, rounded 9dp.
+
+    Scale shape: one map-side-combinable hash agg to the ≤|distinct
+    values| grid, cumulative windows over that grid (value domains are
+    bounded by price grids in practice), a 1-row max. The fact shuffles
+    once; nothing ever sorts raw rows."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    v = e.select(cents.alias("cents"), "event_type").groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = v.select(
+        F.sum("a").over(w_cum).alias("ca"),
+        F.sum("b").over(w_cum).alias("cb"),
+        F.sum("a").over(w_all).alias("na"),
+        F.sum("b").over(w_all).alias("nb"),
+    )
+    m = cum.agg(
+        F.max(
+            F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        )
+        .cast("bigint")
+        .alias("num"),
+        F.max("na").cast("bigint").alias("na"),
+        F.max("nb").cast("bigint").alias("nb"),
+    )
+    d = F.col("num") / (F.col("na") * F.col("nb"))
+    crit = F.round(
+        1.358
+        * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb"))),
+        9,
+    )
+    return m.select(
+        F.col("na").alias(f"n_{_KS_A}"),
+        F.col("nb").alias(f"n_{_KS_B}"),
+        F.round(d, 9).cast("double").alias("d_stat"),
+        crit.cast("double").alias("crit_05"),
+        (d > crit).alias("reject_05"),
+    )

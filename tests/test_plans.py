@@ -1111,3 +1111,15 @@ def test_sliding_distinct_explodes_then_aggregates(spark, sf_dir):
     assert "Generate" in plan  # the explicit ≤7x fan-out
     assert "Window" not in plan  # never a frame over the fact
     assert "BroadcastHashJoin" in plan  # day-grid clamp
+
+
+def test_ks_grid_aggs_before_windows(spark, sf_dir):
+    from insight_patents_spark.operators.aggregates import agg_ks_test
+
+    plan = formatted_plan(agg_ks_test(spark, sf_dir))
+    idx_aggs = [
+        m.start() for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)
+    ]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)
+    assert plan.count("events.parquet") == 1

