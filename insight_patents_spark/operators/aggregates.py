@@ -2495,3 +2495,91 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.cast("double").alias("crit_05"),
         (d > crit).alias("reject_05"),
     )
+
+
+@query(
+    "agg_mad_outliers",
+    # Robust outlier screen per event_type: median and MAD (median of
+    # |x − median|) replace mean/stdev — a single wild value cannot
+    # drag the gate (50% breakdown point vs 0% for z-scores, the reason
+    # monitoring pipelines prefer MAD). Two grouped percentile passes
+    # on exact int64 cents; the interpolated medians are doubles of
+    # exact halves; the 3.5-MAD outlier count compares
+    # |x − med| · 1 vs 3.5 · mad on exact inputs (one multiply each).
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    med AS (
+      SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM c GROUP BY event_type),
+    dev AS (
+      SELECT c.event_type, c.cents, ABS(c.cents - m.med) AS adev, m.med
+      FROM c JOIN med m ON c.event_type = m.event_type),
+    mad AS (
+      SELECT event_type, MIN(med) AS med,
+             quantile_cont(adev, 0.5) AS mad, COUNT(*) AS n
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type, CAST(MIN(m.n) AS BIGINT) AS n,
+           CAST(ROUND(MIN(m.med), 9) AS DOUBLE) AS median_cents,
+           CAST(ROUND(MIN(m.mad), 9) AS DOUBLE) AS mad_cents,
+           CAST(SUM(CASE WHEN d.adev > 3.5 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event_type — the
+    ROBUST sibling of win_anomaly_zscore and agg_iqr_outliers: median
+    and MAD have a 50% breakdown point, so a tail of corrupt values
+    cannot widen its own gate (the failure mode that makes z-score
+    monitors go blind during incidents). Counts values beyond the
+    conventional 3.5·MAD fence.
+
+    Scale shape: two grouped percentile passes over exact int64 cents
+    (median, then median of |x−median| after a BROADCAST median join) +
+    one counting pass reusing the same broadcast — the fact shuffles
+    only for the ≤|types|-group percentile sorts; at corpus scale both
+    medians degrade to percentile_approx, fences unchanged (documented
+    like agg_percentile)."""
+    e = load(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        dev.join(
+            F.broadcast(
+                mad.select(
+                    F.col("event_type").alias("et"), "mad", "n",
+                    F.col("med").alias("med2"),
+                )
+            ),
+            F.col("event_type") == F.col("et"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            F.round(F.min("med2"), 9).cast("double").alias("median_cents"),
+            F.round(F.min("mad"), 9).cast("double").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("adev") > 3.5 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

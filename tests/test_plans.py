@@ -1123,3 +1123,12 @@ def test_ks_grid_aggs_before_windows(spark, sf_dir):
     idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
     assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)
     assert plan.count("events.parquet") == 1
+
+
+def test_mad_medians_broadcast(spark, sf_dir):
+    from insight_patents_spark.operators.aggregates import agg_mad_outliers
+
+    plan = formatted_plan(agg_mad_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

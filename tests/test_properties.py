@@ -1450,3 +1450,30 @@ def test_ks_matches_bruteforce_ecdf(spark, sf_dir):
     )
     assert abs(row.d_stat - d) < 1e-9
     assert row.reject_05 == (row.d_stat > row.crit_05)
+
+
+def test_mad_matches_bruteforce(spark, sf_dir):
+    """Median/MAD/outlier-count recomputed in python for every type."""
+    import statistics
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import agg_mad_outliers
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    rows = {r.event_type: r for r in agg_mad_outliers(spark, sf_dir).collect()}
+    groups = defaultdict(list)
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("c")
+    )
+    for r in e.collect():
+        groups[r.event_type].append(r.c)
+    for et, vals in groups.items():
+        med = statistics.median(vals)
+        adev = [abs(v - med) for v in vals]
+        mad = statistics.median(adev)
+        r = rows[et]
+        assert r.n == len(vals)
+        assert abs(r.median_cents - med) < 1e-6
+        assert abs(r.mad_cents - mad) < 1e-6
+        assert r.n_outliers == sum(1 for a in adev if a > 3.5 * mad)
