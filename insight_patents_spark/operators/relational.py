@@ -400,7 +400,7 @@ def _reg_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
     """,
 )
 def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,7 +413,7 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM ips_orders
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM ips_orders)
+        WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM ips_orders)
         """
     )
 
