@@ -1352,3 +1352,68 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_seeds"),
         canon("delta").alias("betweenness"),
     )
+
+
+DIAM_DEPTH = 8  # BFS horizon per sweep (documented bound, like SSSP's 6)
+
+
+def _diam_oracle() -> str:
+    def unroll(tag: str, seed_cte: str) -> str:
+        sql = f"\n    , {tag}0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM edges WHERE src = ({seed_cte}))"
+        for r in range(1, DIAM_DEPTH + 1):
+            sql += f"""
+    , {tag}{r} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {tag}{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM {tag}{r - 1} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )"""
+        return sql
+
+    return (
+        _EDGES_CTE
+        + unroll("a", "SELECT MIN(src) FROM edges")
+        + f"""
+    , far AS (SELECT node FROM a{DIAM_DEPTH}
+              ORDER BY dist DESC, node LIMIT 1)"""
+        + unroll("b", "SELECT node FROM far")
+        + f"""
+    SELECT (SELECT MIN(src) FROM edges) AS sweep1_seed,
+           (SELECT node FROM far) AS peripheral_node,
+           CAST(MAX(dist) AS BIGINT) AS diameter_lb,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM b{DIAM_DEPTH}
+    """
+    )
+
+
+@query("graph_diameter_2sweep", oracle=_diam_oracle())
+def graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter lower bound by the double-sweep heuristic (the standard
+    cheap estimator — exact diameter is all-pairs BFS, Θ(V·E)): BFS
+    from the min-id vertex, hop to the farthest node found (dist DESC,
+    node ASC tie-break keeps it deterministic), BFS again from there;
+    that eccentricity is a lower bound that is exact on trees and
+    near-exact on most real graphs (Magnien-Latapy-Habib). Both sweeps
+    run to a FIXED {DIAM_DEPTH}-hop horizon (documented bound, like
+    graph_sssp_weighted's 6 rounds) so the oracle unrolls.
+
+    Scale shape: two of the same checkpointed frontier-BFS loops every
+    other graph op uses (one join + min-agg per level); the only
+    driver-side values are two scalar seeds (bounded collects,
+    registry-wide precedent)."""
+    edges = _edges(spark, sf_dir)
+    seed = edges.agg(F.min("src")).collect()[0][0]
+    b1 = _bfs(spark, sf_dir, DIAM_DEPTH, F.col("src") == F.lit(seed))
+    far = (
+        b1.orderBy(F.col("dist").desc(), F.col("node")).limit(1).collect()[0][0]
+    )
+    b2 = _bfs(spark, sf_dir, DIAM_DEPTH, F.col("src") == F.lit(far))
+    return b2.agg(
+        F.lit(seed).cast("bigint").alias("sweep1_seed"),
+        F.lit(far).cast("bigint").alias("peripheral_node"),
+        F.max("dist").cast("bigint").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+    )

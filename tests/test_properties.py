@@ -1477,3 +1477,45 @@ def test_mad_matches_bruteforce(spark, sf_dir):
         assert abs(r.median_cents - med) < 1e-6
         assert abs(r.mad_cents - mad) < 1e-6
         assert r.n_outliers == sum(1 for a in adev if a > 3.5 * mad)
+
+
+def test_diameter_2sweep_bounds(spark, sf_dir, duck):
+    """The 2-sweep value is a valid eccentricity: it equals the max
+    BFS distance from the peripheral node computed by an independent
+    python BFS, and is >= the first sweep's max distance."""
+    from collections import deque
+
+    from insight_patents_spark.operators.graph import (
+        DIAM_DEPTH,
+        MIN_SUPPORT,
+        graph_diameter_2sweep,
+    )
+
+    row = graph_diameter_2sweep(spark, sf_dir).collect()[0]
+    edges = duck.execute(f"""
+        WITH pairs AS (
+          SELECT a.l_partkey pa, b.l_partkey pb
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT})
+        SELECT pa, pb FROM pairs""").fetchall()
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def bfs(s):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= DIAM_DEPTH:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+    d2 = bfs(row.peripheral_node)
+    assert row.diameter_lb == max(d2.values())
+    assert row.n_reached == len(d2)
