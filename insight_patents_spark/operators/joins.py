@@ -745,8 +745,8 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GEO_LAT_CELL = 500_000  # 1e-4-degree units: 50 deg... no — 5 degrees
-_GEO_LON_CELL = 1_000_000  # 10 degrees in 1e-4-degree units
+_GEO_LAT_CELL = 50_000  # 5 degrees, in 1e-4-degree units
+_GEO_LON_CELL = 100_000  # 10 degrees, in 1e-4-degree units
 _GEO_R2 = 45_000**2  # 4.5 degrees (≈500 km N-S) squared, in units²
 
 
@@ -834,7 +834,7 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon",
         F.floor(F.col("lat") * 1.0 / _GEO_LAT_CELL).cast("bigint").alias("cy"),
         F.floor(F.col("lon") * 1.0 / _GEO_LON_CELL).cast("bigint").alias("cx"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     probe = cells.select(
         "id",
         "lat",
