@@ -895,3 +895,76 @@ def time_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_us", F.lit(0.9)).cast("double").alias("p90_us"),
         F.max("gap_us").cast("bigint").alias("max_us"),
     )
+
+
+_DECAY_HL_DAYS = 7  # half-life
+
+
+@query(
+    "agg_time_decay",
+    # Recency-weighted revenue per user: each purchase contributes
+    # cents · 2^(-age_days/7) (7-day half-life against the corpus max
+    # day — a broadcast scalar). The weight is one transcendental per
+    # ROW, rounded 9dp at birth; the weighted sum is FLOOR-quantized to
+    # exact int64 micro-cents BEFORE summing, so the group reduction is
+    # order-independent (the vec_pca_project posture). Age is exact
+    # integer days.
+    oracle=f"""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS m FROM events),
+    p AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             datediff('day', CAST(ts AS DATE), mx.m) AS age_d
+      FROM events, mx WHERE event_type = 'purchase'),
+    w AS (
+      SELECT user_id, cents, age_d,
+             CAST(FLOOR(cents * ROUND(POW(2.0, -age_d * 1.0 / {_DECAY_HL_DAYS}), 9)
+                        * 1000000) AS BIGINT) AS q
+      FROM p)
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS cents_raw,
+           CAST(ROUND(SUM(q) / 1000000.0, 9) AS DOUBLE) AS cents_decayed
+    FROM w GROUP BY user_id
+    """,
+)
+def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay revenue score per user (7-day half-life)
+    — the recency-weighted engagement/LTV signal ranking and churn
+    models consume: old purchases fade smoothly instead of falling off
+    a cliff at a window edge (the group-level sibling of win_ewma's
+    sequential smoother). Anchored to the corpus max day so the score
+    is reproducible, not wall-clock-dependent.
+
+    Scale shape: one broadcast scalar (max day), one map-side-
+    combinable hash agg. Per-row weights are 9dp-rounded
+    transcendentals of exact integer ages; each weighted contribution
+    is FLOOR-quantized to exact int64 micro-cents before the sum, so
+    the reduction is order-independent at any executor count — no
+    ordered fold needed over an unbounded group."""
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("m"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+            F.datediff(F.col("m"), F.col("ts").cast("date")).alias("age_d"),
+        )
+    )
+    wgt = F.round(
+        F.pow(F.lit(2.0), -F.col("age_d") / F.lit(float(_DECAY_HL_DAYS))), 9
+    )
+    q = F.floor(F.col("cents") * wgt * 1_000_000).cast("long")
+    return (
+        p.select("user_id", "cents", q.alias("q"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("cents_raw"),
+            F.round(F.sum("q") / 1_000_000.0, 9)
+            .cast("double")
+            .alias("cents_decayed"),
+        )
+    )

@@ -1012,3 +1012,74 @@ def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_users",
         )
     )
+
+
+@query(
+    "win_skyline_2d",
+    # Skyline / Pareto-frontier (the classic non-SQL operator class):
+    # parts not dominated in (retailprice MIN, size MAX) — p dominates q
+    # iff price <= AND size >= with one strict. In 2D the skyline
+    # reduces to ONE window pass: sort by (price ASC, size DESC,
+    # partkey), keep rows whose size strictly exceeds every cheaper
+    # row's max size; equal-price ties keep the max-size row only.
+    # Cents exact int64; all comparisons integer.
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size
+      FROM part),
+    scan AS (
+      SELECT p_partkey, price_c, size,
+             MAX(size) OVER (ORDER BY price_c, size DESC, p_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS best_prev,
+             ROW_NUMBER() OVER (PARTITION BY price_c
+                                ORDER BY size DESC, p_partkey) AS rn
+      FROM p)
+    SELECT p_partkey, price_c, size
+    FROM scan
+    WHERE rn = 1 AND (best_prev IS NULL OR size > best_prev)
+    """,
+)
+def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over parts — cheapest-for-the-size /
+    biggest-for-the-price, the multi-criteria shortlist every
+    marketplace "show me the efficient options" query needs; a classic
+    operator class relational algebra lacks (Börzsönyi et al.'s SKYLINE
+    OF). In 2D it degenerates to ONE sorted window scan: ascending
+    price with a running max of size — a row survives iff it strictly
+    beats every cheaper row's size (rn=1 dedupes equal-price ties to
+    the dominant row). Exact integer comparisons throughout.
+
+    Scale shape: one global sort of (price, size, key) triples — the
+    projected width is 24 bytes/row regardless of table width, and at
+    100 TB the standard skyline distribution applies: partition-local
+    skylines first (each partition's frontier is tiny), then the
+    window pass over the unioned frontiers — the same
+    partial-then-merge shape as every agg here; higher dimensions
+    switch to the block-nested-loop skyline over the pruned set."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias(
+            "price_c"
+        ),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_prev = Window.orderBy(
+        "price_c", F.col("size").desc(), "p_partkey"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    w_tie = Window.partitionBy("price_c").orderBy(
+        F.col("size").desc(), "p_partkey"
+    )
+    scan = p.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        F.max("size").over(w_prev).alias("best_prev"),
+        F.row_number().over(w_tie).alias("rn"),
+    )
+    return scan.filter(
+        (F.col("rn") == 1)
+        & (F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev")))
+    ).select("p_partkey", "price_c", "size")

@@ -1132,3 +1132,20 @@ def test_mad_medians_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_skyline_single_window_narrow_projection(spark, sf_dir):
+    from insight_patents_spark.operators.windows import win_skyline_2d
+
+    plan = formatted_plan(win_skyline_2d(spark, sf_dir))
+    assert "Join" not in plan
+    # only the 3 needed columns reach the scan
+    assert "ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>" in plan
+
+
+def test_time_decay_one_hash_agg_no_window(spark, sf_dir):
+    from insight_patents_spark.operators.sequences import agg_time_decay
+
+    plan = formatted_plan(agg_time_decay(spark, sf_dir))
+    assert "Window" not in plan
+    assert "collect_list" not in plan  # quantized sum, not ordered fold

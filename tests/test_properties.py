@@ -1519,3 +1519,46 @@ def test_diameter_2sweep_bounds(spark, sf_dir, duck):
     d2 = bfs(row.peripheral_node)
     assert row.diameter_lb == max(d2.values())
     assert row.n_reached == len(d2)
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
+    """Brute-force dominance check over all parts."""
+    from insight_patents_spark.operators.windows import win_skyline_2d
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    pts = [
+        (r.p_partkey, r.pc, r.sz)
+        for r in load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("pc"),
+            F.col("p_size").cast("bigint").alias("sz"),
+        )
+        .collect()
+    ]
+    def dominated(a):
+        return any(
+            (b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2]))
+            for b in pts if b[0] != a[0]
+        )
+    want_keys = {a[0] for a in pts if not dominated(a)}
+    got = {r.p_partkey for r in win_skyline_2d(spark, sf_dir).collect()}
+    # ties on (price,size) keep only the min-key representative
+    by_ps = {}
+    for k, pc, sz in pts:
+        if k in want_keys:
+            by_ps.setdefault((pc, sz), []).append(k)
+    want = {min(ks) for ks in by_ps.values()}
+    assert got == want
+
+
+def test_time_decay_bounds_and_monotone(spark, sf_dir):
+    """Decayed revenue is positive and never exceeds raw revenue; users
+    with purchases only on the anchor day have decayed == raw."""
+    from insight_patents_spark.operators.sequences import agg_time_decay
+
+    rows = agg_time_decay(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.cents_decayed <= r.cents_raw + 1e-6
