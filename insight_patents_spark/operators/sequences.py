@@ -968,3 +968,103 @@ def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents_decayed"),
         )
     )
+
+
+_STAT_ITERS = 8  # fixed power-iteration rounds on the transition matrix
+
+
+@query(
+    "seq_markov_stationary",
+    # Stationary distribution of the event-type Markov chain: the
+    # ≤|types|² transition matrix (exact int counts, row-normalized by
+    # one division) is power-iterated a FIXED 8 rounds from uniform.
+    # Every matvec folds contributions in ascending prev-state order
+    # (order-canonical) and rounds 9dp per entry — both engines run the
+    # identical unrolled chain on the identical tiny grid.
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS curr,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events),
+    t AS (
+      SELECT prev, curr, COUNT(*) AS cnt FROM seq
+      WHERE prev IS NOT NULL GROUP BY prev, curr),
+    p AS (
+      SELECT prev, curr,
+             cnt * 1.0 / SUM(cnt) OVER (PARTITION BY prev) AS pr
+      FROM t),
+    states AS (SELECT DISTINCT curr AS s FROM t),
+    n AS (SELECT COUNT(*) AS k FROM states),
+    v0 AS (SELECT s, 1.0 / (SELECT k FROM n) AS v FROM states)
+    {"".join(f'''
+    , v{r} AS (
+      SELECT p.curr AS s,
+             CAST(ROUND(list_aggregate(
+               list(w.v * p.pr ORDER BY p.prev), 'sum'), 9) AS DOUBLE) AS v
+      FROM p JOIN v{r - 1} w ON p.prev = w.s
+      GROUP BY p.curr)''' for r in range(1, _STAT_ITERS + 1))}
+    SELECT s AS event_type, v AS stationary_prob FROM v{_STAT_ITERS}
+    """,
+)
+def seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — 'where
+    does user behavior settle': the long-run occupancy the transition
+    matrix (seq_markov_chain) implies, by power iteration from uniform,
+    FIXED 8 rounds per the determinism contract (converged to ~1e-9 on
+    this chain; convergence is not part of the oracle, the arithmetic
+    chain is).
+
+    Scale shape: the fact collapses to the ≤|types|² transition grid in
+    one window+agg pass (the seq_markov_chain shape); every iteration
+    is a join+fold on that ≤25-row grid — driver-side cost zero, data
+    cost one fact pass regardless of iteration count. The folds are
+    ascending-prev order-canonical, 9dp per round, so the fixpoint is
+    bit-identical at any parallelism."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("curr"),
+        )
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "curr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    p = t.select(
+        "prev",
+        "curr",
+        (F.col("cnt") / F.sum("cnt").over(Window.partitionBy("prev"))).alias(
+            "pr"
+        ),
+    ).localCheckpoint()
+    states = p.select(F.col("curr").alias("s")).distinct()
+    k = states.count()
+    v = states.select("s", F.lit(1.0 / k).alias("v"))
+    for _ in range(_STAT_ITERS):
+        v = (
+            p.join(v.withColumnRenamed("s", "prev"), "prev")
+            .groupBy(F.col("curr").alias("s"))
+            .agg(
+                F.round(
+                    F.aggregate(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("prev"),
+                                    (F.col("v") * F.col("pr")).alias("x"),
+                                )
+                            )
+                        ),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["x"],
+                    ),
+                    9,
+                ).alias("v")
+            )
+        )
+    return v.select(
+        F.col("s").alias("event_type"),
+        F.col("v").cast("double").alias("stationary_prob"),
+    )

@@ -1083,3 +1083,96 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rn") == 1)
         & (F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev")))
     ).select("p_partkey", "price_c", "size")
+
+
+@query(
+    "agg_bounce_rate",
+    # Bounce rate per entry event type: sessionize (the win_sessionize
+    # gaps-and-islands pass), take each session's ENTRY event type and
+    # size, then rate = single-event sessions / sessions (one division
+    # of exact int64s). first(event_type) per session is deterministic
+    # via min_by on the (ts, event_id) total order.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN us - LAG(us) OVER w IS NULL
+                       OR us - LAG(us) OVER w > 300000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (
+      SELECT user_id, event_id, event_type, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS sess
+      FROM f),
+    per AS (
+      SELECT user_id, sess,
+             min(struct_pack(us := us, eid := event_id,
+                             et := event_type))['et'] AS entry_type,
+             COUNT(*) AS n
+      FROM s GROUP BY user_id, sess)
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0
+                      / COUNT(*), 9) AS DOUBLE) AS bounce_rate
+    FROM per GROUP BY entry_type
+    """,
+)
+def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry point — the landing-page health
+    metric: of sessions that OPEN with each event type, what fraction
+    end after that single event. Composes the win_sessionize
+    gaps-and-islands pass (5-minute gap, one user-partitioned sort)
+    with a per-session min_by entry pick and a ≤|types|-row rollup;
+    the rate is one division of exact int64s.
+
+    Scale shape: identical to win_sessionize — the user_id shuffle is
+    the only wide op; sessions and the rollup are map-side-combinable
+    hash aggs. Entry pick via lexicographic struct-min on the
+    (us, event_id) total order (no second window pass)."""
+    e = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    o = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    gap = F.col("us") - F.lag("us").over(w_ord)
+    f = o.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 300 * 1_000_000), 1).otherwise(0),
+    )
+    s = f.withColumn(
+        "sess",
+        F.sum("is_new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = s.groupBy("user_id", "sess").agg(
+        F.min(
+            F.struct(
+                F.col("us"), F.col("event_id"), F.col("event_type")
+            )
+        )["event_type"].alias("entry_type"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            9,
+        )
+        .cast("double")
+        .alias("bounce_rate"),
+    )

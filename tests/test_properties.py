@@ -1562,3 +1562,45 @@ def test_time_decay_bounds_and_monotone(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 < r.cents_decayed <= r.cents_raw + 1e-6
+
+
+def test_markov_stationary_is_distribution_and_fixed_point(spark, sf_dir):
+    """Probabilities sum to ~1 and the vector is (near) invariant under
+    one more transition step computed in python."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.sequences import (
+        seq_markov_chain,
+        seq_markov_stationary,
+    )
+
+    pi = {r.event_type: r.stationary_prob
+          for r in seq_markov_stationary(spark, sf_dir).collect()}
+    assert abs(sum(pi.values()) - 1.0) < 1e-6
+    P = defaultdict(dict)
+    for r in seq_markov_chain(spark, sf_dir).collect():
+        P[r.prev][r.curr] = r.prob
+    nxt = defaultdict(float)
+    for prev, row in P.items():
+        for curr, pr in row.items():
+            nxt[curr] += pi.get(prev, 0.0) * pr
+    for s, v in pi.items():
+        assert abs(nxt[s] - v) < 1e-6
+
+
+def test_bounce_rate_reconciles_with_sessionize(spark, sf_dir):
+    """Session totals across entry types equal win_sessionize's session
+    count; bounces equal its single-event sessions."""
+    from insight_patents_spark.operators.windows import (
+        agg_bounce_rate,
+        win_sessionize,
+    )
+
+    rows = agg_bounce_rate(spark, sf_dir).collect()
+    sess = win_sessionize(spark, sf_dir).collect()
+    assert sum(r.n_sessions for r in rows) == len(sess)
+    assert sum(r.n_bounces for r in rows) == sum(
+        1 for s in sess if s.n_events == 1
+    )
+    for r in rows:
+        assert 0.0 <= r.bounce_rate <= 1.0
