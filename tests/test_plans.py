@@ -1149,3 +1149,23 @@ def test_time_decay_one_hash_agg_no_window(spark, sf_dir):
     plan = formatted_plan(agg_time_decay(spark, sf_dir))
     assert "Window" not in plan
     assert "collect_list" not in plan  # quantized sum, not ordered fold
+
+
+def test_markov_stationary_iterates_on_grid_only(spark, sf_dir):
+    # one fact scan; all 8 matvec rounds run on the checkpointed grid
+    from insight_patents_spark.operators.sequences import seq_markov_stationary
+
+    plan = formatted_plan(seq_markov_stationary(spark, sf_dir))
+    assert "events.parquet" not in plan  # grid is checkpointed — no fact rescan
+    assert "CartesianProduct" not in plan
+
+
+def test_bounce_rate_one_user_shuffle(spark, sf_dir):
+    # sessionize windows + both aggs reuse the user_id partitioning:
+    # no second wide exchange keyed on anything user-derived
+    from insight_patents_spark.operators.windows import agg_bounce_rate
+
+    plan = formatted_plan(agg_bounce_rate(spark, sf_dir))
+    assert plan.count("events.parquet") == 1
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert len(idx_wins) <= 2
