@@ -885,3 +885,134 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("approx_km"),
     )
+
+
+# Test polygons in the same 1e-4-degree integer space as geo_grid_join:
+# a triangle, a convex quad, and a non-convex chevron. Closed rings,
+# counter-clockwise; vertex pairs form edges (v[i], v[i+1]).
+_GEO_POLYGONS = {
+    1: [(-200000, -400000), (200000, -100000), (-250000, 150000)],
+    2: [(100000, 200000), (450000, 250000), (500000, 500000),
+        (50000, 450000)],
+    3: [(-1700000, -580000), (-1450000, -340000), (-1200000, -580000),
+        (-1450000, -460000)],
+}
+
+
+def _geo_edges_sql() -> str:
+    rows = []
+    for pid, ring in _GEO_POLYGONS.items():
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append(f"({pid}, {x1}, {y1}, {x2}, {y2})")
+    return ", ".join(rows)
+
+
+@query(
+    "geo_point_in_polygon",
+    # Point-in-polygon by crossing-number ray casting, ALL-INTEGER: an
+    # upward ray from (px, py) crosses edge (p1, p2) iff the edge spans
+    # py vertically AND the point lies strictly left of the edge at
+    # height py — the left test is the cross product
+    # (x2-x1)(py-y1) - (y2-y1)(px-x1), sign-flipped when the edge
+    # descends, compared > 0: no division, no floats, so the parity is
+    # exact in both engines. Odd crossings = inside.
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 3600001 - 1800000 AS px,
+             CAST(('0x' || substr(md5('lat' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1200001 - 600000 AS py
+      FROM customer),
+    edges(pid, x1, y1, x2, y2) AS (VALUES {_geo_edges_sql()}),
+    hits AS (
+      SELECT p.id, e.pid,
+             CASE WHEN (e.y1 > p.py) != (e.y2 > p.py)
+                   AND CASE WHEN e.y2 > e.y1
+                        THEN (e.x2 - e.x1) * (p.py - e.y1)
+                             - (e.y2 - e.y1) * (p.px - e.x1) > 0
+                        ELSE (e.x2 - e.x1) * (p.py - e.y1)
+                             - (e.y2 - e.y1) * (p.px - e.x1) < 0
+                       END
+                  THEN 1 ELSE 0 END AS crossed
+      FROM pts p CROSS JOIN edges e),
+    par AS (
+      SELECT id, pid, SUM(crossed) % 2 = 1 AS inside
+      FROM hits GROUP BY id, pid)
+    SELECT pid AS polygon_id,
+           CAST(SUM(CASE WHEN inside THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inside,
+           CAST(ROUND(SUM(CASE WHEN inside THEN 1 ELSE 0 END) * 1.0
+                      / COUNT(DISTINCT id), 9) AS DOUBLE) AS share
+    FROM par GROUP BY pid
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment — the geofencing / region-rollup
+    primitive beside geo_grid_join: how many customers fall inside each
+    region polygon (triangle, convex quad, non-convex chevron — the
+    chevron proves the parity rule handles reflex vertices). Crossing-
+    number ray casting with PURE integer cross products — the left-of-
+    edge test cross-multiplies instead of dividing, so containment is
+    exact and engine-independent (the same robustness trick
+    computational-geometry kernels use to dodge float orientation
+    errors).
+
+    Scale shape: the polygon edge table (Σ|ring| rows — KBs for any
+    real region set) broadcasts; each point evaluates its edges in one
+    narrow pass and a (point, polygon) parity agg + region rollup
+    follow — points never shuffle except for the ≤|polygons| rollup.
+    Production polygon sets partition edges by the geo_grid_join cells
+    first (R-tree-lite) so each point only meets nearby edges."""
+    c = load(spark, sf_dir, "customer")
+    h = lambda p: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(p), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (h("lon") % 3600001 - 1800000).alias("px"),
+        (h("lat") % 1200001 - 600000).alias("py"),
+    )
+    edge_rows = [
+        (pid, *ring[i], *ring[(i + 1) % len(ring)])
+        for pid, ring in _GEO_POLYGONS.items()
+        for i in range(len(ring))
+    ]
+    edges = spark.createDataFrame(
+        edge_rows, "pid int, x1 long, y1 long, x2 long, y2 long"
+    )
+    cross = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1")) - (
+        F.col("y2") - F.col("y1")
+    ) * (F.col("px") - F.col("x1"))
+    spans = (F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py"))
+    left = F.when(F.col("y2") > F.col("y1"), cross > 0).otherwise(cross < 0)
+    hits = pts.crossJoin(F.broadcast(edges)).select(
+        "id",
+        "pid",
+        F.when(spans & left, 1).otherwise(0).alias("crossed"),
+    )
+    par = hits.groupBy("id", "pid").agg(
+        (F.sum("crossed") % 2 == 1).alias("inside")
+    )
+    return par.groupBy(F.col("pid").alias("polygon_id")).agg(
+        F.sum(F.when(F.col("inside"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_inside"),
+        F.round(
+            F.sum(F.when(F.col("inside"), 1).otherwise(0))
+            / F.count_distinct("id"),
+            9,
+        )
+        .cast("double")
+        .alias("share"),
+    )

@@ -1169,3 +1169,11 @@ def test_bounce_rate_one_user_shuffle(spark, sf_dir):
     assert plan.count("events.parquet") == 1
     idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
     assert len(idx_wins) <= 2
+
+
+def test_pip_edges_broadcast_points_stay_narrow(spark, sf_dir):
+    from insight_patents_spark.operators.joins import geo_point_in_polygon
+
+    plan = formatted_plan(geo_point_in_polygon(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # edge table broadcast
+    assert "SortMergeJoin" not in plan

@@ -1604,3 +1604,46 @@ def test_bounce_rate_reconciles_with_sessionize(spark, sf_dir):
     )
     for r in rows:
         assert 0.0 <= r.bounce_rate <= 1.0
+
+
+def test_pip_matches_shoelace_reference(spark, sf_dir):
+    """Containment recomputed with an independent python ray-cast over
+    the same md5-derived points; counts must match exactly."""
+    import hashlib
+
+    from insight_patents_spark.operators.joins import (
+        _GEO_POLYGONS,
+        geo_point_in_polygon,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    ids = [
+        r.c_custkey
+        for r in load(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+
+    def coord(p, k):
+        h = int(hashlib.md5(f"{p}{k}".encode()).hexdigest()[:8], 16)
+        return (h % 1200001 - 600000) if p == "lat" else (h % 3600001 - 1800000)
+
+    def inside(px, py, ring):
+        n = 0
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            if (y1 > py) != (y2 > py):
+                cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                if (cross > 0) if y2 > y1 else (cross < 0):
+                    n += 1
+        return n % 2 == 1
+
+    want = {
+        pid: sum(
+            1 for k in ids if inside(coord("lon", k), coord("lat", k), ring)
+        )
+        for pid, ring in _GEO_POLYGONS.items()
+    }
+    got = {r.polygon_id: r.n_inside
+           for r in geo_point_in_polygon(spark, sf_dir).collect()}
+    assert got == want
+    assert all(v > 0 for v in want.values())  # polygons are non-trivially hit
