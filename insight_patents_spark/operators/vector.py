@@ -1908,3 +1908,199 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("pc1"),
     )
+
+
+def _pca2_oracle() -> str:
+    """Two-component chain: the vec_pca_project unroll, then deflation
+    x2 = x - (x·w)·w against the 9dp component and a second unrolled
+    power iteration on the deflated rows."""
+
+    def power(src: str, wtag: str) -> str:
+        sql = ""
+        prev = f"{wtag}0"
+        for k in range(1, _PCA_ITERS + 1):
+            sql += f""",
+    {wtag}d{k} AS MATERIALIZED (
+      SELECT c.vec_id,
+             list_aggregate(list(c.cx * w.w ORDER BY c.dim), 'sum') AS dot
+      FROM {src} c JOIN {prev} w ON c.dim = w.dim
+      GROUP BY c.vec_id),
+    {wtag}s{k} AS (
+      SELECT c.dim,
+             CAST(SUM(CAST(FLOOR(c.cx * d.dot * {_PCA_Q}) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM {src} c JOIN {wtag}d{k} d ON c.vec_id = d.vec_id
+      GROUP BY c.dim),
+    {wtag}p{k} AS (SELECT dim, s / {_PCA_Q} AS wp FROM {wtag}s{k}),
+    {wtag}n{k} AS (
+      SELECT ROUND(SQRT(list_aggregate(list(wp * wp ORDER BY dim), 'sum')), 9)
+               AS nm
+      FROM {wtag}p{k}),
+    {wtag}{k} AS MATERIALIZED (
+      SELECT dim, ROUND(wp / (SELECT nm FROM {wtag}n{k}), 9) AS w
+      FROM {wtag}p{k})"""
+            prev = f"{wtag}{k}"
+        return sql
+
+    return (
+        """
+    WITH dims AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    mu AS MATERIALIZED (
+      SELECT dim, list_aggregate(list_sort(list(x)), 'sum') / COUNT(*) AS m
+      FROM dims GROUP BY dim),
+    c AS MATERIALIZED (
+      SELECT d.vec_id, d.dim, d.x - mu.m AS cx
+      FROM dims d JOIN mu USING (dim)),
+    a0 AS (
+      SELECT unnest(range(1, 65)) AS dim, 0.125 AS w)"""
+        + power("c", "a")
+        + f""",
+    s1 AS MATERIALIZED (
+      SELECT c.vec_id,
+             ROUND(list_aggregate(list(c.cx * w.w ORDER BY c.dim), 'sum'), 9)
+               AS pc1
+      FROM c JOIN a{_PCA_ITERS} w ON c.dim = w.dim
+      GROUP BY c.vec_id),
+    c2 AS MATERIALIZED (
+      SELECT c.vec_id, c.dim, c.cx - s1.pc1 * w.w AS cx
+      FROM c JOIN s1 ON c.vec_id = s1.vec_id
+             JOIN a{_PCA_ITERS} w ON c.dim = w.dim),
+    b0 AS (
+      SELECT unnest(range(1, 65)) AS dim, 0.125 AS w)"""
+        + power("c2", "b")
+        + f"""
+    SELECT s1.vec_id, CAST(s1.pc1 AS DOUBLE) AS pc1,
+           CAST(ROUND(list_aggregate(list(c2.cx * w.w ORDER BY c2.dim),
+                                     'sum'), 9) AS DOUBLE) AS pc2
+    FROM c2 JOIN b{_PCA_ITERS} w ON c2.dim = w.dim
+    JOIN s1 ON c2.vec_id = s1.vec_id
+    GROUP BY s1.vec_id, s1.pc1
+    """
+    )
+
+
+@query("vec_pca_top2", oracle=_pca2_oracle())
+def vec_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component PCA by power iteration + DEFLATION — the scatter-
+    plot / whitening output (pc1, pc2) per vector: extract the top
+    component exactly as vec_pca_project, project it out of every
+    centered vector (x₂ = x̃ − (x̃·w₁)·w₁ — Hotelling deflation), and
+    power-iterate again on the deflated corpus. Shows the k-component
+    recipe: each additional component costs one more matvec loop on the
+    same communication pattern, never a covariance matrix.
+
+    Determinism identical to vec_pca_project (FLOOR-quantized int64
+    matvec reductions, 9dp-per-iteration components, fixed
+    {_PCA_ITERS}+{_PCA_ITERS} iterations); the deflation products
+    multiply bit-identical doubles. Scale shape unchanged: per
+    iteration only 64 (dim, int64) partials shuffle and 64 doubles
+    broadcast back; the deflated table is one more narrow projection."""
+
+    def power(cdf: DataFrame) -> DataFrame:
+        # Each round materializes the 64-double component via a bounded
+        # driver collect (metadata-sized, like the PQ codebooks) and
+        # re-enters it as literals — the arithmetic stays ENTIRELY in
+        # Spark expressions; without this the 2x3-iteration lazy chain
+        # sends Catalyst analysis superlinear.
+        w_row = spark.range(1).select(
+            F.expr("array_repeat(CAST(0.125 AS DOUBLE), 64)").alias("w")
+        )
+        for _ in range(_PCA_ITERS):
+            scored = cdf.crossJoin(F.broadcast(w_row)).select(
+                "vec_id",
+                "c",
+                F.expr(
+                    "aggregate(zip_with(c, w, (x, y) -> x * y), "
+                    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                ).alias("dot"),
+            )
+            s = (
+                scored.select(F.posexplode("c").alias("pos0", "cx"), "dot")
+                .select(
+                    (F.col("pos0") + 1).alias("dim"),
+                    F.floor(F.col("cx") * F.col("dot") * F.lit(1e9))
+                    .cast("long")
+                    .alias("q"),
+                )
+                .groupBy("dim")
+                .agg(F.sum("q").alias("s"))
+            )
+            w_vals = (
+                s.groupBy()
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(dim, s))), "
+                        "t -> t.s / 1e9)"
+                    ).alias("wp")
+                )
+                .select(
+                    "wp",
+                    F.round(
+                        F.sqrt(
+                            F.expr(
+                                "aggregate(transform(wp, x -> x * x), "
+                                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                            )
+                        ),
+                        9,
+                    ).alias("nm"),
+                )
+                .select(
+                    F.transform(
+                        F.col("wp"), lambda x: F.round(x / F.col("nm"), 9)
+                    ).alias("w")
+                )
+                .collect()[0]["w"]
+            )
+            w_row = spark.range(1).select(
+                F.array(*[F.lit(float(x)) for x in w_vals]).alias("w")
+            )
+        return w_row
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    mu_row = (
+        e.select(F.posexplode("v").alias("pos0", "x"))
+        .groupBy((F.col("pos0") + 1).alias("dim"))
+        .agg(_canonical_mean(F.col("x")).alias("m"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), t -> t.m)"
+            ).alias("mu")
+        )
+    )
+    cdf = (
+        e.crossJoin(F.broadcast(mu_row))
+        .select(
+            "vec_id", F.expr("zip_with(v, mu, (x, m) -> x - m)").alias("c")
+        )
+        .persist()
+    )
+    w1 = power(cdf)
+    dot_expr = (
+        "aggregate(zip_with(c, w, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored1 = cdf.crossJoin(F.broadcast(w1)).select(
+        "vec_id",
+        "c",
+        F.round(F.expr(dot_expr), 9).alias("pc1"),
+        "w",
+    )
+    c2 = scored1.select(
+        "vec_id",
+        "pc1",
+        F.expr("zip_with(c, w, (x, y) -> x - pc1 * y)").alias("c"),
+    ).persist()
+    w2 = power(c2)
+    return c2.crossJoin(F.broadcast(w2)).select(
+        "vec_id",
+        F.col("pc1").cast("double").alias("pc1"),
+        F.round(F.expr(dot_expr), 9).cast("double").alias("pc2"),
+    )

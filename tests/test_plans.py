@@ -1177,3 +1177,12 @@ def test_pip_edges_broadcast_points_stay_narrow(spark, sf_dir):
     plan = formatted_plan(geo_point_in_polygon(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan  # edge table broadcast
     assert "SortMergeJoin" not in plan
+
+
+def test_pca_top2_vectors_never_shuffle(spark, sf_dir):
+    from insight_patents_spark.operators.vector import vec_pca_top2
+
+    plan = formatted_plan(vec_pca_top2(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "vec_id" not in m.group(1)

@@ -1647,3 +1647,29 @@ def test_pip_matches_shoelace_reference(spark, sf_dir):
            for r in geo_point_in_polygon(spark, sf_dir).collect()}
     assert got == want
     assert all(v > 0 for v in want.values())  # polygons are non-trivially hit
+
+
+def test_pca_top2_orthogonal_and_consistent(spark, sf_dir):
+    """pc1 matches vec_pca_project exactly; pc1/pc2 score vectors are
+    near-orthogonal (deflation removes the first direction) and pc2
+    captures less energy than pc1 after convergence-ish iterations."""
+    import numpy as np
+
+    from insight_patents_spark.operators.vector import (
+        vec_pca_project,
+        vec_pca_top2,
+    )
+
+    two = {r.vec_id: (r.pc1, r.pc2) for r in vec_pca_top2(spark, sf_dir).collect()}
+    one = {r.vec_id: r.pc1 for r in vec_pca_project(spark, sf_dir).collect()}
+    assert set(two) == set(one)
+    for k, v in one.items():
+        assert two[k][0] == v  # identical arithmetic chain
+    a = np.array([two[k][0] for k in sorted(two)])
+    b = np.array([two[k][1] for k in sorted(two)])
+    corr = abs(np.dot(a - a.mean(), b - b.mean())) / (
+        np.linalg.norm(a - a.mean()) * np.linalg.norm(b - b.mean())
+    )
+    # fixed 3-round components are not fully converged, so deflation
+    # leaves bounded leakage — require substantial decorrelation only
+    assert corr < 0.35
