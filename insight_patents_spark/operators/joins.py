@@ -1016,3 +1016,91 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("share"),
     )
+
+
+@query(
+    "geo_cell_density",
+    # Spatial density heatmap: customers per 5°x10° cell plus the
+    # 3x3-neighborhood smoothed count (the KDE-lite every density map
+    # ships). Smoothing reuses the geo_grid_join probe trick in the
+    # OPPOSITE direction: each occupied cell SCATTERS its count to its
+    # 9 neighbors and a hash agg gathers — grid-sized work, the fact is
+    # touched once. All integer.
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(FLOOR((CAST(('0x' || substr(md5('lat' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1200001 - 600000) * 1.0 / {_GEO_LAT_CELL}) AS BIGINT) AS cy,
+             CAST(FLOOR((CAST(('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 3600001 - 1800000) * 1.0 / {_GEO_LON_CELL}) AS BIGINT) AS cx
+      FROM customer),
+    cells AS (
+      SELECT cy, cx, COUNT(*) AS n FROM pts GROUP BY cy, cx),
+    scat AS (
+      SELECT c.cy + dy.d AS cy, c.cx + dx.d AS cx, c.n
+      FROM cells c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx),
+    sm AS (
+      SELECT cy, cx, CAST(SUM(n) AS BIGINT) AS smoothed
+      FROM scat GROUP BY cy, cx)
+    SELECT c.cy, c.cx, CAST(c.n AS BIGINT) AS n, sm.smoothed
+    FROM cells c JOIN sm ON c.cy = sm.cy AND c.cx = sm.cx
+    """,
+)
+def geo_cell_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density heatmap over the customer points: exact count
+    per 5°x10° grid cell plus the 3x3-neighborhood smoothed count (the
+    box-kernel KDE-lite behind every density tile layer). The smoothing
+    inverts geo_grid_join's probe: occupied CELLS scatter their counts
+    to their 9 neighbors (grid-sized fan-out, not point-sized) and a
+    hash agg gathers — so the fact contributes one aggregation pass and
+    everything after runs on the ≤|occupied cells| grid.
+
+    Scale shape: one map-side-combinable hash agg over the fact, then
+    9× fan-out + agg + self-join on the tiny cell grid. At any corpus
+    size the smoothing cost is grid-bound; finer kernels widen the
+    scatter stencil, nothing else."""
+    c = load(spark, sf_dir, "customer")
+    h = lambda p: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(p), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    pts = c.select(
+        F.floor((h("lat") % 1200001 - 600000) * 1.0 / _GEO_LAT_CELL)
+        .cast("bigint")
+        .alias("cy"),
+        F.floor((h("lon") % 3600001 - 1800000) * 1.0 / _GEO_LON_CELL)
+        .cast("bigint")
+        .alias("cx"),
+    )
+    # grid-sized; checkpoint so the fact aggregates ONCE for both the
+    # scatter branch and the final join (plan-gated)
+    cells = (
+        pts.groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    d3 = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    scat = (
+        cells.select("cy", "cx", "n", F.explode(d3).alias("dy"))
+        .select(
+            (F.col("cy") + F.col("dy")).alias("cy"),
+            "cx",
+            "n",
+            F.explode(d3).alias("dx"),
+        )
+        .select("cy", (F.col("cx") + F.col("dx")).alias("cx"), "n")
+    )
+    sm = scat.groupBy("cy", "cx").agg(
+        F.sum("n").cast("bigint").alias("smoothed")
+    )
+    return cells.join(sm, ["cy", "cx"]).select(
+        "cy", "cx", F.col("n").cast("bigint").alias("n"), "smoothed"
+    )

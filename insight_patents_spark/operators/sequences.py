@@ -1068,3 +1068,247 @@ def seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("event_type"),
         F.col("v").cast("double").alias("stationary_prob"),
     )
+
+
+_MK_ROUNDS = 12  # absorbing-chain iteration depth (fixed)
+_MK_CHANNELS = ("click", "view", "signup", "error")
+
+
+def _mk_attr_oracle() -> str:
+    """Transitions + unrolled absorbing-chain iterations per removal
+    variant ('full' plus one per channel). p_k(v, s) = P(absorb in conv
+    within k steps from s under variant v)."""
+    base = f"""
+    WITH fp AS MATERIALIZED (
+      SELECT user_id, MIN(epoch_us(ts)) AS pus
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    j AS MATERIALIZED (
+      SELECT e.user_id,
+             CASE WHEN e.event_type = 'purchase' THEN 'conv'
+                  ELSE e.event_type END AS state,
+             epoch_us(ts) AS us, e.event_id
+      FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+      WHERE fp.pus IS NULL OR epoch_us(ts) <= fp.pus),
+    seq AS MATERIALIZED (
+      SELECT user_id, state,
+             COALESCE(LAG(state) OVER w, 'start') AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) AS rdesc
+      FROM j WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    trans AS MATERIALIZED (
+      SELECT prev, state AS nxt, COUNT(*) AS cnt FROM seq
+      GROUP BY prev, nxt
+      UNION ALL
+      SELECT state, 'null', COUNT(*) FROM seq
+      WHERE rdesc = 1 AND state != 'conv' GROUP BY state),
+    t AS MATERIALIZED (
+      SELECT prev, nxt,
+             SUM(cnt) * 1.0 / SUM(SUM(cnt)) OVER (PARTITION BY prev) AS pr
+      FROM trans GROUP BY prev, nxt),
+    variants(v) AS (VALUES ('full'), {", ".join(f"('{c}')" for c in _MK_CHANNELS)}),
+    tv AS MATERIALIZED (
+      SELECT v.v, t.prev,
+             CASE WHEN t.nxt = v.v THEN 'null' ELSE t.nxt END AS nxt,
+             t.pr
+      FROM t CROSS JOIN variants v WHERE t.prev != v.v),
+    states AS MATERIALIZED (
+      SELECT DISTINCT v, s FROM (
+        SELECT v, prev AS s FROM tv UNION ALL SELECT v, nxt FROM tv)),
+    p0 AS MATERIALIZED (
+      SELECT v, s, CASE WHEN s = 'conv' THEN 1.0 ELSE 0.0 END AS p
+      FROM states)"""
+    for k in range(1, _MK_ROUNDS + 1):
+        base += f""",
+    p{k} AS MATERIALIZED (
+      SELECT s.v, s.s,
+             CASE WHEN s.s = 'conv' THEN 1.0
+                  ELSE COALESCE(ROUND((
+                    SELECT list_aggregate(list(tv.pr * pp.p ORDER BY tv.nxt),
+                                          'sum')
+                    FROM tv JOIN p{k - 1} pp
+                      ON pp.v = tv.v AND pp.s = tv.nxt
+                    WHERE tv.v = s.v AND tv.prev = s.s), 9), 0.0)
+             END AS p
+      FROM states s)"""
+    return base + f"""
+    , conv AS (
+      SELECT v, p FROM p{_MK_ROUNDS} WHERE s = 'start'),
+    eff AS (
+      SELECT c.v AS channel,
+             CAST(ROUND(1.0 - c.p / f.p, 9) AS DOUBLE) AS removal_effect
+      FROM conv c CROSS JOIN (SELECT p FROM conv WHERE v = 'full') f
+      WHERE c.v != 'full')
+    SELECT channel, removal_effect,
+           CAST(ROUND(removal_effect /
+                (SELECT list_aggregate(list(removal_effect ORDER BY channel),
+                                       'sum') FROM eff), 9) AS DOUBLE)
+             AS attributed_share
+    FROM eff
+    """
+
+
+@query("seq_attribution_markov", oracle=_mk_attr_oracle())
+def seq_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. — THE
+    data-driven attribution model): build the journey chain start →
+    touches → conv/null (journeys truncate at the first purchase;
+    non-converting journeys absorb in 'null'), compute conversion
+    probability from 'start' by absorbing-chain iteration, then for
+    each channel REMOVE it (its inbound transition mass routes to
+    'null') and re-solve; removal effect = 1 − P_without/P_full,
+    normalized into attributed shares. Complements agg_attribution's
+    rule-based linear/last-touch with the model-based answer.
+
+    Determinism: a FIXED {_MK_ROUNDS} absorbing iterations (the chain
+    mixes in far fewer on ≤7 states); every matvec folds in
+    ascending-next-state order and rounds 9dp per entry; transition
+    probabilities are single divisions of exact int64 counts.
+
+    Scale shape: the fact collapses to the ≤7×7 transition grid in ONE
+    window+agg pass (first-purchase window shares the user_id
+    shuffle); all 5 variants × {_MK_ROUNDS} iterations run on the
+    ≤5·7-row checkpointed variant grid — iteration cost is independent
+    of corpus size."""
+    e = load(spark, sf_dir, "events")
+    us = F.expr(_TS_US)
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("pus"))
+    )
+    j = (
+        e.join(F.broadcast(fp), "user_id", "left")
+        .filter(F.col("pus").isNull() | (us <= F.col("pus")))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+            us.alias("us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    seq = j.select(
+        "state",
+        F.coalesce(F.lag("state").over(w), F.lit("start")).alias("prev"),
+        F.row_number().over(w_desc).alias("rdesc"),
+    )
+    trans = (
+        seq.groupBy("prev", F.col("state").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionByName(
+            seq.filter((F.col("rdesc") == 1) & (F.col("state") != "conv"))
+            .groupBy(F.col("state").alias("prev"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("prev", F.lit("null").alias("nxt"), "cnt")
+        )
+    )
+    t = (
+        trans.groupBy("prev", "nxt")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            "prev",
+            "nxt",
+            (
+                F.col("cnt")
+                / F.sum("cnt").over(Window.partitionBy("prev"))
+            ).alias("pr"),
+        )
+    )
+    variants = spark.createDataFrame(
+        [("full",)] + [(c,) for c in _MK_CHANNELS], "v string"
+    )
+    tv = (
+        t.crossJoin(F.broadcast(variants))
+        .filter(F.col("prev") != F.col("v"))
+        .select(
+            "v",
+            "prev",
+            F.when(F.col("nxt") == F.col("v"), "null")
+            .otherwise(F.col("nxt"))
+            .alias("nxt"),
+            "pr",
+        )
+        .localCheckpoint()
+    )
+    states = (
+        tv.select("v", F.col("prev").alias("s"))
+        .unionByName(tv.select("v", F.col("nxt").alias("s")))
+        .distinct()
+        .localCheckpoint()
+    )
+    p = states.select(
+        "v", "s", F.when(F.col("s") == "conv", 1.0).otherwise(0.0).alias("p")
+    )
+    for _ in range(_MK_ROUNDS):
+        stepped = (
+            tv.join(
+                p.select(
+                    F.col("v").alias("pv"),
+                    F.col("s").alias("nxt_s"),
+                    F.col("p").alias("pp"),
+                ),
+                (F.col("v") == F.col("pv")) & (F.col("nxt") == F.col("nxt_s")),
+            )
+            .groupBy("v", F.col("prev").alias("s"))
+            .agg(
+                F.round(
+                    F.aggregate(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("nxt"),
+                                    (F.col("pr") * F.col("pp")).alias("x"),
+                                )
+                            )
+                        ),
+                        F.lit(0.0),
+                        lambda acc, z: acc + z["x"],
+                    ),
+                    9,
+                ).alias("p")
+            )
+        )
+        p = states.join(stepped, ["v", "s"], "left").select(
+            "v",
+            "s",
+            F.when(F.col("s") == "conv", 1.0)
+            .otherwise(F.coalesce(F.col("p"), F.lit(0.0)))
+            .alias("p"),
+        )
+    conv = p.filter(F.col("s") == "start").select("v", "p")
+    full = conv.filter(F.col("v") == "full").select(
+        F.col("p").alias("pf")
+    )
+    eff = (
+        conv.filter(F.col("v") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("v").alias("channel"),
+            F.round(1.0 - F.col("p") / F.col("pf"), 9).alias(
+                "removal_effect"
+            ),
+        )
+    )
+    tot = eff.groupBy().agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("channel", F.col("removal_effect").alias("x"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z["x"],
+        ).alias("tot")
+    )
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        F.col("removal_effect").cast("double").alias("removal_effect"),
+        F.round(F.col("removal_effect") / F.col("tot"), 9)
+        .cast("double")
+        .alias("attributed_share"),
+    )

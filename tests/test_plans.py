@@ -1186,3 +1186,22 @@ def test_pca_top2_vectors_never_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         assert "vec_id" not in m.group(1)
+
+
+def test_geo_density_fact_aggregates_once(spark, sf_dir):
+    from insight_patents_spark.operators.joins import geo_cell_density
+
+    plan = formatted_plan(geo_cell_density(spark, sf_dir))
+    # the cell grid is checkpointed: the fact never re-enters the plan
+    assert plan.count("customer.parquet") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_attr_iterates_on_checkpointed_grid(spark, sf_dir):
+    # the fact is read once (transition build); the 5x12 iteration plan
+    # references only the checkpointed grids
+    from insight_patents_spark.operators.sequences import seq_attribution_markov
+
+    plan = formatted_plan(seq_attribution_markov(spark, sf_dir))
+    assert "events.parquet" not in plan  # grids are checkpointed
+    assert "CartesianProduct" not in plan

@@ -1673,3 +1673,33 @@ def test_pca_top2_orthogonal_and_consistent(spark, sf_dir):
     # fixed 3-round components are not fully converged, so deflation
     # leaves bounded leakage — require substantial decorrelation only
     assert corr < 0.35
+
+
+def test_geo_density_smoothing_conserves_mass(spark, sf_dir):
+    """Sum of per-cell counts equals the customer count; each smoothed
+    value >= its own cell count; total smoothed mass = 9x total minus
+    the mass scattered onto unoccupied cells (>= raw total)."""
+    from insight_patents_spark.operators.joins import geo_cell_density
+    from insight_patents_spark.sources.tables import load
+
+    rows = geo_cell_density(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "customer").count()
+    assert sum(r.n for r in rows) == n
+    for r in rows:
+        assert r.smoothed >= r.n
+
+
+def test_markov_attribution_sane(spark, sf_dir):
+    """Shares sum to 1; every removal effect is in [0, 1] (removing a
+    channel cannot raise conversion in this chain); every channel gets
+    a row."""
+    from insight_patents_spark.operators.sequences import (
+        _MK_CHANNELS,
+        seq_attribution_markov,
+    )
+
+    rows = {r.channel: r for r in seq_attribution_markov(spark, sf_dir).collect()}
+    assert set(rows) == set(_MK_CHANNELS)
+    assert abs(sum(r.attributed_share for r in rows.values()) - 1.0) < 1e-6
+    for r in rows.values():
+        assert -1e-9 <= r.removal_effect <= 1.0
