@@ -1417,3 +1417,86 @@ def graph_diameter_2sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dist").cast("bigint").alias("diameter_lb"),
         F.count(F.lit(1)).cast("bigint").alias("n_reached"),
     )
+
+
+@query(
+    "graph_assortativity",
+    # Degree assortativity (Newman): Pearson correlation of (deg(src),
+    # deg(dst)) over the directed edge list (both directions present,
+    # which is the standard undirected treatment). Degrees are exact
+    # int64; all five moments are exact int64 sums over edges; r is one
+    # double expression of the exact moments, sqrt rounded 9dp.
+    oracle=_EDGES_CTE
+    + """
+    , deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    de AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e
+      JOIN deg da ON e.src = da.node
+      JOIN deg db ON e.dst = db.node),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM de)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CAST(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy) /
+                     SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(n * syy - sy * sy AS DOUBLE)), 9)
+                ELSE 0.0 END AS DOUBLE) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman) of the co-purchase
+    graph — do hubs attach to hubs (r > 0, social-network-like) or to
+    leaves (r < 0, technological/citation-like)? One number that
+    separates graph families; the standard companion to the degree
+    distribution and clustering coefficient already in §2.9.
+
+    Scale shape: the |V|-row degree table BROADCASTS onto the edge list
+    twice (edges never shuffle); the five Pearson moments are exact
+    int64 edge sums (one map-side-combinable agg), and r is one double
+    expression, sqrt 9dp — the win_rolling_corr/time_acf exact-moment
+    contract on the graph surface. Int64 headroom: Σ d_src·d_dst ≤
+    (max deg)²·|E|."""
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    de = (
+        edges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"), F.col("d").alias("x"))),
+            "src",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+        9,
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.when((vx > 0) & (vy > 0), r)
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("assortativity"),
+    )

@@ -312,3 +312,103 @@ def udf_python_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "customer")
     return c.select("c_custkey", checksum("c_custkey").alias("checksum"))
+
+
+@query(
+    "udtf_table_arg",
+    # Spark 4 polymorphic UDTF with a TABLE argument, PARTITION BY +
+    # ORDER BY: the engine hands each event_type's time-ordered rows to
+    # one UDTF instance, which emits that partition's longest strictly-
+    # increasing RUN of values (length + exact cents of the run's last
+    # value) in arrival order — per-group sequential logic that plain
+    # SQL needs gaps-and-islands for, and the UDTF does statefully.
+    # Ties between equal-length runs keep the FIRST (earliest) run.
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    flag AS (
+      SELECT event_type, cents, rn,
+             CASE WHEN cents > LAG(cents) OVER w THEN 0 ELSE 1 END AS brk
+      FROM o WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+    runs AS (
+      SELECT event_type, cents, rn,
+             SUM(brk) OVER (PARTITION BY event_type ORDER BY rn) AS run_id
+      FROM flag),
+    per AS (
+      SELECT event_type, run_id, COUNT(*) AS len,
+             max_by(cents, rn) AS last_cents, MIN(rn) AS start_rn
+      FROM runs GROUP BY event_type, run_id)
+    SELECT event_type,
+           CAST(min(struct_pack(negl := -len, srn := start_rn,
+                                l := len, lc := last_cents))['l']
+                AS BIGINT) AS longest_run,
+           CAST(min(struct_pack(negl := -len, srn := start_rn,
+                                l := len, lc := last_cents))['lc']
+                AS BIGINT) AS run_last_cents
+    FROM per GROUP BY event_type
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 UDTF with a TABLE argument (PARTITION BY / ORDER BY —
+    the polymorphic table-function surface new in Spark 4): the engine
+    feeds each event_type's rows, time-ordered, to a stateful UDTF
+    instance that tracks the longest strictly-increasing value run and
+    emits one summary row per partition in terminate(). This is the
+    'per-group sequential program' tier between window functions
+    (per-row, fixed frames) and applyInPandas (whole group in memory):
+    the UDTF streams rows with O(1) state.
+
+    Scale shape: one shuffle on the PARTITION BY key, rows streamed to
+    Python in Arrow batches, O(1) state per group — the state never
+    holds the partition. The oracle replays the identical run logic as
+    gaps-and-islands SQL (earliest-run tie-break)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="event_type: string, longest_run: bigint, "
+        "run_last_cents: bigint"
+    )
+    class LongestRun:
+        def __init__(self):
+            self.key = None
+            self.prev = None
+            self.cur_len = 0
+            self.best_len = 0
+            self.best_last = None
+
+        def eval(self, row):
+            cents = row["cents"]
+            self.key = row["event_type"]
+            if self.prev is not None and cents > self.prev:
+                self.cur_len += 1
+            else:
+                self.cur_len = 1
+            self.prev = cents
+            if self.cur_len > self.best_len:  # strict: earliest run wins ties
+                self.best_len = self.cur_len
+                self.best_last = cents
+
+        def terminate(self):
+            yield self.key, self.best_len, self.best_last
+
+    spark.udtf.register("ips_longest_run", LongestRun)
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    e.createOrReplaceTempView("ips_events_udtf")
+    return spark.sql(
+        """
+        SELECT event_type, longest_run, run_last_cents
+        FROM ips_longest_run(
+          TABLE(SELECT event_type, cents, ts, event_id FROM ips_events_udtf)
+          PARTITION BY event_type ORDER BY (ts, event_id)
+        )
+        """
+    )

@@ -1205,3 +1205,20 @@ def test_markov_attr_iterates_on_checkpointed_grid(spark, sf_dir):
     plan = formatted_plan(seq_attribution_markov(spark, sf_dir))
     assert "events.parquet" not in plan  # grids are checkpointed
     assert "CartesianProduct" not in plan
+
+
+def test_assortativity_degree_joins_broadcast(spark, sf_dir):
+    from insight_patents_spark.operators.graph import graph_assortativity
+
+    plan = formatted_plan(graph_assortativity(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_udtf_table_arg_partitions_and_sorts(spark, sf_dir):
+    # one shuffle on the partition key feeding a python UDTF (BatchEval)
+    from insight_patents_spark.operators.udf import udtf_table_arg
+
+    plan = formatted_plan(udtf_table_arg(spark, sf_dir))
+    assert re.search(r"hashpartitioning\(event_type", plan)
+    assert "UDTF" in plan or "PythonUDTF" in plan or "BatchEval" in plan

@@ -1703,3 +1703,64 @@ def test_markov_attribution_sane(spark, sf_dir):
     assert abs(sum(r.attributed_share for r in rows.values()) - 1.0) < 1e-6
     for r in rows.values():
         assert -1e-9 <= r.removal_effect <= 1.0
+
+
+def test_assortativity_in_range_and_matches_numpy(spark, sf_dir, duck):
+    """r in [-1, 1] and equals numpy's corrcoef over the same
+    (deg_src, deg_dst) edge pairs."""
+    import numpy as np
+
+    from insight_patents_spark.operators.graph import (
+        MIN_SUPPORT,
+        graph_assortativity,
+    )
+
+    row = graph_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= row.assortativity <= 1.0
+    pairs = duck.execute(f"""
+        WITH pairs AS (
+          SELECT a.l_partkey pa, b.l_partkey pb
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}),
+        edges AS (SELECT pa s, pb d FROM pairs
+                  UNION ALL SELECT pb, pa FROM pairs),
+        deg AS (SELECT s AS node, COUNT(*) AS dg FROM edges GROUP BY s)
+        SELECT da.dg, db.dg FROM edges e
+        JOIN deg da ON e.s = da.node JOIN deg db ON e.d = db.node
+    """).fetchall()
+    x = np.array([p[0] for p in pairs], dtype=np.float64)
+    y = np.array([p[1] for p in pairs], dtype=np.float64)
+    assert row.n_edges == len(pairs)
+    assert abs(row.assortativity - np.corrcoef(x, y)[0, 1]) < 1e-6
+
+
+def test_udtf_table_arg_matches_python_replay(spark, sf_dir):
+    """Longest increasing run recomputed per type from the ordered
+    event stream in python."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.udf import udtf_table_arg
+    from insight_patents_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: (r.longest_run, r.run_last_cents)
+           for r in udtf_table_arg(spark, sf_dir).collect()}
+    streams = defaultdict(list)
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        "ts",
+        "event_id",
+    )
+    for r in sorted(e.collect(), key=lambda r: (r.ts, r.event_id)):
+        streams[r.event_type].append(r.c)
+    for et, vals in streams.items():
+        best, best_last, cur = 0, None, 0
+        prev = None
+        for c in vals:
+            cur = cur + 1 if (prev is not None and c > prev) else 1
+            prev = c
+            if cur > best:
+                best, best_last = cur, c
+        assert got[et] == (best, best_last)
