@@ -52,6 +52,17 @@ _STOP_SQL = ", ".join(f"'{t}'" for t in STOPWORDS)
 # all-pairs join loses to PPJoin prefix filtering -> fall back.
 _JACCARD_CLASS_CAP = 10_000
 
+# Candidate generation for token-/shingle-level near-dup truth ignores
+# terms occurring in more than this many documents: a boilerplate term
+# with df=d contributes d² candidate rows (Σ df² is the join cost), and
+# a pair whose EVERY shared term clears the cap is boilerplate-only
+# overlap, not a meaningful near-dup. The cap gates DISCOVERY only —
+# Jaccard is re-verified on the full term sets, so values are exact for
+# every discovered pair, and when no term exceeds the cap (true of every
+# test corpus here: df ≤ |docs| ≤ 5k) the output is exactly the
+# uncapped truth (tests/test_properties.py asserts this).
+DEDUP_DF_CAP = 100_000
+
 
 def _tokens(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
@@ -1089,7 +1100,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS a FROM documents
     ),
@@ -1100,11 +1111,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok WHERE len(a) >= 3
     ),
     docs AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM docs),
+    keep AS (
+      SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {DEDUP_DF_CAP}
+    ),
+    rare AS (SELECT e.doc_id, e.s FROM ex e JOIN keep k USING (s)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM (SELECT doc_id, unnest(shingles) AS s FROM docs) a
-      JOIN (SELECT doc_id, unnest(shingles) AS s FROM docs) b
-        ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
            CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
@@ -1145,40 +1159,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("shingles"))
         .localCheckpoint()
     )
-    # Count-by-join verification: exploding distinct shingles and joining
-    # on shingle equality yields exactly one row per SHARED shingle per
-    # pair, so |A∩B| is a plain count aggregate — no candidate DISTINCT,
-    # no set arrays carried through the shuffle, no per-pair intersect.
-    # Cost is Σ_s df(s)², bounded because trigram shingles are selective;
-    # at corpus scale, ultra-common boilerplate shingles would be dropped
-    # by a df cap (approximate) or near-dup detection moves to
-    # dedup_minhash_pairs — both documented trade-offs.
+    # Filter-verification with a df cap: shingles occurring in more than
+    # DEDUP_DF_CAP docs never generate candidates (a boilerplate shingle
+    # with df=d would contribute d² join rows — the cap bounds candidate
+    # volume at Σ_{df<=cap} df² <= |shingle rows|·cap), then candidates
+    # are verified with an exact full-set array_intersect against the
+    # checkpointed shingle arrays, so Jaccard values are exact for every
+    # discovered pair; on corpora where no shingle's df exceeds the cap
+    # (all test corpora — trigram shingles are selective) the output is
+    # exactly the uncapped truth.
     sh = docs.select("doc_id", F.explode("shingles").alias("s"))
-    inter = (
-        sh.alias("a")
+    keep = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= F.lit(DEDUP_DF_CAP))
+        .select("s")
+    )
+    rare = sh.join(keep, "s")
+    cand = (
+        rare.alias("a")
         .join(
-            sh.alias("b"),
+            rare.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .distinct()
     )
-    stats = docs.select("doc_id", "n")
     return (
-        inter.join(
-            F.broadcast(
-                stats.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        cand.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sa"),
+                F.col("n").alias("na"),
             ),
             "doc_a",
         )
         .join(
-            F.broadcast(
-                stats.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+            docs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sb"),
+                F.col("n").alias("nb"),
             ),
             "doc_b",
         )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -2442,36 +2468,108 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _truth_pairs_token_join(
+    spark: SparkSession,
+    d: DataFrame,
+    threshold: float = 0.7,
+    df_cap: int = DEDUP_DF_CAP,
+) -> DataFrame:
+    """Exact token-set Jaccard >= threshold pairs via the shared-token
+    candidate join, df-capped (DEDUP_DF_CAP): tokens in more than
+    ``df_cap`` docs never generate candidates (bounds the join at
+    Σ_{df<=cap} df² <= |token rows|·cap instead of quadratic in the
+    hottest token), then every candidate pair is verified with an exact
+    full-set ``array_intersect`` — so Jaccard values are exact for every
+    discovered pair and, when no token's df exceeds the cap, the result
+    is byte-identical to the uncapped truth."""
+    toksets = d.select(
+        "doc_id", F.array_distinct(_tokens()).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    tok = toksets.select(
+        "doc_id", F.explode("toks").alias("token")
+    ).repartition(sh_parts(spark))
+    keep = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= F.lit(df_cap))
+        .select("token")
+    )
+    rare = tok.join(keep, "token")
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            toksets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("toks").alias("ta"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            toksets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("toks").alias("tb"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 @query(
     "dedup_eval",
     # Banding-recall evaluation of the MinHash-LSH dedup index: ground
-    # truth = ALL pairs with exact token-set Jaccard >= 0.7 (shared-token
-    # equi-join — exact above any positive threshold, since disjoint
-    # docs can't reach it); predicted = the LSH pipeline's verified
-    # pairs. Verification makes precision 1.0 by construction, so the
+    # truth = ALL pairs with exact token-set Jaccard >= 0.7 (df-capped
+    # shared-token candidate join + exact full-set verify — exact
+    # whenever no token's df exceeds DEDUP_DF_CAP, true of every test
+    # corpus); predicted = the LSH pipeline's verified pairs.
+    # Verification makes precision 1.0 by construction, so the
     # informative readout is recall per Jaccard bin — the banding
     # s-curve, measured: high-similarity pairs should almost always
     # collide in some band, threshold-edge pairs less often.
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+    WITH lists AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
       FROM documents
     ),
-    sizes AS (
-      SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS n
-      FROM documents
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM lists),
+    keep AS (
+      SELECT token FROM tok GROUP BY token HAVING COUNT(*) <= {DEDUP_DF_CAP}
+    ),
+    rare AS (SELECT t.doc_id, t.token FROM tok t JOIN keep k USING (token)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.token = b.token AND a.doc_id < b.doc_id
     ),
     truth AS (
       SELECT doc_a, doc_b,
              CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
       FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter,
-               MIN(sa.n) AS na, MIN(sb.n) AS nb
-        FROM tok a
-        JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
-        JOIN sizes sa ON sa.doc_id = a.doc_id
-        JOIN sizes sb ON sb.doc_id = b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(la.toks, lb.toks)) AS BIGINT) AS inter,
+               len(la.toks) AS na, len(lb.toks) AS nb
+        FROM cand c
+        JOIN lists la ON c.doc_a = la.doc_id
+        JOIN lists lb ON c.doc_b = lb.doc_id
       )
       WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
     ),
@@ -2514,12 +2612,14 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tunes (bands x rows) before trusting the index; precision is 1.0 by
     construction because the pipeline exact-verifies candidates.
 
-    Scale shape: truth cost is sum_t df(t)^2 over shared tokens (at
-    corpus scale a df cap drops boilerplate tokens first — documented
-    trade-off, same as dedup_ngram_jaccard); the predicted side reuses
-    the CACHED LSH candidate pairs (never re-runs signatures); the hit
-    join is a (doc_a, doc_b) equi-join sized by true-dup density and the
-    bin rollup is three rows.
+    Scale shape: truth cost is sum over kept tokens of df(t)^2, bounded
+    by |token rows| x DEDUP_DF_CAP because _truth_pairs_token_join drops
+    tokens above the df cap from CANDIDATE GENERATION (values stay exact
+    — candidates are re-verified on full sets; same cap as
+    dedup_ngram_jaccard); the predicted side reuses the CACHED LSH
+    candidate pairs (never re-runs signatures); the hit join is a
+    (doc_a, doc_b) equi-join sized by true-dup density and the bin
+    rollup is three rows.
 
     Truth physical strategy mirrors text_jaccard_tokens: when the vocab
     fits 63 bits and the token-SET class count is under the cap, truth
@@ -2548,53 +2648,7 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_a", "doc_b", "jaccard"
             )
     if truth is None:
-        tok = (
-            d.select(
-                "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
-            )
-            .repartition(sh_parts(spark))
-        )
-        sizes = d.select(
-            "doc_id", F.size(F.array_distinct(_tokens())).alias("n")
-        )
-        inter = (
-            tok.alias("a")
-            .join(
-                tok.alias("b"),
-                (F.col("a.token") == F.col("b.token"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        truth = (
-            inter.join(
-                F.broadcast(
-                    sizes.select(
-                        F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
-                    )
-                ),
-                "doc_a",
-            )
-            .join(
-                F.broadcast(
-                    sizes.select(
-                        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
-                    )
-                ),
-                "doc_b",
-            )
-            .withColumn(
-                "jaccard",
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-            )
-            .filter(F.col("jaccard") >= 0.7)
-            .select("doc_a", "doc_b", "jaccard")
-        )
+        truth = _truth_pairs_token_join(spark, d, threshold=0.7)
     pred = dedup_minhash_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("p_a"), F.col("doc_b").alias("p_b")
     )

@@ -72,47 +72,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # spark+oracle at sf0.01) and oracle-backed. Rotation history:
 #   r1-r4: the original showcase (scan_parquet ... udtf_apply_in_pandas,
 #          see git history) + 20 tail entries r2 picked up = 70 checked.
-#   r5:    the set below (50 of the 163 never-checked).
+#   r5:    50 of the then-163 never-checked (see git history).
+#   r6:    the set below — 50 of the 157 never-checked after r5
+#          (complement of the union of CORRECTNESS_r01-r05 keys).
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # scans / sinks / dims (operational + layout techniques)
-    "sink_jdbc", "sink_zorder", "scan_schema_evolution",
-    "sink_partition_overwrite", "scan_jdbc_partitioned",
-    "time_calendar_dim",
-    # sampling / splits
-    "sample_weighted", "split_backtest_folds",
-    # joins (runtime-filter + co-location techniques)
-    "join_runtime_bloom", "join_range_bucketed", "join_null_safe",
-    "join_star_schema",
-    # aggregations (sketches + analytics)
-    "agg_minmax_by", "agg_mode", "agg_quantile_sketch", "agg_gini",
-    "agg_heavy_hitters", "agg_weighted_median", "agg_dau_mau",
-    # windows / time series
-    "win_ewma", "win_holt_forecast", "win_retention_cohort",
-    "win_rolling_median", "win_cusum_changepoint",
-    # sorts / set ops
-    "limit_topk", "set_except_all",
     # scalar-function surface
-    "fn_map_hof", "fn_try_safe", "fn_collation",
-    # text / dedup pipeline
-    "text_langid", "dedup_simhash", "dedup_ngram_jaccard", "text_bm25",
-    "dedup_cdc_chunks",
-    # vector similarity (vec_ann_recall consumes the cached single-table
-    # LSH shortlist; listing it after the other vec ops keeps the cache
-    # first-touch inside this window)
-    "vec_ann_ivf", "vec_kmeans", "vec_pq_adc", "vec_ann_recall",
-    # multimodal
-    "mm_binary_features", "mm_frame_sample",
-    # graph (graph_degree FIRST among graph picks: it owns the shared
-    # edge-cache first-touch, like graph_build did in the r1-r4 prefix)
-    "graph_degree", "graph_kcore", "graph_modularity",
-    # python UDF / UDTF surface
-    "udtf_python", "udtf_map_in_arrow",
-    # sequence mining (incl. two of the round-4-close ops)
-    "seq_markov_chain", "time_interval_merge", "agg_rfm_segments",
+    "fn_string", "fn_regex", "fn_date", "fn_math",
+    # window analytics
+    "win_lag_lead", "win_running_sum", "win_moving_avg",
+    "win_range_frame", "win_first_last", "win_gap_fill",
+    # aggregations / statistics
+    "agg_hll_sketch", "agg_ohlc", "agg_trend_ols", "agg_pareto",
+    "agg_benford", "agg_ks_test", "agg_bounce_rate",
+    # text pipeline
+    "text_tokenize_wordcount", "text_ngrams", "text_quality",
+    "text_token_count", "text_fingerprint", "text_entropy",
+    "text_pii_mask",
+    # dedup
+    "dedup_subset_keys", "dedup_groups",
+    # vector similarity
+    "vec_centroid", "vec_knn_label", "vec_mips", "vec_int8_quantize",
+    "vec_hamming_sign",
+    # graph (graph_triangles FIRST among graph picks: it owns the shared
+    # edge-cache first-touch within this prefix window)
+    "graph_triangles", "graph_bfs_khop", "graph_link_predict",
+    "graph_clustering_coef",
+    # geo
+    "geo_grid_join", "geo_cell_density",
+    # model scoring
+    "ml_lr_inference", "ml_confusion_matrix",
+    # set ops / sorts / splits / dq
+    "set_union_all", "set_intersect", "sort_multikey",
+    "split_train_test", "dq_expectations",
+    # time series
+    "time_pct_change", "time_interarrival",
+    # python UDF surface
+    "udf_pandas_scalar", "udtf_map_in_pandas",
     # streaming
-    "stream_sliding", "stream_stream_join",
+    "stream_session", "stream_dedup",
 )
 
 

@@ -1220,5 +1220,8 @@ def test_udtf_table_arg_partitions_and_sorts(spark, sf_dir):
     from insight_patents_spark.operators.udf import udtf_table_arg
 
     plan = formatted_plan(udtf_table_arg(spark, sf_dir))
-    assert re.search(r"hashpartitioning\(event_type", plan)
+    # Spark 4.1.2 aliases the UDTF TABLE-arg PARTITION BY column to an
+    # internal name (partition_by_0), so accept either spelling of the
+    # same Exchange hashpartitioning node.
+    assert re.search(r"hashpartitioning\((?:event_type|partition_by_0)", plan)
     assert "UDTF" in plan or "PythonUDTF" in plan or "BatchEval" in plan

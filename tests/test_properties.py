@@ -1764,3 +1764,37 @@ def test_udtf_table_arg_matches_python_replay(spark, sf_dir):
             if cur > best:
                 best, best_last = cur, c
         assert got[et] == (best, best_last)
+
+
+def test_df_cap_truth_unchanged_when_cap_unbinding(spark, sf_dir):
+    """DEDUP_DF_CAP gates candidate DISCOVERY only: with any cap larger
+    than the max document frequency (100k >> |docs| on every fixture),
+    the capped shared-token truth equals the uncapped truth exactly —
+    and a binding cap yields a strict subset with identical jaccard
+    values on the surviving pairs (verification is on full sets)."""
+    from insight_patents_spark.operators.text import (
+        DEDUP_DF_CAP,
+        _truth_pairs_token_join,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    assert DEDUP_DF_CAP > d.count()  # the cap cannot bind on the fixture
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _truth_pairs_token_join(spark, d, 0.7).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _truth_pairs_token_join(
+            spark, d, 0.7, df_cap=1 << 60
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+    # a binding cap only DROPS pairs; values on survivors are unchanged
+    tiny = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _truth_pairs_token_join(spark, d, 0.7, df_cap=2).collect()
+    }
+    assert set(tiny) <= set(uncapped)
+    assert all(uncapped[k] == v for k, v in tiny.items())
