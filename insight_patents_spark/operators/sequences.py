@@ -1107,10 +1107,16 @@ def _mk_attr_oracle() -> str:
       FROM trans GROUP BY prev, nxt),
     variants(v) AS (VALUES ('full'), {", ".join(f"('{c}')" for c in _MK_CHANNELS)}),
     tv AS MATERIALIZED (
-      SELECT v.v, t.prev,
-             CASE WHEN t.nxt = v.v THEN 'null' ELSE t.nxt END AS nxt,
-             t.pr
-      FROM t CROSS JOIN variants v WHERE t.prev != v.v),
+      -- pre-aggregate: remapping a removed channel to 'null' can leave
+      -- two rows per (v, prev, nxt='null'); SUM merges them (a 2-term
+      -- float add is order-free) so the matvec fold key is unique and
+      -- tie order can never differ across engines
+      SELECT v, prev, nxt, SUM(pr) AS pr FROM (
+        SELECT v.v, t.prev,
+               CASE WHEN t.nxt = v.v THEN 'null' ELSE t.nxt END AS nxt,
+               t.pr
+        FROM t CROSS JOIN variants v WHERE t.prev != v.v)
+      GROUP BY v, prev, nxt),
     states AS MATERIALIZED (
       SELECT DISTINCT v, s FROM (
         SELECT v, prev AS s FROM tv UNION ALL SELECT v, nxt FROM tv)),
@@ -1233,6 +1239,12 @@ def seq_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nxt"),
             "pr",
         )
+        # pre-aggregate: the removed-channel remap can produce two rows
+        # per (v, prev, 'null'); SUM merges them (2-term float add is
+        # order-free), making the fold key unique so cross-engine tie
+        # order cannot diverge (ADVICE r5)
+        .groupBy("v", "prev", "nxt")
+        .agg(F.sum("pr").alias("pr"))
         .localCheckpoint()
     )
     states = (
