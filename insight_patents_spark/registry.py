@@ -73,45 +73,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r1-r4: the original showcase (scan_parquet ... udtf_apply_in_pandas,
 #          see git history) + 20 tail entries r2 picked up = 70 checked.
 #   r5:    50 of the then-163 never-checked (see git history).
-#   r6:    the set below — 50 of the 157 never-checked after r5
-#          (complement of the union of CORRECTNESS_r01-r05 keys).
+#   r6:    50 of the 157 never-checked after r5 (see git history).
+#   r7:    the set below — 50 of the 108 never-checked after r6
+#          (complement of the union of CORRECTNESS_r01-r06 keys),
+#          front-loading every query whose code changed in r7
+#          (graph_scc, seq_attribution_markov) so the driver gate
+#          covers the round's diff; the remaining 58 rotate in r8.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # scalar-function surface
-    "fn_string", "fn_regex", "fn_date", "fn_math",
-    # window analytics
-    "win_lag_lead", "win_running_sum", "win_moving_avg",
-    "win_range_frame", "win_first_last", "win_gap_fill",
-    # aggregations / statistics
-    "agg_hll_sketch", "agg_ohlc", "agg_trend_ols", "agg_pareto",
-    "agg_benford", "agg_ks_test", "agg_bounce_rate",
-    # text pipeline
-    "text_tokenize_wordcount", "text_ngrams", "text_quality",
-    "text_token_count", "text_fingerprint", "text_entropy",
-    "text_pii_mask",
-    # dedup
-    "dedup_subset_keys", "dedup_groups",
-    # vector similarity
-    "vec_centroid", "vec_knn_label", "vec_mips", "vec_int8_quantize",
-    "vec_hamming_sign",
-    # graph (graph_triangles FIRST among graph picks: it owns the shared
-    # edge-cache first-touch within this prefix window)
-    "graph_triangles", "graph_bfs_khop", "graph_link_predict",
-    "graph_clustering_coef",
-    # geo
-    "geo_grid_join", "geo_cell_density",
+    # changed-in-r7 queries first: external evidence for the diff
+    "graph_scc", "seq_attribution_markov",
+    # streaming (clears the family's never-checked backlog)
+    "stream_streaks", "stream_watermark_late", "stream_static_join",
+    "stream_foreach_batch", "stream_transform_with_state",
+    "stream_rollup_incremental",
     # model scoring
-    "ml_lr_inference", "ml_confusion_matrix",
-    # set ops / sorts / splits / dq
-    "set_union_all", "set_intersect", "sort_multikey",
-    "split_train_test", "dq_expectations",
+    "ml_pr_curve", "ml_calibration_bins",
+    # window analytics
+    "win_cume_nth", "win_anomaly_zscore", "win_rolling_corr",
+    "win_drawdown", "win_rsi", "win_sliding_distinct", "win_skyline_2d",
+    # aggregations / statistics
+    "agg_hll_intersect", "agg_bitmap_distinct", "agg_ab_ttest",
+    "agg_iqr_outliers", "agg_new_returning", "agg_cohort_ltv",
+    "agg_histogram_equidepth", "agg_mutual_info", "agg_anova_f",
+    "agg_log_histogram", "agg_mad_outliers",
     # time series
-    "time_pct_change", "time_interarrival",
+    "time_downsample_lttb", "time_acf",
+    # relational / dq / sinks
+    "sample_priority", "profile_table", "sink_scd2", "sink_cdc_apply",
+    "sql_recursive_cte", "dq_impute",
+    # graph
+    "graph_hits", "graph_diameter_2sweep",
+    # sequences
+    "seq_markov_stationary", "seq_topk_paths", "agg_survival_km",
+    # text / dedup
+    "dedup_eval", "text_jaccard_tokens", "dedup_minhash_pairs",
+    "text_minhash_containment", "text_decontaminate",
+    # vector similarity
+    "vec_cell_refine", "vec_residual_pq",
+    # joins
+    "join_scd2_asof",
     # python UDF surface
-    "udf_pandas_scalar", "udtf_map_in_pandas",
-    # streaming
-    "stream_session", "stream_dedup",
+    "udtf_table_arg",
 )
 
 
