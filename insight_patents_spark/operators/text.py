@@ -1159,32 +1159,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("shingles"))
         .localCheckpoint()
     )
-    # Filter-verification with a df cap: shingles occurring in more than
-    # DEDUP_DF_CAP docs never generate candidates (a boilerplate shingle
-    # with df=d would contribute d² join rows — the cap bounds candidate
-    # volume at Σ_{df<=cap} df² <= |shingle rows|·cap), then candidates
-    # are verified with an exact full-set array_intersect against the
-    # checkpointed shingle arrays, so Jaccard values are exact for every
-    # discovered pair; on corpora where no shingle's df exceeds the cap
-    # (all test corpora — trigram shingles are selective) the output is
-    # exactly the uncapped truth.
+    # Filter-verification: PPJoin prefix filtering ON TOP OF the df cap.
+    # Shingles get a global (df asc, shingle asc) order; only each doc's
+    # first n-⌈0.5·n⌉+1 (= ⌊n/2⌋+1) rarest shingles generate candidates,
+    # and of those only the ones with df <= DEDUP_DF_CAP (a boilerplate
+    # shingle with df=d would contribute d² join rows — the cap bounds
+    # candidate volume at Σ_{df<=cap} df² <= |shingle rows|·cap).
+    # Output is EXACTLY the cap-only blocking's (the r5/r6 shape, which
+    # the oracle still expresses): for any J>=0.5 pair the AllPairs
+    # prefix lemma puts its globally-minimal shared shingle s' in BOTH
+    # prefixes, and if the pair shares any kept shingle s then
+    # df(s') <= df(s) <= cap, so s' is kept too — the pair survives the
+    # prefix∧cap block; verification on the full checkpointed shingle
+    # arrays is exact either way. On corpora where no shingle's df
+    # exceeds the cap (all test corpora — trigram shingles are
+    # selective) this is exactly the uncapped truth.
     sh = docs.select("doc_id", F.explode("shingles").alias("s"))
-    keep = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= F.lit(DEDUP_DF_CAP))
-        .select("s")
+    # shuffle join (not broadcast): the shingle-df table scales with the
+    # corpus; AQE may still downgrade to broadcast when it is tiny
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = sh.join(dfreq, "s").select(
+        "doc_id",
+        "s",
+        "df",
+        F.row_number().over(wdoc).alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id"))
+        .alias("n"),
     )
-    rare = sh.join(keep, "s")
+    pref = ranked.filter(
+        (F.col("i") <= F.floor(F.col("n") / 2) + 1)
+        & (F.col("df") <= F.lit(DEDUP_DF_CAP))
+    ).select("doc_id", "s", "i", "n")
+    # Length + positional filters (Xiao et al., PPJoin): both prune only
+    # provably-infeasible occurrences. Length: inter <= min(na,nb) and
+    # J>=0.5 needs inter >= ceil((na+nb)/3), so 2*min < max kills the
+    # pair. Position: common elements != s split into globally-smaller
+    # (before i in BOTH docs) and globally-larger (after), so inter <=
+    # 1 + min(i-1,j-1) + min(na-i, nb-j); at the pair's globally-minimal
+    # shared shingle nothing precedes, the tight bound 1+min(na-i,nb-j)
+    # holds, and a true pair always survives there — so filtering every
+    # occurrence with the tight bound keeps all true pairs.
+    alpha = F.ceil((F.col("na") + F.col("nb")) / 3)
     cand = (
-        rare.alias("a")
+        pref.alias("a")
         .join(
-            rare.alias("b"),
+            pref.alias("b"),
             (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            F.col("a.i").alias("ia"),
+            F.col("b.i").alias("ib"),
         )
+        .filter(
+            (2 * F.least("na", "nb") >= F.greatest("na", "nb"))
+            & (
+                1 + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("ib"))
+                >= alpha
+            )
+        )
+        .select("doc_a", "doc_b")
         .distinct()
     )
     return (

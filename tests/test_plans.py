@@ -1225,3 +1225,15 @@ def test_udtf_table_arg_partitions_and_sorts(spark, sf_dir):
     # same Exchange hashpartitioning node.
     assert re.search(r"hashpartitioning\((?:event_type|partition_by_0)", plan)
     assert "UDTF" in plan or "PythonUDTF" in plan or "BatchEval" in plan
+
+
+def test_ngram_jaccard_blocking_is_joins_not_cartesian(spark, sf_dir):
+    # PPJoin prefix blocking: candidate generation must be an equi-join
+    # on the shared shingle (never all-pairs), and verification must be
+    # the exact full-set array_intersect
+    from insight_patents_spark.operators.text import dedup_ngram_jaccard
+
+    plan = formatted_plan(dedup_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan

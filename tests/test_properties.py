@@ -1798,3 +1798,66 @@ def test_df_cap_truth_unchanged_when_cap_unbinding(spark, sf_dir):
     }
     assert set(tiny) <= set(uncapped)
     assert all(uncapped[k] == v for k, v in tiny.items())
+
+
+# short docs over a tiny vocab -> many shared trigrams; plus forced
+# near-dup pairs (doc i duplicated with one token appended) so the J>=0.5
+# output is non-empty on most examples
+_ngram_docs = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=3, max_size=10).map(
+        lambda toks: " ".join(toks)
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@_PROP
+@given(texts=_ngram_docs)
+def test_ngram_jaccard_prefix_filter_is_exact(spark, tmp_path_factory, texts):
+    """dedup_ngram_jaccard's PPJoin prefix∧cap blocking must equal the
+    BRUTE-FORCE all-pairs shingle Jaccard (J >= 0.5) on arbitrary
+    corpora — the prefix/length/position filters may only prune
+    provably-infeasible candidates, never a true pair (text.py lemma:
+    the pair's globally-minimal shared shingle survives every filter)."""
+    import os
+    import uuid
+
+    from insight_patents_spark.operators.text import dedup_ngram_jaccard
+
+    # append exact + 1-token-extended copies of the first doc: guaranteed
+    # J=1.0 and J<1 true pairs exist whenever the base doc has shingles
+    texts = list(texts) + [texts[0], texts[0] + " a"]
+    rows = [(i, t, "en", "prop", len(t)) for i, t in enumerate(texts)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path_factory.mktemp("ng")) + f"/{uuid.uuid4().hex[:8]}"
+    os.makedirs(sf)
+    d.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf).collect()
+    }
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else None
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] is not None and sets[b] is not None:
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                j = inter / uni
+                if j >= 0.5:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12
+    assert want  # the forced duplicates guarantee at least one true pair
