@@ -1504,7 +1504,17 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- strongly connected components (directed citation-style graph) -------
 
-SCC_MAX_OUTER = 30  # outer peel rounds (condensation-DAG depth bound)
+# Outer peel rounds. Every round provably extracts at least the SCC of
+# the globally-minimal remaining node (its color is itself and it
+# trivially reaches itself), so the peel always progresses; 30 bounds
+# the CONDENSATION-DAG PEEL DEPTH, i.e. how many extract-and-retrim
+# waves the SCC DAG needs to drain (2 on the driver fixture). Graphs
+# whose condensation is a deep chain of non-trivial SCCs can exceed it —
+# the peel then fails LOUDLY (RuntimeError below) rather than returning
+# partial components; raise the bound for such shapes. Trim runs to
+# fixpoint inside each round, so arbitrarily long acyclic chains drain
+# in a single round and never count against this bound.
+SCC_MAX_OUTER = 30
 
 # Directed fixture: each undirected co-purchase pair is oriented by the
 # high bit of the last md5 nibble of "pa:pb" — deterministic in both
@@ -1565,54 +1575,72 @@ def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DMIN_MAX_ROUNDS = 64  # directed min-propagation bound (see _dmin_loop)
+
+
+def _dmin_step(lbl: DataFrame, edges: DataFrame) -> DataFrame:
+    """One lazy propagate+jump step of directed min-label propagation."""
+    propagated = lbl.join(edges, lbl["node"] == edges["src"]).select(
+        F.col("dst").alias("node"), "lbl"
+    )
+    new_lbl = (
+        lbl.select("node", "lbl")
+        .unionByName(propagated)
+        .groupBy("node")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+    return (
+        new_lbl.alias("x")
+        .join(
+            new_lbl.select(
+                F.col("node").alias("jn"), F.col("lbl").alias("jlbl")
+            ),
+            F.col("x.lbl") == F.col("jn"),
+        )
+        .select(F.col("x.node").alias("node"), F.col("jlbl").alias("lbl"))
+    )
+
+
 def _dmin_loop(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Directed min-label propagation with pointer jumping: fixpoint
     lbl(v) = min id over {v} ∪ ancestors(v) (along src→dst edges).
     Pointer jumping is sound because lbl(v) is always an
     ancestor-or-self of v, and an ancestor's ancestor is an ancestor —
-    so lbl ← lbl(lbl) collapses label-chain depth geometrically and the
-    loop converges in O(log longest-path) rounds; the fixpoint is the
-    schedule-independent exact min-ancestor (if some ancestor u had
-    u < lbl(v), labels are non-increasing along the u→v path, a
-    contradiction at fixpoint)."""
+    so lbl ← lbl(lbl) collapses label-chain depth geometrically when
+    label chains form; when ids run against edge direction the chain
+    collapses to self-pointing labels and each round advances the min
+    one hop, so worst-case convergence is O(longest path), not O(log).
+
+    Because a NON-converged labeling would let graph_scc confirm nodes
+    under a non-minimal color and return silently wrong components, the
+    loop's ONLY successful exit is an observed zero-change fixpoint;
+    exceeding DMIN_MAX_ROUNDS raises. The changed-flag rides the same
+    per-round checkpoint, so the convergence probe is a scan of
+    already-materialized rows, not an extra shuffle job. The fixpoint
+    itself is the schedule-independent exact min-ancestor (if some
+    ancestor u had u < lbl(v), labels are non-increasing along the
+    u→v path, a contradiction at fixpoint)."""
     lbl = nodes.withColumn("lbl", F.col("node"))
-    for round_no in range(1, CC_MAX_ROUNDS + 1):
-        propagated = lbl.join(edges, lbl.node == edges.src).select(
-            F.col("dst").alias("node"), "lbl"
-        )
-        new_lbl = (
-            lbl.select("node", "lbl")
-            .unionByName(propagated)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        jumped = (
-            new_lbl.alias("x")
+    for _ in range(DMIN_MAX_ROUNDS):
+        staged = (
+            _dmin_step(lbl, edges)
             .join(
-                new_lbl.select(
-                    F.col("node").alias("jn"), F.col("lbl").alias("jlbl")
-                ),
-                F.col("x.lbl") == F.col("jn"),
+                lbl.select(F.col("node").alias("pn"), F.col("lbl").alias("prev")),
+                F.col("node") == F.col("pn"),
             )
-            .select(F.col("x.node").alias("node"), F.col("jlbl").alias("lbl"))
+            .select(
+                "node", "lbl", (F.col("lbl") != F.col("prev")).alias("changed")
+            )
             .localCheckpoint()
         )
-        # Change-check is a whole extra job per round; with pointer
-        # jumping the loop converges in a handful of rounds, so probe
-        # only every second round from round 3 (worst case: one spare
-        # round past the fixpoint — fixpoint reruns are no-ops).
-        if round_no >= 3 and round_no % 2 == 1:
-            changed = (
-                jumped.alias("n")
-                .join(lbl.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
-            if changed == 0:
-                lbl = jumped
-                break
-        lbl = jumped
-    return lbl
+        lbl = staged.select("node", "lbl")
+        if staged.filter("changed").isEmpty():
+            return lbl
+    raise RuntimeError(
+        f"_dmin_loop: no fixpoint within {DMIN_MAX_ROUNDS} rounds — "
+        "label chains longer than the bound (ids running against edge "
+        "direction); raise DMIN_MAX_ROUNDS for this graph shape"
+    )
 
 
 @query("graph_scc", oracle=_scc_oracle())
@@ -1653,75 +1681,167 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges0.select(F.col("src").alias("node"))
             .unionByName(edges0.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint()
         )
-        edges = edges0.localCheckpoint()
-        done: DataFrame | None = None
-        for _ in range(SCC_MAX_OUTER):
-            # (1) trim: a node missing either edge direction is acyclic
-            has_in = edges.select(F.col("dst").alias("node")).distinct()
-            has_out = edges.select(F.col("src").alias("node")).distinct()
-            keep = has_in.join(has_out, "node").localCheckpoint()
-            trimmed = nodes.join(keep, "node", "left_anti").select(
-                "node", F.col("node").alias("scc")
-            )
-            done = trimmed if done is None else done.unionByName(trimmed)
-            nodes = nodes.join(keep, "node").localCheckpoint()
-            if nodes.isEmpty():
-                done = done.localCheckpoint()
-                break
-            edges = (
-                edges.join(keep.select(F.col("node").alias("src")), "src")
-                .join(keep.select(F.col("node").alias("dst")), "dst")
-                .select("src", "dst")
-                .localCheckpoint()
-            )
-            # (2) forward color: min ancestor per remaining node
-            color = _dmin_loop(nodes, edges)
-            # (3) backward confirm within color class
-            ce = (
-                edges.join(
-                    color.select(
-                        F.col("node").alias("src"), F.col("lbl").alias("cs")
-                    ),
-                    "src",
-                )
-                .join(
-                    color.select(
-                        F.col("node").alias("dst"), F.col("lbl").alias("cd")
-                    ),
-                    "dst",
-                )
-                .filter(F.col("cs") == F.col("cd"))
-                .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-                # checkpoint: _dmin_loop touches its edge input every
-                # round — without this the class-restriction joins
-                # would re-execute per inner round
-                .localCheckpoint()
-            )
-            d = _dmin_loop(nodes, ce)
-            found = (
-                color.join(d.withColumnRenamed("lbl", "dlbl"), "node")
-                .filter(F.col("lbl") == F.col("dlbl"))
-                .select("node", F.col("lbl").alias("scc"))
-            )
-            done = done.unionByName(found)
-            nodes = nodes.join(found.select("node"), "node", "left_anti").localCheckpoint()
-            done = done.localCheckpoint()
-            if nodes.isEmpty():
-                break
-            edges = (
-                edges.join(
-                    found.select(F.col("node").alias("src")), "src", "left_anti"
-                )
-                .join(
-                    found.select(F.col("node").alias("dst")), "dst", "left_anti"
-                )
-                .select("src", "dst")
-                .localCheckpoint()
-            )
-        else:
-            raise RuntimeError("graph_scc: peel did not drain the graph")
-        return done.select("node", "scc")
+        return _scc_peel(nodes, edges0)
     finally:
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+
+
+def _both_roles(edges: DataFrame) -> DataFrame:
+    """Nodes appearing as BOTH src and dst of ``edges`` — the survivors
+    of one trim step. One shuffle: both endpoint roles aggregate in a
+    single groupBy instead of two distinct+join."""
+    return (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.lit(1).alias("o"),
+                        F.lit(0).alias("i"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("o"),
+                        F.lit(1).alias("i"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .groupBy("node")
+        .agg(F.max("o").alias("has_out"), F.max("i").alias("has_in"))
+        .filter((F.col("has_out") == 1) & (F.col("has_in") == 1))
+        .select("node")
+    )
+
+
+def _scc_peel(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """FW-BW-MIN trim+color+confirm peel over (nodes, edges) frames.
+    ``nodes`` must contain every edge endpoint (extra isolated nodes are
+    fine). Factored out of graph_scc so property tests can drive it on
+    arbitrary synthetic digraphs (brute-force Tarjan comparison,
+    adversarial id orientations).
+
+    The loop is EDGE-DRIVEN: every node a trim drops or a drain strands
+    is a singleton SCC (a non-trivial SCC's cycle edges survive every
+    trim, by induction: both endpoints of a cycle edge always retain in
+    and out via the cycle), so singletons need no per-iteration
+    bookkeeping — they are ``all_nodes MINUS every confirmed node``,
+    computed once at the end. Trim runs to EDGE fixpoint (edge sets
+    shrink monotonically, so an unchanged count means the step was a
+    no-op), which drains any acyclic region in one outer round.
+
+    The peel's dozens of micro-shuffles run on label/edge frames that
+    never grow, so their shuffle-partition count is sized to the
+    OBSERVED edge count (~50k edges per partition, capped at the
+    session setting) instead of the session default — the iterative
+    twin of AQE's post-shuffle coalescing, which cannot see across the
+    per-round checkpoints. At real scale the cap keeps the session's
+    parallelism; on small residual graphs it stops 32-task scheduling
+    overhead from dominating every one of the O(rounds) tiny stages."""
+    spark = edges.sparkSession
+    all_nodes = nodes.localCheckpoint()
+    edges = edges.localCheckpoint()
+    ecnt = edges.count()
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = max(1, min(sess_parts, ecnt // 50_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _scc_peel_rounds(all_nodes, edges, ecnt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+
+
+def _scc_peel_rounds(
+    all_nodes: DataFrame, edges: DataFrame, ecnt: int
+) -> DataFrame:
+    parts: list[DataFrame] = []
+    for _ in range(SCC_MAX_OUTER):
+        # (1) trim TO FIXPOINT: a node missing either edge direction is
+        # acyclic; removing it can expose more, so repeat to fixpoint.
+        while ecnt > 0:
+            keep = _both_roles(edges)
+            edges2 = (
+                edges.join(
+                    keep.select(F.col("node").alias("src")), "src", "left_semi"
+                )
+                .join(
+                    keep.select(F.col("node").alias("dst")), "dst", "left_semi"
+                )
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+            c2 = edges2.count()
+            edges = edges2
+            if c2 == ecnt:
+                break
+            ecnt = c2
+        if ecnt == 0:
+            break
+        survivors = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # (2) forward color: min ancestor per remaining node
+        color = _dmin_loop(survivors, edges)
+        # (3) backward confirm within color class
+        ce = (
+            edges.join(
+                color.select(
+                    F.col("node").alias("src"), F.col("lbl").alias("cs")
+                ),
+                "src",
+            )
+            .join(
+                color.select(
+                    F.col("node").alias("dst"), F.col("lbl").alias("cd")
+                ),
+                "dst",
+            )
+            .filter(F.col("cs") == F.col("cd"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            # checkpoint: _dmin_loop touches its edge input every
+            # round — without this the class-restriction joins
+            # would re-execute per inner round
+            .localCheckpoint()
+        )
+        d = _dmin_loop(survivors, ce)
+        found = (
+            color.join(d.withColumnRenamed("lbl", "dlbl"), "node")
+            .filter(F.col("lbl") == F.col("dlbl"))
+            .select("node", F.col("lbl").alias("scc"))
+            # reused by the result union and both edge anti-joins
+            .localCheckpoint()
+        )
+        parts.append(found)
+        edges = (
+            edges.join(
+                found.select(F.col("node").alias("src")), "src", "left_anti"
+            )
+            .join(
+                found.select(F.col("node").alias("dst")), "dst", "left_anti"
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        ecnt = edges.count()
+        if ecnt == 0:
+            break
+    else:
+        raise RuntimeError(
+            "graph_scc: peel did not drain the graph within "
+            f"{SCC_MAX_OUTER} rounds (condensation deeper than the "
+            "bound — see SCC_MAX_OUTER)"
+        )
+    confirmed = None
+    for p in parts:
+        confirmed = p if confirmed is None else confirmed.unionByName(p)
+    if confirmed is None:
+        return all_nodes.select("node", F.col("node").alias("scc"))
+    singletons = all_nodes.join(
+        confirmed.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("scc"))
+    return confirmed.select("node", "scc").unionByName(singletons)

@@ -1237,3 +1237,16 @@ def test_ngram_jaccard_blocking_is_joins_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_intersect" in plan
+
+
+def test_scc_peel_plan_is_checkpointed_joins(spark, sf_dir):
+    # the peel must never materialize a transitive closure or fall back
+    # to a nested-loop product; the result plan unions per-round
+    # checkpointed label frames (lineage truncated per round)
+    from insight_patents_spark.operators.graph import graph_scc
+
+    df = graph_scc(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # localCheckpoint-truncated lineage

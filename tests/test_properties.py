@@ -1861,3 +1861,105 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark, tmp_path_factory, texts):
     for k, j in want.items():
         assert abs(got[k] - j) < 1e-12
     assert want  # the forced duplicates guarantee at least one true pair
+
+
+def _tarjan_scc(n_nodes, edge_list):
+    """Iterative Tarjan; returns {node: min node id of its SCC}."""
+    adj = {v: [] for v in range(n_nodes)}
+    for s, t in edge_list:
+        adj[s].append(t)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+    for root in range(n_nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                m = min(scc)
+                for w in scc:
+                    comp[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return comp
+
+
+_digraph = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=24,
+).filter(lambda es: any(s != t for s, t in es))
+
+
+@_PROP
+@given(edge_list=_digraph)
+def test_scc_peel_matches_tarjan(spark, edge_list):
+    """_scc_peel on arbitrary random digraphs == brute-force Tarjan
+    (SCC labeled by its min node id). Exercises trim, color, confirm
+    and the multi-round peel on shapes the fixture never produces."""
+    from insight_patents_spark.operators.graph import _scc_peel
+
+    edge_list = sorted({(s, t) for s, t in edge_list if s != t})
+    nodes = sorted({v for e in edge_list for v in e})
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.scc for r in _scc_peel(ndf, edf).collect()}
+    want = _tarjan_scc(10, edge_list)
+    want = {v: want[v] for v in nodes}
+    assert got == want
+
+
+def test_scc_peel_adversarial_cycle_and_chain(spark):
+    """The ADVICE r6 adversary: a directed cycle whose ids increase
+    AGAINST edge direction (pointer jumping degenerates to one hop per
+    round — labels must still converge, or raise, never silently
+    misassign), plus a long pure path (condensation deeper than
+    SCC_MAX_OUTER pre-fix) that trim-to-fixpoint must drain in ONE
+    outer round."""
+    from insight_patents_spark.operators.graph import _scc_peel
+
+    # reversed 12-cycle: edges k+1 -> k (mod 12): one SCC, min id 0
+    n = 12
+    cyc = [((k + 1) % n, k) for k in range(n)]
+    ndf = spark.createDataFrame([(v,) for v in range(n)], "node long")
+    edf = spark.createDataFrame(cyc, "src long, dst long")
+    got = {r.node: r.scc for r in _scc_peel(ndf, edf).collect()}
+    assert got == {v: 0 for v in range(n)}
+
+    # 60-node directed path: every node its own SCC; drains via trim
+    path = [(k, k + 1) for k in range(59)]
+    ndf = spark.createDataFrame([(v,) for v in range(60)], "node long")
+    edf = spark.createDataFrame(path, "src long, dst long")
+    got = {r.node: r.scc for r in _scc_peel(ndf, edf).collect()}
+    assert got == {v: v for v in range(60)}
