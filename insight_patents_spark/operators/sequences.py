@@ -1153,6 +1153,68 @@ def _mk_attr_oracle() -> str:
     """
 
 
+_MK_GRID_CAP = 512  # max collected variant-grid rows for the driver solve
+
+
+def _mk_round9(x: float) -> float:
+    """Bit-exact twin of Spark's F.round(double, 9): the double's
+    shortest decimal repr (Python repr == Java Double.toString for
+    round-trip values) quantized HALF_UP at 9dp, back to double."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _mk_solve_driver(spark: SparkSession, grid: list) -> DataFrame:
+    """Absorbing-chain removal-effect solve on the collected variant
+    grid — the driver-side twin of the distributed loop in
+    seq_attribution_markov, with identical IEEE-double arithmetic: the
+    matvec folds pr·p in ascending-nxt order from 0.0 and rounds 9dp
+    per entry, exactly like F.round(F.aggregate(array_sort(...)))."""
+    trans: dict[tuple[str, str], list[tuple[str, float]]] = {}
+    states: set[tuple[str, str]] = set()
+    for r in grid:
+        trans.setdefault((r["v"], r["prev"]), []).append((r["nxt"], r["pr"]))
+        states.add((r["v"], r["prev"]))
+        states.add((r["v"], r["nxt"]))
+    for lst in trans.values():
+        lst.sort()
+    p = {(v, s): (1.0 if s == "conv" else 0.0) for (v, s) in states}
+    for _ in range(_MK_ROUNDS):
+        new_p = {}
+        for (v, s) in states:
+            if s == "conv":
+                new_p[(v, s)] = 1.0
+                continue
+            lst = trans.get((v, s))
+            if lst is None:
+                new_p[(v, s)] = 0.0
+                continue
+            acc = 0.0
+            for nxt, pr in lst:
+                acc = acc + pr * p[(v, nxt)]
+            new_p[(v, s)] = _mk_round9(acc)
+        p = new_p
+    schema = "channel string, removal_effect double, attributed_share double"
+    if ("full", "start") not in p:
+        return spark.createDataFrame([], schema)
+    pf = p[("full", "start")]
+    eff = {
+        v: _mk_round9(1.0 - p[(v, "start")] / pf)
+        for (v, s) in states
+        if s == "start" and v != "full"
+    }
+    tot = 0.0
+    for ch in sorted(eff):
+        tot = tot + eff[ch]
+    rows = [(ch, re, _mk_round9(re / tot)) for ch, re in sorted(eff.items())]
+    return spark.createDataFrame(rows, schema)
+
+
 @query("seq_attribution_markov", oracle=_mk_attr_oracle())
 def seq_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov removal-effect attribution (Anderl et al. — THE
@@ -1247,6 +1309,18 @@ def seq_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pr").alias("pr"))
         .localCheckpoint()
     )
+    # The variant grid is ≤ |variants|·|states|² rows (≤ ~320 on any
+    # event log with these 7 states) and the absorbing iterations are
+    # corpus-independent — so solve the chain DRIVER-SIDE when the grid
+    # is provably tiny (guarded count, same pattern as the ≤63-token
+    # vocab probe in text.py), replicating Spark's float semantics
+    # exactly: ascending-nxt left fold, F.round (shortest-repr decimal,
+    # HALF_UP) at 9dp per entry. One collect replaces 5×12 tiny Spark
+    # jobs (~6.7 s → ~1.5 s at sf0.1); answers are bit-identical. An
+    # adversarial log with an unbounded state domain takes the
+    # distributed loop below instead.
+    if tv.count() <= _MK_GRID_CAP:
+        return _mk_solve_driver(spark, tv.collect())
     states = (
         tv.select("v", F.col("prev").alias("s"))
         .unionByName(tv.select("v", F.col("nxt").alias("s")))

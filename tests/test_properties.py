@@ -1963,3 +1963,24 @@ def test_scc_peel_adversarial_cycle_and_chain(spark):
     edf = spark.createDataFrame(path, "src long, dst long")
     got = {r.node: r.scc for r in _scc_peel(ndf, edf).collect()}
     assert got == {v: v for v in range(60)}
+
+
+def test_markov_driver_solve_equals_distributed(spark, sf_dir):
+    """The guarded driver-side absorbing-chain solve must be
+    BIT-IDENTICAL to the distributed 5x12 iteration it replaces
+    (same fold order, same F.round twin) — forced by dropping the grid
+    cap to -1 so the same input runs both paths."""
+    import insight_patents_spark.operators.sequences as S
+
+    fast = sorted(
+        map(tuple, S.seq_attribution_markov(spark, sf_dir).collect())
+    )
+    cap = S._MK_GRID_CAP
+    S._MK_GRID_CAP = -1
+    try:
+        slow = sorted(
+            map(tuple, S.seq_attribution_markov(spark, sf_dir).collect())
+        )
+    finally:
+        S._MK_GRID_CAP = cap
+    assert fast == slow and len(fast) > 0
