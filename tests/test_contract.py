@@ -62,3 +62,93 @@ def test_all_results_are_scalar_only(spark):
         if bad:
             offenders.append((name, bad))
     assert not offenders, f"non-scalar result columns: {offenders}"
+
+
+# Queries whose ONLY dedicated coverage is the generic 278-query oracle
+# suite (tests/test_correctness.py) — reviewed waivers, mostly simple
+# declarative plans where a per-query plan gate would pin nothing the
+# oracle does not already pin. The meta-test below fails on any NEW
+# query that ships with neither a dedicated plan/property test nor a
+# deliberate (visible, reviewable) entry here — the r6 lesson, where
+# graph_scc landed in the snapshot commit with no gate. SHRINK this
+# list over time; never grow it silently.
+_ORACLE_SUITE_ONLY = frozenset({
+    "agg_ab_ttest", "agg_approx_distinct", "agg_bool", "agg_collect",
+    "agg_count_distinct", "agg_cube", "agg_dau_mau", "agg_filtered",
+    "agg_global", "agg_grouping_sets", "agg_iqr_outliers", "agg_minmax_by",
+    "agg_mode", "agg_multi_distinct", "agg_new_returning", "agg_percentile",
+    "agg_pivot", "agg_quantile_sketch", "agg_rollup", "agg_stats",
+    "agg_trend_ols", "agg_unpivot", "agg_weighted_median", "case_when",
+    "cast_null_fns", "dedup_embed_cosine", "dedup_exact", "dedup_groups",
+    "dedup_incremental", "dedup_semantic", "dedup_simhash",
+    "dedup_subset_keys", "filter_pred", "filter_regex", "fn_array",
+    "fn_bitwise", "fn_collation", "fn_date", "fn_explode", "fn_hash",
+    "fn_interval", "fn_json", "fn_map", "fn_map_hof", "fn_math", "fn_regex",
+    "fn_string", "fn_try_safe", "fn_url", "fn_variant", "funnel_stages",
+    "graph_assoc_rules", "graph_bfs_khop", "graph_build", "graph_cc",
+    "graph_closeness", "graph_degree", "graph_hits", "graph_label_prop",
+    "graph_random_walks", "graph_shortest_path", "graph_sssp_weighted",
+    "graph_triangles", "join_anti", "join_asof", "join_cross",
+    "join_full_outer", "join_inner_equi", "join_interval",
+    "join_left_outer", "join_null_safe", "join_runtime_bloom",
+    "join_self_2hop", "join_semi", "join_theta_range", "mm_binary_features",
+    "mm_decode_stub", "mm_struct", "project_compute", "scan_binary_files",
+    "scan_csv", "scan_jdbc_partitioned", "scan_json",
+    "scan_json_permissive", "scan_parquet", "scan_python_datasource",
+    "scan_schema_evolution", "scan_text_parse", "scan_xml", "set_except",
+    "set_except_all", "set_intersect", "set_union_all",
+    "set_union_distinct", "sink_compaction", "sink_csv", "sink_jdbc",
+    "sink_orc", "sink_partition_overwrite", "sort_multikey",
+    "sql_lateral_topk", "sql_scalar_subquery", "stream_dedup",
+    "stream_foreach_batch", "stream_rollup_incremental", "stream_session",
+    "stream_sliding", "stream_stateful_custom", "stream_static_join",
+    "stream_stream_join", "stream_transform_with_state", "stream_tumbling",
+    "stream_watermark_late", "text_bigram_lm", "text_bpe_pairs",
+    "text_clean_normalize", "text_entropy", "text_fingerprint",
+    "text_hashing_trick", "text_jaccard_tokens", "text_lang_route",
+    "text_langid", "text_levenshtein", "text_lexicon_score",
+    "text_minhash_containment", "text_ngrams", "text_pii_mask",
+    "text_quality", "text_tfidf", "text_token_count",
+    "text_tokenize_wordcount", "time_calendar_dim", "time_pct_change",
+    "udaf_pandas_agg", "udf_pandas_scalar", "udf_python_arrow",
+    "udf_python_scalar", "udtf_apply_in_pandas", "udtf_map_in_arrow",
+    "udtf_map_in_pandas", "udtf_python", "vec_ann_ivf", "vec_centroid",
+    "vec_int8_quantize", "vec_knn_label", "win_cume_nth",
+    "win_cusum_changepoint", "win_first_last", "win_gap_fill",
+    "win_lag_lead", "win_moving_avg", "win_range_frame", "win_rank",
+    "win_retention_cohort", "win_rolling_median", "win_running_sum",
+})
+
+
+def test_every_query_has_dedicated_test_or_visible_waiver():
+    names = set(registry.load_all())
+    gated_sources = (
+        (REPO / "tests" / "test_plans.py").read_text()
+        + (REPO / "tests" / "test_properties.py").read_text()
+    )
+    covered = {n for n in names if n in gated_sources}
+    naked = sorted(names - covered - _ORACLE_SUITE_ONLY)
+    assert not naked, (
+        f"queries with neither a dedicated plan/property test nor a "
+        f"waiver entry: {naked}"
+    )
+    stale = sorted(_ORACLE_SUITE_ONLY - names)
+    assert not stale, f"waivers for unregistered queries: {stale}"
+    redundant = sorted(_ORACLE_SUITE_ONLY & covered)
+    assert not redundant, (
+        f"waivers for queries that now HAVE dedicated tests "
+        f"(delete these entries): {redundant}"
+    )
+
+
+def test_doc_counts_match_registry():
+    """README/STATE query counts must equal the machine count — the
+    276/277/278 drift class from r5 and r6 VERDICTs, closed for good."""
+    n = len(registry.load_all())
+    for doc in ("README.md", "STATE.md"):
+        text = (REPO / doc).read_text()
+        for m in re.finditer(r"(\d+) registered queries|\*\*(\d+) queries", text):
+            got = int(m.group(1) or m.group(2))
+            assert got == n, f"{doc}: says {got} queries, registry has {n}"
+        for m in re.finditer(r"how (\d+) oracle queries", text):
+            assert int(m.group(1)) == n, f"{doc}: {m.group(0)} != {n}"
