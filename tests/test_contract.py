@@ -73,22 +73,21 @@ def test_all_results_are_scalar_only(spark):
 # graph_scc landed in the snapshot commit with no gate. SHRINK this
 # list over time; never grow it silently.
 _ORACLE_SUITE_ONLY = frozenset({
-    "agg_ab_ttest", "agg_approx_distinct", "agg_bool", "agg_collect",
+    "agg_ab_ttest", "agg_bool", "agg_collect",
     "agg_count_distinct", "agg_cube", "agg_dau_mau", "agg_filtered",
     "agg_global", "agg_grouping_sets", "agg_iqr_outliers", "agg_minmax_by",
     "agg_mode", "agg_multi_distinct", "agg_new_returning", "agg_percentile",
-    "agg_pivot", "agg_quantile_sketch", "agg_rollup", "agg_stats",
+    "agg_pivot", "agg_rollup", "agg_stats",
     "agg_trend_ols", "agg_unpivot", "agg_weighted_median", "case_when",
-    "cast_null_fns", "dedup_embed_cosine", "dedup_exact", "dedup_groups",
+    "cast_null_fns", "dedup_embed_cosine", "dedup_groups",
     "dedup_incremental", "dedup_semantic", "dedup_simhash",
     "dedup_subset_keys", "filter_pred", "filter_regex", "fn_array",
     "fn_bitwise", "fn_collation", "fn_date", "fn_explode", "fn_hash",
     "fn_interval", "fn_json", "fn_map", "fn_map_hof", "fn_math", "fn_regex",
     "fn_string", "fn_try_safe", "fn_url", "fn_variant", "funnel_stages",
-    "graph_assoc_rules", "graph_bfs_khop", "graph_build", "graph_cc",
+    "graph_assoc_rules", "graph_bfs_khop", "graph_build",
     "graph_closeness", "graph_degree", "graph_hits", "graph_label_prop",
-    "graph_random_walks", "graph_shortest_path", "graph_sssp_weighted",
-    "graph_triangles", "join_anti", "join_asof", "join_cross",
+    "graph_random_walks", "graph_shortest_path", "graph_sssp_weighted", "join_anti", "join_cross",
     "join_full_outer", "join_inner_equi", "join_interval",
     "join_left_outer", "join_null_safe", "join_runtime_bloom",
     "join_self_2hop", "join_semi", "join_theta_range", "mm_binary_features",
@@ -99,23 +98,22 @@ _ORACLE_SUITE_ONLY = frozenset({
     "set_except_all", "set_intersect", "set_union_all",
     "set_union_distinct", "sink_compaction", "sink_csv", "sink_jdbc",
     "sink_orc", "sink_partition_overwrite", "sort_multikey",
-    "sql_lateral_topk", "sql_scalar_subquery", "stream_dedup",
+    "sql_lateral_topk", "sql_scalar_subquery",
     "stream_foreach_batch", "stream_rollup_incremental", "stream_session",
     "stream_sliding", "stream_stateful_custom", "stream_static_join",
-    "stream_stream_join", "stream_transform_with_state", "stream_tumbling",
-    "stream_watermark_late", "text_bigram_lm", "text_bpe_pairs",
-    "text_clean_normalize", "text_entropy", "text_fingerprint",
+    "stream_stream_join", "stream_transform_with_state",
+    "stream_watermark_late", "text_bigram_lm", "text_bpe_pairs", "text_entropy", "text_fingerprint",
     "text_hashing_trick", "text_jaccard_tokens", "text_lang_route",
     "text_langid", "text_levenshtein", "text_lexicon_score",
-    "text_minhash_containment", "text_ngrams", "text_pii_mask",
+    "text_minhash_containment", "text_ngrams",
     "text_quality", "text_tfidf", "text_token_count",
     "text_tokenize_wordcount", "time_calendar_dim", "time_pct_change",
     "udaf_pandas_agg", "udf_pandas_scalar", "udf_python_arrow",
     "udf_python_scalar", "udtf_apply_in_pandas", "udtf_map_in_arrow",
-    "udtf_map_in_pandas", "udtf_python", "vec_ann_ivf", "vec_centroid",
+    "udtf_map_in_pandas", "udtf_python", "vec_ann_ivf",
     "vec_int8_quantize", "vec_knn_label", "win_cume_nth",
     "win_cusum_changepoint", "win_first_last", "win_gap_fill",
-    "win_lag_lead", "win_moving_avg", "win_range_frame", "win_rank",
+    "win_lag_lead", "win_moving_avg", "win_range_frame",
     "win_retention_cohort", "win_rolling_median", "win_running_sum",
 })
 

@@ -39,6 +39,7 @@ _events = st.lists(
 @_PROP
 @given(clicks=_events, purchases=_events)
 def test_asof_matches_bruteforce(spark, clicks, purchases):
+    """join_asof's core (asof_last_at_or_before) vs brute force."""
     c_rows = [(u, t, i) for i, (u, t) in enumerate(clicks)]
     p_rows = [(u, t, 1000 + i) for i, (u, t) in enumerate(purchases)]
     schema = "user_id long, ts long, event_id long"
@@ -87,6 +88,7 @@ _edges = st.lists(
 @_PROP
 @given(edges=_edges)
 def test_cc_matches_union_find(spark, edges):
+    """graph_cc's core (_cc_loop) vs a Python union-find."""
     rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
     edf = spark.createDataFrame(rows, "src long, dst long").distinct()
     prev = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
@@ -1984,3 +1986,228 @@ def test_markov_driver_solve_equals_distributed(spark, sf_dir):
     finally:
         S._MK_GRID_CAP = cap
     assert fast == slow and len(fast) > 0
+
+
+def test_stream_tumbling_equals_batch_twin(spark, sf_dir):
+    """stream_tumbling (watermarked AvailableNow windowed agg) must be
+    row-identical to the batch groupBy(window(...)) twin — the
+    batch-equal contract of the streaming family."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import stream_tumbling
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in stream_tumbling(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "10 minutes"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    """stream_dedup (dropDuplicatesWithinWatermark state machinery) must
+    equal the batch distinct-count twin."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import stream_dedup
+
+    got = {
+        r.event_type: r.n_unique_events
+        for r in stream_dedup(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    want = {
+        r.event_type: r.n
+        for r in e.select("event_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_approx_distinct_within_bound_and_exact_reconciles(spark, sf_dir):
+    """agg_approx_distinct: the in-query HLL-vs-exact flag must be TRUE
+    for every group, and the exact counts must equal a driver-side
+    Python set count over the raw events."""
+    from insight_patents_spark.operators.aggregates import agg_approx_distinct
+    from insight_patents_spark.sources.tables import load
+
+    rows = agg_approx_distinct(spark, sf_dir).collect()
+    assert rows and all(r.est_within_10pct for r in rows)
+    seen = {}
+    for r in load(spark, sf_dir, "events").select("event_type", "user_id").collect():
+        seen.setdefault(r.event_type, set()).add(r.user_id)
+    want = {k: len(v) for k, v in seen.items()}
+    assert {r.event_type: r.exact_users for r in rows} == want
+
+
+def test_clean_normalize_idempotent_and_charset(spark, sf_dir):
+    """text_clean_normalize: output must be a fixpoint of the cleaning
+    transform (re-cleaning changes nothing), restricted to [a-z0-9 ]
+    with single spaces, and clean_tokens must equal the split length."""
+    import re as _re
+
+    from insight_patents_spark.operators.text import text_clean_normalize
+
+    def clean(t):
+        t = _re.sub(r"https?://[^ ]+", " ", t.lower())
+        t = _re.sub(r"[^a-z0-9 ]", " ", t)
+        return _re.sub(r" +", " ", t).strip()
+
+    rows = text_clean_normalize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert clean(r.clean_text) == r.clean_text
+        assert not _re.search(r"[^a-z0-9 ]| {2,}", r.clean_text)
+        assert r.clean_tokens == len(r.clean_text.split(" "))
+
+
+def test_pii_mask_leaves_no_unmasked_pii(spark, sf_dir):
+    """text_pii_mask: no email or phone pattern may survive in
+    masked_text, every doc's synthetic contact line must have produced
+    both placeholders, and masked_chars must be positive."""
+    import re as _re
+
+    from insight_patents_spark.operators.text import text_pii_mask
+
+    email = _re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}")
+    phone = _re.compile(r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}")
+    rows = text_pii_mask(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert not email.search(r.masked_text)
+        assert not phone.search(r.masked_text)
+        assert "<EMAIL>" in r.masked_text and "<PHONE>" in r.masked_text
+        assert r.masked_chars > 0
+
+
+def test_dedup_exact_reconciles_with_python(spark, sf_dir):
+    """dedup_exact: one survivor per distinct text, n_copies equal to
+    the Python Counter of raw texts, total copies = corpus size."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.setops import dedup_exact
+    from insight_patents_spark.sources.tables import load
+
+    rows = dedup_exact(spark, sf_dir).collect()
+    texts = [
+        r.text for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    want = Counter(texts)
+    assert {r.text: r.n_copies for r in rows} == dict(want)
+    assert sum(r.n_copies for r in rows) == len(texts)
+
+
+def test_vec_centroid_matches_numpy(spark, sf_dir):
+    """vec_centroid: per-(label, dim) mean equals NumPy within 1e-9
+    (Spark folds in canonical sorted order; numpy pairwise-sums the
+    same finite set)."""
+    import numpy as np
+
+    from insight_patents_spark.operators.vector import vec_centroid
+    from insight_patents_spark.sources.tables import load
+
+    got = {
+        (r.label, r.pos): r.centroid for r in vec_centroid(spark, sf_dir).collect()
+    }
+    vecs = {}
+    for r in load(spark, sf_dir, "embeddings").select("label", "embedding").collect():
+        vecs.setdefault(r.label, []).append(r.embedding)
+    for label, vs in vecs.items():
+        mean = np.asarray(vs, dtype=np.float64).mean(axis=0)
+        for i, m in enumerate(mean, start=1):
+            assert abs(got[(label, i)] - m) < 1e-9
+    assert len(got) > 0
+
+
+def test_triangles_match_bruteforce(spark, sf_dir):
+    """graph_triangles: per-vertex triangle counts equal a Python brute
+    force over the same canonical (pa < pb) pair list."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.graph import _pairs, graph_triangles
+
+    pairs = {
+        (r.pa, r.pb) for r in _pairs(spark, sf_dir).select("pa", "pb").collect()
+    }
+    nbrs = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+    want = Counter()
+    for a, b in pairs:
+        for c in nbrs.get(b, ()) :
+            if (a, c) in pairs:
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+    got = Counter(
+        {r.node: r.n_triangles for r in graph_triangles(spark, sf_dir).collect()}
+    )
+    assert got == want and len(got) > 0
+
+
+def test_win_rank_battery_invariants(spark, sf_dir):
+    """win_rank: per customer, row_number is a dense 1..k permutation,
+    rank/dense_rank/percent_rank/ntile obey their defining inequalities,
+    and ties in o_totalprice share rank."""
+    from insight_patents_spark.operators.windows import win_rank
+
+    by_cust = {}
+    for r in win_rank(spark, sf_dir).collect():
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    assert by_cust
+    for rows in by_cust.values():
+        rows.sort(key=lambda r: r.rn)
+        k = len(rows)
+        assert [r.rn for r in rows] == list(range(1, k + 1))
+        for r in rows:
+            assert r.rnk <= r.rn and r.drnk <= r.rnk
+            assert 1 <= r.quartile <= 4
+            assert 0.0 <= r.pct_rank <= 1.0
+            want_pct = 0.0 if k == 1 else round((r.rnk - 1) / (k - 1), 6)
+            assert abs(r.pct_rank - want_pct) < 1e-9
+
+
+def test_quantile_sketch_brackets_exact(spark, sf_dir):
+    """agg_quantile_sketch: the mergeable-histogram p50/p95 estimates
+    must land within one bin width (1000) of the exact percentiles
+    computed in Python over the raw column."""
+    import math
+
+    from insight_patents_spark.operators.aggregates import agg_quantile_sketch
+    from insight_patents_spark.sources.tables import load
+
+    vals = {}
+    for r in (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        vals.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    rows = agg_quantile_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        xs = sorted(vals[r.l_returnflag])
+        assert r.n_rows == len(xs)
+        for q, est in ((0.5, r.p50_est), (0.95, r.p95_est)):
+            exact = xs[min(len(xs) - 1, math.ceil(q * len(xs)) - 1)]
+            assert abs(est - exact) <= 1000.0, (r.l_returnflag, q, est, exact)
