@@ -78,6 +78,13 @@ SHOWCASE = [
      "nested loop), Arrow-batched fingerprint pass below it"),
     ("win_rsi", "lag + trailing-frame windows share ONE (type, day) sort — "
      "two Window nodes, one Sort, one grid aggregate"),
+    ("dedup_ngram_jaccard", "PPJoin prefix filtering: candidates come from "
+     "the per-doc rarest-shingle prefix (window rank over a shuffle-joined "
+     "df table) with length+position bounds in the join filter; exact "
+     "array_intersect verify above — never an all-pairs product"),
+    ("graph_scc", "FW-BW-MIN peel result: a union of per-round checkpointed "
+     "label frames (ExistingRDD) — no transitive closure, no "
+     "CartesianProduct; lineage truncated every round"),
 ]
 
 
