@@ -98,11 +98,7 @@ _ORACLE_SUITE_ONLY = frozenset({
     "set_except_all", "set_intersect", "set_union_all",
     "set_union_distinct", "sink_compaction", "sink_csv", "sink_jdbc",
     "sink_orc", "sink_partition_overwrite", "sort_multikey",
-    "sql_lateral_topk", "sql_scalar_subquery",
-    "stream_foreach_batch", "stream_rollup_incremental", "stream_session",
-    "stream_sliding", "stream_stateful_custom", "stream_static_join",
-    "stream_stream_join", "stream_transform_with_state",
-    "stream_watermark_late", "text_bigram_lm", "text_bpe_pairs", "text_entropy", "text_fingerprint",
+    "sql_lateral_topk", "sql_scalar_subquery", "text_bigram_lm", "text_bpe_pairs", "text_entropy", "text_fingerprint",
     "text_hashing_trick", "text_jaccard_tokens", "text_lang_route",
     "text_langid", "text_levenshtein", "text_lexicon_score",
     "text_minhash_containment", "text_ngrams",

@@ -2211,3 +2211,271 @@ def test_quantile_sketch_brackets_exact(spark, sf_dir):
         for q, est in ((0.5, r.p50_est), (0.95, r.p95_est)):
             exact = xs[min(len(xs) - 1, math.ceil(q * len(xs)) - 1)]
             assert abs(est - exact) <= 1000.0, (r.l_returnflag, q, est, exact)
+
+
+def _decimal_sum(col):
+    return F.sum(F.col(col).cast("decimal(22,6)")).cast("double")
+
+
+def test_stream_sliding_equals_batch_twin(spark, sf_dir):
+    """stream_sliding must equal the batch sliding-window twin
+    (each event contributes to both overlapping windows)."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import stream_sliding
+
+    got = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in stream_sliding(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _decimal_sum("value").alias("total_value"),
+        )
+        .select(F.col("window.start").alias("ws"), "n_events", "total_value")
+    )
+    want = {r.ws: (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_session_equals_batch_twin(spark, sf_dir):
+    """stream_session (streaming session_window state op) must equal the
+    batch session_window aggregate over the same events."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import stream_session
+
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.duration_sec)
+        for r in stream_session(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    batch = (
+        e.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+        )
+        .select(
+            "user_id",
+            F.col("mn").alias("session_start"),
+            "n_events",
+            (
+                F.expr("unix_micros(CAST(mx AS TIMESTAMP)) div 1000000")
+                - F.expr("unix_micros(CAST(mn AS TIMESTAMP)) div 1000000")
+            ).alias("duration_sec"),
+        )
+    )
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.duration_sec)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_static_join_equals_batch_twin(spark, sf_dir):
+    """stream_static_join (per-micro-batch broadcast enrichment) must
+    equal the batch join+aggregate twin."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import stream_static_join
+
+    got = {
+        (r.n_name, r.event_type): (r.n_events, r.total_value)
+        for r in stream_static_join(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    n = load(spark, sf_dir, "nation")
+    batch = (
+        e.join(F.broadcast(n), e.user_id % 25 == n.n_nationkey)
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _decimal_sum("value").alias("total_value"),
+        )
+    )
+    want = {
+        (r.n_name, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_stateful_custom_equals_batch_twin(spark, sf_dir):
+    """stream_stateful_custom (applyInPandasWithState explicit GroupState)
+    must equal the batch per-user aggregate: exact decimal spend, count,
+    running max."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import stream_stateful_custom
+
+    got = {
+        r.user_id: (r.n_events, r.total_spend, r.max_single)
+        for r in stream_stateful_custom(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    batch = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _decimal_sum("value").alias("total_spend"),
+        F.max("value").cast("double").alias("max_single"),
+    )
+    want = {
+        r.user_id: (r.n_events, r.total_spend, r.max_single)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_foreach_batch_equals_batch_twin(spark, sf_dir):
+    """stream_foreach_batch (micro-batch UPSERT into a keyed state
+    table) must end at the batch latest-event-per-user answer."""
+    from pyspark.sql import Window as W
+
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import stream_foreach_batch
+
+    got = {
+        r.user_id: (r.last_event_id, r.last_value)
+        for r in stream_foreach_batch(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+    want = {r.user_id: (r.event_id, r.value) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_equals_batch_twin(spark, sf_dir):
+    """stream_stream_join (watermarked interval join) must emit exactly
+    the batch interval self-join's click→purchase pairs."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import stream_stream_join
+
+    got = {
+        (r.purchase_id, r.click_id): r.gap_sec
+        for r in stream_stream_join(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("cts") <= F.col("pts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        (
+            F.expr("unix_micros(CAST(pts AS TIMESTAMP)) div 1000000")
+            - F.expr("unix_micros(CAST(cts AS TIMESTAMP)) div 1000000")
+        ).alias("gap_sec"),
+    )
+    want = {(r.purchase_id, r.click_id): r.gap_sec for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_stream_transform_with_state_equals_batch_twin(spark, sf_dir):
+    """stream_transform_with_state (TWS MapState, or its gated
+    applyInPandasWithState twin) must equal the batch per-(user, type)
+    count."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import (
+        stream_transform_with_state,
+    )
+
+    got = {
+        (r.user_id, r.event_type): r.n_events
+        for r in stream_transform_with_state(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_rollup_incremental_equals_batch_twin(spark, sf_dir):
+    """stream_rollup_incremental (foreachBatch-maintained minute partials
+    re-rolled to hours) must be bit-identical to the direct batch hourly
+    aggregate — the continuous-aggregate mergeability property."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import (
+        stream_rollup_incremental,
+    )
+
+    got = {
+        (r.bucket_ts, r.event_type): (
+            r.n_events,
+            r.sum_value,
+            r.min_value,
+            r.max_value,
+        )
+        for r in stream_rollup_incremental(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    batch = e.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _decimal_sum("value").alias("sum_value"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+    )
+    want = {
+        (r.bucket_ts, r.event_type): (
+            r.n_events,
+            r.sum_value,
+            r.min_value,
+            r.max_value,
+        )
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_watermark_late_drops_only_and_respects_watermark(spark, sf_dir):
+    """stream_watermark_late: the late-arrival policy may only DROP
+    events relative to the batch windowed counts (never invent or
+    double-count), and append mode must emit no window whose end exceeds
+    the final watermark (global max ts - 10 min)."""
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import stream_watermark_late
+
+    got = {
+        r.window_start: r.n_events
+        for r in stream_watermark_late(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    batch = {
+        r.ws: r.n
+        for r in e.groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+        .collect()
+    }
+    import datetime
+
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(minutes=10)
+    assert got  # newest two thirds survive on this fixture
+    for ws, n in got.items():
+        assert 0 < n <= batch[ws]
+        assert ws + datetime.timedelta(minutes=10) <= wm
