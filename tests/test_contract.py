@@ -87,10 +87,7 @@ _ORACLE_SUITE_ONLY = frozenset({
     "fn_string", "fn_try_safe", "fn_url", "fn_variant", "funnel_stages",
     "graph_assoc_rules", "graph_bfs_khop", "graph_build",
     "graph_closeness", "graph_degree", "graph_hits", "graph_label_prop",
-    "graph_random_walks", "graph_shortest_path", "graph_sssp_weighted", "join_anti", "join_cross",
-    "join_full_outer", "join_inner_equi", "join_interval",
-    "join_left_outer", "join_null_safe", "join_runtime_bloom",
-    "join_self_2hop", "join_semi", "join_theta_range", "mm_binary_features",
+    "graph_random_walks", "graph_shortest_path", "graph_sssp_weighted", "mm_binary_features",
     "mm_decode_stub", "mm_struct", "project_compute", "scan_binary_files",
     "scan_csv", "scan_jdbc_partitioned", "scan_json",
     "scan_json_permissive", "scan_parquet", "scan_python_datasource",

@@ -2479,3 +2479,275 @@ def test_stream_watermark_late_drops_only_and_respects_watermark(spark, sf_dir):
     for ws, n in got.items():
         assert 0 < n <= batch[ws]
         assert ws + datetime.timedelta(minutes=10) <= wm
+
+
+def test_semi_anti_match_python_exists(spark, sf_dir):
+    """join_semi / join_anti vs Python EXISTS / NOT EXISTS over the
+    collected tables (semi: >=1 urgent order; anti: no pending order).
+    Neither may duplicate customer rows."""
+    from insight_patents_spark.operators.joins import join_anti, join_semi
+    from insight_patents_spark.sources.tables import load
+
+    custs = {
+        r.c_custkey: r.c_name
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderstatus"
+    ).collect()
+    urgent = {r.o_custkey for r in orders if r.o_orderpriority == "1-URGENT"}
+    pending = {r.o_custkey for r in orders if r.o_orderstatus == "P"}
+
+    semi = [(r.c_custkey, r.c_name) for r in join_semi(spark, sf_dir).collect()]
+    assert len(semi) == len(set(semi))  # no duplication
+    assert {k for k, _ in semi} == {k for k in custs if k in urgent}
+
+    anti = [(r.c_custkey, r.c_name) for r in join_anti(spark, sf_dir).collect()]
+    assert len(anti) == len(set(anti))
+    assert {k for k, _ in anti} == {k for k in custs if k not in pending}
+
+
+def test_full_outer_reconciles_with_dict_merge(spark, sf_dir):
+    """join_full_outer vs a Python dict merge: matched rows carry both
+    counts, left-only rows have NULL right key, right-only rows NULL
+    left key, and the three classes partition the key union."""
+    from insight_patents_spark.operators.joins import join_full_outer
+    from insight_patents_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus"
+    ).collect()
+    a, b = {}, {}
+    for r in orders:
+        if r.o_orderstatus == "O":
+            a[r.o_custkey] = a.get(r.o_custkey, 0) + 1
+        elif r.o_orderstatus == "F":
+            b[r.o_custkey] = b.get(r.o_custkey, 0) + 1
+    got = join_full_outer(spark, sf_dir).collect()
+    seen = set()
+    for r in got:
+        k = r.k_a if r.k_a is not None else r.k_b
+        assert k not in seen  # keys appear exactly once
+        seen.add(k)
+        if r.k_a is not None and r.k_b is not None:
+            assert r.k_a == r.k_b and a[k] == r.cnt_a and b[k] == r.cnt_b
+        elif r.k_a is not None:
+            assert k in a and k not in b and r.cnt_a == a[k] and r.cnt_b is None
+        else:
+            assert k in b and k not in a and r.cnt_b == b[k] and r.cnt_a is None
+    assert seen == set(a) | set(b)
+
+
+def test_left_outer_null_padding_exact(spark, sf_dir):
+    """join_left_outer vs Python: every selected order appears (padded
+    with NULLs when no heavy lineitem matches), and matched pairs are
+    exactly the brute-force pairs."""
+    from insight_patents_spark.operators.joins import join_left_outer
+    from insight_patents_spark.sources.tables import load
+
+    o = {
+        r.o_orderkey: r.o_totalprice
+        for r in load(spark, sf_dir, "orders").collect()
+        if r.o_orderkey % 7 == 0
+    }
+    li = [
+        (r.l_orderkey, r.l_linenumber, r.l_quantity)
+        for r in load(spark, sf_dir, "lineitem").collect()
+        if r.l_quantity > 45 and r.l_orderkey in o
+    ]
+    want_matched = {(k, ln, q) for k, ln, q in li}
+    matched_keys = {k for k, _, _ in li}
+    got = join_left_outer(spark, sf_dir).collect()
+    got_matched = {
+        (r.o_orderkey, r.l_linenumber, r.l_quantity)
+        for r in got
+        if r.l_linenumber is not None
+    }
+    got_padded = {r.o_orderkey for r in got if r.l_linenumber is None}
+    assert got_matched == want_matched
+    assert got_padded == set(o) - matched_keys
+    for r in got:
+        assert r.o_totalprice == o[r.o_orderkey]
+
+
+def test_interval_join_matches_bruteforce(spark, sf_dir):
+    """join_interval vs a per-user brute force over collected events:
+    exactly the ordered pairs within the forward 5-minute window."""
+    from insight_patents_spark.operators.joins import join_interval
+    from insight_patents_spark.sources.tables import load
+
+    by_user = {}
+    for r in load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    ).collect():
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    want = set()
+    import datetime
+
+    five = datetime.timedelta(minutes=5)
+    for u, evs in by_user.items():
+        evs.sort()
+        for i, (t1, e1) in enumerate(evs):
+            for t2, e2 in evs:
+                if t1 < t2 <= t1 + five:
+                    want.add((e1, e2, u))
+    got = {
+        (r.eid_a, r.eid_b, r.user_id)
+        for r in join_interval(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_theta_range_matches_bruteforce(spark, sf_dir):
+    """join_theta_range vs brute force per brand block."""
+    from insight_patents_spark.operators.joins import join_theta_range
+    from insight_patents_spark.sources.tables import load
+
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    ).collect()
+    by_brand = {}
+    for r in parts:
+        by_brand.setdefault(r.p_brand, []).append((r.p_partkey, r.p_size))
+    want = set()
+    for brand, ps in by_brand.items():
+        for ka, sa in ps:
+            for kb, sb in ps:
+                if sa < sb:
+                    want.add((ka, kb, brand, sb - sa))
+    got = {
+        (r.small_part, r.big_part, r.p_brand, r.size_gap)
+        for r in join_theta_range(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_null_safe_join_keeps_null_bucket(spark, sf_dir):
+    """join_null_safe: the NULL key group must survive as a real join
+    group (an ordinary equi-join would drop it), and every group count
+    must match Python's null-safe semantics."""
+    from insight_patents_spark.operators.joins import join_null_safe
+    from insight_patents_spark.sources.tables import load
+
+    o_keys = [
+        (r.o_orderpriority[:1] if r.o_orderpriority[:1] != "3" else None)
+        for r in load(spark, sf_dir, "orders").select("o_orderpriority").collect()
+    ]
+    p_keys = {
+        (str(r.p_size % 5 + 1) if str(r.p_size % 5 + 1) != "3" else None)
+        for r in load(spark, sf_dir, "part").select("p_size").collect()
+    }
+    want = {}
+    for k in o_keys:
+        if k in p_keys:  # None in p_keys matches None -> null-safe
+            label = k if k is not None else "NULL"
+            want[label] = want.get(label, 0) + 1
+    got = {r.pri_key: r.n_orders for r in join_null_safe(spark, sf_dir).collect()}
+    assert got == want
+    assert "NULL" in got and got["NULL"] > 0
+
+
+def test_cross_join_is_exact_product(spark, sf_dir):
+    """join_cross: exactly |region| x |nation| rows, every combination
+    once."""
+    from insight_patents_spark.operators.joins import join_cross
+    from insight_patents_spark.sources.tables import load
+
+    r_names = [r.r_name for r in load(spark, sf_dir, "region").collect()]
+    n_names = [r.n_name for r in load(spark, sf_dir, "nation").collect()]
+    got = [(r.r_name, r.n_name) for r in join_cross(spark, sf_dir).collect()]
+    assert len(got) == len(r_names) * len(n_names)
+    assert set(got) == {(a, b) for a in r_names for b in n_names}
+
+
+def test_self_2hop_matches_bruteforce(spark, sf_dir):
+    """join_self_2hop (the co-occurrence edge builder every §2.9 graph op
+    rests on) vs a Python per-order pair count."""
+    from collections import Counter
+    from itertools import combinations
+
+    from insight_patents_spark.operators.joins import join_self_2hop
+    from insight_patents_spark.sources.tables import load
+
+    by_order = {}
+    for r in load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    want = Counter()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            if a < b:
+                want[(a, b)] += 1
+    got = Counter(
+        {
+            (r.part_a, r.part_b): r.n_orders
+            for r in join_self_2hop(spark, sf_dir).collect()
+        }
+    )
+    assert got == want and len(got) > 0
+
+
+def test_runtime_bloom_join_equals_unfiltered_twin(spark, sf_dir):
+    """join_runtime_bloom: the bloom-filter-pruned shuffle join must
+    return exactly the plain broadcast-join answer (runtime filters are
+    a pure optimization; any row difference is corruption)."""
+    from insight_patents_spark.operators.relational import join_runtime_bloom
+    from insight_patents_spark.sources.tables import load
+
+    got = {
+        r.o_orderpriority: (r.n_items, r.revenue)
+        for r in join_runtime_bloom(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    want = {
+        r.o_orderpriority: (r.n_items, r.revenue) for r in plain.collect()
+    }
+    assert got == want and len(got) == 1
+
+
+def test_inner_equi_chain_matches_python_merge(spark, sf_dir):
+    """join_inner_equi (lineitem⋈orders⋈customer) vs a Python dict-merge
+    aggregate: group counts exact, revenue equal to 1e-6 (Spark folds
+    decimal-exact; Python sums the same finite set)."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.joins import join_inner_equi
+    from insight_patents_spark.sources.tables import load
+
+    o = {
+        r.o_orderkey: (r.o_custkey, r.o_orderpriority)
+        for r in load(spark, sf_dir, "orders").collect()
+    }
+    c = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    cnt, rev = Counter(), Counter()
+    for r in load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).collect():
+        custkey, pri = o[r.l_orderkey]
+        key = (c[custkey], pri)
+        cnt[key] += 1
+        rev[key] += r.l_extendedprice * (1 - r.l_discount)
+    got = {
+        (r.c_mktsegment, r.o_orderpriority): (r.n_items, r.revenue)
+        for r in join_inner_equi(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cnt)
+    for k, (n, v) in got.items():
+        assert n == cnt[k] and abs(v - rev[k]) < 1e-6 * max(1.0, abs(rev[k]))
