@@ -84,10 +84,7 @@ _ORACLE_SUITE_ONLY = frozenset({
     "dedup_subset_keys", "filter_pred", "filter_regex", "fn_array",
     "fn_bitwise", "fn_collation", "fn_date", "fn_explode", "fn_hash",
     "fn_interval", "fn_json", "fn_map", "fn_map_hof", "fn_math", "fn_regex",
-    "fn_string", "fn_try_safe", "fn_url", "fn_variant", "funnel_stages",
-    "graph_assoc_rules", "graph_bfs_khop", "graph_build",
-    "graph_closeness", "graph_degree", "graph_hits", "graph_label_prop",
-    "graph_random_walks", "graph_shortest_path", "graph_sssp_weighted", "mm_binary_features",
+    "fn_string", "fn_try_safe", "fn_url", "fn_variant", "funnel_stages", "graph_label_prop", "mm_binary_features",
     "mm_decode_stub", "mm_struct", "project_compute", "scan_binary_files",
     "scan_csv", "scan_jdbc_partitioned", "scan_json",
     "scan_json_permissive", "scan_parquet", "scan_python_datasource",

@@ -2751,3 +2751,234 @@ def test_inner_equi_chain_matches_python_merge(spark, sf_dir):
     assert set(got) == set(cnt)
     for k, (n, v) in got.items():
         assert n == cnt[k] and abs(v - rev[k]) < 1e-6 * max(1.0, abs(rev[k]))
+
+
+def _brute_graph(spark, sf_dir):
+    """Python twin of _pairs/_edges: co-occurrence pairs (a<b) with
+    count >= MIN_SUPPORT, plus the both-direction adjacency."""
+    from collections import Counter
+    from itertools import combinations
+
+    from insight_patents_spark.sources.tables import load
+
+    by_order = {}
+    for r in load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        by_order.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    pc = Counter()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            if a < b:
+                pc[(a, b)] += 1
+    pairs = {k: w for k, w in pc.items() if w >= 2}  # MIN_SUPPORT
+    adj = {}
+    for (a, b), w in pairs.items():
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    return pairs, adj
+
+
+def _brute_bfs(adj, seeds, depth):
+    """Synchronous min-dist BFS, matching _bfs's fixed-round min-agg."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(depth):
+        new = dict(dist)
+        for v, d in dist.items():
+            for u in adj.get(v, ()):
+                if u not in new or d + 1 < new[u]:
+                    new[u] = d + 1
+        dist = new
+    return dist
+
+
+def test_graph_build_and_degree_match_bruteforce(spark, sf_dir):
+    """graph_build == the Python co-occurrence pair count (min-support
+    pruned); graph_degree == per-node neighbor count / weight sum on the
+    both-direction adjacency."""
+    from insight_patents_spark.operators.graph import graph_build, graph_degree
+
+    pairs, adj = _brute_graph(spark, sf_dir)
+    got_pairs = {
+        (r.pa, r.pb): r.w for r in graph_build(spark, sf_dir).collect()
+    }
+    assert got_pairs == pairs and len(pairs) > 0
+    got_deg = {
+        r.node: (r.degree, r.weighted_degree)
+        for r in graph_degree(spark, sf_dir).collect()
+    }
+    want_deg = {v: (len(ns), sum(ns.values())) for v, ns in adj.items()}
+    assert got_deg == want_deg
+
+
+def test_graph_bfs_and_shortest_path_match_bruteforce(spark, sf_dir):
+    """graph_bfs_khop (3-hop from the mod-500 seed set) and
+    graph_shortest_path (depth-6 from the min node) vs Python BFS."""
+    from insight_patents_spark.operators.graph import (
+        graph_bfs_khop,
+        graph_shortest_path,
+    )
+
+    _, adj = _brute_graph(spark, sf_dir)
+    seeds = {v for v in adj if v % 500 == 0}
+    want = _brute_bfs(adj, seeds, 3)
+    got = {r.node: r.dist for r in graph_bfs_khop(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+    s = min(adj)
+    want = _brute_bfs(adj, {s}, 6)
+    got = {r.node: r.dist for r in graph_shortest_path(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_sssp_weighted_matches_bruteforce(spark, sf_dir):
+    """graph_sssp_weighted vs Python synchronous Bellman-Ford with the
+    same fixed 6 rounds (distances exact for <=6-hop paths)."""
+    from insight_patents_spark.operators.graph import graph_sssp_weighted
+
+    _, adj = _brute_graph(spark, sf_dir)
+    s = min(adj)
+    dist = {s: 0}
+    for _ in range(6):
+        new = dict(dist)
+        for v, d in dist.items():
+            for u, w in adj.get(v, {}).items():
+                nd = d + w
+                if u not in new or nd < new[u]:
+                    new[u] = nd
+        dist = new
+    got = {r.node: r.dist for r in graph_sssp_weighted(spark, sf_dir).collect()}
+    assert got == dist and len(got) > 1
+
+
+def test_closeness_matches_bruteforce(spark, sf_dir):
+    """graph_closeness (sampled harmonic centrality, exact-sixths
+    accumulation) vs Python per-seed BFS to depth 3."""
+    from insight_patents_spark.operators.graph import graph_closeness
+
+    _, adj = _brute_graph(spark, sf_dir)
+    seeds = {v for v in adj if v % 250 == 0}
+    reached = {}
+    for s in seeds:
+        for v, d in _brute_bfs(adj, {s}, 3).items():
+            if d > 0:
+                reached.setdefault(v, []).append(d)
+    want = {
+        v: (len(ds), sum(6 // d for d in ds) / 6.0) for v, ds in reached.items()
+    }
+    got = {
+        r.node: (r.n_seeds_reached, r.harmonic)
+        for r in graph_closeness(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_hits_matches_python_power_iteration(spark, sf_dir):
+    """graph_hits vs a Python replication of the same 3 max-normalized
+    iterations with ascending-sorted float folds."""
+    from insight_patents_spark.operators.graph import graph_hits
+
+    pairs, _ = _brute_graph(spark, sf_dir)
+    de = sorted(pairs)  # (src < dst) directed half
+    out_of = {}
+    into = {}
+    for s, d in de:
+        out_of.setdefault(s, []).append(d)
+        into.setdefault(d, []).append(s)
+    a = {d: 1.0 for d in into}
+    h = {}
+    for _ in range(3):
+        hraw = {
+            s: _sorted_fold([a[d] for d in ds if d in a])
+            for s, ds in out_of.items()
+            if any(d in a for d in ds)
+        }
+        hm = max(hraw.values())
+        h = {s: v / hm for s, v in hraw.items()}
+        araw = {
+            d: _sorted_fold([h[s] for s in ss if s in h])
+            for d, ss in into.items()
+            if any(s in h for s in ss)
+        }
+        am = max(araw.values())
+        a = {d: v / am for d, v in araw.items()}
+    want = {}
+    for n in set(h) | set(a):
+        want[n] = (h.get(n, 0.0), a.get(n, 0.0))
+    got = {
+        r.node: (r.hub, r.authority) for r in graph_hits(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for n, (hub, auth) in got.items():
+        assert abs(hub - want[n][0]) < 1e-12 and abs(auth - want[n][1]) < 1e-12
+
+
+def _sorted_fold(xs):
+    acc = 0.0
+    for x in sorted(xs):
+        acc = acc + x
+    return acc
+
+
+def test_random_walks_match_md5_replay(spark, sf_dir):
+    """graph_random_walks vs a Python replay of the md5-ranked neighbor
+    picks — byte-identical paths (the reproducibility property that
+    makes the walk corpus safe as training data)."""
+    import hashlib
+
+    from insight_patents_spark.operators.graph import graph_random_walks
+
+    _, adj = _brute_graph(spark, sf_dir)
+    want = {}
+    for start in (v for v in adj if v % 100 == 0):
+        cur, path = start, str(start)
+        for t in range(1, 5):
+            nbrs = sorted(adj[cur])
+            pick = (
+                int(
+                    hashlib.md5(f"{start}:{cur}:{t}".encode()).hexdigest()[:8], 16
+                )
+                % len(nbrs)
+            )
+            cur = nbrs[pick]
+            path += f"->{cur}"
+        want[start] = (cur, path)
+    got = {
+        r.start: (r.end_node, r.path)
+        for r in graph_random_walks(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_assoc_rules_match_bruteforce(spark, sf_dir):
+    """graph_assoc_rules vs Python support/confidence/lift from the raw
+    baskets (9dp, exact integer ratios)."""
+    from insight_patents_spark.operators.graph import graph_assoc_rules
+    from insight_patents_spark.sources.tables import load
+
+    pairs, _ = _brute_graph(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    item_orders = {}
+    baskets = set()
+    for r in li:
+        item_orders.setdefault(r.l_partkey, set()).add(r.l_orderkey)
+        baskets.add(r.l_orderkey)
+    nb = len(baskets)
+    want = {}
+    for (a, b), w in pairs.items():
+        for ant, con in ((a, b), (b, a)):
+            na, nc = len(item_orders[ant]), len(item_orders[con])
+            if w / na >= 0.08:
+                want[(ant, con)] = (
+                    w,
+                    round(w / na, 9),
+                    round(w * nb / (na * nc), 9),
+                )
+    got = {
+        (r.antecedent, r.consequent): (r.pair_support, r.confidence, r.lift)
+        for r in graph_assoc_rules(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k, (w, conf, lift) in got.items():
+        assert w == want[k][0]
+        assert abs(conf - want[k][1]) < 1e-9 and abs(lift - want[k][2]) < 1e-9
