@@ -73,12 +73,9 @@ def test_all_results_are_scalar_only(spark):
 # graph_scc landed in the snapshot commit with no gate. SHRINK this
 # list over time; never grow it silently.
 _ORACLE_SUITE_ONLY = frozenset({
-    "agg_ab_ttest", "agg_bool", "agg_collect",
-    "agg_count_distinct", "agg_cube", "agg_dau_mau", "agg_filtered",
-    "agg_global", "agg_grouping_sets", "agg_iqr_outliers", "agg_minmax_by",
-    "agg_mode", "agg_multi_distinct", "agg_new_returning", "agg_percentile",
-    "agg_pivot", "agg_rollup", "agg_stats",
-    "agg_trend_ols", "agg_unpivot", "agg_weighted_median", "case_when",
+    "agg_ab_ttest", "agg_dau_mau", "agg_iqr_outliers", "agg_minmax_by",
+    "agg_mode", "agg_new_returning",
+    "agg_trend_ols", "agg_weighted_median", "case_when",
     "cast_null_fns", "dedup_embed_cosine", "dedup_groups",
     "dedup_incremental", "dedup_semantic", "dedup_simhash",
     "dedup_subset_keys", "filter_pred", "filter_regex", "fn_array",

@@ -2982,3 +2982,273 @@ def test_assoc_rules_match_bruteforce(spark, sf_dir):
     for k, (w, conf, lift) in got.items():
         assert w == want[k][0]
         assert abs(conf - want[k][1]) < 1e-9 and abs(lift - want[k][2]) < 1e-9
+
+
+def _dec6(x):
+    """Python twin of Spark's CAST(double AS DECIMAL(22,6))."""
+    import decimal
+
+    return decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("1e-6"), rounding=decimal.ROUND_HALF_UP
+    )
+
+
+def _dec6sum(xs):
+    """Python twin of dsum: exact decimal(22,6) sum -> nearest double."""
+    import decimal
+
+    return float(sum((_dec6(x) for x in xs), decimal.Decimal(0)))
+
+
+def test_agg_global_and_filtered_match_decimal_sums(spark, sf_dir):
+    """agg_global / agg_filtered vs Python exact-decimal accumulation —
+    bit-identical sums (the dsum determinism contract), exact counts."""
+    from insight_patents_spark.operators.aggregates import (
+        agg_filtered,
+        agg_global,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    g = agg_global(spark, sf_dir).collect()[0]
+    assert g.n_rows == len(li)
+    assert g.total_qty == _dec6sum(r.l_quantity for r in li)
+    assert g.min_price == min(r.l_extendedprice for r in li)
+    assert g.max_price == max(r.l_extendedprice for r in li)
+    assert g.avg_discount == _dec6sum(r.l_discount for r in li) / len(li)
+
+    want = {}
+    for r in li:
+        want.setdefault(r.l_returnflag, []).append(r)
+    got = {r.l_returnflag: r for r in agg_filtered(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for flag, rows in want.items():
+        o = got[flag]
+        assert o.total_price == _dec6sum(r.l_extendedprice for r in rows)
+        assert o.big_qty_price == _dec6sum(
+            r.l_extendedprice for r in rows if r.l_quantity > 25
+        )
+        assert o.n_discounted == sum(1 for r in rows if r.l_discount > 0.05)
+
+
+def test_distinct_count_family_matches_python_sets(spark, sf_dir):
+    """agg_count_distinct / agg_multi_distinct vs Python set sizes."""
+    from insight_patents_spark.operators.aggregates import (
+        agg_count_distinct,
+        agg_multi_distinct,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).collect()
+    seg = {}
+    for r in cust:
+        seg.setdefault(r.c_mktsegment, []).append(r.c_nationkey)
+    got = {
+        r.c_mktsegment: (r.n_nations, r.n_customers)
+        for r in agg_count_distinct(spark, sf_dir).collect()
+    }
+    assert got == {s: (len(set(ks)), len(ks)) for s, ks in seg.items()}
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey", "o_orderpriority"
+    ).collect()
+    st = {}
+    for r in orders:
+        st.setdefault(r.o_orderstatus, []).append(r)
+    got = {
+        r.o_orderstatus: (r.n_customers, r.n_priorities, r.n_orders)
+        for r in agg_multi_distinct(spark, sf_dir).collect()
+    }
+    assert got == {
+        s: (
+            len({r.o_custkey for r in rs}),
+            len({r.o_orderpriority for r in rs}),
+            len(rs),
+        )
+        for s, rs in st.items()
+    }
+
+
+def test_rollup_cube_grouping_sets_levels_reconcile(spark, sf_dir):
+    """agg_rollup / agg_cube / agg_grouping_sets: every grouping level's
+    rows equal the Python aggregation of that level, keyed by gid (the
+    NULL-as-total vs NULL-as-value disambiguator)."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.aggregates import (
+        agg_cube,
+        agg_grouping_sets,
+        agg_rollup,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderpriority"
+    ).collect()
+    base = Counter((r.o_orderdate.year, r.o_orderpriority) for r in orders)
+    want = {}
+    for (y, p), n in base.items():
+        want[(y, p, 0)] = want.get((y, p, 0), 0) + n
+        want[(y, None, 1)] = want.get((y, None, 1), 0) + n
+        want[(None, None, 3)] = want.get((None, None, 3), 0) + n
+    got = {
+        (r.order_year, r.o_orderpriority, r.gid): r.n_orders
+        for r in agg_rollup(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).collect()
+    nat = {
+        r.n_nationkey: r.n_name
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    base = Counter((r.c_mktsegment, nat[r.c_nationkey]) for r in cust)
+    want = {}
+    for (s, n), c in base.items():
+        for key, gid in (
+            ((s, n), 0),
+            ((s, None), 1),
+            ((None, n), 2),
+            ((None, None), 3),
+        ):
+            k = (key[0], key[1], gid)
+            want[k] = want.get(k, 0) + c
+    got = {
+        (r.c_mktsegment, r.n_name, r.gid): r.n_customers
+        for r in agg_cube(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).collect()
+    want = {}
+    for r in li:
+        for key, gid in (
+            ((r.l_returnflag, None), 1),
+            ((None, r.l_linestatus), 2),
+            ((None, None), 3),
+        ):
+            k = (key[0], key[1], gid)
+            want[k] = want.get(k, 0) + 1
+    got = {
+        (r.l_returnflag, r.l_linestatus, r.gid): r.n_items
+        for r in agg_grouping_sets(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_pivot_unpivot_bool_collect_match_python(spark, sf_dir):
+    """agg_pivot (wide counts, 0-filled), agg_unpivot (long reshape
+    totals), agg_bool (every/any), agg_collect (sorted key lists) vs
+    Python over the collected tables."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.aggregates import (
+        agg_bool,
+        agg_collect,
+        agg_pivot,
+        agg_unpivot,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    types = ["click", "error", "purchase", "signup", "view"]
+    cnt = Counter((r.user_id, r.event_type) for r in events)
+    users = {r.user_id for r in events}
+    got = {
+        r.user_id: tuple(r[t] for t in types)
+        for r in agg_pivot(spark, sf_dir).collect()
+    }
+    assert got == {u: tuple(cnt.get((u, t), 0) for t in types) for u in users}
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    got = {r.metric: (r.n_rows, r.total, r.mean) for r in agg_unpivot(spark, sf_dir).collect()}
+    for metric in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        xs = [r[metric] for r in li]
+        n, tot, mean = got[metric]
+        assert n == len(xs) and tot == _dec6sum(xs) and mean == _dec6sum(xs) / n
+
+    orders = load(spark, sf_dir, "orders").collect()
+    grp = {}
+    for r in orders:
+        grp.setdefault(r.o_orderpriority, []).append(r)
+    got = {
+        r.o_orderpriority: (r.all_over_1k, r.any_finished, r.n_big)
+        for r in agg_bool(spark, sf_dir).collect()
+    }
+    assert got == {
+        p: (
+            all(r.o_totalprice > 1000 for r in rs),
+            any(r.o_orderstatus == "F" for r in rs),
+            sum(1 for r in rs if r.o_totalprice > 200000),
+        )
+        for p, rs in grp.items()
+    }
+
+    big = [r for r in orders if r.o_totalprice > 250000]
+    keys = {}
+    for r in big:
+        keys.setdefault(r.o_custkey, []).append(r.o_orderkey)
+    got = {
+        r.o_custkey: (r.order_keys, r.n_orders)
+        for r in agg_collect(spark, sf_dir).collect()
+    }
+    assert got == {
+        u: (",".join(str(k) for k in sorted(ks)), len(ks))
+        for u, ks in keys.items()
+    }
+
+
+def test_agg_stats_and_percentile_match_numpy(spark, sf_dir):
+    """agg_stats (sample var/std/corr/cov, 6dp) and agg_percentile
+    (linear-interpolation quantiles, 4dp) vs NumPy."""
+    import numpy as np
+
+    from insight_patents_spark.operators.aggregates import (
+        agg_percentile,
+        agg_stats,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_quantity", "l_discount"
+    ).collect()
+    grp = {}
+    for r in li:
+        grp.setdefault(r.l_linestatus, []).append((r.l_quantity, r.l_discount))
+    got = {r.l_linestatus: r for r in agg_stats(spark, sf_dir).collect()}
+    assert set(got) == set(grp)
+    for s, pairs in grp.items():
+        q = np.array([p[0] for p in pairs])
+        d = np.array([p[1] for p in pairs])
+        r = got[s]
+        assert abs(r.sd_qty - np.std(q, ddof=1)) < 2e-6
+        assert abs(r.var_qty - np.var(q, ddof=1)) < 2e-6
+        assert abs(r.corr_qd - np.corrcoef(q, d)[0, 1]) < 2e-6
+        cov = np.cov(q, d, ddof=1)[0, 1]
+        assert abs(r.cov_qd - cov) < 2e-6
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    seg_of = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    grp = {}
+    for r in o:
+        grp.setdefault(seg_of[r.o_custkey], []).append(r.o_totalprice)
+    got = {r.c_mktsegment: r for r in agg_percentile(spark, sf_dir).collect()}
+    assert set(got) == set(grp)
+    for s, xs in grp.items():
+        assert abs(got[s].median_total - np.percentile(xs, 50)) < 2e-4
+        assert abs(got[s].p90_total - np.percentile(xs, 90)) < 2e-4
