@@ -98,10 +98,9 @@ _ORACLE_SUITE_ONLY = frozenset({
     "udaf_pandas_agg", "udf_pandas_scalar", "udf_python_arrow",
     "udf_python_scalar", "udtf_apply_in_pandas", "udtf_map_in_arrow",
     "udtf_map_in_pandas", "udtf_python", "vec_ann_ivf",
-    "vec_int8_quantize", "vec_knn_label", "win_cume_nth",
-    "win_cusum_changepoint", "win_first_last", "win_gap_fill",
-    "win_lag_lead", "win_moving_avg", "win_range_frame",
-    "win_retention_cohort", "win_rolling_median", "win_running_sum",
+    "vec_int8_quantize", "vec_knn_label",
+    "win_cusum_changepoint", "win_gap_fill",
+    "win_retention_cohort", "win_rolling_median",
 })
 
 

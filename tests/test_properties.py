@@ -3252,3 +3252,108 @@ def test_agg_stats_and_percentile_match_numpy(spark, sf_dir):
     for s, xs in grp.items():
         assert abs(got[s].median_total - np.percentile(xs, 50)) < 2e-4
         assert abs(got[s].p90_total - np.percentile(xs, 90)) < 2e-4
+
+
+def test_window_battery_matches_python_replay(spark, sf_dir):
+    """win_lag_lead / win_running_sum / win_moving_avg / win_first_last /
+    win_cume_nth vs a Python replay over per-partition sorted rows —
+    exact lags, bit-identical decimal prefix sums, full-frame
+    first/last, cume_dist and nth_value."""
+    import decimal
+
+    from insight_patents_spark.operators.windows import (
+        win_cume_nth,
+        win_first_last,
+        win_lag_lead,
+        win_moving_avg,
+        win_running_sum,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).collect()
+    by_user = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+
+    got = {r.event_id: r for r in win_lag_lead(spark, sf_dir).collect()}
+    for rows in by_user.values():
+        for i, r in enumerate(rows):
+            o = got[r.event_id]
+            assert o.prev_event == (rows[i - 1].event_id if i else None)
+            assert o.next_event == (
+                rows[i + 1].event_id if i + 1 < len(rows) else None
+            )
+            if i:
+                ms = (
+                    int(r.ts.timestamp() * 1_000_000) // 1000
+                    - int(rows[i - 1].ts.timestamp() * 1_000_000) // 1000
+                )
+                assert o.ms_since_prev == ms
+
+    got = {r.event_id: r.mov_avg_value for r in win_moving_avg(spark, sf_dir).collect()}
+    for rows in by_user.values():
+        for i, r in enumerate(rows):
+            frame = rows[max(0, i - 2) : i + 1]
+            s = float(sum((_dec6(x.value) for x in frame), decimal.Decimal(0)))
+            assert got[r.event_id] == s / len(frame)
+
+    got = {r.event_id: r for r in win_first_last(spark, sf_dir).collect()}
+    by_day = {}
+    for r in events:
+        by_day.setdefault((r.user_id, r.ts.date()), []).append(r)
+    for rows in by_day.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for r in rows:
+            assert got[r.event_id].day_first_type == rows[0].event_type
+            assert got[r.event_id].day_last_type == rows[-1].event_type
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    got = {
+        r.o_orderkey: r.running_spend
+        for r in win_running_sum(spark, sf_dir).collect()
+    }
+    for rows in by_cust.values():
+        rows.sort(key=lambda r: (r.o_orderdate, r.o_orderkey))
+        acc = decimal.Decimal(0)
+        for r in rows:
+            acc += _dec6(r.o_totalprice)
+            assert got[r.o_orderkey] == float(acc)
+
+    got = {r.o_orderkey: r for r in win_cume_nth(spark, sf_dir).collect()}
+    for cust, rows in by_cust.items():
+        if cust % 20 != 0:
+            continue
+        rows.sort(key=lambda r: (r.o_totalprice, r.o_orderkey))
+        k = len(rows)
+        second = rows[1].o_orderkey if k >= 2 else None
+        for i, r in enumerate(rows):
+            assert got[r.o_orderkey].cd == (i + 1) / k
+            assert got[r.o_orderkey].second_key == second
+
+
+def test_range_frame_matches_python(spark, sf_dir):
+    """win_range_frame: RANGE BETWEEN 2 PRECEDING — frame membership by
+    VALUE (all parts within size-2..size), not row position."""
+    import decimal
+
+    from insight_patents_spark.operators.windows import win_range_frame
+    from insight_patents_spark.sources.tables import load
+
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    ).collect()
+    got = {r.p_partkey: r for r in win_range_frame(spark, sf_dir).collect()}
+    for r in parts:
+        frame = [p for p in parts if r.p_size - 2 <= p.p_size <= r.p_size]
+        s = float(sum((_dec6(p.p_retailprice) for p in frame), decimal.Decimal(0)))
+        assert got[r.p_partkey].n_in_size_band == len(frame)
+        assert got[r.p_partkey].price_in_size_band == s
