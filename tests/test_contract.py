@@ -72,10 +72,8 @@ def test_all_results_are_scalar_only(spark):
 # deliberate (visible, reviewable) entry here — the r6 lesson, where
 # graph_scc landed in the snapshot commit with no gate. SHRINK this
 # list over time; never grow it silently.
-_ORACLE_SUITE_ONLY = frozenset({
-    "agg_ab_ttest", "agg_dau_mau", "agg_iqr_outliers", "agg_minmax_by",
-    "agg_mode", "agg_new_returning",
-    "agg_trend_ols", "agg_weighted_median", "case_when",
+_ORACLE_SUITE_ONLY = frozenset({ "agg_new_returning",
+    "agg_trend_ols", "case_when",
     "cast_null_fns", "dedup_embed_cosine", "dedup_groups",
     "dedup_incremental", "dedup_semantic", "dedup_simhash",
     "dedup_subset_keys", "filter_pred", "filter_regex", "fn_array",

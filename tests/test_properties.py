@@ -3357,3 +3357,159 @@ def test_range_frame_matches_python(spark, sf_dir):
         s = float(sum((_dec6(p.p_retailprice) for p in frame), decimal.Decimal(0)))
         assert got[r.p_partkey].n_in_size_band == len(frame)
         assert got[r.p_partkey].price_in_size_band == s
+
+
+def test_argminmax_mode_weighted_median_match_python(spark, sf_dir):
+    """agg_minmax_by (struct-tiebroken argmin/argmax), agg_mode
+    (count+rank with value tie-break), agg_weighted_median (integer
+    crossing rule) vs Python replays."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.aggregates import (
+        agg_minmax_by,
+        agg_mode,
+        agg_weighted_median,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    seg_of = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    by_seg = {}
+    for r in load(spark, sf_dir, "orders").collect():
+        by_seg.setdefault(seg_of[r.o_custkey], []).append(
+            (r.o_totalprice, r.o_orderkey)
+        )
+    got = {r.c_mktsegment: r for r in agg_minmax_by(spark, sf_dir).collect()}
+    assert set(got) == set(by_seg)
+    for s, rows in by_seg.items():
+        biggest = max(rows, key=lambda t: (t[0], -t[1]))
+        smallest = min(rows)
+        o = got[s]
+        assert (o.biggest_order, o.biggest_total) == (biggest[1], max(rows)[0])
+        assert (o.smallest_order, o.smallest_total) == (smallest[1], smallest[0])
+
+    cnt = Counter()
+    for r in load(spark, sf_dir, "events").select("user_id", "event_type").collect():
+        cnt[(r.user_id, r.event_type)] += 1
+    want = {}
+    for (u, t), n in cnt.items():
+        # max count, tie -> smallest event_type
+        cur = want.get(u)
+        if cur is None or n > cur[1] or (n == cur[1] and t < cur[0]):
+            want[u] = (t, n)
+    got = {
+        r.user_id: (r.modal_type, r.modal_count)
+        for r in agg_mode(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    by_flag = {}
+    for r in load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    ).collect():
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (
+                int(round(r.l_extendedprice * 100)),
+                r.l_orderkey,
+                r.l_linenumber,
+                int(round(r.l_quantity)),
+            )
+        )
+    got = {r.l_returnflag: r for r in agg_weighted_median(spark, sf_dir).collect()}
+    for flag, rows in by_flag.items():
+        rows.sort()
+        tw = sum(w for *_, w in rows)
+        cw = 0
+        for price_c, _, _, w in rows:
+            cw += w
+            if 2 * cw >= tw:
+                break
+        o = got[flag]
+        assert o.weighted_median_price == price_c / 100.0
+        assert o.total_weight == tw
+
+
+def test_ab_ttest_matches_python_welch(spark, sf_dir):
+    """agg_ab_ttest vs Python Welch t / Welch–Satterthwaite df from the
+    same exact integer-cent moments."""
+    from insight_patents_spark.operators.aggregates import agg_ab_ttest
+    from insight_patents_spark.sources.tables import load
+
+    groups = {}
+    for r in load(spark, sf_dir, "events").select("event_type", "value").collect():
+        groups.setdefault(r.event_type, []).append(int(round(r.value * 100)))
+    st = {}
+    for t, cs in groups.items():
+        n = len(cs)
+        s1 = sum(cs)
+        s2 = sum(c * c for c in cs)
+        m = s1 / float(n)
+        v = (s2 - s1 * (s1 / float(n))) / float(n - 1)
+        st[t] = (n, m, v)
+    got = {
+        (r.type_a, r.type_b): (r.n_a, r.n_b, r.t_stat, r.welch_df)
+        for r in agg_ab_ttest(spark, sf_dir).collect()
+    }
+    keys = sorted(st)
+    want_pairs = {(a, b) for a in keys for b in keys if a < b}
+    assert set(got) == want_pairs
+    for (ta, tb), (na, nb, tstat, df) in got.items():
+        (n_a, m_a, v_a), (n_b, m_b, v_b) = st[ta], st[tb]
+        se2 = v_a / n_a + v_b / n_b
+        want_t = (m_a - m_b) / se2**0.5
+        want_df = se2**2 / (
+            (v_a / n_a) ** 2 / (n_a - 1) + (v_b / n_b) ** 2 / (n_b - 1)
+        )
+        assert (na, nb) == (n_a, n_b)
+        assert abs(tstat - want_t) < 1e-8 and abs(df - want_df) < 1e-8
+
+
+def test_dau_mau_and_iqr_match_python(spark, sf_dir):
+    """agg_dau_mau (exact day/month cardinalities, non-mergeable by
+    design) and agg_iqr_outliers (type-1 quartiles, integer Tukey
+    fences) vs Python."""
+    from insight_patents_spark.operators.aggregates import (
+        agg_dau_mau,
+        agg_iqr_outliers,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_type", "event_id", "value"
+    ).collect()
+    by_day, by_month = {}, {}
+    for r in events:
+        d = r.ts.date()
+        by_day.setdefault(str(d), set()).add(r.user_id)
+        by_month.setdefault(f"{d.year:04d}-{d.month:02d}", set()).add(r.user_id)
+    got = {r.day: (r.dau, r.mau, r.stickiness) for r in agg_dau_mau(spark, sf_dir).collect()}
+    assert set(got) == set(by_day)
+    for day, users in by_day.items():
+        mau = len(by_month[day[:7]])
+        dau = len(users)
+        assert got[day][0] == dau and got[day][1] == mau
+        assert abs(got[day][2] - dau / mau) < 1e-9
+
+    import math
+
+    grp = {}
+    for r in events:
+        grp.setdefault(r.event_type, []).append(
+            (int(round(r.value * 100)), r.event_id)
+        )
+    got = {r.event_type: r for r in agg_iqr_outliers(spark, sf_dir).collect()}
+    assert set(got) == set(grp)
+    for t, rows in grp.items():
+        rows.sort()
+        n = len(rows)
+        q1 = rows[math.ceil(0.25 * n) - 1][0]
+        q3 = rows[math.ceil(0.75 * n) - 1][0]
+        iqr = q3 - q1
+        n_out = sum(
+            1 for c, _ in rows if 4 * c < 4 * q1 - 6 * iqr or 4 * c > 4 * q3 + 6 * iqr
+        )
+        o = got[t]
+        assert o.n == n and o.q1 == q1 / 100.0 and o.q3 == q3 / 100.0
+        assert o.n_outliers == n_out
