@@ -80,13 +80,11 @@ _ORACLE_SUITE_ONLY = frozenset({ "agg_new_returning",
     "fn_bitwise", "fn_collation", "fn_date", "fn_explode", "fn_hash",
     "fn_interval", "fn_json", "fn_map", "fn_map_hof", "fn_math", "fn_regex",
     "fn_string", "fn_try_safe", "fn_url", "fn_variant", "funnel_stages", "graph_label_prop", "mm_binary_features",
-    "mm_decode_stub", "mm_struct", "project_compute", "scan_binary_files",
-    "scan_csv", "scan_jdbc_partitioned", "scan_json",
-    "scan_json_permissive", "scan_parquet", "scan_python_datasource",
-    "scan_schema_evolution", "scan_text_parse", "scan_xml", "set_except",
+    "mm_decode_stub", "mm_struct", "project_compute", "scan_binary_files", "scan_jdbc_partitioned",
+    "scan_json_permissive", "scan_python_datasource",
+    "scan_schema_evolution", "set_except",
     "set_except_all", "set_intersect", "set_union_all",
-    "set_union_distinct", "sink_compaction", "sink_csv", "sink_jdbc",
-    "sink_orc", "sink_partition_overwrite", "sort_multikey",
+    "set_union_distinct", "sink_compaction", "sink_partition_overwrite", "sort_multikey",
     "sql_lateral_topk", "sql_scalar_subquery", "text_bigram_lm", "text_bpe_pairs", "text_entropy", "text_fingerprint",
     "text_hashing_trick", "text_jaccard_tokens", "text_lang_route",
     "text_langid", "text_levenshtein", "text_lexicon_score",

@@ -3513,3 +3513,92 @@ def test_dau_mau_and_iqr_match_python(spark, sf_dir):
         o = got[t]
         assert o.n == n and o.q1 == q1 / 100.0 and o.q3 == q3 / 100.0
         assert o.n_outliers == n_out
+
+
+def test_scan_roundtrips_are_lossless(spark, sf_dir):
+    """scan_parquet / scan_csv / scan_json / scan_text_parse / scan_xml:
+    every format round-trip must reproduce the source rows exactly
+    (CSV doubles via shortest-repr, XML re-typed, text re-parsed)."""
+    from insight_patents_spark.operators.relational import (
+        scan_csv,
+        scan_json,
+        scan_parquet,
+        scan_text_parse,
+        scan_xml,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    nation = {tuple(r) for r in load(spark, sf_dir, "nation").collect()}
+    assert {tuple(r) for r in scan_parquet(spark, sf_dir).collect()} == nation
+
+    cust = {
+        (r.c_custkey, r.c_name, r.c_nationkey, r.c_acctbal, r.c_mktsegment)
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    got = {
+        (r.c_custkey, r.c_name, r.c_nationkey, r.acctbal, r.c_mktsegment)
+        for r in scan_csv(spark, sf_dir).collect()
+    }
+    assert got == cust
+
+    docs = load(spark, sf_dir, "documents").collect()
+    want = {(r.doc_id, r.lang, r.source, r.n_chars) for r in docs}
+    got = {
+        (r.doc_id, r.lang, r.source, r.n_chars)
+        for r in scan_json(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    want = {(r.doc_id, r.lang) for r in docs}
+    assert {
+        (r.doc_id, r.lang) for r in scan_text_parse(spark, sf_dir).collect()
+    } == want
+
+    want = {(r.doc_id, r.lang, r.source) for r in docs}
+    assert {
+        (r.doc_id, r.lang, r.source) for r in scan_xml(spark, sf_dir).collect()
+    } == want
+
+
+def test_sink_roundtrips_are_lossless(spark, sf_dir):
+    """sink_parquet (partitioned) / sink_csv / sink_orc / sink_jdbc
+    (embedded Derby): write+read-back must reproduce the source
+    selection exactly, including the partition-pruned subset."""
+    from insight_patents_spark.operators.relational import (
+        sink_csv,
+        sink_jdbc,
+        sink_orc,
+        sink_parquet,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").collect()
+    want = {
+        (r.o_orderkey, r.o_orderstatus, r.o_totalprice)
+        for r in orders
+        if r.o_orderstatus in ("O", "F")
+    }
+    got = {
+        (r.o_orderkey, r.o_orderstatus, r.total)
+        for r in sink_parquet(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    want = {
+        (r.r_regionkey, r.r_name) for r in load(spark, sf_dir, "region").collect()
+    }
+    assert {tuple(r) for r in sink_csv(spark, sf_dir).collect()} == want
+
+    want = {tuple(r) for r in load(spark, sf_dir, "nation").collect()}
+    assert {tuple(r) for r in sink_orc(spark, sf_dir).collect()} == want
+
+    want = {
+        (r.o_orderkey, r.o_custkey, r.o_orderstatus, float(r.o_totalprice))
+        for r in orders
+        if r.o_orderpriority == "1-URGENT"
+    }
+    got = {
+        (r.o_orderkey, r.o_custkey, r.o_orderstatus, r.total)
+        for r in sink_jdbc(spark, sf_dir).collect()
+    }
+    assert got == want
