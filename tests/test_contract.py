@@ -85,12 +85,9 @@ _ORACLE_SUITE_ONLY = frozenset({ "agg_new_returning",
     "scan_schema_evolution", "set_except",
     "set_except_all", "set_intersect", "set_union_all",
     "set_union_distinct", "sink_compaction", "sink_partition_overwrite", "sort_multikey",
-    "sql_lateral_topk", "sql_scalar_subquery", "text_bigram_lm", "text_bpe_pairs", "text_entropy", "text_fingerprint",
-    "text_hashing_trick", "text_jaccard_tokens", "text_lang_route",
-    "text_langid", "text_levenshtein", "text_lexicon_score",
-    "text_minhash_containment", "text_ngrams",
-    "text_quality", "text_tfidf", "text_token_count",
-    "text_tokenize_wordcount", "time_calendar_dim", "time_pct_change",
+    "sql_lateral_topk", "sql_scalar_subquery", "text_bigram_lm", "text_bpe_pairs", "text_entropy",
+    "text_hashing_trick", "text_jaccard_tokens",
+    "text_minhash_containment", "time_calendar_dim", "time_pct_change",
     "udaf_pandas_agg", "udf_pandas_scalar", "udf_python_arrow",
     "udf_python_scalar", "udtf_apply_in_pandas", "udtf_map_in_arrow",
     "udtf_map_in_pandas", "udtf_python", "vec_ann_ivf",

@@ -3602,3 +3602,210 @@ def test_sink_roundtrips_are_lossless(spark, sf_dir):
         for r in sink_jdbc(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_text_count_family_matches_python(spark, sf_dir):
+    """text_tokenize_wordcount / text_ngrams / text_token_count /
+    text_lang_route vs Python Counters over the raw corpus."""
+    import re as _re
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import (
+        text_lang_route,
+        text_ngrams,
+        text_token_count,
+        text_tokenize_wordcount,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").collect()
+    occ, docs_with = Counter(), {}
+    big = Counter()
+    for r in docs:
+        toks = r.text.split(" ")
+        for t in toks:
+            occ[t] += 1
+            docs_with.setdefault(t, set()).add(r.doc_id)
+        for i in range(len(toks) - 1):
+            big[toks[i] + " " + toks[i + 1]] += 1
+    got = {
+        r.token: (r.n_occurrences, r.n_docs)
+        for r in text_tokenize_wordcount(spark, sf_dir).collect()
+    }
+    assert got == {t: (occ[t], len(docs_with[t])) for t in occ}
+    got = {r.bigram: r.n for r in text_ngrams(spark, sf_dir).collect()}
+    assert got == dict(big)
+
+    bpe = _re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+    got = {r.doc_id: tuple(r[1:]) for r in text_token_count(spark, sf_dir).collect()}
+    for r in docs:
+        assert got[r.doc_id] == (
+            len(r.text.split(" ")),
+            len(bpe.findall(r.text)),
+            len(r.text),
+        )
+
+    grp = {}
+    for r in docs:
+        grp.setdefault(r.lang, []).append(r.text)
+    got = {
+        r.lang: (r.n_docs, r.total_tokens, r.total_chars)
+        for r in text_lang_route(spark, sf_dir).collect()
+    }
+    assert got == {
+        lang: (
+            len(ts),
+            sum(len(t.split(" ")) for t in ts),
+            sum(len(t) for t in ts),
+        )
+        for lang, ts in grp.items()
+    }
+
+
+def test_tfidf_quality_lexicon_match_python(spark, sf_dir):
+    """text_tfidf (smoothed idf), text_quality (filter features),
+    text_lexicon_score (map-literal scoring) vs Python formulas."""
+    import math
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import (
+        LEXICON,
+        STOPWORDS,
+        text_lexicon_score,
+        text_quality,
+        text_tfidf,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").collect()
+    n_docs = len(docs)
+    tf = Counter()
+    df = {}
+    for r in docs:
+        for t in r.text.split(" "):
+            tf[(r.doc_id, t)] += 1
+        for t in set(r.text.split(" ")):
+            df.setdefault(t, 0)
+            df[t] += 1
+    got = {
+        (r.doc_id, r.token): (r.tf, r.df, r.idf, r.tfidf)
+        for r in text_tfidf(spark, sf_dir).collect()
+    }
+    want_keys = {(d, t) for (d, t) in tf if d % 10 == 0}
+    assert set(got) == want_keys
+    for (d, t), (tfv, dfv, idf, tfidf) in got.items():
+        assert tfv == tf[(d, t)] and dfv == df[t]
+        want_idf = round(math.log((n_docs + 1.0) / (df[t] + 1.0)) + 1.0, 9)
+        assert abs(idf - want_idf) < 1e-9
+        assert abs(tfidf - round(tfv * idf, 9)) < 1e-9
+
+    stop = set(STOPWORDS)
+    got = {r.doc_id: r for r in text_quality(spark, sf_dir).collect()}
+    for r in docs:
+        toks = r.text.split(" ")
+        n, nd = len(toks), len(set(toks))
+        ns = sum(1 for t in toks if t in stop)
+        o = got[r.doc_id]
+        assert (o.n_tokens, o.n_distinct) == (n, nd)
+        assert o.type_token_ratio == nd / n
+        assert o.stopword_ratio == ns / n
+        want = 0.5 * (nd / n) + 0.3 * min(n / 50.0, 1.0) + 0.2 * (ns / n)
+        assert abs(o.quality_score - want) < 1e-9
+
+    lex = dict(LEXICON)
+    got = {r.doc_id: (r.sentiment_score, r.n_lexicon_hits) for r in text_lexicon_score(spark, sf_dir).collect()}
+    for r in docs:
+        toks = r.text.split(" ")
+        score = sum(lex.get(t, 0) for t in toks)
+        hits = sum(1 for t in toks if t in lex)
+        assert got[r.doc_id] == (score, hits)
+
+
+def test_fingerprint_and_levenshtein_match_python(spark, sf_dir):
+    """text_fingerprint (md5 winnowing signature) and text_levenshtein
+    (brand-blocked edit-distance join) vs hashlib / DP replays."""
+    import hashlib
+
+    from insight_patents_spark.operators.text import (
+        text_fingerprint,
+        text_levenshtein,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").collect()
+    got = {r.doc_id: r.fingerprint for r in text_fingerprint(spark, sf_dir).collect()}
+    for r in docs:
+        toks = r.text.split(" ")
+        shingles = [
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        ]
+        hs = sorted(hashlib.md5(s.encode()).hexdigest() for s in shingles)
+        assert got[r.doc_id] == "|".join(hs[:4])
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    parts = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    ).collect()
+    by_brand = {}
+    for r in parts:
+        by_brand.setdefault(r.p_brand, []).append((r.p_partkey, r.p_name))
+    want = {}
+    for brand, ps in by_brand.items():
+        for ka, na in ps:
+            for kb, nb in ps:
+                if ka < kb and abs(len(na) - len(nb)) <= 2:
+                    d = lev(na, nb)
+                    if d <= 4:
+                        want[(ka, kb)] = (brand, d)
+    got = {
+        (r.key_a, r.key_b): (r.p_brand, r.edit_dist)
+        for r in text_levenshtein(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_langid_matches_python_profiles(spark, sf_dir):
+    """text_langid vs a full Python replay: top-5 per-language profiles
+    (tf desc, token asc), per-doc best-overlap prediction (overlap desc,
+    lang asc), 'und' when nothing overlaps."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import text_langid
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").collect()
+    tf = Counter()
+    for r in docs:
+        for t in r.text.split(" "):
+            tf[(r.lang, t)] += 1
+    profiles = {}
+    by_lang = {}
+    for (lang, t), n in tf.items():
+        by_lang.setdefault(lang, []).append((-n, t))
+    for lang, items in by_lang.items():
+        profiles[lang] = {t for _, t in sorted(items)[:5]}
+    got = {r.doc_id: r for r in text_langid(spark, sf_dir).collect()}
+    for r in docs:
+        toks = set(r.text.split(" "))
+        scores = {
+            lang: len(toks & prof)
+            for lang, prof in profiles.items()
+            if toks & prof
+        }
+        if scores:
+            best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            want = (r.lang, best[0], best[1])
+        else:
+            want = (r.lang, "und", 0)
+        o = got[r.doc_id]
+        assert (o.actual_lang, o.predicted_lang, o.profile_overlap) == want
