@@ -73,18 +73,14 @@ def test_all_results_are_scalar_only(spark):
 # graph_scc landed in the snapshot commit with no gate. SHRINK this
 # list over time; never grow it silently.
 _ORACLE_SUITE_ONLY = frozenset({ "agg_new_returning",
-    "agg_trend_ols", "case_when",
-    "cast_null_fns", "dedup_embed_cosine", "dedup_groups",
-    "dedup_incremental", "dedup_semantic", "dedup_simhash",
-    "dedup_subset_keys", "filter_pred", "filter_regex", "fn_array",
+    "agg_trend_ols", "dedup_embed_cosine", "dedup_groups",
+    "dedup_incremental", "dedup_semantic", "dedup_simhash", "fn_array",
     "fn_bitwise", "fn_collation", "fn_date", "fn_explode", "fn_hash",
     "fn_interval", "fn_json", "fn_map", "fn_map_hof", "fn_math", "fn_regex",
     "fn_string", "fn_try_safe", "fn_url", "fn_variant", "funnel_stages", "graph_label_prop", "mm_binary_features",
-    "mm_decode_stub", "mm_struct", "project_compute", "scan_binary_files", "scan_jdbc_partitioned",
+    "mm_decode_stub", "mm_struct", "scan_binary_files", "scan_jdbc_partitioned",
     "scan_json_permissive", "scan_python_datasource",
-    "scan_schema_evolution", "set_except",
-    "set_except_all", "set_intersect", "set_union_all",
-    "set_union_distinct", "sink_compaction", "sink_partition_overwrite", "sort_multikey",
+    "scan_schema_evolution", "sink_compaction", "sink_partition_overwrite",
     "sql_lateral_topk", "sql_scalar_subquery", "text_bigram_lm", "text_bpe_pairs", "text_entropy",
     "text_hashing_trick", "text_jaccard_tokens",
     "text_minhash_containment", "time_calendar_dim", "time_pct_change",

@@ -3809,3 +3809,153 @@ def test_langid_matches_python_profiles(spark, sf_dir):
             want = (r.lang, "und", 0)
         o = got[r.doc_id]
         assert (o.actual_lang, o.predicted_lang, o.profile_overlap) == want
+
+
+def test_setops_match_python_bag_semantics(spark, sf_dir):
+    """set_union_all / set_union_distinct / set_intersect / set_except /
+    set_except_all / sort_multikey / dedup_subset_keys vs Python bag and
+    set replays — multiplicity arithmetic exact."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.setops import (
+        dedup_subset_keys,
+        set_except,
+        set_except_all,
+        set_intersect,
+        set_union_all,
+        set_union_distinct,
+        sort_multikey,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").collect()
+
+    want = Counter()
+    for r in orders:
+        if r.o_orderpriority == "1-URGENT":
+            want[(r.o_orderkey, r.o_totalprice, "urgent")] += 1
+        if r.o_totalprice > 200000:
+            want[(r.o_orderkey, r.o_totalprice, "big")] += 1
+    got = Counter(map(tuple, set_union_all(spark, sf_dir).collect()))
+    assert got == want
+
+    want = {
+        r.o_custkey
+        for r in orders
+        if r.o_orderpriority == "1-URGENT" or r.o_totalprice > 200000
+    }
+    rows = [r.o_custkey for r in set_union_distinct(spark, sf_dir).collect()]
+    assert len(rows) == len(set(rows)) and set(rows) == want
+
+    o_cust = {r.o_custkey for r in orders if r.o_orderstatus == "O"}
+    f_cust = {r.o_custkey for r in orders if r.o_orderstatus == "F"}
+    rows = [r.o_custkey for r in set_intersect(spark, sf_dir).collect()]
+    assert len(rows) == len(set(rows)) and set(rows) == o_cust & f_cust
+
+    a = Counter(r.o_custkey for r in orders if r.o_orderstatus == "O")
+    b = Counter(r.o_custkey for r in orders if r.o_orderstatus == "P")
+    got = Counter(r.o_custkey for r in set_except(spark, sf_dir).collect())
+    assert got == a - b
+
+    a = Counter(r.o_orderpriority for r in orders if r.o_custkey % 3 == 0)
+    b = Counter(r.o_orderpriority for r in orders if r.o_custkey % 7 == 0)
+    got = Counter(
+        r.o_orderpriority for r in set_except_all(spark, sf_dir).collect()
+    )
+    assert got == a - b
+
+    sel = [r for r in orders if r.o_orderkey % 11 == 0]
+    sel.sort(key=lambda r: (r.o_orderpriority, -r.o_totalprice, r.o_orderkey))
+    got = sorted(sort_multikey(spark, sf_dir).collect(), key=lambda r: r.pos)
+    assert [
+        (r.o_orderkey, r.o_orderpriority, r.o_totalprice) for r in got
+    ] == [(r.o_orderkey, r.o_orderpriority, r.o_totalprice) for r in sel]
+    assert [r.pos for r in got] == list(range(1, len(sel) + 1))
+
+    events = load(spark, sf_dir, "events").collect()
+    latest = {}
+    for r in events:
+        k = (r.user_id, r.event_type)
+        cur = latest.get(k)
+        if cur is None or (r.ts, r.event_id) > (cur.ts, cur.event_id):
+            latest[k] = r
+    got = {
+        (r.user_id, r.event_type): (r.latest_event_id, r.value)
+        for r in dedup_subset_keys(spark, sf_dir).collect()
+    }
+    assert got == {
+        k: (r.event_id, r.value) for k, r in latest.items()
+    }
+
+
+def test_projection_filter_battery_matches_python(spark, sf_dir):
+    """project_compute / filter_pred / filter_regex / case_when /
+    cast_null_fns vs per-row Python replays (IEEE arithmetic identical
+    in both runtimes)."""
+    import re as _re
+
+    from insight_patents_spark.operators.relational import (
+        case_when,
+        cast_null_fns,
+        filter_pred,
+        filter_regex,
+        project_compute,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    from collections import Counter as _Counter
+
+    li = load(spark, sf_dir, "lineitem").collect()
+    got = _Counter(map(tuple, project_compute(spark, sf_dir).collect()))
+    want = _Counter(
+        (
+            r.l_orderkey,
+            r.l_linenumber,
+            r.l_extendedprice * (1 - r.l_discount),
+            r.l_quantity * 2.5 + 1,
+        )
+        for r in li
+    )
+    assert got == want
+
+    orders = load(spark, sf_dir, "orders").collect()
+    want = {
+        r.o_orderkey
+        for r in orders
+        if 1000 <= r.o_totalprice <= 150000
+        and r.o_orderstatus in ("O", "F")
+        and "URGENT" in r.o_orderpriority
+        and r.o_custkey is not None
+        and not (r.o_orderkey % 10 == 0 and r.o_totalprice < 5000)
+    }
+    assert {r.o_orderkey for r in filter_pred(spark, sf_dir).collect()} == want
+
+    cust = load(spark, sf_dir, "customer").collect()
+    want = {r.c_custkey for r in cust if _re.search(r"[0-9]{3}$", r.c_name)}
+    assert {r.c_custkey for r in filter_regex(spark, sf_dir).collect()} == want
+
+    got = {r.o_orderkey: (r.price_band, r.status_name) for r in case_when(spark, sf_dir).collect()}
+    for r in orders:
+        band = (
+            "high"
+            if r.o_totalprice >= 100000
+            else "mid" if r.o_totalprice >= 30000 else "low"
+        )
+        status = {"O": "open", "F": "finished"}.get(r.o_orderstatus, "other")
+        assert got[r.o_orderkey] == (band, status)
+
+    import decimal
+
+    got = {r.c_custkey: r for r in cast_null_fns(spark, sf_dir).collect()}
+    for r in cust:
+        o = got[r.c_custkey]
+        want_dec = float(
+            decimal.Decimal(repr(r.c_acctbal)).quantize(
+                decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        assert o.bal_dec == want_dec
+        assert o.nation_str == str(r.c_nationkey)
+        want_seg = "OTHER" if r.c_mktsegment == "MACHINERY" else r.c_mktsegment
+        assert o.seg_or_other == want_seg
+        assert o.is_negative == int(r.c_acctbal < 0)
