@@ -74,10 +74,7 @@ def test_all_results_are_scalar_only(spark):
 # list over time; never grow it silently.
 _ORACLE_SUITE_ONLY = frozenset({ "agg_new_returning",
     "agg_trend_ols", "dedup_embed_cosine", "dedup_groups",
-    "dedup_incremental", "dedup_semantic", "dedup_simhash", "fn_array",
-    "fn_bitwise", "fn_collation", "fn_date", "fn_explode", "fn_hash",
-    "fn_interval", "fn_json", "fn_map", "fn_map_hof", "fn_math", "fn_regex",
-    "fn_string", "fn_try_safe", "fn_url", "fn_variant", "funnel_stages", "graph_label_prop", "mm_binary_features",
+    "dedup_incremental", "dedup_semantic", "dedup_simhash", "funnel_stages", "graph_label_prop", "mm_binary_features",
     "mm_decode_stub", "mm_struct", "scan_binary_files", "scan_jdbc_partitioned",
     "scan_json_permissive", "scan_python_datasource",
     "scan_schema_evolution", "sink_compaction", "sink_partition_overwrite",

@@ -3959,3 +3959,284 @@ def test_projection_filter_battery_matches_python(spark, sf_dir):
         want_seg = "OTHER" if r.c_mktsegment == "MACHINERY" else r.c_mktsegment
         assert o.seg_or_other == want_seg
         assert o.is_negative == int(r.c_acctbal < 0)
+
+
+def _rhu(x, nd):
+    """Python twin of Spark F.round(double, nd): shortest-repr decimal,
+    HALF_UP."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-nd)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def test_fn_scalar_battery_matches_python(spark, sf_dir):
+    """fn_string / fn_regex / fn_math / fn_bitwise vs per-row Python
+    replays of the same expressions."""
+    import math
+    import re as _re
+
+    from insight_patents_spark.functions.scalar import (
+        fn_bitwise,
+        fn_math,
+        fn_regex,
+        fn_string,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    cust = load(spark, sf_dir, "customer").collect()
+    got = {r.c_custkey: r for r in fn_string(spark, sf_dir).collect()}
+    for r in cust:
+        o = got[r.c_custkey]
+        assert o.name_upper == r.c_name.upper()
+        assert o.seg_lower == r.c_mktsegment.lower()
+        assert o.name_trim == r.c_name.strip(" ")
+        assert o.name_prefix == r.c_name[:8]
+        assert o.name_seg == f"{r.c_name}|{r.c_mktsegment}"
+        assert o.name_len == len(r.c_name)
+        assert o.key_padded == str(r.c_custkey).rjust(10, "0")[:10]
+        assert o.name_dash == r.c_name.replace("#", "-")
+        assert o.first_zero_pos == r.c_name.find("0") + 1
+        assert o.name_head == r.c_name.split("#")[0]
+
+    got = {r.c_custkey: r for r in fn_regex(spark, sf_dir).collect()}
+    for r in cust:
+        o = got[r.c_custkey]
+        m = _re.search(r"([0-9]+)", r.c_name)
+        assert o.digits == (m.group(1) if m else "")
+        assert o.masked == _re.sub(r"[0-9]", "X", r.c_name)
+        assert o.has_2digits == bool(_re.search(r"[0-9]{2}", r.c_name))
+
+    li = [
+        r
+        for r in load(spark, sf_dir, "lineitem").collect()
+        if r.l_orderkey % 13 == 0
+    ]
+    got = {}
+    for r in fn_math(spark, sf_dir).collect():
+        got.setdefault((r.l_orderkey, r.l_linenumber), []).append(r)
+    for r in li:
+        cands = got[(r.l_orderkey, r.l_linenumber)]
+        o = next(
+            c for c in cands if c.qty_sq == r.l_quantity**2
+            and c.price_floor == math.floor(r.l_extendedprice)
+        )
+        assert o.price_round == _rhu(r.l_extendedprice, 1)
+        assert o.price_ceil == math.ceil(r.l_extendedprice)
+        assert o.disc_dev == abs(r.l_discount - 0.05)
+        assert o.qty_sqrt == math.sqrt(r.l_quantity)
+        assert abs(o.price_ln - math.log(r.l_extendedprice)) < 1e-9
+        assert abs(o.disc_exp - math.exp(r.l_discount)) < 1e-9
+        assert o.key_mod == r.l_orderkey % 7
+        assert o.qty_side == float(
+            0 if r.l_quantity == 25 else (1 if r.l_quantity > 25 else -1)
+        )
+
+    li100 = [
+        r
+        for r in load(spark, sf_dir, "lineitem").collect()
+        if r.l_orderkey % 100 == 0
+    ]
+    from collections import Counter as _C
+
+    want = _C(
+        (
+            r.l_orderkey,
+            r.l_linenumber,
+            r.l_orderkey & 255,
+            r.l_orderkey | 4096,
+            r.l_orderkey ^ r.l_partkey,
+            r.l_linenumber << 4,
+            r.l_orderkey >> 2,
+            ~r.l_linenumber,
+        )
+        for r in li100
+    )
+    got = _C(map(tuple, fn_bitwise(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_fn_date_interval_match_python(spark, sf_dir):
+    """fn_date / fn_interval vs Python datetime arithmetic (NTZ
+    timestamps; add_months clamps the day; whole-month diffs on
+    truncated endpoints)."""
+    import calendar
+    import datetime
+
+    from insight_patents_spark.functions.scalar import fn_date, fn_interval
+    from insight_patents_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").collect()
+    got = {r.o_orderkey: r for r in fn_date(spark, sf_dir).collect()}
+    epoch = datetime.datetime(1970, 1, 1)
+    for r in orders:
+        ts = r.o_orderdate
+        o = got[r.o_orderkey]
+        assert (o.yr, o.mo, o.dy, o.hr) == (ts.year, ts.month, ts.day, ts.hour)
+        assert o.month_start == ts.replace(
+            day=1, hour=0, minute=0, second=0, microsecond=0
+        )
+        assert o.days_since_95 == (ts.date() - datetime.date(1995, 1, 1)).days
+        assert o.due_date == ts + datetime.timedelta(days=30)
+        last = calendar.monthrange(ts.year, ts.month)[1]
+        assert o.month_end == str(ts.date().replace(day=last))
+        assert o.epoch_sec == int((ts - epoch).total_seconds() // 1)
+
+    def add_months(ts, n):
+        y, m = divmod(ts.month - 1 + n, 12)
+        y += ts.year
+        m += 1
+        d = min(ts.day, calendar.monthrange(y, m)[1])
+        return ts.replace(year=y, month=m, day=d)
+
+    pivot = datetime.datetime(1995, 6, 15)
+    got = {r.o_orderkey: r for r in fn_interval(spark, sf_dir).collect()}
+    for r in orders:
+        if r.o_orderkey % 1000 != 0:
+            continue
+        ts = r.o_orderdate
+        o = got[r.o_orderkey]
+        assert o.due_ts == ts + datetime.timedelta(days=90)
+        assert o.quarter_later == add_months(ts, 3)
+        assert o.days_from_pivot == (ts.date() - pivot.date()).days
+        assert o.months_from_pivot == (ts.year - 1995) * 12 + ts.month - 6
+        assert o.day_and_half_before == ts - datetime.timedelta(hours=36)
+
+
+def test_fn_semistructured_battery_matches_python(spark, sf_dir):
+    """fn_array / fn_explode / fn_map / fn_json / fn_variant /
+    fn_map_hof / fn_hash / fn_url / fn_try_safe / fn_collation vs
+    Python replays (json module, hashlib, urllib semantics)."""
+    import hashlib
+    import json as _json
+    import math
+
+    from insight_patents_spark.functions.scalar import (
+        fn_array,
+        fn_collation,
+        fn_explode,
+        fn_hash,
+        fn_json,
+        fn_map,
+        fn_map_hof,
+        fn_try_safe,
+        fn_url,
+        fn_variant,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").collect()
+    got = {r.doc_id: r for r in fn_array(spark, sf_dir).collect()}
+    for r in docs:
+        toks = r.text.split(" ")
+        o = got[r.doc_id]
+        assert o.n_tokens == len(toks)
+        assert o.has_table == ("table" in toks)
+        assert o.first3 == "|".join(toks[:3])
+        assert o.vocab == "|".join(sorted(set(toks)))
+        assert o.head_upper == "|".join(t.upper() for t in toks[:5])
+        assert o.long_tokens == "|".join(t for t in toks if len(t) > 4)
+        assert o.total_chars == sum(len(t) for t in toks)
+
+    want = {
+        (r.doc_id, i, t)
+        for r in docs
+        if r.doc_id % 25 == 0
+        for i, t in enumerate(r.text.split(" "))
+    }
+    assert {tuple(r) for r in fn_explode(spark, sf_dir).collect()} == want
+
+    got = {r.doc_id: r for r in fn_map(spark, sf_dir).collect()}
+    for r in docs:
+        o = got[r.doc_id]
+        assert o.ks == "lang|source"
+        assert o.vs == f"{r.lang}|{r.source}"
+        assert o.lang_val == r.lang
+
+    got = {r.doc_id: r for r in fn_hash(spark, sf_dir).collect()}
+    for r in docs:
+        o = got[r.doc_id]
+        assert o.text_md5 == hashlib.md5(r.text.encode()).hexdigest()
+        assert o.text_sha256 == hashlib.sha256(r.text.encode()).hexdigest()
+        assert (
+            o.keyed_md5
+            == hashlib.md5(f"{r.lang}:{r.text}".encode()).hexdigest()
+        )
+
+    got = {r.doc_id: r for r in fn_url(spark, sf_dir).collect()}
+    for r in docs:
+        if r.doc_id % 25 != 0:
+            continue
+        o = got[r.doc_id]
+        assert o.url == (
+            f"https://corpus.example.org/{r.lang}/doc/{r.doc_id}"
+            f"?lang={r.lang}&src={r.source}"
+        )
+        assert o.proto == "https"
+        assert o.host == "corpus.example.org"
+        assert o.path == f"/{r.lang}/doc/{r.doc_id}"
+        assert o.query == f"lang={r.lang}&src={r.source}"
+        assert o.lang_param == r.lang
+
+    def try_int(s):
+        try:
+            return int(s.strip())
+        except (ValueError, AttributeError):
+            return None
+
+    got = {r.doc_id: r for r in fn_try_safe(spark, sf_dir).collect()}
+    for r in docs:
+        o = got[r.doc_id]
+        assert o.first3_as_int == try_int(r.text[:3])
+        want = (
+            None
+            if r.n_chars == 300
+            else math.floor(10000 / (r.n_chars - 300))
+        )
+        assert o.inv_offset == want
+        assert o.lang_as_int == try_int(r.lang)
+        assert o.mod7 == r.n_chars % 7
+
+    grp = {}
+    for r in docs:
+        mixed = r.source.upper() if r.doc_id % 2 == 0 else r.source
+        grp.setdefault(mixed.lower(), []).append(mixed)
+    got = {
+        r.source_ci.lower(): (r.n_docs, r.n_case_variants)
+        for r in fn_collation(spark, sf_dir).collect()
+    }
+    assert got == {k: (len(v), len(set(v))) for k, v in grp.items()}
+
+    events = load(spark, sf_dir, "events").select("event_id", "event_type", "props").collect()
+    ks = {r.event_id: _json.loads(r.props).get("k") for r in events}
+    got = {r.event_id: (r.k_typed, r.k_raw) for r in fn_json(spark, sf_dir).collect()}
+    for r in events:
+        k = ks[r.event_id]
+        assert got[r.event_id] == (k, None if k is None else str(k))
+
+    grp = {}
+    for r in events:
+        grp.setdefault(r.event_type, []).append(ks[r.event_id])
+    got = {
+        r.event_type: (r.n_events, r.total_k, r.max_k)
+        for r in fn_variant(spark, sf_dir).collect()
+    }
+    assert got == {
+        t: (
+            len(vs),
+            sum(v for v in vs if v is not None),
+            max(v for v in vs if v is not None),
+        )
+        for t, vs in grp.items()
+    }
+
+    got = {r.event_id: r.scaled_entries for r in fn_map_hof(spark, sf_dir).collect()}
+    for r in events:
+        if r.event_id % 50 != 0:
+            continue
+        k = ks[r.event_id]
+        assert got[r.event_id] == "|".join(
+            f"b{i}={k * i}" for i in (1, 2, 3)
+        )
