@@ -80,10 +80,7 @@ _ORACLE_SUITE_ONLY = frozenset({ "agg_new_returning",
     "scan_schema_evolution", "sink_compaction", "sink_partition_overwrite",
     "sql_lateral_topk", "sql_scalar_subquery", "text_bigram_lm", "text_bpe_pairs", "text_entropy",
     "text_hashing_trick", "text_jaccard_tokens",
-    "text_minhash_containment", "time_calendar_dim", "time_pct_change",
-    "udaf_pandas_agg", "udf_pandas_scalar", "udf_python_arrow",
-    "udf_python_scalar", "udtf_apply_in_pandas", "udtf_map_in_arrow",
-    "udtf_map_in_pandas", "udtf_python", "vec_ann_ivf",
+    "text_minhash_containment", "time_calendar_dim", "time_pct_change", "vec_ann_ivf",
     "vec_int8_quantize", "vec_knn_label",
     "win_cusum_changepoint", "win_gap_fill",
     "win_retention_cohort", "win_rolling_median",

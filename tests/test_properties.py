@@ -4240,3 +4240,127 @@ def test_fn_semistructured_battery_matches_python(spark, sf_dir):
         assert got[r.event_id] == "|".join(
             f"b{i}={k * i}" for i in (1, 2, 3)
         )
+
+
+def test_udf_tiers_equal_native_twins(spark, sf_dir):
+    """udf_python_scalar / udf_pandas_scalar / udtf_map_in_arrow: every
+    Python-boundary tier must equal the pure-JVM expression twin — the
+    UDF exhibits demonstrate the API, never different arithmetic."""
+    from insight_patents_spark.operators.udf import (
+        udf_pandas_scalar,
+        udf_python_scalar,
+        udtf_map_in_arrow,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    got = {r.c_custkey: r.checksum for r in udf_python_scalar(spark, sf_dir).collect()}
+    for r in load(spark, sf_dir, "customer").collect():
+        k = r.c_custkey
+        assert got[k] == (k % 97) * 31 + len(str(k))
+
+    from collections import Counter
+
+    li = load(spark, sf_dir, "lineitem").collect()
+    got = Counter(map(tuple, udf_pandas_scalar(spark, sf_dir).collect()))
+    want = Counter(
+        (
+            r.l_orderkey,
+            r.l_linenumber,
+            r.l_extendedprice * (1 - r.l_discount),
+        )
+        for r in li
+    )
+    assert got == want
+
+    got = Counter(map(tuple, udtf_map_in_arrow(spark, sf_dir).collect()))
+    want = Counter(
+        (
+            r.l_orderkey,
+            r.l_linenumber,
+            int(round(r.l_quantity * 100)),
+            int(round(r.l_discount * 10000)),
+        )
+        for r in li
+        if r.l_orderkey % 40 == 0
+    )
+    assert got == want and len(got) > 0
+
+
+def test_udtf_grouped_and_expanding_match_python(spark, sf_dir):
+    """udaf_pandas_agg (sorted-fold weighted mean), udtf_apply_in_pandas
+    (per-user z-scores), udtf_map_in_pandas (deterministic row
+    expansion), udtf_python (lateral tokenizer) vs Python replays."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.udf import (
+        udaf_pandas_agg,
+        udtf_apply_in_pandas,
+        udtf_map_in_pandas,
+        udtf_python,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").collect()
+    grp = {}
+    for r in li:
+        grp.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, r.l_quantity)
+        )
+    got = {
+        r.l_returnflag: r.weighted_avg_price
+        for r in udaf_pandas_agg(spark, sf_dir).collect()
+    }
+    for flag, rows in grp.items():
+        num = _sorted_fold([p * q for p, q in rows])
+        den = _sorted_fold([q for _, q in rows])
+        assert got[flag] == num / den
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    ).collect()
+    by_user = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append(r)
+    got = {r.event_id: r.z_score for r in udtf_apply_in_pandas(spark, sf_dir).collect()}
+    for rows in by_user.values():
+        vs = [r.value for r in rows]
+        n = len(vs)
+        mu = _sorted_fold(vs) / n
+        var = _sorted_fold([(v - mu) ** 2 for v in vs]) / (n - 1)
+        sd = var**0.5
+        for r in rows:
+            assert abs(got[r.event_id] - (r.value - mu) / sd) < 1e-12
+
+    orders = load(spark, sf_dir, "orders").collect()
+    want = Counter(
+        (r.o_orderkey, c, r.o_totalprice)
+        for r in orders
+        if r.o_orderkey % 50 == 0
+        for c in range(1, r.o_orderkey % 3 + 2)
+    )
+    got = Counter(map(tuple, udtf_map_in_pandas(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+    docs = load(spark, sf_dir, "documents").collect()
+    want = Counter(
+        (r.doc_id, i, t, len(t))
+        for r in docs
+        if r.doc_id % 20 == 0
+        for i, t in enumerate(r.text.split(" "))
+    )
+    got = Counter(map(tuple, udtf_python(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_udf_python_arrow_equals_legacy_tier(spark, sf_dir):
+    """udf_python_arrow (Arrow-batched transfer) must return exactly the
+    legacy pickled udf_python_scalar's checksums — same function, faster
+    boundary."""
+    from insight_patents_spark.operators.udf import (
+        udf_python_arrow,
+        udf_python_scalar,
+    )
+
+    got = {tuple(r) for r in udf_python_arrow(spark, sf_dir).collect()}
+    want = {tuple(r) for r in udf_python_scalar(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
