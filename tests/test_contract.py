@@ -77,13 +77,10 @@ _ORACLE_SUITE_ONLY = frozenset({ "agg_new_returning",
     "dedup_incremental", "dedup_semantic", "dedup_simhash", "funnel_stages", "graph_label_prop", "mm_binary_features",
     "mm_decode_stub", "mm_struct", "scan_binary_files", "scan_jdbc_partitioned",
     "scan_json_permissive", "scan_python_datasource",
-    "scan_schema_evolution", "sink_compaction", "sink_partition_overwrite",
-    "sql_lateral_topk", "sql_scalar_subquery", "text_bigram_lm", "text_bpe_pairs", "text_entropy",
+    "scan_schema_evolution", "sink_compaction", "sink_partition_overwrite", "text_bigram_lm", "text_bpe_pairs", "text_entropy",
     "text_hashing_trick", "text_jaccard_tokens",
     "text_minhash_containment", "time_calendar_dim", "time_pct_change", "vec_ann_ivf",
     "vec_int8_quantize", "vec_knn_label",
-    "win_cusum_changepoint", "win_gap_fill",
-    "win_retention_cohort", "win_rolling_median",
 })
 
 

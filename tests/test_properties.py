@@ -4364,3 +4364,134 @@ def test_udf_python_arrow_equals_legacy_tier(spark, sf_dir):
     got = {tuple(r) for r in udf_python_arrow(spark, sf_dir).collect()}
     want = {tuple(r) for r in udf_python_scalar(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_gap_fill_retention_rolling_median_cusum_match_python(spark, sf_dir):
+    """win_gap_fill (dense hourly grid), win_retention_cohort (first-touch
+    matrix), win_rolling_median (exact 15-frame median),
+    win_cusum_changepoint (integer-exact argmax|S_t|) vs Python."""
+    import datetime
+
+    from insight_patents_spark.operators.windows import (
+        win_cusum_changepoint,
+        win_gap_fill,
+        win_retention_cohort,
+        win_rolling_median,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).collect()
+
+    hourly = {}
+    for r in events:
+        if r.user_id % 100 == 0:
+            h = r.ts.replace(minute=0, second=0, microsecond=0)
+            hourly[(r.user_id, h)] = hourly.get((r.user_id, h), 0) + 1
+    spans = {}
+    for (u, h) in hourly:
+        lo, hi = spans.get(u, (h, h))
+        spans[u] = (min(lo, h), max(hi, h))
+    want = {}
+    for u, (lo, hi) in spans.items():
+        h = lo
+        while h <= hi:
+            n = hourly.get((u, h), 0)
+            want[(u, h)] = (n, n == 0)
+            h += datetime.timedelta(hours=1)
+    got = {
+        (r.user_id, r.bucket_ts): (r.n_events, r.was_gap)
+        for r in win_gap_fill(spark, sf_dir).collect()
+    }
+    assert got == want and any(g for _, g in want.values())
+
+    first = {}
+    for r in events:
+        d = r.ts.date()
+        first[r.user_id] = min(first.get(r.user_id, d), d)
+    matrix = {}
+    seen = set()
+    for r in events:
+        off = (r.ts.date() - first[r.user_id]).days
+        key = (str(first[r.user_id]), off)
+        if (r.user_id, key) not in seen:
+            seen.add((r.user_id, key))
+            matrix[key] = matrix.get(key, 0) + 1
+    got = {
+        (r.cohort_day, r.day_offset): r.n_active_users
+        for r in win_retention_cohort(spark, sf_dir).collect()
+    }
+    assert got == matrix
+
+    by_type = {}
+    for r in events:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rows in by_type.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+    got = {
+        r.event_id: (r.value, r.rolling_median)
+        for r in win_rolling_median(spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for rows in by_type.values():
+        cents = [int(round(r.value * 100)) for r in rows]
+        for i, r in enumerate(rows):
+            if i < 14:
+                assert r.event_id not in got
+                continue
+            frame = sorted(cents[i - 14 : i + 1])
+            assert got[r.event_id] == (cents[i] / 100.0, frame[7] / 100.0)
+            n_checked += 1
+    assert n_checked > 0
+
+    got = {
+        r.event_type: (r.changepoint_event_id, r.t_index, r.cusum_peak)
+        for r in win_cusum_changepoint(spark, sf_dir).collect()
+    }
+    for etype, rows in by_type.items():
+        cents = [int(round(r.value * 100)) for r in rows]
+        tot, n = sum(cents), len(cents)
+        pre = 0
+        best = None
+        for t, (r, c) in enumerate(zip(rows, cents), start=1):
+            pre += c
+            s_scaled = abs(pre * n - t * tot)
+            if best is None or s_scaled > best[0] or (
+                s_scaled == best[0] and r.event_id < best[1]
+            ):
+                best = (s_scaled, r.event_id, t)
+        assert got[etype][0] == best[1] and got[etype][1] == best[2]
+        assert abs(got[etype][2] - _rhu(best[0] / n / 100.0, 9)) < 1e-12
+
+
+def test_sql_subquery_paths_match_python(spark, sf_dir):
+    """sql_scalar_subquery (decorrelated scalar filter) and
+    sql_lateral_topk (per-customer ranked LATERAL) vs Python."""
+    from insight_patents_spark.operators.relational import (
+        sql_lateral_topk,
+        sql_scalar_subquery,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    orders = load(spark, sf_dir, "orders").collect()
+    # threshold compared, not emitted: python float avg differs in the
+    # last ulp from Spark's — use a tolerance band around the cutoff and
+    # require exact agreement outside it
+    avg = sum(r.o_totalprice for r in orders) / len(orders)
+    cut = 1.8 * avg
+    got = {r.o_orderkey for r in sql_scalar_subquery(spark, sf_dir).collect()}
+    must = {r.o_orderkey for r in orders if r.o_totalprice > cut * (1 + 1e-12)}
+    may = {r.o_orderkey for r in orders if r.o_totalprice > cut * (1 - 1e-12)}
+    assert must <= got <= may
+
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    want = set()
+    for cust, rows in by_cust.items():
+        rows.sort(key=lambda r: (-r.o_totalprice, r.o_orderkey))
+        for r in rows[:2]:
+            want.add((cust, r.o_orderkey, r.o_totalprice))
+    got = {tuple(r) for r in sql_lateral_topk(spark, sf_dir).collect()}
+    assert got == want
