@@ -4632,3 +4632,135 @@ def test_jaccard_containment_incremental_match_python(spark, sf_dir):
         if r.doc_id % 5 == 0
     }
     assert got == want
+
+
+def test_funnel_trend_newret_pctchange_calendar_match_python(spark, sf_dir):
+    """funnel_stages (sequential conditional mins), agg_trend_ols
+    (closed-form OLS from integer moments), agg_new_returning,
+    time_pct_change (exact cent deltas), time_calendar_dim (generated
+    span) vs Python replays."""
+    import datetime
+
+    from insight_patents_spark.operators.aggregates import (
+        agg_new_returning,
+        agg_trend_ols,
+        funnel_stages,
+        time_pct_change,
+    )
+    from insight_patents_spark.operators.relational import time_calendar_dim
+    from insight_patents_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    ).collect()
+    by_user = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append(r)
+
+    got = {r.user_id: (r.stage, r.funnel_sec) for r in funnel_stages(spark, sf_dir).collect()}
+    for u, rows in by_user.items():
+        t1 = min((r.ts for r in rows if r.event_type == "view"), default=None)
+        t2 = (
+            min(
+                (r.ts for r in rows if r.event_type == "click" and r.ts > t1),
+                default=None,
+            )
+            if t1
+            else None
+        )
+        t3 = (
+            min(
+                (
+                    r.ts
+                    for r in rows
+                    if r.event_type == "purchase" and r.ts > t2
+                ),
+                default=None,
+            )
+            if t2
+            else None
+        )
+        stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        sec = (
+            int(t3.timestamp()) - int(t1.timestamp()) if t3 else None
+        )
+        assert got[u] == (stage, sec)
+
+    by_type = {}
+    for r in events:
+        by_type.setdefault(r.event_type, []).append(r)
+    got = {r.event_type: r for r in agg_trend_ols(spark, sf_dir).collect()}
+    for etype, rows in by_type.items():
+        xs0 = [int(r.ts.timestamp()) for r in rows]
+        mn = min(xs0)
+        pts = [
+            ((x - mn) // 60, int(round(r.value * 100)))
+            for x, r in zip(xs0, rows)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = sy / n - slope * (sx / n)
+        o = got[etype]
+        assert o.n == n
+        assert abs(o.slope_per_min - slope / 100.0) < 1e-9
+        assert abs(o.intercept - intercept / 100.0) < 1e-9
+
+    pairs = {(r.user_id, str(r.ts.date())) for r in events}
+    first = {}
+    for u, day in pairs:
+        first[u] = min(first.get(u, day), day)
+    want = {}
+    for u, day in pairs:
+        new, ret = want.get(day, (0, 0))
+        if day == first[u]:
+            want[day] = (new + 1, ret)
+        else:
+            want[day] = (new, ret + 1)
+    got = {
+        r.day: (r.new_users, r.returning_users)
+        for r in agg_new_returning(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    rev = {}
+    for r in events:
+        k = (r.event_type, str(r.ts.date()))
+        rev[k] = rev.get(k, 0) + int(round(r.value * 100))
+    by_t = {}
+    for (t, day), c in rev.items():
+        by_t.setdefault(t, []).append((day, c))
+    want = {}
+    for t, items in by_t.items():
+        items.sort()
+        for (pd_, pc), (d, c) in zip(items, items[1:]):
+            if pc > 0:
+                want[(t, d)] = (c / 100.0, (c - pc) / 100.0, round((c - pc) / pc, 9))
+    got = {
+        (r.event_type, r.day): (r.revenue, r.delta, r.pct_change)
+        for r in time_pct_change(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (rv, dl, pc) in got.items():
+        assert rv == want[k][0] and dl == want[k][1]
+        assert abs(pc - want[k][2]) < 1e-9
+
+    days = {r.ts.date() for r in events}
+    lo, hi = min(days), max(days)
+    got = {r.day: r for r in time_calendar_dim(spark, sf_dir).collect()}
+    d = lo
+    n_rows = 0
+    while d <= hi:
+        o = got[str(d)]
+        ep = (d - datetime.date(1970, 1, 1)).days
+        dow = (ep + 4) % 7
+        assert o.epoch_day == ep and o.dow == dow
+        assert o.day_of_month == d.day and o.month == d.month
+        assert o.quarter == (d.month + 2) // 3
+        assert o.is_weekend == (dow in (0, 6))
+        n_rows += 1
+        d += datetime.timedelta(days=1)
+    assert len(got) == n_rows
