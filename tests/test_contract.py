@@ -75,8 +75,7 @@ def test_all_results_are_scalar_only(spark):
 _ORACLE_SUITE_ONLY = frozenset({ "dedup_embed_cosine", "dedup_groups", "dedup_semantic", "dedup_simhash", "graph_label_prop", "mm_binary_features",
     "mm_decode_stub", "mm_struct", "scan_binary_files", "scan_jdbc_partitioned",
     "scan_json_permissive", "scan_python_datasource",
-    "scan_schema_evolution", "sink_compaction", "sink_partition_overwrite", "text_bpe_pairs", "vec_ann_ivf",
-    "vec_int8_quantize", "vec_knn_label",
+    "scan_schema_evolution", "sink_compaction", "sink_partition_overwrite",
 })
 
 

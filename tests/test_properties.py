@@ -4764,3 +4764,112 @@ def test_funnel_trend_newret_pctchange_calendar_match_python(spark, sf_dir):
         n_rows += 1
         d += datetime.timedelta(days=1)
     assert len(got) == n_rows
+
+
+def test_vec_knn_ivf_int8_match_numpy(spark, sf_dir):
+    """vec_knn_label (nearest-centroid confusion), vec_ann_ivf (IVF
+    assign/probe/rerank), vec_int8_quantize (per-vector affine codes)
+    vs NumPy replays of the same deterministic constructions."""
+    import numpy as np
+
+    from insight_patents_spark.operators.vector import (
+        vec_ann_ivf,
+        vec_int8_quantize,
+        vec_knn_label,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+
+    # nearest-centroid classification
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(vecs[r.vec_id])
+    cents = {
+        lab: np.asarray(
+            [_sorted_fold(np.asarray(vs)[:, i]) / len(vs) for i in range(64)]
+        )
+        for lab, vs in ((lab, vs) for lab, vs in by_label.items())
+    }
+    from collections import Counter
+
+    want = Counter()
+    for vid, v in vecs.items():
+        scored = sorted(
+            (round(float(v @ v - 2 * (v @ c) + c @ c), 9), lab)
+            for lab, c in cents.items()
+        )
+        want[(labels[vid], scored[0][1])] += 1
+    got = Counter(
+        {(r.label, r.pred_label): r.n for r in vec_knn_label(spark, sf_dir).collect()}
+    )
+    assert got == want
+
+    # IVF: seeds, nprobe=2, exact top-3 rerank
+    seeds = {vid: v for vid, v in vecs.items() if vid % 50 == 0}
+    top2 = {}
+    for vid, v in vecs.items():
+        ranked = sorted(
+            ((-round(float(v @ cv), 9), cid) for cid, cv in seeds.items())
+        )[:2]
+        top2[vid] = [cid for _, cid in ranked]
+    members = {}
+    for vid, cells in top2.items():
+        members.setdefault(cells[0], []).append(vid)
+    want = set()
+    for vid, cells in top2.items():
+        cand = {
+            n
+            for c in cells
+            for n in members.get(c, ())
+            if n != vid
+        }
+        ranked = sorted(
+            (-round(float(vecs[vid] @ vecs[n]), 9), n) for n in cand
+        )[:3]
+        for _, n in ranked:
+            want.add((vid, n))
+    got = {
+        (r.vec_id, r.neighbor_id) for r in vec_ann_ivf(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+    got = {r.vec_id: r for r in vec_int8_quantize(spark, sf_dir).collect()}
+    n_checked = 0
+    for vid, v in vecs.items():
+        if vid % 40 != 0:
+            continue
+        lo, hi = float(v.min()), float(v.max())
+        codes = ",".join(
+            str(int(_rhu((x - lo) * 255.0 / (hi - lo), 0)))
+            for x in v.tolist()
+        )
+        o = got[vid]
+        assert o.lo == _rhu(lo, 9) and o.hi == _rhu(hi, 9)
+        assert o.codes == codes
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_bpe_pairs_match_python_counts(spark, sf_dir):
+    """text_bpe_pairs: top-20 adjacent-character-pair merge candidates vs
+    a Python Counter with the same (count desc, pair asc) tiebreak."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import text_bpe_pairs
+    from insight_patents_spark.sources.tables import load
+
+    cnt = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        for tok in r.text.split(" "):
+            if len(tok) >= 2:
+                for i in range(len(tok) - 1):
+                    cnt[tok[i : i + 2]] += 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = {(p, c, i + 1) for i, (p, c) in enumerate(ranked)}
+    got = {tuple(r) for r in text_bpe_pairs(spark, sf_dir).collect()}
+    assert got == want
