@@ -72,7 +72,7 @@ def test_all_results_are_scalar_only(spark):
 # deliberate (visible, reviewable) entry here — the r6 lesson, where
 # graph_scc landed in the snapshot commit with no gate. SHRINK this
 # list over time; never grow it silently.
-_ORACLE_SUITE_ONLY = frozenset({ "dedup_embed_cosine", "dedup_groups", "dedup_semantic", "dedup_simhash", "graph_label_prop", "mm_binary_features",
+_ORACLE_SUITE_ONLY = frozenset({ "graph_label_prop", "mm_binary_features",
     "mm_decode_stub", "mm_struct", "scan_binary_files", "scan_jdbc_partitioned",
     "scan_json_permissive", "scan_python_datasource",
     "scan_schema_evolution", "sink_compaction", "sink_partition_overwrite",

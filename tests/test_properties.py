@@ -4873,3 +4873,105 @@ def test_bpe_pairs_match_python_counts(spark, sf_dir):
     want = {(p, c, i + 1) for i, (p, c) in enumerate(ranked)}
     got = {tuple(r) for r in text_bpe_pairs(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_dedup_vector_and_signature_families_match_python(spark, sf_dir):
+    """dedup_groups (token-set fingerprint groups), dedup_simhash (exact
+    half-step sign bits), dedup_embed_cosine (label-blocked cosine
+    pairs), dedup_semantic (SemDeDup cell-scoped removal) vs Python /
+    NumPy replays."""
+    import hashlib
+
+    import numpy as np
+
+    from insight_patents_spark.operators.text import dedup_groups, dedup_simhash
+    from insight_patents_spark.operators.vector import (
+        dedup_embed_cosine,
+        dedup_semantic,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").collect()
+    sig_of = {
+        r.doc_id: hashlib.md5(
+            " ".join(sorted(set(r.text.split(" ")))).encode()
+        ).hexdigest()
+        for r in docs
+    }
+    groups = {}
+    for did, sig in sig_of.items():
+        groups.setdefault(sig, []).append(did)
+    got = {r.doc_id: r for r in dedup_groups(spark, sf_dir).collect()}
+    for did, sig in sig_of.items():
+        o = got[did]
+        members = groups[sig]
+        assert o.group_sig == sig
+        assert o.canonical_id == min(members)
+        assert o.group_size == len(members)
+        assert o.keep == (did == min(members))
+
+    got = {r.doc_id: r.simhash_bits for r in dedup_simhash(spark, sf_dir).collect()}
+    for r in docs:
+        from collections import Counter
+
+        tf = Counter(r.text.split(" "))
+        sums = [0.0] * 16
+        for tok, c in tf.items():
+            h = hashlib.md5(tok.encode()).hexdigest()
+            for i in range(16):
+                w = "0123456789abcdef".index(h[i]) + 1 - 8.5
+                sums[i] += c * w
+        bits = "".join("1" if s > 0 else "0" for s in sums)
+        assert got[r.doc_id] == bits
+
+    rows = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.vec_id)
+    want = {}
+    for lab, ids in by_label.items():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cos = float(vecs[a] @ vecs[b])
+                if cos >= 0.3:
+                    want[(a, b)] = (lab, cos)
+    got = {
+        (r.vec_a, r.vec_b): (r.label, r.cosine)
+        for r in dedup_embed_cosine(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k, (lab, cos) in got.items():
+        assert lab == want[k][0] and abs(cos - want[k][1]) < 1e-12
+
+    seeds = {vid: v for vid, v in vecs.items() if vid % 50 == 0}
+    assign = {}
+    for vid, v in vecs.items():
+        best = sorted(
+            ((-round(float(v @ cv), 9), cid) for cid, cv in seeds.items())
+        )[0]
+        assign[vid] = (best[1], -best[0])
+    cells = {}
+    for vid, (cid, cc) in assign.items():
+        cells.setdefault(cid, []).append(vid)
+    dominators = {}
+    for cid, ids in cells.items():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if float(vecs[a] @ vecs[b]) >= 0.35:
+                    ca, cb = assign[a][1], assign[b][1]
+                    a_wins = ca > cb or (ca == cb and a < b)
+                    rem, win = (b, a) if a_wins else (a, b)
+                    dominators.setdefault((rem, cid), []).append(win)
+    want = {
+        k: (min(ws), len(ws)) for k, ws in dominators.items()
+    }
+    got = {
+        (r.vec_id, r.cell_id): (r.removed_by, r.n_dominators)
+        for r in dedup_semantic(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
