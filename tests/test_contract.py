@@ -64,19 +64,13 @@ def test_all_results_are_scalar_only(spark):
     assert not offenders, f"non-scalar result columns: {offenders}"
 
 
-# Queries whose ONLY dedicated coverage is the generic 278-query oracle
-# suite (tests/test_correctness.py) — reviewed waivers, mostly simple
-# declarative plans where a per-query plan gate would pin nothing the
-# oracle does not already pin. The meta-test below fails on any NEW
-# query that ships with neither a dedicated plan/property test nor a
-# deliberate (visible, reviewable) entry here — the r6 lesson, where
-# graph_scc landed in the snapshot commit with no gate. SHRINK this
-# list over time; never grow it silently.
-_ORACLE_SUITE_ONLY = frozenset({ "graph_label_prop", "mm_binary_features",
-    "mm_decode_stub", "mm_struct", "scan_binary_files", "scan_jdbc_partitioned",
-    "scan_json_permissive", "scan_python_datasource",
-    "scan_schema_evolution", "sink_compaction", "sink_partition_overwrite",
-})
+# EMPTY as of r7: every registered query now has a dedicated plan gate
+# or property test beyond the generic oracle suite. The meta-test below
+# fails on any NEW query that ships without one — the r6 lesson, where
+# graph_scc landed in the snapshot commit with no gate. A deliberate,
+# reviewable waiver may be added here in a pinch; never grow it
+# silently, and drain it the same round.
+_ORACLE_SUITE_ONLY = frozenset()
 
 
 def test_every_query_has_dedicated_test_or_visible_waiver():

@@ -4975,3 +4975,151 @@ def test_dedup_vector_and_signature_families_match_python(spark, sf_dir):
         for r in dedup_semantic(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_lpa_mm_and_remaining_scans_match_python(spark, sf_dir):
+    """graph_label_prop (4-round sync LPA with weight-argmax/min-label
+    tie-break), mm_struct / mm_binary_features / mm_decode_stub (binary
+    plumbing byte functions), scan_binary_files (blob identity),
+    scan_python_datasource (generated feed) vs Python replays."""
+    import hashlib
+
+    from insight_patents_spark.operators.graph import graph_label_prop
+    from insight_patents_spark.operators.multimodal import (
+        mm_binary_features,
+        mm_decode_stub,
+    )
+    from insight_patents_spark.operators.relational import scan_binary_files
+    from insight_patents_spark.operators.vector import mm_struct
+    from insight_patents_spark.sources.pyds import scan_python_datasource
+    from insight_patents_spark.sources.tables import load
+
+    pairs, adj = _brute_graph(spark, sf_dir)
+    labels = {v: v for v in adj}
+    for _ in range(4):
+        new = {}
+        for v in adj:
+            wt = {}
+            for u, w in adj[v].items():
+                lu = labels[u]
+                wt[lu] = wt.get(lu, 0) + w
+            best = sorted(wt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        labels = new
+    got = {r.node: r.community for r in graph_label_prop(spark, sf_dir).collect()}
+    assert got == labels
+
+    docs = load(spark, sf_dir, "documents").collect()
+    emb = {
+        r.vec_id: (r.label, r.embedding[0])
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    got = {r.doc_id: r for r in mm_struct(spark, sf_dir).collect()}
+    n_joined = 0
+    for r in docs:
+        if r.doc_id in emb:
+            o = got[r.doc_id]
+            lab, e0 = emb[r.doc_id]
+            assert (o.lang, o.label, o.text_len) == (r.lang, lab, len(r.text))
+            assert o.emb_first == float(e0)
+            n_joined += 1
+    assert n_joined == len(got) > 0
+
+    got = {r.doc_id: r for r in mm_binary_features(spark, sf_dir).collect()}
+    for r in docs:
+        o = got[r.doc_id]
+        raw = r.text.encode()
+        assert o.n_bytes == len(raw)
+        assert o.first_byte == raw[0]
+        assert o.digest == hashlib.md5(raw).hexdigest()
+
+    got = {r.doc_id: r for r in mm_decode_stub(spark, sf_dir).collect()}
+    for r in docs:
+        n = len(r.text.encode())
+        o = got[r.doc_id]
+        assert (o.width, o.height, o.decoder) == (n % 64 + 1, n % 48 + 1, "fake")
+
+    got = {r.doc_id: r for r in scan_binary_files(spark, sf_dir).collect()}
+    n_blobs = 0
+    for r in docs:
+        if r.doc_id % 20 == 0:
+            o = got[r.doc_id]
+            raw = r.text.encode()
+            assert o.byte_len == len(raw)
+            assert o.content_md5 == hashlib.md5(raw).hexdigest()
+            n_blobs += 1
+    assert n_blobs == len(got) > 0
+
+    feed = {r.grant_id: (r.week, r.fee, r.status) for r in scan_python_datasource(spark, sf_dir).collect()}
+    statuses = ("granted", "pending", "expired")
+    assert len(feed) == 10_000
+    for gid, (week, fee, status) in feed.items():
+        assert week == gid % 52 and fee == (gid * 7919) % 10000
+        assert status == statuses[gid % 3]
+
+
+def test_permissive_evolution_compaction_overwrite_jdbc_scan(spark, sf_dir):
+    """scan_json_permissive (corrupt quarantine), scan_schema_evolution
+    (mergeSchema NULL backfill), sink_compaction (lossless 64->4 file
+    rewrite), sink_partition_overwrite (dynamic partition reload),
+    scan_jdbc_partitioned (parallel range-predicated JDBC read) vs
+    source-derived expectations."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.relational import (
+        scan_jdbc_partitioned,
+        scan_json_permissive,
+        scan_schema_evolution,
+        sink_compaction,
+        sink_partition_overwrite,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").collect()
+    grp = {}
+    for r in docs:
+        grp.setdefault(r.lang, []).append(r.n_chars)
+    got = {
+        r.lang: (r.n_good, r.total_chars)
+        for r in scan_json_permissive(spark, sf_dir).collect()
+    }
+    want = {lang: (len(cs), sum(cs)) for lang, cs in grp.items()}
+    want["<corrupt>"] = (7, None)
+    assert got == want
+
+    region = load(spark, sf_dir, "region").collect()
+    want = {
+        (
+            r.r_regionkey,
+            r.r_name,
+            len(r.r_name) if r.r_regionkey % 2 == 1 else None,
+        )
+        for r in region
+    }
+    assert {tuple(r) for r in scan_schema_evolution(spark, sf_dir).collect()} == want
+
+    events = load(spark, sf_dir, "events").collect()
+    cnt = Counter(r.event_type for r in events)
+    rows = sink_compaction(spark, sf_dir).collect()
+    assert {r.event_type: r.n_events for r in rows} == dict(cnt)
+    for r in rows:
+        assert r.files_before == min(64, len(events))
+        assert r.files_after == min(4, len(events))
+
+    orders = load(spark, sf_dir, "orders").collect()
+    cnt = Counter(r.o_orderstatus for r in orders)
+    got = {
+        r.o_orderstatus: (r.n_orders, r.n_rewritten)
+        for r in sink_partition_overwrite(spark, sf_dir).collect()
+    }
+    assert got == {
+        s: (n, n if s == "F" else 0) for s, n in cnt.items()
+    }
+
+    want = {
+        (r.c_custkey, r.c_nationkey, float(r.c_acctbal))
+        for r in load(spark, sf_dir, "customer").collect()
+        if r.c_acctbal > 0
+    }
+    got = {tuple(r) for r in scan_jdbc_partitioned(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
