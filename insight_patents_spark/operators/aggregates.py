@@ -2583,3 +2583,109 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "agg_chi_square",
+    # Chi-squared test of independence on the lang x source contingency
+    # table: per-cell term = (N*O - r*c)^2 / (N*r*c) — the classic
+    # statistic with expected counts cross-multiplied away, so the
+    # numerator is an EXACT int64 (N*O <= 2^31 at any per-cell count up
+    # to ~46k x 46k; production swaps to DOUBLE above that) and the only
+    # float op per cell is one division, rounded 9dp. The statistic
+    # total re-quantizes rounded terms to nano-units so the window sum
+    # is order-independent; dof = (R-1)(C-1) from window counts.
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, source),
+    tot AS (
+      SELECT lang, source, o,
+             SUM(o) OVER (PARTITION BY lang) AS r,
+             SUM(o) OVER (PARTITION BY source) AS c,
+             SUM(o) OVER () AS n,
+             COUNT(DISTINCT lang) OVER () AS nr,
+             COUNT(DISTINCT source) OVER () AS nc
+      FROM obs),
+    term AS (
+      SELECT lang, source, o, nr, nc,
+             CAST(ROUND(r * c * 1.0 / n, 9) AS DOUBLE) AS expected,
+             ROUND((n * o - r * c) * (n * o - r * c) * 1.0 / (n * r * c), 9)
+               AS chi2_term
+      FROM tot)
+    SELECT lang, source, o AS observed, expected,
+           CAST(chi2_term AS DOUBLE) AS chi2_term,
+           CAST(ROUND(SUM(CAST(ROUND(chi2_term * 1e9, 0) AS BIGINT))
+                        OVER () / 1e9, 9) AS DOUBLE) AS chi2_total,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+    FROM term
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test on the lang × source contingency
+    table — 'is corpus language independent of the crawl source?', the
+    categorical counterpart to agg_anova_f (numeric) and
+    agg_mutual_info (information-theoretic) in the statistics battery.
+    Expected counts are cross-multiplied away: term =
+    (N·O − r·c)² / (N·r·c), numerator exact int64, ONE double division
+    per cell rounded 9dp; the statistic is the nano-quantized window
+    sum (order-independent), dof = (R−1)(C−1).
+
+    Scale shape: one hash agg to R·C cells (bounded by the category
+    product, not the corpus), then windows over that tiny grid. Row and
+    column marginals come from windows instead of two extra aggregates
+    + joins — the cell grid shuffles once."""
+    d = load(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_r = Window.partitionBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_c = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(w_r).alias("r"),
+        F.sum("o").over(w_c).alias("c"),
+        F.sum("o").over(w_all).alias("n"),
+        F.size(F.collect_set("lang").over(w_all)).cast("bigint").alias("nr"),
+        F.size(F.collect_set("source").over(w_all)).cast("bigint").alias("nc"),
+    )
+    num = F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    term = tot.select(
+        "lang",
+        "source",
+        "o",
+        "nr",
+        "nc",
+        F.round(F.col("r") * F.col("c") / F.col("n"), 9)
+        .cast("double")
+        .alias("expected"),
+        F.round(num * num / (F.col("n") * F.col("r") * F.col("c")), 9).alias(
+            "chi2_term"
+        ),
+    )
+    return term.select(
+        "lang",
+        "source",
+        F.col("o").alias("observed"),
+        "expected",
+        F.col("chi2_term").cast("double").alias("chi2_term"),
+        F.round(
+            F.sum(F.round(F.col("chi2_term") * 1e9, 0).cast("bigint")).over(
+                w_all
+            )
+            / 1e9,
+            9,
+        )
+        .cast("double")
+        .alias("chi2_total"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+    )

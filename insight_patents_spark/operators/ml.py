@@ -476,3 +476,566 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_predicted"),
     )
+
+
+# NDCG@10 position discounts 1/log2(rank+1), pre-rounded to exact int64
+# nano-units and injected as LITERALS into both engines — the only
+# transcendental in ml_ndcg is evaluated once here in Python, so the
+# per-term arithmetic is pure integer multiplication everywhere.
+_NDCG_K = 10
+_NDCG_DISC_NANO = (
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+)
+
+
+def _disc_sql(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {d}::BIGINT"
+        for i, d in enumerate(_NDCG_DISC_NANO)
+    )
+    return f"CASE {rank_col} {whens} ELSE 0 END"
+
+
+@query(
+    "ml_roc_auc",
+    # Exact AUC (Mann-Whitney with midrank tie handling) per corpus
+    # source, from the SAME integer score-bin histogram as ml_pr_curve:
+    # AUC = [sum_b pos_b*(neg_below_b + neg_b/2)] / (P*N). Doubling the
+    # numerator keeps it an exact int64; ONE division at the end,
+    # rounded 9dp. Groups with a degenerate class (P=0 or N=0) are
+    # excluded (AUC undefined there).
+    oracle="""
+    WITH per_doc AS (
+      SELECT d.doc_id, MIN(d.source) AS source,
+             CAST(FLOOR(100.0 * COUNT(DISTINCT t.token) / COUNT(*))
+                  AS BIGINT) AS bin,
+             (MIN(d.lang) = 'en') AS pos
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      GROUP BY d.doc_id),
+    cells AS (
+      SELECT source, bin,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM per_doc GROUP BY source, bin),
+    cum AS (
+      SELECT source, pos, neg,
+             COALESCE(SUM(neg) OVER (PARTITION BY source ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM cells),
+    g AS (
+      SELECT source,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * neg_below + neg)) AS BIGINT) AS num2
+      FROM cum GROUP BY source)
+    SELECT source, n_pos, n_neg,
+           CAST(ROUND(num2 * 1.0 / (2 * n_pos * n_neg), 9) AS DOUBLE) AS auc
+    FROM g WHERE n_pos > 0 AND n_neg > 0
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC per corpus source — the Mann-Whitney rank-sum
+    identity with midrank tie handling, computed WITHOUT ranking the
+    corpus: scores collapse to the integer-bin histogram (bin =
+    floor(100·TTR), label = lang='en', shared with ml_pr_curve), and
+    AUC = Σ_b pos_b·(neg_below_b + neg_b/2) / (P·N) over the ≤101-bin
+    grid. The numerator is kept doubled so it stays an exact int64;
+    one division at the end, rounded 9dp.
+
+    Scale shape: a per-doc hash agg, a (source × bin) cell agg (≤101
+    rows per source), a window over the cell grid, one more tiny agg.
+    No global sort, no per-row ranks — the property that lets AUC run
+    on 10⁹ scored documents. Swapping in a real model score only
+    changes the bin expression."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", "source", F.explode(_tokens()).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.min("source").alias("source"),
+        F.floor(100.0 * F.count_distinct(F.col("token")) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("bin"),
+        (F.min("lang") == "en").alias("pos"),
+    )
+    cells = per_doc.groupBy("source", "bin").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("neg"),
+    )
+    w_below = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = cells.select(
+        "source",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_below), F.lit(0)).alias("neg_below"),
+    )
+    g = cum.groupBy("source").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
+        .cast("bigint")
+        .alias("num2"),
+    )
+    return g.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.round(F.col("num2") / (2 * F.col("n_pos") * F.col("n_neg")), 9)
+        .cast("double")
+        .alias("auc"),
+    )
+
+
+@query(
+    "ml_lift_gains",
+    # Cumulative gains / lift table over descending score bins — the
+    # campaign-targeting readout ("scoring the top 20% of the corpus
+    # captures 45% of positives, lift 2.2x"). Same integer-bin
+    # histogram as ml_pr_curve; depth/gain/lift are single divisions of
+    # exact int64 cumulative counts, rounded 9dp.
+    oracle="""
+    WITH per_doc AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(100.0 * COUNT(DISTINCT t.token) / COUNT(*))
+                  AS BIGINT) AS bin,
+             (MIN(d.lang) = 'en') AS pos
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      GROUP BY d.doc_id),
+    cells AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM per_doc GROUP BY bin),
+    cum AS (
+      SELECT bin,
+             SUM(n) OVER (ORDER BY bin DESC) AS cum_n,
+             SUM(pos) OVER (ORDER BY bin DESC) AS cum_pos,
+             SUM(n) OVER () AS tot_n,
+             SUM(pos) OVER () AS tot_pos
+      FROM cells)
+    SELECT CAST(bin AS BIGINT) AS threshold_bin,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(ROUND(cum_n * 1.0 / tot_n, 9) AS DOUBLE) AS depth,
+           CAST(ROUND(cum_pos * 1.0 / tot_pos, 9) AS DOUBLE) AS gain,
+           CAST(ROUND(cum_pos * 1.0 * tot_n / (cum_n * tot_pos), 9)
+                AS DOUBLE) AS lift
+    FROM cum
+    """,
+)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift by score decile (here: score bin) —
+    'score everything, keep the top X%': depth = share of corpus above
+    the bin, gain = share of positives captured, lift = gain/depth.
+    The classifier-driven corpus-selection readout (quality-filter
+    yield curves) next to ml_pr_curve/ml_roc_auc.
+
+    Scale shape: identical to ml_pr_curve — per-doc hash agg, ≤101-bin
+    cell agg, cumulative windows over the bin grid only. gain·depth
+    arithmetic cross-multiplies exact int64 counts (cum_pos·tot_n
+    stays < 2⁶³ up to 3·10⁹ rows) — no intermediate ratios."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.floor(100.0 * F.count_distinct(F.col("token")) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("bin"),
+        (F.min("lang") == "en").alias("pos"),
+    )
+    cells = per_doc.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
+    )
+    w_cum = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("tot_n"),
+        F.sum("pos").over(w_all).alias("tot_pos"),
+    )
+    return cum.select(
+        F.col("bin").cast("bigint").alias("threshold_bin"),
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.col("cum_pos").cast("bigint").alias("cum_pos"),
+        F.round(F.col("cum_n") / F.col("tot_n"), 9)
+        .cast("double")
+        .alias("depth"),
+        F.round(F.col("cum_pos") / F.col("tot_pos"), 9)
+        .cast("double")
+        .alias("gain"),
+        F.round(
+            F.col("cum_pos") * F.col("tot_n")
+            / (F.col("cum_n") * F.col("tot_pos")),
+            9,
+        )
+        .cast("double")
+        .alias("lift"),
+    )
+
+
+@query(
+    "ml_psi_drift",
+    # Population stability index between two md5-parity halves of the
+    # corpus (the train/serve drift monitor): feature = log2 bucket of
+    # n_chars (exact in both engines via length(bin(n))-1), Laplace +1
+    # smoothing so no bin divides by zero, per-bin PSI term =
+    # (pA - pB)·ln(pA/pB) with the ratio formed from exact int64
+    # cross-products, rounded 9dp; the total re-quantizes the rounded
+    # terms to nano-units so the global sum is order-independent.
+    oracle="""
+    WITH halves AS (
+      SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS part
+      FROM documents WHERE n_chars > 0),
+    cells AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN part = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_a,
+             CAST(SUM(CASE WHEN part = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt_b
+      FROM halves GROUP BY bucket),
+    sm AS (
+      SELECT bucket, cnt_a, cnt_b,
+             cnt_a + 1 AS ca, cnt_b + 1 AS cb,
+             SUM(cnt_a) OVER () + COUNT(*) OVER () AS ta,
+             SUM(cnt_b) OVER () + COUNT(*) OVER () AS tb
+      FROM cells),
+    term AS (
+      SELECT bucket, cnt_a, cnt_b,
+             ROUND((ca * 1.0 / ta - cb * 1.0 / tb)
+                   * LN((ca * tb) * 1.0 / (cb * ta)), 9) AS psi_term
+      FROM sm)
+    SELECT bucket, cnt_a, cnt_b,
+           CAST(psi_term AS DOUBLE) AS psi_term,
+           CAST(ROUND(SUM(CAST(ROUND(psi_term * 1e9, 0) AS BIGINT))
+                        OVER () / 1e9, 9) AS DOUBLE) AS psi_total
+    FROM term
+    """,
+)
+def ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index — THE production drift monitor run
+    between a reference corpus slice and a fresh one before retraining
+    or re-filtering. Slices here are md5-parity halves of doc_id (a
+    deterministic stand-in for time windows); the monitored feature is
+    the log2 length bucket (exact integer binary-length trick, shared
+    with agg_log_histogram). Laplace +1 smoothing keeps every occupied
+    bin's ratio finite; PSI per bin = (pA−pB)·ln(pA/pB) with the log
+    ratio formed from exact int64 cross-products (ca·tb)/(cb·ta) —
+    proportions are never materialized as floats before the ONE double
+    division. PSI > 0.2 is the standard 'investigate' threshold.
+
+    Scale shape: one hash agg to ≤64 log buckets, windows over that
+    grid only. The total is a window sum of nano-quantized 9dp terms —
+    exact int64, order-independent under any partitioning."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    part = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    halves = d.select(
+        (F.length(F.bin(F.col("n_chars"))) - 1).cast("bigint").alias("bucket"),
+        part.alias("part"),
+    )
+    cells = halves.groupBy("bucket").agg(
+        F.sum(F.when(F.col("part") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("part") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_b"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sm = cells.select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        (F.col("cnt_a") + 1).alias("ca"),
+        (F.col("cnt_b") + 1).alias("cb"),
+        (F.sum("cnt_a").over(w_all) + F.count(F.lit(1)).over(w_all)).alias("ta"),
+        (F.sum("cnt_b").over(w_all) + F.count(F.lit(1)).over(w_all)).alias("tb"),
+    )
+    term = sm.select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        F.round(
+            (F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb"))
+            * F.log((F.col("ca") * F.col("tb")) / (F.col("cb") * F.col("ta"))),
+            9,
+        ).alias("psi_term"),
+    )
+    return term.select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        F.col("psi_term").cast("double").alias("psi_term"),
+        F.round(
+            F.sum(F.round(F.col("psi_term") * 1e9, 0).cast("bigint")).over(
+                w_all
+            )
+            / 1e9,
+            9,
+        )
+        .cast("double")
+        .alias("psi_total"),
+    )
+
+
+@query(
+    "ml_ndcg",
+    # NDCG@10 per user "query" over the events table: the model ranking
+    # orders a user's events by value (desc, event_id tiebreak, NULLS
+    # LAST both engines), graded relevance is md5-derived in {0..3},
+    # the ideal ranking re-sorts by relevance. Discounts 1/log2(r+1)
+    # are injected as pre-rounded int64 nano literals, so DCG/IDCG are
+    # EXACT integer sums — the only division is the final ratio, 9dp.
+    oracle=f"""
+    WITH rel AS (
+      SELECT user_id, event_id, value,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                  || CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4 AS rel
+      FROM events),
+    ranked AS (
+      SELECT user_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY value DESC NULLS LAST, event_id) AS rm,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY rel DESC, event_id) AS ri
+      FROM rel),
+    g AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN rm <= {_NDCG_K}
+                  THEN rel * ({_disc_sql('rm')}) ELSE 0 END) AS BIGINT)
+               AS dcg_nano,
+             CAST(SUM(CASE WHEN ri <= {_NDCG_K}
+                  THEN rel * ({_disc_sql('ri')}) ELSE 0 END) AS BIGINT)
+               AS idcg_nano
+      FROM ranked GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(ROUND(dcg_nano / 1e9, 9) AS DOUBLE) AS dcg,
+           CAST(ROUND(idcg_nano / 1e9, 9) AS DOUBLE) AS idcg,
+           CAST(CASE WHEN idcg_nano > 0
+                THEN ROUND(dcg_nano * 1.0 / idcg_nano, 9)
+                ELSE 0.0 END AS DOUBLE) AS ndcg
+    FROM g
+    """,
+)
+def ml_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per user — the ranking-quality metric for the retrieval
+    / recommendation stages a corpus pipeline feeds (and the eval loop
+    vec_ann_recall's index tuning reports against). Each user's events
+    form a "query": the model ranking sorts by event value, graded
+    relevance (0-3) is md5-derived so both engines materialize the same
+    labels, the ideal ranking re-sorts by relevance. Position discounts
+    1/log2(rank+1) enter as PRE-ROUNDED int64 nano literals (the one
+    transcendental is evaluated once at import), so DCG and IDCG are
+    exact integer dot products and NDCG is one division, rounded 9dp.
+
+    Scale shape: two ROW_NUMBER windows over the SAME (user_id)
+    partitioning — one shuffle, reused by both sorts — then a hash agg.
+    Per-user work is O(events·log) locally; nothing global. At 10⁹
+    events the plan is unchanged: partition by query, rank inside."""
+    e = load(spark, sf_dir, "events")
+    rel = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("event_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+        ).alias("rel"),
+    )
+    w_model = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id")
+    )
+    w_ideal = Window.partitionBy("user_id").orderBy(
+        F.col("rel").desc(), F.col("event_id")
+    )
+    ranked = rel.select(
+        "user_id",
+        "rel",
+        F.row_number().over(w_model).alias("rm"),
+        F.row_number().over(w_ideal).alias("ri"),
+    )
+
+    def disc(rank: F.Column) -> F.Column:
+        expr = F.lit(0).cast("bigint")
+        for i, dn in enumerate(_NDCG_DISC_NANO):
+            expr = F.when(rank == i + 1, F.lit(dn).cast("bigint")).otherwise(
+                expr
+            )
+        return expr
+
+    g = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("rm") <= _NDCG_K, F.col("rel") * disc(F.col("rm"))
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_nano"),
+        F.sum(
+            F.when(
+                F.col("ri") <= _NDCG_K, F.col("rel") * disc(F.col("ri"))
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("idcg_nano"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("dcg_nano") / 1e9, 9).cast("double").alias("dcg"),
+        F.round(F.col("idcg_nano") / 1e9, 9).cast("double").alias("idcg"),
+        F.when(
+            F.col("idcg_nano") > 0,
+            F.round(F.col("dcg_nano") / F.col("idcg_nano"), 9),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("ndcg"),
+    )
+
+
+@query(
+    "ml_average_precision",
+    # Average precision (area under the PR curve, the step-wise
+    # sklearn definition AP = sum_n (R_n - R_{n-1}) * P_n) over the
+    # same integer score-bin histogram as ml_pr_curve: per descending
+    # bin, term = pos_b * tp_b / (P * (tp_b + fp_b)) — exact int64
+    # numerator, ONE division, 9dp; the total nano-quantizes rounded
+    # terms so the window sum is order-independent.
+    oracle="""
+    WITH per_doc AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(100.0 * COUNT(DISTINCT t.token) / COUNT(*))
+                  AS BIGINT) AS bin,
+             (MIN(d.lang) = 'en') AS pos
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      GROUP BY d.doc_id),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM per_doc GROUP BY bin),
+    cum AS (
+      SELECT bin, pos,
+             SUM(pos) OVER (ORDER BY bin DESC) AS tp,
+             SUM(neg) OVER (ORDER BY bin DESC) AS fp,
+             SUM(pos) OVER () AS p
+      FROM cells),
+    term AS (
+      SELECT bin, tp, fp,
+             CAST(ROUND(tp * 1.0 / (tp + fp), 9) AS DOUBLE) AS precision_at,
+             CAST(ROUND(pos * 1.0 / p, 9) AS DOUBLE) AS delta_recall,
+             ROUND(pos * 1.0 * tp / (p * (tp + fp)), 9) AS ap_term
+      FROM cum)
+    SELECT CAST(bin AS BIGINT) AS threshold_bin,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           precision_at, delta_recall,
+           CAST(ap_term AS DOUBLE) AS ap_term,
+           CAST(ROUND(SUM(CAST(ROUND(ap_term * 1e9, 0) AS BIGINT))
+                        OVER () / 1e9, 9) AS DOUBLE) AS ap_total
+    FROM term
+    """,
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-wise sklearn definition) — the single-number PR summary next
+    to ml_roc_auc's ROC summary; the metric of record when positives
+    are rare (quality filtering at 1-5% keep rates), where ROC AUC
+    saturates. Same ≤101-bin integer histogram as ml_pr_curve; per-bin
+    term pos_b·tp_b/(P·(tp_b+fp_b)) keeps the numerator an exact int64
+    with ONE 9dp division; the total is the nano-quantized window sum.
+
+    Scale shape: identical to ml_pr_curve — per-doc hash agg, bin-grid
+    cells, cumulative windows over ≤101 rows. The corpus is never
+    sorted by score."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.floor(100.0 * F.count_distinct(F.col("token")) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("bin"),
+        (F.min("lang") == "en").alias("pos"),
+    )
+    cells = per_doc.groupBy("bin").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("neg"),
+    )
+    w_cum = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "bin",
+        "pos",
+        F.sum("pos").over(w_cum).alias("tp"),
+        F.sum("neg").over(w_cum).alias("fp"),
+        F.sum("pos").over(w_all).alias("p"),
+    )
+    term = cum.select(
+        "bin",
+        "tp",
+        "fp",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 9)
+        .cast("double")
+        .alias("precision_at"),
+        F.round(F.col("pos") / F.col("p"), 9)
+        .cast("double")
+        .alias("delta_recall"),
+        F.round(
+            F.col("pos") * F.col("tp") / (F.col("p") * (F.col("tp") + F.col("fp"))),
+            9,
+        ).alias("ap_term"),
+    )
+    return term.select(
+        F.col("bin").cast("bigint").alias("threshold_bin"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        "precision_at",
+        "delta_recall",
+        F.col("ap_term").cast("double").alias("ap_term"),
+        F.round(
+            F.sum(F.round(F.col("ap_term") * 1e9, 0).cast("bigint")).over(
+                w_all
+            )
+            / 1e9,
+            9,
+        )
+        .cast("double")
+        .alias("ap_total"),
+    )

@@ -2882,3 +2882,84 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("zipf_slope"),
     )
+
+
+_WIN_K = 8  # winnowing char-gram length
+_WIN_W = 4  # winnowing window (guarantee threshold t = W + K - 1 = 11)
+
+
+@query(
+    "text_winnowing",
+    # Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    # scheme): char 8-gram md5 hashes, and from every window of 4
+    # consecutive grams keep the minimum (rightmost on hash ties),
+    # dedup per doc. Hash and position pack into ONE int64
+    # (fp * 2^24 + (2^24-1-pos)) so "min hash, rightmost tie" is a
+    # single integer MIN — no struct comparators to keep in sync across
+    # engines. Guarantee: any shared substring of length >= 11 chars
+    # yields at least one shared fingerprint.
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text, length(text) - {_WIN_K - 1} AS ng
+      FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
+    p AS (
+      SELECT doc_id, ng,
+             list_transform(range(1, ng + 1), i ->
+               CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {_WIN_K})), 1, 8))
+                    AS BIGINT) * 16777216 + (16777215 - i)) AS packed
+      FROM g),
+    sel AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range({_WIN_W}, ng + 1), i ->
+               list_min(packed[CAST(i - {_WIN_W - 1} AS INT):CAST(i AS INT)]))))
+               AS pk
+      FROM p)
+    SELECT doc_id,
+           CAST(16777215 - pk % 16777216 AS BIGINT) AS pos,
+           CAST(pk // 16777216 AS BIGINT) AS fp
+    FROM sel
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints — the MOSS local fingerprinting
+    scheme, THE positional alternative to MinHash for substring-level
+    dedup and plagiarism/contamination detection: hash every char
+    8-gram, slide a 4-gram window, keep each window's minimum hash
+    (rightmost position on ties), dedup per document. The winnowing
+    guarantee: any match of length ≥ W+K−1 = 11 chars between two
+    documents shares at least one selected fingerprint, and the
+    selected density is ~2/(W+1) of all grams — a tunable
+    recall/density dial no bottom-k sketch (text_fingerprint) offers.
+
+    Scale shape: ENTIRELY in-row — gram hashes, window minima, and
+    dedup all run inside array expressions per document (no explode
+    until the final result), so the operator is a narrow scan-speed
+    projection; fingerprints then flow to an equi-join for candidate
+    pairs exactly like dedup_cdc_chunks' digests. The "min hash,
+    rightmost tie" rule is one integer MIN over packed
+    fp·2²⁴ + (2²⁴−1−pos) values — exact in both engines, no float, no
+    struct comparator."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length("text") >= _WIN_K + _WIN_W - 1
+    )
+    packed = F.expr(
+        f"transform(sequence(1, length(text) - {_WIN_K - 1}), i -> "
+        f"cast(conv(substring(md5(substring(text, i, {_WIN_K})), 1, 8), 16, 10) "
+        f"as bigint) * 16777216 + (16777215 - i))"
+    )
+    sel = d.withColumn("packed", packed).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence({_WIN_W}, size(packed)), "
+                    f"i -> array_min(slice(packed, i - {_WIN_W - 1}, {_WIN_W})))"
+                )
+            )
+        ).alias("pk"),
+    )
+    return sel.select(
+        "doc_id",
+        (16777215 - F.col("pk") % 16777216).cast("bigint").alias("pos"),
+        F.expr("pk div 16777216").cast("bigint").alias("fp"),
+    )

@@ -78,7 +78,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          (complement of the union of CORRECTNESS_r01-r06 keys),
 #          including every query whose code changed in r7
 #          (graph_scc, seq_attribution_markov) so the driver gate
-#          covers the round's diff; the remaining 58 rotate in r8.
+#          covers the round's diff; the 8 operators r7's NEW queries
+#          (ml_roc_auc, ml_average_precision, ml_lift_gains,
+#          ml_psi_drift, ml_ndcg, agg_chi_square, geo_knn,
+#          text_winnowing) displaced (win_cume_nth, win_drawdown,
+#          agg_iqr_outliers, agg_new_returning, agg_cohort_ltv,
+#          time_acf, sample_priority, seq_topk_paths) join the
+#          remaining never-checked set for the r8 rotation.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
@@ -86,20 +92,23 @@ _SHOWCASE_50 = (
     "stream_streaks", "stream_watermark_late", "stream_static_join",
     "stream_foreach_batch", "stream_transform_with_state",
     "stream_rollup_incremental",
-    # model scoring
-    "ml_pr_curve", "ml_calibration_bins",
+    # model scoring (ml_roc_auc/ml_average_precision/ml_lift_gains/
+    # ml_psi_drift/ml_ndcg are NEW in r7 — this round's diff, so they
+    # take prefix slots; the 8 backlog ops they displaced rotate in r8)
+    "ml_pr_curve", "ml_calibration_bins", "ml_roc_auc",
+    "ml_average_precision", "ml_lift_gains", "ml_psi_drift", "ml_ndcg",
     # window analytics
-    "win_cume_nth", "win_anomaly_zscore", "win_rolling_corr",
-    "win_drawdown", "win_rsi", "win_sliding_distinct", "win_skyline_2d",
-    # aggregations / statistics
+    "win_anomaly_zscore", "win_rolling_corr",
+    "win_rsi", "win_sliding_distinct", "win_skyline_2d",
+    # aggregations / statistics (agg_chi_square NEW in r7)
     "agg_hll_intersect", "agg_bitmap_distinct", "agg_ab_ttest",
-    "agg_iqr_outliers", "agg_new_returning", "agg_cohort_ltv",
+    "agg_chi_square",
     "agg_histogram_equidepth", "agg_mutual_info", "agg_anova_f",
     "agg_log_histogram", "agg_mad_outliers",
     # time series
-    "time_downsample_lttb", "time_acf",
+    "time_downsample_lttb",
     # relational / dq / sinks
-    "sample_priority", "profile_table", "sink_scd2", "sink_cdc_apply",
+    "profile_table", "sink_scd2", "sink_cdc_apply",
     "sql_recursive_cte", "dq_impute",
     # graph — NOTE: with the builders (graph_build/graph_triangles)
     # already retired from the prefix, graph_hits is now the first
@@ -109,14 +118,14 @@ _SHOWCASE_50 = (
     # cache below.
     "graph_hits", "graph_diameter_2sweep",
     # sequences
-    "seq_markov_stationary", "seq_topk_paths", "agg_survival_km",
-    # text / dedup
+    "seq_markov_stationary", "agg_survival_km",
+    # text / dedup (text_winnowing NEW in r7)
     "dedup_eval", "text_jaccard_tokens", "dedup_minhash_pairs",
-    "text_minhash_containment", "text_decontaminate",
+    "text_minhash_containment", "text_decontaminate", "text_winnowing",
     # vector similarity
     "vec_cell_refine", "vec_residual_pq",
-    # joins
-    "join_scd2_asof",
+    # joins (geo_knn NEW in r7)
+    "join_scd2_asof", "geo_knn",
     # python UDF surface
     "udtf_table_arg",
     # changed-in-r7 queries LAST in the prefix: still inside the

@@ -1250,3 +1250,88 @@ def test_scc_peel_plan_is_checkpointed_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ExistingRDD" in plan  # localCheckpoint-truncated lineage
+
+
+def test_ml_rank_metrics_bin_before_window(spark, sf_dir):
+    # ml_roc_auc / ml_average_precision / ml_lift_gains: the corpus must
+    # collapse to the integer score-bin grid (hash/sort aggregates)
+    # BEFORE any window touches it — the never-sort-the-corpus property
+    # these metrics exist for — and the documents scan happens once.
+    from insight_patents_spark.operators.ml import (
+        ml_average_precision,
+        ml_lift_gains,
+        ml_roc_auc,
+    )
+
+    for fn in (ml_roc_auc, ml_average_precision, ml_lift_gains):
+        plan = formatted_plan(fn(spark, sf_dir))
+        idx_aggs = [
+            m.start()
+            for m in re.finditer(r"^\(\d+\) (Hash|Sort)Aggregate", plan, re.M)
+        ]
+        idx_wins = [
+            m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)
+        ]
+        assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins), fn
+        assert plan.count("documents.parquet") == 1, fn
+
+
+def test_ndcg_two_rankings_share_one_shuffle(spark, sf_dir):
+    # both ROW_NUMBER windows (model ranking, ideal ranking) and the
+    # final per-user aggregate must ride ONE (user_id) exchange — the
+    # partitioning-reuse property that makes per-query ranking metrics
+    # a single-shuffle job at any corpus size.
+    from insight_patents_spark.operators.ml import ml_ndcg
+
+    plan = formatted_plan(ml_ndcg(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 2
+    assert plan.count("events.parquet") == 1
+
+
+def test_psi_and_chi_square_windows_after_one_fact_agg(spark, sf_dir):
+    # drift/independence stats: ONE fact aggregate collapses the corpus
+    # to the category grid; marginals/totals come from windows over that
+    # grid (never a second fact scan, never a join back to the corpus).
+    from insight_patents_spark.operators.aggregates import agg_chi_square
+    from insight_patents_spark.operators.ml import ml_psi_drift
+
+    for fn in (ml_psi_drift, agg_chi_square):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert plan.count("documents.parquet") == 1, fn
+        assert "Join" not in plan, fn  # marginals via windows, not joins
+        idx_aggs = [
+            m.start()
+            for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)
+        ]
+        idx_wins = [
+            m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)
+        ]
+        assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins), fn
+
+
+def test_geo_knn_broadcasts_probes_two_stage_topk(spark, sf_dir):
+    # exact kNN at scale: the tiny probe side broadcasts (items never
+    # shuffle for the distance pass — the only non-broadcast exchanges
+    # are the window partitionings), and top-k refines in TWO window
+    # stages (per-cell partial, per-probe final), both eligible for
+    # WindowGroupLimit pushdown.
+    from insight_patents_spark.operators.joins import geo_knn
+
+    plan = formatted_plan(geo_knn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_winnowing_is_narrow_scan_speed(spark, sf_dir):
+    # the whole fingerprint selection (gram hashes, window minima,
+    # per-doc dedup) runs inside array expressions per row: the plan
+    # must contain NO exchange at all — scan, filter, project, explode.
+    from insight_patents_spark.operators.text import text_winnowing
+
+    plan = formatted_plan(text_winnowing(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the final fingerprint explode
+    assert "Join" not in plan

@@ -5123,3 +5123,304 @@ def test_permissive_evolution_compaction_overwrite_jdbc_scan(spark, sf_dir):
     }
     got = {tuple(r) for r in scan_jdbc_partitioned(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def _md5i8(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_ml_rank_metrics_match_pairwise_python(spark, sf_dir):
+    """ml_roc_auc vs the O(P*N) pairwise Mann-Whitney definition (the
+    binned identity must equal literal pair counting with 0.5 ties);
+    ml_average_precision and ml_lift_gains vs step-formula replays on
+    Python-built bins."""
+    from insight_patents_spark.operators.ml import (
+        ml_average_precision,
+        ml_lift_gains,
+        ml_roc_auc,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).collect()
+    per_doc = []  # (source, bin, pos)
+    for r in docs:
+        toks = r.text.split(" ")
+        bin_ = (100 * len(set(toks))) // len(toks)
+        per_doc.append((r.source, bin_, r.lang == "en"))
+
+    # --- AUC: literal pairwise with midrank ties, per source
+    want_auc = {}
+    for src in sorted({s for s, _, _ in per_doc}):
+        ps = [b for s, b, p in per_doc if s == src and p]
+        ns = [b for s, b, p in per_doc if s == src and not p]
+        if not ps or not ns:
+            continue
+        num = sum(
+            1.0 if pb > nb else (0.5 if pb == nb else 0.0)
+            for pb in ps
+            for nb in ns
+        )
+        want_auc[src] = (len(ps), len(ns), num / (len(ps) * len(ns)))
+    got_auc = {
+        r.source: (r.n_pos, r.n_neg, r.auc)
+        for r in ml_roc_auc(spark, sf_dir).collect()
+    }
+    assert set(got_auc) == set(want_auc)
+    for src, (np_, nn, auc) in want_auc.items():
+        gp, gn, ga = got_auc[src]
+        assert (gp, gn) == (np_, nn)
+        assert abs(ga - auc) < 1e-8, src
+
+    # --- bins for AP / lift replays
+    from collections import Counter
+
+    pos_c, n_c = Counter(), Counter()
+    for _, b, p in per_doc:
+        n_c[b] += 1
+        pos_c[b] += int(p)
+    bins_desc = sorted(n_c, reverse=True)
+    p_tot = sum(pos_c.values())
+    n_tot = sum(n_c.values())
+
+    tp = fp = 0
+    want_ap = {}
+    ap_sum = 0.0
+    for b in bins_desc:
+        tp += pos_c[b]
+        fp += n_c[b] - pos_c[b]
+        term = round(pos_c[b] * tp / (p_tot * (tp + fp)), 9)
+        ap_sum += round(term * 1e9)
+        want_ap[b] = (tp, fp, term)
+    got_ap = {
+        r.threshold_bin: (r.tp, r.fp, r.ap_term, r.ap_total)
+        for r in ml_average_precision(spark, sf_dir).collect()
+    }
+    assert set(got_ap) == set(want_ap)
+    for b, (tp_, fp_, term) in want_ap.items():
+        g = got_ap[b]
+        assert (g[0], g[1]) == (tp_, fp_)
+        assert abs(g[2] - term) < 1e-9
+        assert abs(g[3] - round(ap_sum / 1e9, 9)) < 1e-9
+
+    cn = cp = 0
+    want_lift = {}
+    for b in bins_desc:
+        cn += n_c[b]
+        cp += pos_c[b]
+        want_lift[b] = (cn, cp, cp * n_tot / (cn * p_tot))
+    got_lift = {
+        r.threshold_bin: (r.cum_n, r.cum_pos, r.lift)
+        for r in ml_lift_gains(spark, sf_dir).collect()
+    }
+    assert set(got_lift) == set(want_lift)
+    for b, (cn_, cp_, lift) in want_lift.items():
+        g = got_lift[b]
+        assert (g[0], g[1]) == (cn_, cp_)
+        assert abs(g[2] - lift) < 1e-8
+
+
+def test_psi_and_chi_square_match_python(spark, sf_dir):
+    """ml_psi_drift vs a hashlib/math replay of the smoothed PSI;
+    agg_chi_square vs the direct sum((O-E)^2/E) definition."""
+    import math
+
+    from insight_patents_spark.operators.aggregates import agg_chi_square
+    from insight_patents_spark.operators.ml import ml_psi_drift
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).collect()
+
+    # --- PSI replay
+    from collections import Counter
+
+    ca_c, cb_c = Counter(), Counter()
+    for r in docs:
+        if r.n_chars <= 0:
+            continue
+        b = int(r.n_chars).bit_length() - 1
+        if _md5i8(str(r.doc_id)) % 2 == 0:
+            ca_c[b] += 1
+        else:
+            cb_c[b] += 1
+    buckets = sorted(set(ca_c) | set(cb_c))
+    nb = len(buckets)
+    ta = sum(ca_c.values()) + nb
+    tb = sum(cb_c.values()) + nb
+    want = {}
+    tot_nano = 0
+    for b in buckets:
+        ca, cb = ca_c[b] + 1, cb_c[b] + 1
+        term = round(
+            (ca / ta - cb / tb) * math.log((ca * tb) / (cb * ta)), 9
+        )
+        tot_nano += round(term * 1e9)
+        want[b] = (ca_c[b], cb_c[b], term)
+    got = {
+        r.bucket: (r.cnt_a, r.cnt_b, r.psi_term, r.psi_total)
+        for r in ml_psi_drift(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for b, (a, c, term) in want.items():
+        g = got[b]
+        assert (g[0], g[1]) == (a, c)
+        assert abs(g[2] - term) < 1e-9
+        assert abs(g[3] - round(tot_nano / 1e9, 9)) < 1e-9
+
+    # --- chi-square replay: direct (O-E)^2/E
+    obs = Counter((r.lang, r.source) for r in docs)
+    r_tot = Counter()
+    c_tot = Counter()
+    for (lg, sc), o in obs.items():
+        r_tot[lg] += o
+        c_tot[sc] += o
+    n = sum(obs.values())
+    got_chi = {
+        (r.lang, r.source): (r.observed, r.expected, r.chi2_term, r.chi2_total, r.dof)
+        for r in agg_chi_square(spark, sf_dir).collect()
+    }
+    assert set(got_chi) == set(obs)
+    tot_nano = 0
+    terms = {}
+    for (lg, sc), o in obs.items():
+        e = r_tot[lg] * c_tot[sc] / n
+        term = round((o - e) ** 2 / e, 9)
+        terms[(lg, sc)] = (o, e, term)
+        tot_nano += round(term * 1e9)
+    dof = (len(r_tot) - 1) * (len(c_tot) - 1)
+    for k, (o, e, term) in terms.items():
+        g = got_chi[k]
+        assert g[0] == o
+        assert abs(g[1] - e) < 1e-8
+        assert abs(g[2] - term) < 1e-7  # cross-mult vs direct: same to fp
+        assert g[4] == dof
+        assert abs(g[3] - round(tot_nano / 1e9, 9)) < 1e-6
+
+
+def test_ndcg_matches_python_replay(spark, sf_dir):
+    """ml_ndcg vs a full Python replay: md5 relevance, both rankings,
+    integer nano-discount dot products."""
+    from insight_patents_spark.operators.ml import (
+        _NDCG_DISC_NANO,
+        _NDCG_K,
+        ml_ndcg,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        rel = _md5i8(f"{r.user_id}:{r.event_id}") % 4
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.value, rel))
+    want = {}
+    for u, evs in by_user.items():
+        # model ranking: value desc nulls last, event_id asc
+        model = sorted(
+            evs, key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0])
+        )
+        ideal = sorted(evs, key=lambda t: (-t[2], t[0]))
+        dcg = sum(
+            e[2] * _NDCG_DISC_NANO[i]
+            for i, e in enumerate(model[:_NDCG_K])
+        )
+        idcg = sum(
+            e[2] * _NDCG_DISC_NANO[i]
+            for i, e in enumerate(ideal[:_NDCG_K])
+        )
+        ndcg = round(dcg / idcg, 9) if idcg > 0 else 0.0
+        want[u] = (len(evs), round(dcg / 1e9, 9), round(idcg / 1e9, 9), ndcg)
+    got = {
+        r.user_id: (r.n_events, r.dcg, r.idcg, r.ndcg)
+        for r in ml_ndcg(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for u, w in want.items():
+        g = got[u]
+        assert g[0] == w[0]
+        for i in (1, 2, 3):
+            assert abs(g[i] - w[i]) < 1e-9, u
+
+
+def test_geo_knn_matches_bruteforce(spark, sf_dir):
+    """geo_knn's two-stage cell refinement vs a NumPy all-pairs top-5 —
+    the refinement must be EXACTLY the brute-force answer."""
+    import numpy as np
+
+    from insight_patents_spark.operators.joins import geo_knn
+    from insight_patents_spark.sources.tables import load
+
+    cust = [
+        r.c_custkey
+        for r in load(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    supp = [
+        r.s_suppkey
+        for r in load(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    ]
+    ilat = np.array([_md5i8(f"lat{c}") % 1200001 - 600000 for c in cust])
+    ilon = np.array([_md5i8(f"lon{c}") % 3600001 - 1800000 for c in cust])
+    ids = np.array(cust)
+    want = {}
+    for s in supp:
+        plat = _md5i8(f"plat{s}") % 1200001 - 600000
+        plon = _md5i8(f"plon{s}") % 3600001 - 1800000
+        d2q = 4 * (plat - ilat) ** 2 + (plon - ilon) ** 2
+        order = np.lexsort((ids, d2q))[:5]
+        want[s] = [(int(d2q[i]), int(ids[i])) for i in order]
+    got = {}
+    for r in geo_knn(spark, sf_dir).collect():
+        got.setdefault(r.probe_id, []).append(
+            (r.rank, r.d2q_units, r.item_id)
+        )
+    assert set(got) == set(want)
+    for s, w in want.items():
+        g = sorted(got[s])
+        assert [(d, i) for _, d, i in g] == w, s
+
+
+def test_winnowing_matches_python_and_covers_every_window(spark, sf_dir):
+    """text_winnowing vs a literal hashlib replay of the
+    Schleimer-Wilkerson-Aiken selection (min hash per window, rightmost
+    tie), plus the winnowing coverage property: consecutive selected
+    positions are never more than W apart (every window contributed)."""
+    from insight_patents_spark.operators.text import (
+        _WIN_K,
+        _WIN_W,
+        text_winnowing,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = set()
+    gaps_ok = True
+    for r in docs:
+        t = r.text
+        n = len(t) - _WIN_K + 1
+        if n < _WIN_W:
+            continue
+        packed = [
+            _md5i8(t[p - 1 : p - 1 + _WIN_K]) * 16777216 + (16777215 - p)
+            for p in range(1, n + 1)
+        ]
+        sel = set()
+        for i in range(_WIN_W, n + 1):
+            sel.add(min(packed[i - _WIN_W : i]))
+        poss = sorted(16777215 - pk % 16777216 for pk in sel)
+        gaps_ok = gaps_ok and all(
+            b - a <= _WIN_W for a, b in zip(poss, poss[1:])
+        )
+        for pk in sel:
+            want.add((r.doc_id, 16777215 - pk % 16777216, pk // 16777216))
+    got = {
+        (r.doc_id, r.pos, r.fp)
+        for r in text_winnowing(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert gaps_ok
