@@ -1787,3 +1787,94 @@ def dq_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cents_imputed"),
     )
+
+
+@query(
+    "dq_freshness",
+    # Data-freshness monitor per event_type: staleness of the latest
+    # record vs the table's global max timestamp (the deterministic
+    # "now" anchor), trailing-24h/7d arrival counts against the
+    # series' own daily average, and a stale flag at the 24h SLA.
+    # All time math on exact int64 epoch seconds (floored identically
+    # in both engines); the ratio cross-multiplies exact ints before
+    # ONE 9dp division.
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+      FROM events),
+    anchor AS (SELECT MAX(es) AS a FROM e),
+    g AS (
+      SELECT e.event_type,
+             CAST(MAX(e.es) AS BIGINT) AS last_es,
+             CAST(COUNT(*) AS BIGINT) AS total_n,
+             CAST(SUM(CASE WHEN e.es > x.a - 86400 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_last_day,
+             CAST(SUM(CASE WHEN e.es > x.a - 604800 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_last_week,
+             CAST((MAX(e.es) - MIN(e.es)) // 86400 + 1 AS BIGINT)
+               AS span_days,
+             CAST(MIN(x.a) AS BIGINT) AS a
+      FROM e CROSS JOIN anchor x GROUP BY e.event_type)
+    SELECT event_type,
+           CAST((a - last_es) // 60 AS BIGINT) AS staleness_min,
+           n_last_day, n_last_week,
+           CAST(ROUND(total_n * 1.0 / span_days, 9) AS DOUBLE) AS daily_avg,
+           CAST(ROUND(n_last_day * 1.0 * span_days / total_n, 9) AS DOUBLE)
+             AS freshness_ratio,
+           (a - last_es) > 86400 AS is_stale
+    FROM g
+    """,
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness / arrival-rate monitor per event_type — the data-
+    quality check every ingestion pipeline runs before trusting a
+    partition: how stale is the newest record (vs the table's own max
+    timestamp, a deterministic 'now'), how do trailing-24h/7d arrival
+    counts compare to the series' lifetime daily average
+    (freshness_ratio < 1 = arrivals slowing), and a 24h-SLA stale
+    flag. Sits beside dq_expectations (values) and profile_table
+    (shape) as the TIME dimension of data quality.
+
+    Scale shape: ONE map-side-combinable hash agg over the fact (all
+    trailing-window counts are conditional sums against a broadcast
+    scalar anchor — no window functions, no second scan); everything
+    after is per-type arithmetic on exact int64 epoch seconds. At 10⁹
+    events this is a single agg + broadcast join."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("es"),
+    )
+    anchor = e.agg(F.max("es").alias("a"))
+    g = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.max("es").cast("bigint").alias("last_es"),
+            F.count(F.lit(1)).cast("bigint").alias("total_n"),
+            F.sum(F.when(F.col("es") > F.col("a") - 86400, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_last_day"),
+            F.sum(F.when(F.col("es") > F.col("a") - 604800, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_last_week"),
+            (
+                F.expr("(max(es) - min(es)) div 86400") + 1
+            )
+            .cast("bigint")
+            .alias("span_days"),
+            F.min("a").cast("bigint").alias("a"),
+        )
+    )
+    return g.select(
+        "event_type",
+        F.expr("(a - last_es) div 60").cast("bigint").alias("staleness_min"),
+        "n_last_day",
+        "n_last_week",
+        F.round(F.col("total_n") / F.col("span_days"), 9)
+        .cast("double")
+        .alias("daily_avg"),
+        F.round(F.col("n_last_day") * F.col("span_days") / F.col("total_n"), 9)
+        .cast("double")
+        .alias("freshness_ratio"),
+        ((F.col("a") - F.col("last_es")) > 86400).alias("is_stale"),
+    )

@@ -1398,3 +1398,108 @@ def seq_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("attributed_share"),
     )
+
+
+@query(
+    "seq_pair_support",
+    # Length-2 sequential pattern mining (the PrefixSpan/SPADE unit
+    # step): support of "event type a, later type b" across users,
+    # using first-occurrence semantics — user supports a->b iff their
+    # earliest a strictly precedes their earliest b. The corpus
+    # collapses to one (user x type) first-seen grid (<= |users|*|types|
+    # rows); patterns come from the grid's per-user type pairs.
+    # Confidence = support(a->b)/support(a), one exact division, 9dp.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type, MIN(ts) AS first_ts,
+             MIN(event_id) AS tie_id
+      FROM events GROUP BY user_id, event_type),
+    users AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM firsts),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS support_n
+      FROM firsts a JOIN firsts b ON a.user_id = b.user_id
+       AND (a.first_ts < b.first_ts
+            OR (a.first_ts = b.first_ts AND a.tie_id < b.tie_id))
+      GROUP BY a.event_type, b.event_type),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS base_n
+      FROM firsts GROUP BY event_type)
+    SELECT p.type_a, p.type_b, p.support_n,
+           CAST(ROUND(p.support_n * 1.0 / u.n_users, 9) AS DOUBLE)
+             AS support,
+           CAST(ROUND(p.support_n * 1.0 / ba.base_n, 9) AS DOUBLE)
+             AS confidence
+    FROM pairs p JOIN base ba ON p.type_a = ba.event_type
+    CROSS JOIN users u
+    """,
+)
+def seq_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern support — the length-2 unit step of
+    PrefixSpan/SPADE sequence mining ('users who do a LATER do b'),
+    with first-occurrence semantics and a deterministic event_id
+    tiebreak for simultaneous firsts: the sibling of graph_assoc_rules
+    (co-occurrence, unordered) that adds ORDER. Confidence divides by
+    the antecedent's user count; support by the total user universe.
+
+    Scale shape: ONE hash agg collapses the event stream to the
+    (user × type) first-seen grid — ≤ |users|·|types| rows, map-side
+    combinable; the pattern join is a self-equi-join ON user_id with
+    per-user fan-out bounded by |types|² (≤49 here), never by event
+    volume; the antecedent-base join is broadcast-sized (|types| rows).
+    At 10⁹ events the plan is identical: the grid is the only shuffle
+    that scales with data, and it scales with USERS, not events."""
+    e = load(spark, sf_dir, "events")
+    # the first-seen grid feeds FOUR consumers (both self-join sides,
+    # the antecedent base, the user universe) — localCheckpoint pins it
+    # so the fact is scanned once; it is |users|*|types| rows, cheap
+    firsts = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.min("event_id").alias("tie_id"))
+        .localCheckpoint()
+    )
+    n_users = firsts.select(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("first_ts").alias("ts_a"),
+        F.col("tie_id").alias("id_a"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("first_ts").alias("ts_b"),
+        F.col("tie_id").alias("id_b"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("ts_a") < F.col("ts_b"))
+            | ((F.col("ts_a") == F.col("ts_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support_n"))
+    )
+    base = firsts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("base_n")
+    )
+    return (
+        pairs.join(
+            F.broadcast(base.withColumnRenamed("event_type", "type_a")),
+            "type_a",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "support_n",
+            F.round(F.col("support_n") / F.col("n_users"), 9)
+            .cast("double")
+            .alias("support"),
+            F.round(F.col("support_n") / F.col("base_n"), 9)
+            .cast("double")
+            .alias("confidence"),
+        )
+    )

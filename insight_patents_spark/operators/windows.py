@@ -1176,3 +1176,130 @@ def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bounce_rate"),
     )
+
+
+@query(
+    "win_mann_kendall",
+    # Mann-Kendall trend test per event_type on the daily-revenue grid:
+    # S = sum over day pairs i<j of sign(x_j - x_i) — EXACT integer
+    # (revenue in int64 cents, sign is pure comparison), so the
+    # nonparametric sibling of agg_trend_ols has no float until the
+    # final z. Tie correction: 18*Var(S) = n(n-1)(2n+5) - sum_t
+    # t(t-1)(2t+5) over tied-value groups, exact int64; z applies the
+    # standard +-1 continuity correction, one sqrt + division, 9dp.
+    oracle="""
+    WITH grid AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM grid a JOIN grid b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY a.event_type),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t-1) * (2*t+5)) AS BIGINT) AS tie_corr
+      FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+            FROM grid GROUP BY event_type, cents)
+      GROUP BY event_type),
+    n AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM grid
+      GROUP BY event_type)
+    SELECT n.event_type, n.n_days, s.s_stat,
+           CAST(n.n_days*(n.n_days-1)*(2*n.n_days+5) - t.tie_corr
+                AS BIGINT) AS var_s_18,
+           CAST(CASE
+             WHEN s.s_stat > 0 THEN ROUND((s.s_stat - 1)
+               / SQRT((n.n_days*(n.n_days-1)*(2*n.n_days+5) - t.tie_corr)
+                      / 18.0), 9)
+             WHEN s.s_stat < 0 THEN ROUND((s.s_stat + 1)
+               / SQRT((n.n_days*(n.n_days-1)*(2*n.n_days+5) - t.tie_corr)
+                      / 18.0), 9)
+             ELSE 0.0 END AS DOUBLE) AS z
+    FROM n JOIN s ON n.event_type = s.event_type
+    JOIN ties t ON n.event_type = t.event_type
+    """,
+)
+def win_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event_type — the NONPARAMETRIC
+    monotone-trend detector next to agg_trend_ols' parametric slope
+    (robust to outliers and any monotone transform; the standard test
+    for 'is this metric drifting' in monitoring pipelines). S counts
+    concordant minus discordant day pairs in exact integers; the
+    tie-corrected variance stays in int64 (kept ×18 so it never
+    divides); z is one sqrt + division with the ±1 continuity
+    correction, 9dp.
+
+    Scale shape: the event stream collapses to the (type, day) grid in
+    ONE map-side-combinable hash agg; the O(days²) pair join runs on
+    the GRID (≤365 rows/type/year — bounded by calendar, not corpus),
+    partitioned by type. Tie groups are a second tiny grid agg. The
+    same shape as time_acf: grid self-join, never a fact self-join."""
+    e = load(spark, sf_dir, "events")
+    # the grid feeds THREE consumers (pair join, tie agg, day count) —
+    # localCheckpoint materializes it once so the fact is scanned once,
+    # not three times (it is |types|·|days| rows, trivially cheap to pin)
+    grid = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(value*100,0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    a = grid.select(
+        "event_type", F.col("day").alias("day_a"), F.col("cents").alias("ca")
+    )
+    b = grid.select(
+        "event_type", F.col("day").alias("day_b"), F.col("cents").alias("cb")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        grid.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_corr")
+        )
+    )
+    n = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    j = n.join(s, "event_type").join(ties, "event_type")
+    var18 = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_corr")
+    )
+    sd = F.sqrt(var18 / 18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, F.round((F.col("s_stat") - 1) / sd, 9))
+        .when(F.col("s_stat") < 0, F.round((F.col("s_stat") + 1) / sd, 9))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        var18.cast("bigint").alias("var_s_18"),
+        z.cast("double").alias("z"),
+    )

@@ -78,13 +78,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          (complement of the union of CORRECTNESS_r01-r06 keys),
 #          including every query whose code changed in r7
 #          (graph_scc, seq_attribution_markov) so the driver gate
-#          covers the round's diff; the 8 operators r7's NEW queries
+#          covers the round's diff; the 11 operators r7's NEW queries
 #          (ml_roc_auc, ml_average_precision, ml_lift_gains,
 #          ml_psi_drift, ml_ndcg, agg_chi_square, geo_knn,
-#          text_winnowing) displaced (win_cume_nth, win_drawdown,
+#          text_winnowing, seq_pair_support, win_mann_kendall,
+#          dq_freshness) displaced (win_cume_nth, win_drawdown,
 #          agg_iqr_outliers, agg_new_returning, agg_cohort_ltv,
-#          time_acf, sample_priority, seq_topk_paths) join the
-#          remaining never-checked set for the r8 rotation.
+#          time_acf, sample_priority, seq_topk_paths,
+#          agg_bitmap_distinct, time_downsample_lttb, vec_cell_refine)
+#          join the remaining never-checked set for the r8 rotation.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
@@ -100,16 +102,17 @@ _SHOWCASE_50 = (
     # window analytics
     "win_anomaly_zscore", "win_rolling_corr",
     "win_rsi", "win_sliding_distinct", "win_skyline_2d",
-    # aggregations / statistics (agg_chi_square NEW in r7)
-    "agg_hll_intersect", "agg_bitmap_distinct", "agg_ab_ttest",
-    "agg_chi_square",
+    # aggregations / statistics (agg_chi_square, win_mann_kendall NEW
+    # in r7)
+    "agg_hll_intersect", "agg_ab_ttest",
+    "agg_chi_square", "win_mann_kendall",
     "agg_histogram_equidepth", "agg_mutual_info", "agg_anova_f",
     "agg_log_histogram", "agg_mad_outliers",
-    # time series
-    "time_downsample_lttb",
-    # relational / dq / sinks
+    # sequences (seq_pair_support NEW in r7)
+    "seq_pair_support",
+    # relational / dq / sinks (dq_freshness NEW in r7)
     "profile_table", "sink_scd2", "sink_cdc_apply",
-    "sql_recursive_cte", "dq_impute",
+    "sql_recursive_cte", "dq_impute", "dq_freshness",
     # graph — NOTE: with the builders (graph_build/graph_triangles)
     # already retired from the prefix, graph_hits is now the first
     # graph query in emission order and pays the shared edge-cache
@@ -123,7 +126,7 @@ _SHOWCASE_50 = (
     "dedup_eval", "text_jaccard_tokens", "dedup_minhash_pairs",
     "text_minhash_containment", "text_decontaminate", "text_winnowing",
     # vector similarity
-    "vec_cell_refine", "vec_residual_pq",
+    "vec_residual_pq",
     # joins (geo_knn NEW in r7)
     "join_scd2_asof", "geo_knn",
     # python UDF surface

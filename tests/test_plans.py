@@ -1335,3 +1335,41 @@ def test_winnowing_is_narrow_scan_speed(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Generate" in plan  # the final fingerprint explode
     assert "Join" not in plan
+
+
+def test_pair_support_collapses_to_first_seen_grid(spark, sf_dir):
+    # the event stream must collapse to the (user, type) first-seen grid
+    # BEFORE the pattern self-join; the antecedent base and user-count
+    # scalar ride broadcasts; no cartesian on data-sized inputs (the one
+    # BroadcastNestedLoopJoin is the 1-row n_users scalar).
+    from insight_patents_spark.operators.sequences import seq_pair_support
+
+    plan = formatted_plan(seq_pair_support(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the |types|-row base join
+    assert "ExistingRDD" in plan  # checkpointed grid feeds all consumers
+    assert "events.parquet" not in plan  # fact scanned once, at pin time
+
+
+def test_mann_kendall_pairs_on_checkpointed_grid(spark, sf_dir):
+    # the O(days²) pair join must run on the materialized (type, day)
+    # grid (ExistingRDD from localCheckpoint — fact scanned ONCE), never
+    # on the raw events table
+    from insight_patents_spark.operators.windows import win_mann_kendall
+
+    plan = formatted_plan(win_mann_kendall(spark, sf_dir))
+    assert "ExistingRDD" in plan  # checkpointed grid feeds all consumers
+    assert "events.parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_freshness_is_one_fact_agg_no_window(spark, sf_dir):
+    # trailing-window counts are conditional sums against a broadcast
+    # scalar anchor: one fact aggregate, no window functions, no
+    # second fact scan beyond the 1-row anchor aggregate
+    from insight_patents_spark.operators.relational import dq_freshness
+
+    plan = formatted_plan(dq_freshness(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row anchor scalar
+    assert plan.count("events.parquet") == 2  # anchor agg + fact agg

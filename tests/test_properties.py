@@ -5424,3 +5424,121 @@ def test_winnowing_matches_python_and_covers_every_window(spark, sf_dir):
     }
     assert got == want
     assert gaps_ok
+
+
+def test_pair_support_mann_kendall_freshness_match_python(spark, sf_dir):
+    """Batch replays for the r7 sequence/trend/freshness trio: literal
+    first-occurrence pair counting, O(n^2) Mann-Kendall with tie
+    correction, and epoch-second freshness arithmetic."""
+    import math
+
+    from insight_patents_spark.operators.relational import dq_freshness
+    from insight_patents_spark.operators.sequences import seq_pair_support
+    from insight_patents_spark.operators.windows import win_mann_kendall
+    from insight_patents_spark.sources.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    ).collect()
+
+    # --- seq_pair_support: first occurrence per (user, type), ordered pairs
+    firsts = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        v = (r.ts, r.event_id)
+        if k not in firsts or v < firsts[k]:
+            firsts[k] = v
+    from collections import Counter, defaultdict
+
+    by_user = defaultdict(dict)
+    for (u, t), v in firsts.items():
+        by_user[u][t] = v
+    support = Counter()
+    base = Counter(t for (_, t) in firsts)
+    for u, tmap in by_user.items():
+        for ta, va in tmap.items():
+            for tb, vb in tmap.items():
+                if ta != tb and va < vb:
+                    support[(ta, tb)] += 1
+    n_users = len(by_user)
+    got = {
+        (r.type_a, r.type_b): (r.support_n, r.support, r.confidence)
+        for r in seq_pair_support(spark, sf_dir).collect()
+    }
+    assert set(got) == set(support)
+    for k, n in support.items():
+        g = got[k]
+        assert g[0] == n
+        assert abs(g[1] - n / n_users) < 1e-9
+        assert abs(g[2] - n / base[k[0]]) < 1e-9
+
+    # --- win_mann_kendall: O(n^2) replay on the daily cents grid
+    grid = Counter()
+    for r in rows:
+        grid[(r.event_type, r.ts.date())] += int(round(r.value * 100))
+    by_type = defaultdict(list)
+    for (t, d), c in grid.items():
+        by_type[t].append((d, c))
+    got_mk = {
+        r.event_type: (r.n_days, r.s_stat, r.var_s_18, r.z)
+        for r in win_mann_kendall(spark, sf_dir).collect()
+    }
+    assert set(got_mk) == set(by_type)
+    for t, series in by_type.items():
+        series.sort()
+        cs = [c for _, c in series]
+        n = len(cs)
+        s = sum(
+            (cs[j] > cs[i]) - (cs[j] < cs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            cnt * (cnt - 1) * (2 * cnt + 5)
+            for cnt in Counter(cs).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        if s > 0:
+            z = round((s - 1) / math.sqrt(var18 / 18.0), 9)
+        elif s < 0:
+            z = round((s + 1) / math.sqrt(var18 / 18.0), 9)
+        else:
+            z = 0.0
+        g = got_mk[t]
+        assert g[0] == n and g[1] == s and g[2] == var18
+        assert abs(g[3] - z) < 1e-9
+
+    # --- dq_freshness: epoch-second replay
+    import calendar
+
+    def es(ts):
+        return calendar.timegm(ts.timetuple())
+
+    all_es = [es(r.ts) for r in rows]
+    anchor = max(all_es)
+    per_type = defaultdict(list)
+    for r in rows:
+        per_type[r.event_type].append(es(r.ts))
+    got_f = {
+        r.event_type: (
+            r.staleness_min,
+            r.n_last_day,
+            r.n_last_week,
+            r.daily_avg,
+            r.freshness_ratio,
+            r.is_stale,
+        )
+        for r in dq_freshness(spark, sf_dir).collect()
+    }
+    assert set(got_f) == set(per_type)
+    for t, ess in per_type.items():
+        last = max(ess)
+        span = (max(ess) - min(ess)) // 86400 + 1
+        nd = sum(1 for x in ess if x > anchor - 86400)
+        nw = sum(1 for x in ess if x > anchor - 604800)
+        g = got_f[t]
+        assert g[0] == (anchor - last) // 60
+        assert (g[1], g[2]) == (nd, nw)
+        assert abs(g[3] - len(ess) / span) < 1e-9
+        assert abs(g[4] - nd * span / len(ess)) < 1e-9
+        assert g[5] == ((anchor - last) > 86400)

@@ -85,6 +85,16 @@ SHOWCASE = [
     ("graph_scc", "FW-BW-MIN peel result: a union of per-round checkpointed "
      "label frames (ExistingRDD) — no transitive closure, no "
      "CartesianProduct; lineage truncated every round"),
+    ("geo_knn", "exact kNN two-stage refinement: probe side broadcast "
+     "(items never shuffle for the distance pass), per-cell partial "
+     "top-k then per-probe final — two WindowGroupLimit-eligible "
+     "windows, never one giant per-probe partition"),
+    ("text_winnowing", "winnowing fingerprint selection runs entirely "
+     "in-row (array transforms + integer window minima): ZERO Exchange "
+     "nodes — a narrow scan-speed projection"),
+    ("ml_ndcg", "both ranking windows (model + ideal) and the per-user "
+     "aggregate ride ONE user_id Exchange — partitioning reuse makes "
+     "ranking evaluation a single-shuffle job"),
 ]
 
 
