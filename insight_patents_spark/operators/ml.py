@@ -1039,3 +1039,109 @@ def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ap_total"),
     )
+
+
+@query(
+    "ml_ks_separation",
+    # Classifier separation power: the two-sample KS statistic between
+    # positive and negative SCORE distributions (the credit-scoring
+    # "KS score") on the shared integer bin grid: per-bin (pos, neg)
+    # cells, ECDFs as cumulative windows, D in exact integer form
+    # max|cp*N - cn*P| until ONE final division. The bin where the max
+    # is achieved is the optimal decision cut under equal costs.
+    oracle="""
+    WITH per_doc AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(100.0 * COUNT(DISTINCT t.token) / COUNT(*))
+                  AS BIGINT) AS bin,
+             (MIN(d.lang) = 'en') AS pos
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      GROUP BY d.doc_id),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+      FROM per_doc GROUP BY bin),
+    cum AS (
+      SELECT bin,
+             SUM(p) OVER (ORDER BY bin) AS cp,
+             SUM(q) OVER (ORDER BY bin) AS cq,
+             SUM(p) OVER () AS np, SUM(q) OVER () AS nq
+      FROM cells),
+    gap AS (
+      SELECT bin, np, nq,
+             CAST(ABS(cp * nq - cq * np) AS BIGINT) AS num
+      FROM cum),
+    best AS (
+      SELECT MIN(bin) AS ks_bin FROM gap
+      WHERE num = (SELECT MAX(num) FROM gap))
+    SELECT CAST(MAX(g.np) AS BIGINT) AS n_pos,
+           CAST(MAX(g.nq) AS BIGINT) AS n_neg,
+           CAST(ROUND(MAX(g.num) * 1.0 / (MAX(g.np) * MAX(g.nq)), 9)
+                AS DOUBLE) AS ks_stat,
+           CAST(MAX(b.ks_bin) AS BIGINT) AS ks_bin
+    FROM gap g CROSS JOIN best b
+    """,
+)
+def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier separation power — the two-sample KS statistic between
+    the positive and negative classes' SCORE distributions (the 'KS
+    score' credit-risk modelers report next to AUC; also the optimal
+    equal-cost decision cut, returned as ks_bin). Reuses the shared
+    ≤101-bin integer score histogram; the ECDF gap stays in EXACT
+    integer form |cp·N − cq·P| until one final 9dp division — the same
+    cross-multiplication posture as agg_ks_test, applied to the model
+    audit.
+
+    Scale shape: per-doc hash agg → bin cells → cumulative windows on
+    the ≤101-row grid → one tiny argmax aggregate. Corpus never sorted,
+    never rescanned."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.floor(100.0 * F.count_distinct(F.col("token")) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("bin"),
+        (F.min("lang") == "en").alias("pos"),
+    )
+    cells = per_doc.groupBy("bin").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("p"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("q"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gap = cells.select(
+        "bin",
+        F.sum("p").over(w_cum).alias("cp"),
+        F.sum("q").over(w_cum).alias("cq"),
+        F.sum("p").over(w_all).alias("np"),
+        F.sum("q").over(w_all).alias("nq"),
+    ).select(
+        "bin",
+        "np",
+        "nq",
+        F.abs(F.col("cp") * F.col("nq") - F.col("cq") * F.col("np"))
+        .cast("bigint")
+        .alias("num"),
+    )
+    marked = gap.withColumn("max_num", F.max("num").over(w_all))
+    agg = marked.agg(
+        F.max("np").cast("bigint").alias("n_pos"),
+        F.max("nq").cast("bigint").alias("n_neg"),
+        F.max("num").alias("max_num"),
+        F.min(F.when(F.col("num") == F.col("max_num"), F.col("bin")))
+        .cast("bigint")
+        .alias("ks_bin"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.col("max_num") / (F.col("n_pos") * F.col("n_neg")), 9)
+        .cast("double")
+        .alias("ks_stat"),
+        "ks_bin",
+    )

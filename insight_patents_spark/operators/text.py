@@ -2963,3 +2963,145 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (16777215 - F.col("pk") % 16777216).cast("bigint").alias("pos"),
         F.expr("pk div 16777216").cast("bigint").alias("fp"),
     )
+
+
+_DSIR_BUCKETS = 512
+
+
+@query(
+    "text_dsir_weight",
+    # DSIR-style data-selection importance weights (Xie et al. 2023,
+    # "Data Selection for Language Models via Importance Resampling"):
+    # hashed n-gram (unigram + bigram) bag-of-features LMs for the
+    # target domain (lang='en' proxy) and the raw corpus, per-doc
+    # log importance ratio = sum_b cnt_d(b) * [ln p_t(b) - ln p_c(b)]
+    # with Laplace +1 smoothing over the 512 hash buckets. Bucket
+    # weights are nano-quantized ONCE on the tiny bucket grid, so the
+    # per-doc score is an EXACT int64 dot product; one final division
+    # (length normalization), 9dp.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    feats AS (
+      SELECT doc_id, lang, unnest(t) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS f
+      FROM toks),
+    g AS (
+      SELECT doc_id, MIN(lang) AS lang,
+             CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)
+               % {_DSIR_BUCKETS} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM feats GROUP BY doc_id, bucket, lang),
+    w AS (
+      SELECT bucket,
+             CAST(SUM(cnt) AS BIGINT) AS c_all,
+             CAST(SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END)
+                  AS BIGINT) AS c_t
+      FROM g GROUP BY bucket),
+    tot AS (SELECT SUM(c_all) AS ca, SUM(c_t) AS ct FROM w),
+    wt AS (
+      SELECT bucket,
+             CAST(ROUND((LN((c_t + 1) * 1.0 / (ct + {_DSIR_BUCKETS}))
+                       - LN((c_all + 1) * 1.0 / (ca + {_DSIR_BUCKETS})))
+                        * 1e9, 0) AS BIGINT) AS w_nano
+      FROM w CROSS JOIN tot),
+    sc AS (
+      SELECT g.doc_id,
+             CAST(SUM(g.cnt) AS BIGINT) AS n_feats,
+             CAST(SUM(g.cnt * wt.w_nano) AS BIGINT) AS s_nano
+      FROM g JOIN wt ON g.bucket = wt.bucket GROUP BY g.doc_id)
+    SELECT doc_id, n_feats,
+           CAST(ROUND(s_nano / (1e9 * n_feats), 9) AS DOUBLE)
+             AS logratio_per_feat,
+           s_nano > 0 AS keep
+    FROM sc
+    """,
+)
+def text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights — the data-selection stage from
+    "Data Selection for Language Models via Importance Resampling"
+    (Xie et al. 2023, public paper; the method behind domain-targeted
+    pretraining mixes): score every document by the log ratio of a
+    TARGET-domain hashed n-gram LM (here: the lang='en' slice as the
+    target proxy) to the RAW-corpus LM, then keep/resample by weight.
+    Features are unigrams + bigrams hashed into 512 buckets; both LMs
+    are Laplace-smoothed bucket multinomials.
+
+    Scale shape: one explode → ONE (doc, bucket) hash agg, pinned via
+    localCheckpoint because it feeds BOTH the bucket-weight grid and
+    the per-doc dot product (fact scanned once). The weight table is
+    ≤512 rows — nano-quantized there (exact int64 thereafter) and
+    BROADCAST back, so the per-doc score join never shuffles the
+    corpus; the final division is the only float op. Swapping the
+    target proxy for a real trusted corpus changes one filter."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", _tokens().alias("t"))
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("t"),
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                ),
+            )
+        ).alias("f"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    g = (
+        feats.select("doc_id", "lang", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select("doc_id", F.col("lang"), "bucket", "cnt")
+        .localCheckpoint()
+    )
+    w = g.groupBy("bucket").agg(
+        F.sum("cnt").cast("bigint").alias("c_all"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    tot = w.agg(
+        F.sum("c_all").alias("ca"), F.sum("c_t").alias("ct")
+    )
+    wt = w.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("c_t") + 1) / (F.col("ct") + _DSIR_BUCKETS))
+                - F.log(
+                    (F.col("c_all") + 1) / (F.col("ca") + _DSIR_BUCKETS)
+                )
+            )
+            * 1e9,
+            0,
+        )
+        .cast("bigint")
+        .alias("w_nano"),
+    )
+    sc = (
+        g.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("w_nano"))
+            .cast("bigint")
+            .alias("s_nano"),
+        )
+    )
+    return sc.select(
+        "doc_id",
+        "n_feats",
+        F.round(F.col("s_nano") / (F.lit(1e9) * F.col("n_feats")), 9)
+        .cast("double")
+        .alias("logratio_per_feat"),
+        (F.col("s_nano") > 0).alias("keep"),
+    )

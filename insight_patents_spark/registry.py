@@ -78,14 +78,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          (complement of the union of CORRECTNESS_r01-r06 keys),
 #          including every query whose code changed in r7
 #          (graph_scc, seq_attribution_markov) so the driver gate
-#          covers the round's diff; the 11 operators r7's NEW queries
+#          covers the round's diff; the 13 operators r7's NEW queries
 #          (ml_roc_auc, ml_average_precision, ml_lift_gains,
-#          ml_psi_drift, ml_ndcg, agg_chi_square, geo_knn,
-#          text_winnowing, seq_pair_support, win_mann_kendall,
-#          dq_freshness) displaced (win_cume_nth, win_drawdown,
+#          ml_psi_drift, ml_ndcg, ml_ks_separation, agg_chi_square,
+#          geo_knn, text_winnowing, text_dsir_weight, seq_pair_support,
+#          win_mann_kendall, dq_freshness) displaced (win_cume_nth,
+#          win_drawdown,
 #          agg_iqr_outliers, agg_new_returning, agg_cohort_ltv,
 #          time_acf, sample_priority, seq_topk_paths,
-#          agg_bitmap_distinct, time_downsample_lttb, vec_cell_refine)
+#          agg_bitmap_distinct, time_downsample_lttb, vec_cell_refine,
+#          agg_hll_intersect, seq_markov_stationary)
 #          join the remaining never-checked set for the r8 rotation.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
@@ -99,17 +101,18 @@ _SHOWCASE_50 = (
     # take prefix slots; the 8 backlog ops they displaced rotate in r8)
     "ml_pr_curve", "ml_calibration_bins", "ml_roc_auc",
     "ml_average_precision", "ml_lift_gains", "ml_psi_drift", "ml_ndcg",
+    "ml_ks_separation",
     # window analytics
     "win_anomaly_zscore", "win_rolling_corr",
     "win_rsi", "win_sliding_distinct", "win_skyline_2d",
     # aggregations / statistics (agg_chi_square, win_mann_kendall NEW
     # in r7)
-    "agg_hll_intersect", "agg_ab_ttest",
+    "agg_ab_ttest",
     "agg_chi_square", "win_mann_kendall",
     "agg_histogram_equidepth", "agg_mutual_info", "agg_anova_f",
     "agg_log_histogram", "agg_mad_outliers",
     # sequences (seq_pair_support NEW in r7)
-    "seq_pair_support",
+    "seq_pair_support", "agg_survival_km",
     # relational / dq / sinks (dq_freshness NEW in r7)
     "profile_table", "sink_scd2", "sink_cdc_apply",
     "sql_recursive_cte", "dq_impute", "dq_freshness",
@@ -120,11 +123,10 @@ _SHOWCASE_50 = (
     # totals conserved). Same for dedup_eval and the minhash signature
     # cache below.
     "graph_hits", "graph_diameter_2sweep",
-    # sequences
-    "seq_markov_stationary", "agg_survival_km",
-    # text / dedup (text_winnowing NEW in r7)
+    # text / dedup (text_winnowing, text_dsir_weight NEW in r7)
     "dedup_eval", "text_jaccard_tokens", "dedup_minhash_pairs",
     "text_minhash_containment", "text_decontaminate", "text_winnowing",
+    "text_dsir_weight",
     # vector similarity
     "vec_residual_pq",
     # joins (geo_knn NEW in r7)

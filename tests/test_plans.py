@@ -1373,3 +1373,32 @@ def test_freshness_is_one_fact_agg_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row anchor scalar
     assert plan.count("events.parquet") == 2  # anchor agg + fact agg
+
+
+def test_ks_separation_grid_windows_after_agg(spark, sf_dir):
+    # the score KS rides the same bin-grid discipline as the other ml
+    # metrics: corpus collapses before any window, one documents scan
+    from insight_patents_spark.operators.ml import ml_ks_separation
+
+    plan = formatted_plan(ml_ks_separation(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    idx_aggs = [
+        m.start()
+        for m in re.finditer(r"^\(\d+\) (Hash|Sort)Aggregate", plan, re.M)
+    ]
+    idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+    assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins)
+
+
+def test_dsir_weights_broadcast_corpus_scanned_once(spark, sf_dir):
+    # the (doc, bucket) grid is checkpointed (ExistingRDD) and feeds
+    # both the weight grid and the scoring join; the ≤512-row weight
+    # table must come back as a BROADCAST join — the corpus never
+    # shuffles for scoring
+    from insight_patents_spark.operators.text import text_dsir_weight
+
+    plan = formatted_plan(text_dsir_weight(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "documents.parquet" not in plan  # fact scanned once, at pin
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

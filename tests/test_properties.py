@@ -5542,3 +5542,83 @@ def test_pair_support_mann_kendall_freshness_match_python(spark, sf_dir):
         assert abs(g[3] - len(ess) / span) < 1e-9
         assert abs(g[4] - nd * span / len(ess)) < 1e-9
         assert g[5] == ((anchor - last) > 86400)
+
+
+def test_ks_separation_and_dsir_match_python(spark, sf_dir):
+    """ml_ks_separation vs a direct ECDF-gap replay; text_dsir_weight
+    vs a hashlib replay of the smoothed hashed-ngram LM log ratio."""
+    import math
+    from collections import Counter
+
+    from insight_patents_spark.operators.ml import ml_ks_separation
+    from insight_patents_spark.operators.text import (
+        _DSIR_BUCKETS,
+        text_dsir_weight,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).collect()
+
+    # --- KS separation replay
+    cells_p, cells_q = Counter(), Counter()
+    for r in docs:
+        toks = r.text.split(" ")
+        b = (100 * len(set(toks))) // len(toks)
+        (cells_p if r.lang == "en" else cells_q)[b] += 1
+    np_, nq = sum(cells_p.values()), sum(cells_q.values())
+    cp = cq = 0
+    best = (-1, None)
+    for b in sorted(set(cells_p) | set(cells_q)):
+        cp += cells_p[b]
+        cq += cells_q[b]
+        num = abs(cp * nq - cq * np_)
+        if num > best[0]:
+            best = (num, b)
+    row = ml_ks_separation(spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.n_neg) == (np_, nq)
+    assert abs(row.ks_stat - best[0] / (np_ * nq)) < 1e-9
+    assert row.ks_bin == best[1]
+
+    # --- DSIR replay
+    g = Counter()  # (doc, bucket) -> cnt ; lang per doc
+    lang = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        feats = toks + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        lang[r.doc_id] = r.lang
+        for f in feats:
+            g[(r.doc_id, _md5i8(f) % _DSIR_BUCKETS)] += 1
+    c_all, c_t = Counter(), Counter()
+    for (d, b), c in g.items():
+        c_all[b] += c
+        if lang[d] == "en":
+            c_t[b] += c
+    ca, ct = sum(c_all.values()), sum(c_t.values())
+    w_nano = {
+        b: round(
+            (
+                math.log((c_t[b] + 1) / (ct + _DSIR_BUCKETS))
+                - math.log((c_all[b] + 1) / (ca + _DSIR_BUCKETS))
+            )
+            * 1e9
+        )
+        for b in c_all
+    }
+    s_nano, n_feats = Counter(), Counter()
+    for (d, b), c in g.items():
+        s_nano[d] += c * w_nano[b]
+        n_feats[d] += c
+    got = {
+        r.doc_id: (r.n_feats, r.logratio_per_feat, r.keep)
+        for r in text_dsir_weight(spark, sf_dir).collect()
+    }
+    assert set(got) == set(n_feats)
+    for d in n_feats:
+        gd = got[d]
+        assert gd[0] == n_feats[d]
+        assert abs(gd[1] - round(s_nano[d] / (1e9 * n_feats[d]), 9)) < 1e-9
+        assert gd[2] == (s_nano[d] > 0)
