@@ -1503,3 +1503,153 @@ def seq_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("confidence"),
         )
     )
+
+
+@query(
+    "time_decompose_classical",
+    # Classical additive seasonal decomposition (the moving-average
+    # method STL replaced, still the standard first look): per
+    # event_type daily revenue, trend = centered 7-day moving average
+    # over a RANGE frame on the integer day number (gap-proof: partial
+    # windows yield NULL trend, only full 7-day neighborhoods emit),
+    # seasonal = per-weekday mean of the detrended series re-centered
+    # to sum ~0, residual = the rest. Weekday = day-number % 7 (pure
+    # integer, engine-independent — dayofweek() conventions differ).
+    # Every float is nano-quantized at birth (round(x*1e9) exact int64
+    # in both engines), so the per-weekday means are order-independent.
+    oracle="""
+    WITH grid AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2, 3),
+    tr AS (
+      SELECT event_type, day, d, cents,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN ROUND(SUM(cents) OVER w / 700.0, 9) END AS trend
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    fr AS (
+      SELECT event_type, day, d % 7 AS wd, cents, trend,
+             CAST(ROUND((cents / 100.0 - trend) * 1e9, 0) AS BIGINT)
+               AS detr_nano
+      FROM tr WHERE trend IS NOT NULL),
+    cells AS (
+      SELECT event_type, wd,
+             ROUND(SUM(detr_nano) * 1.0 / (1e9 * COUNT(*)), 9) AS seas_raw
+      FROM fr GROUP BY event_type, wd),
+    norm AS (
+      SELECT event_type, wd,
+             ROUND(seas_raw -
+               ROUND(SUM(CAST(ROUND(seas_raw * 1e9, 0) AS BIGINT))
+                       OVER (PARTITION BY event_type)
+                     / (1e9 * COUNT(*) OVER (PARTITION BY event_type)), 9),
+               9) AS seasonal
+      FROM cells)
+    SELECT f.event_type, CAST(f.day AS VARCHAR) AS day,
+           CAST(ROUND(f.cents / 100.0, 9) AS DOUBLE) AS value,
+           CAST(f.trend AS DOUBLE) AS trend,
+           CAST(n.seasonal AS DOUBLE) AS seasonal,
+           CAST(ROUND(f.detr_nano / 1e9 - n.seasonal, 9) AS DOUBLE)
+             AS residual
+    FROM fr f JOIN norm n
+      ON f.event_type = n.event_type AND f.wd = n.wd
+    """,
+)
+def time_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series per
+    event_type — trend (centered 7-day moving average), weekly
+    seasonality (per-weekday mean deviation, re-centered), residual —
+    the moving-average method every forecasting text starts with and
+    the diagnostic STL refines; fills the gap between
+    time_seasonal_index (hour-of-day index only) and win_holt_forecast
+    (forecast only, no decomposition). The trend window is a RANGE
+    frame over the integer day number, so calendar GAPS yield NULL
+    trend instead of silently averaging non-adjacent days; weekday is
+    day-number % 7 (engine-independent pure integers — dayofweek()
+    conventions differ across engines).
+
+    Scale shape: ONE map-side-combinable fact agg to the (type, day)
+    grid, pinned via localCheckpoint (feeds the trend window, the
+    weekday cells, and the final join); everything downstream is
+    grid-bound (≤|types|·|days| rows), the weekday table is ≤|types|·7
+    and broadcasts back. Per-weekday means sum nano-quantized int64 —
+    order-independent under any partitioning."""
+    e = load(spark, sf_dir, "events")
+    grid = (
+        e.groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value*100,0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .withColumn(
+            "d", F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01")))
+            .cast("bigint")
+        )
+        .localCheckpoint()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rangeBetween(-3, 3)
+    )
+    tr = grid.select(
+        "event_type",
+        "day",
+        "d",
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.round(F.sum("cents").over(w) / 700.0, 9),
+        ).alias("trend"),
+    )
+    fr = tr.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        "day",
+        (F.col("d") % 7).alias("wd"),
+        "cents",
+        "trend",
+        F.round((F.col("cents") / 100.0 - F.col("trend")) * 1e9, 0)
+        .cast("bigint")
+        .alias("detr_nano"),
+    )
+    cells = fr.groupBy("event_type", "wd").agg(
+        F.round(
+            F.sum("detr_nano") / (F.lit(1e9) * F.count(F.lit(1))), 9
+        ).alias("seas_raw")
+    )
+    w_type = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    norm = cells.select(
+        "event_type",
+        "wd",
+        F.round(
+            F.col("seas_raw")
+            - F.round(
+                F.sum(
+                    F.round(F.col("seas_raw") * 1e9, 0).cast("bigint")
+                ).over(w_type)
+                / (F.lit(1e9) * F.count(F.lit(1)).over(w_type)),
+                9,
+            ),
+            9,
+        ).alias("seasonal"),
+    )
+    return fr.join(F.broadcast(norm), ["event_type", "wd"]).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("cents") / 100.0, 9).cast("double").alias("value"),
+        F.col("trend").cast("double").alias("trend"),
+        F.col("seasonal").cast("double").alias("seasonal"),
+        F.round(F.col("detr_nano") / F.lit(1e9) - F.col("seasonal"), 9)
+        .cast("double")
+        .alias("residual"),
+    )

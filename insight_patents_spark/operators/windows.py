@@ -1303,3 +1303,149 @@ def win_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         var18.cast("bigint").alias("var_s_18"),
         z.cast("double").alias("z"),
     )
+
+
+@query(
+    "agg_peak_concurrency",
+    # Peak concurrent sessions per event_type (capacity planning): user
+    # sessions (5-minute-gap sessionization, same rule as
+    # win_sessionize) become [start, end] intervals; the classic
+    # +1/-1 sweep orders the 2x|sessions| markers by (epoch second,
+    # delta) — delta ascending processes ENDS before STARTS at the same
+    # second, so touching sessions never double-count — and the running
+    # sum's max is the peak; peak_at_es is the earliest second it is
+    # reached. All integer epoch-second arithmetic, no floats anywhere.
+    oracle="""
+    WITH flagged AS (
+      SELECT event_type, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY event_type, user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT event_type, user_id,
+             SUM(is_new) OVER (PARTITION BY event_type, user_id ORDER BY es
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno,
+             es
+      FROM flagged),
+    iv AS (
+      SELECT event_type, MIN(es) AS s_es, MAX(es) AS e_es
+      FROM sess GROUP BY event_type, user_id, sno),
+    marks AS (
+      SELECT event_type, s_es AS es, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e_es, -1 FROM iv),
+    sweep AS (
+      SELECT event_type, es,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY es, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+      FROM marks),
+    mx AS (
+      SELECT event_type, CAST(MAX(cur) AS BIGINT) AS peak
+      FROM sweep GROUP BY event_type),
+    at AS (
+      SELECT s.event_type, CAST(MIN(s.es) AS BIGINT) AS peak_at_es
+      FROM sweep s JOIN mx ON s.event_type = mx.event_type
+       AND s.cur = mx.peak
+      GROUP BY s.event_type),
+    ns AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM iv
+      GROUP BY event_type)
+    SELECT ns.event_type, ns.n_sessions, mx.peak, at.peak_at_es
+    FROM ns JOIN mx ON ns.event_type = mx.event_type
+    JOIN at ON ns.event_type = at.event_type
+    """,
+)
+def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event_type — 'how many user sessions of
+    this type were open at once, and when did the peak first occur':
+    the capacity-planning readout behind connection-pool and autoscaler
+    sizing. Sessions come from the same 5-minute-gap rule as
+    win_sessionize; each [start, end] interval emits +1/-1 markers and
+    the classic sweep's running sum peaks at the answer. Ordering
+    markers by (second, delta) processes ends BEFORE starts at the same
+    instant, so back-to-back sessions never inflate the peak. Exact
+    integer epoch seconds throughout — no floats in the whole operator.
+
+    Scale shape: sessionization and the interval agg ride ONE
+    (type, user) partitioning; markers are 2·|sessions| rows (data-
+    bounded but session-, not event-, proportional); the sweep is a
+    per-type ordered window — at 10⁹ sessions you range-partition time
+    and prefix-offset the partials (the textbook distributed sweep);
+    here types bound the partition count. The checkpointed interval
+    table feeds markers, peak, peak-time, and the session count without
+    re-sessionizing."""
+    e = load(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+
+    def _pc_gap(w):
+        # micro-exact gap, same recipe as win_sessionize (NTZ-safe)
+        micros = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+        return micros - F.lag(micros).over(w)
+
+    flagged = e.select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("es"),
+        F.when(
+            _pc_gap(w_lag).isNull()
+            | (_pc_gap(w_lag) > 300 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "user_id")
+        .orderBy("es")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "event_type",
+        "user_id",
+        F.sum("is_new").over(w_cum).alias("sno"),
+        "es",
+    )
+    iv = (
+        sess.groupBy("event_type", "user_id", "sno")
+        .agg(F.min("es").alias("s_es"), F.max("es").alias("e_es"))
+        .localCheckpoint()
+    )
+    marks = iv.select(
+        "event_type", F.col("s_es").alias("es"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "event_type", F.col("e_es").alias("es"), F.lit(-1).alias("delta")
+        )
+    )
+    w_sweep = (
+        Window.partitionBy("event_type")
+        .orderBy("es", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = marks.select(
+        "event_type", "es", F.sum("delta").over(w_sweep).alias("cur")
+    )
+    mx = sweep.groupBy("event_type").agg(
+        F.max("cur").cast("bigint").alias("peak")
+    )
+    at = (
+        sweep.join(F.broadcast(mx), "event_type")
+        .filter(F.col("cur") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(F.min("es").cast("bigint").alias("peak_at_es"))
+    )
+    ns = iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return (
+        ns.join(mx, "event_type")
+        .join(at, "event_type")
+        .select("event_type", "n_sessions", "peak", "peak_at_es")
+    )

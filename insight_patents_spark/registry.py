@@ -78,16 +78,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          (complement of the union of CORRECTNESS_r01-r06 keys),
 #          including every query whose code changed in r7
 #          (graph_scc, seq_attribution_markov) so the driver gate
-#          covers the round's diff; the 13 operators r7's NEW queries
+#          covers the round's diff; the 15 operators r7's NEW queries
 #          (ml_roc_auc, ml_average_precision, ml_lift_gains,
 #          ml_psi_drift, ml_ndcg, ml_ks_separation, agg_chi_square,
 #          geo_knn, text_winnowing, text_dsir_weight, seq_pair_support,
-#          win_mann_kendall, dq_freshness) displaced (win_cume_nth,
+#          win_mann_kendall, dq_freshness, time_decompose_classical,
+#          agg_peak_concurrency) displaced (win_cume_nth,
 #          win_drawdown,
 #          agg_iqr_outliers, agg_new_returning, agg_cohort_ltv,
 #          time_acf, sample_priority, seq_topk_paths,
 #          agg_bitmap_distinct, time_downsample_lttb, vec_cell_refine,
-#          agg_hll_intersect, seq_markov_stationary)
+#          agg_hll_intersect, seq_markov_stationary, agg_survival_km,
+#          win_skyline_2d)
 #          join the remaining never-checked set for the r8 rotation.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
@@ -104,15 +106,17 @@ _SHOWCASE_50 = (
     "ml_ks_separation",
     # window analytics
     "win_anomaly_zscore", "win_rolling_corr",
-    "win_rsi", "win_sliding_distinct", "win_skyline_2d",
+    "win_rsi", "win_sliding_distinct",
     # aggregations / statistics (agg_chi_square, win_mann_kendall NEW
     # in r7)
     "agg_ab_ttest",
     "agg_chi_square", "win_mann_kendall",
     "agg_histogram_equidepth", "agg_mutual_info", "agg_anova_f",
     "agg_log_histogram", "agg_mad_outliers",
-    # sequences (seq_pair_support NEW in r7)
-    "seq_pair_support", "agg_survival_km",
+    # sequences / time series (seq_pair_support,
+    # time_decompose_classical, agg_peak_concurrency NEW in r7)
+    "seq_pair_support", "time_decompose_classical",
+    "agg_peak_concurrency",
     # relational / dq / sinks (dq_freshness NEW in r7)
     "profile_table", "sink_scd2", "sink_cdc_apply",
     "sql_recursive_cte", "dq_impute", "dq_freshness",

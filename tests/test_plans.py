@@ -1402,3 +1402,31 @@ def test_dsir_weights_broadcast_corpus_scanned_once(spark, sf_dir):
     assert "documents.parquet" not in plan  # fact scanned once, at pin
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decompose_grid_bound_after_one_fact_agg(spark, sf_dir):
+    # the decomposition must be grid-bound: the checkpointed (type, day)
+    # grid (ExistingRDD) feeds trend window, weekday cells, and the
+    # final join — no second events scan, weekday table broadcast
+    from insight_patents_spark.operators.sequences import (
+        time_decompose_classical,
+    )
+
+    plan = formatted_plan(time_decompose_classical(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "events.parquet" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_concurrency_sweeps_checkpointed_intervals(spark, sf_dir):
+    # markers, peak, peak-time, and session count must all derive from
+    # the ONE checkpointed interval table — never re-sessionize
+    from insight_patents_spark.operators.windows import (
+        agg_peak_concurrency,
+    )
+
+    plan = formatted_plan(agg_peak_concurrency(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "events.parquet" not in plan
+    assert "CartesianProduct" not in plan

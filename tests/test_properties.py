@@ -5622,3 +5622,111 @@ def test_ks_separation_and_dsir_match_python(spark, sf_dir):
         assert gd[0] == n_feats[d]
         assert abs(gd[1] - round(s_nano[d] / (1e9 * n_feats[d]), 9)) < 1e-9
         assert gd[2] == (s_nano[d] > 0)
+
+
+def test_decompose_and_peak_concurrency_match_python(spark, sf_dir):
+    """time_decompose_classical vs a literal MA/weekday replay (and the
+    additive identity value = trend + seasonal + residual); agg_peak_
+    concurrency vs a brute-force per-second occupancy count."""
+    from collections import Counter, defaultdict
+    from datetime import date
+
+    from insight_patents_spark.operators.sequences import (
+        time_decompose_classical,
+    )
+    from insight_patents_spark.operators.windows import agg_peak_concurrency
+    from insight_patents_spark.sources.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id", "ts", "value"
+    ).collect()
+
+    # --- decomposition replay
+    grid = Counter()
+    for r in rows:
+        grid[(r.event_type, r.ts.date())] += int(round(r.value * 100))
+    by_type = defaultdict(dict)
+    epoch = date(1970, 1, 1)
+    for (t, dy), c in grid.items():
+        by_type[t][(dy - epoch).days] = (dy, c)
+    want = {}
+    cells = defaultdict(list)  # (type, wd) -> [detr_nano]
+    frames = {}
+    for t, dmap in by_type.items():
+        for d, (dy, c) in dmap.items():
+            win = [dmap[x][1] for x in range(d - 3, d + 4) if x in dmap]
+            if len(win) == 7:
+                trend = round(sum(win) / 700.0, 9)
+                detr_nano = round((c / 100.0 - trend) * 1e9)
+                frames[(t, dy)] = (d % 7, c, trend, detr_nano)
+                cells[(t, d % 7)].append(detr_nano)
+    seas = {}
+    for t in by_type:
+        raws = {
+            wd: round(sum(v) / (1e9 * len(v)), 9)
+            for (tt, wd), v in cells.items()
+            if tt == t
+        }
+        m = round(
+            sum(round(x * 1e9) for x in raws.values()) / (1e9 * len(raws)), 9
+        )
+        for wd, raw in raws.items():
+            seas[(t, wd)] = round(raw - m, 9)
+    for (t, dy), (wd, c, trend, dn) in frames.items():
+        want[(t, str(dy))] = (
+            round(c / 100.0, 9),
+            trend,
+            seas[(t, wd)],
+            round(dn / 1e9 - seas[(t, wd)], 9),
+        )
+    got = {
+        (r.event_type, r.day): (r.value, r.trend, r.seasonal, r.residual)
+        for r in time_decompose_classical(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        for i in range(4):
+            # 1.6e-9: Python round() is banker's, Spark F.round is
+            # HALF_UP — exactly-.5e-9 boundaries differ by 1e-9
+            assert abs(g[i] - w[i]) < 1.6e-9, (k, i)
+        # additive identity within rounding
+        assert abs(g[0] - (g[1] + g[2] + g[3])) < 3e-9, k
+
+    # --- peak concurrency replay: brute-force occupancy per marker time
+    import calendar
+
+    sess = defaultdict(list)  # (type, user) -> [es]
+    for r in rows:
+        sess[(r.event_type, r.user_id)].append(
+            calendar.timegm(r.ts.timetuple())
+        )
+    intervals = defaultdict(list)  # type -> [(s, e)]
+    for (t, _), ess in sess.items():
+        ess.sort()
+        s0 = e0 = ess[0]
+        for x in ess[1:]:
+            if x - e0 > 300:
+                intervals[t].append((s0, e0))
+                s0 = x
+            e0 = x
+        intervals[t].append((s0, e0))
+    got_pc = {
+        r.event_type: (r.n_sessions, r.peak, r.peak_at_es)
+        for r in agg_peak_concurrency(spark, sf_dir).collect()
+    }
+    assert set(got_pc) == set(intervals)
+    for t, iv in intervals.items():
+        marks = sorted(
+            [(s, 1) for s, _ in iv] + [(e, -1) for _, e in iv]
+        , key=lambda m: (m[0], m[1]))
+        cur = peak = 0
+        peak_at = None
+        for es, d in marks:
+            cur += d
+            if cur > peak:
+                peak, peak_at = cur, es
+        g = got_pc[t]
+        assert g[0] == len(iv)
+        assert g[1] == peak
+        assert g[2] == peak_at, t
