@@ -1145,3 +1145,281 @@ def ml_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ks_stat"),
         "ks_bin",
     )
+
+
+@query(
+    "ml_auc_delong_ci",
+    # DeLong standard error + 95% CI for the binned AUC: the structural
+    # components V10 (per positive: fraction of negatives ranked below,
+    # ties half) and V01 are CONSTANT within a score bin, so their
+    # means/variances come from the bin grid with exact int64 moments —
+    # per-bin numerators a = 2*neg_below + neg_b (units of 1/(2N)) and
+    # b = 2*pos_above + pos_b (units of 1/(2P)); variance numerators
+    # P*Spa2 - Spa^2 stay < 2^63 up to ~10^5 occupied-bin mass per side
+    # (documented bound; beyond that the moments widen to DOUBLE). One
+    # sqrt + two additions at the end, 9dp.
+    oracle="""
+    WITH per_doc AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(100.0 * COUNT(DISTINCT t.token) / COUNT(*))
+                  AS BIGINT) AS bin,
+             (MIN(d.lang) = 'en') AS pos
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      GROUP BY d.doc_id),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS q
+      FROM per_doc GROUP BY bin),
+    cum AS (
+      SELECT bin, p, q,
+             COALESCE(SUM(q) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS q_below,
+             COALESCE(SUM(p) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS p_above,
+             SUM(p) OVER () AS np, SUM(q) OVER () AS nq
+      FROM cells),
+    m AS (
+      SELECT CAST(MAX(np) AS BIGINT) AS np, CAST(MAX(nq) AS BIGINT) AS nq,
+             CAST(SUM(p * (2 * q_below + q)) AS BIGINT) AS spa,
+             CAST(SUM(p * (2 * q_below + q) * (2 * q_below + q))
+                  AS BIGINT) AS spa2,
+             CAST(SUM(q * (2 * p_above + p)) AS BIGINT) AS sqb,
+             CAST(SUM(q * (2 * p_above + p) * (2 * p_above + p))
+                  AS BIGINT) AS sqb2
+      FROM cum),
+    st AS (
+      SELECT np, nq,
+             ROUND(spa * 1.0 / (2 * np * nq), 9) AS auc,
+             (np * spa2 - spa * spa) * 1.0
+               / (4.0 * nq * nq * np * GREATEST(np - 1, 1)) AS v10,
+             (nq * sqb2 - sqb * sqb) * 1.0
+               / (4.0 * np * np * nq * GREATEST(nq - 1, 1)) AS v01
+      FROM m)
+    SELECT np AS n_pos, nq AS n_neg,
+           CAST(auc AS DOUBLE) AS auc,
+           CAST(ROUND(SQRT(v10 / np + v01 / nq), 9) AS DOUBLE) AS se,
+           CAST(ROUND(auc - 1.96 * ROUND(SQRT(v10 / np + v01 / nq), 9), 9)
+                AS DOUBLE) AS ci_lo,
+           CAST(ROUND(auc + 1.96 * ROUND(SQRT(v10 / np + v01 / nq), 9), 9)
+                AS DOUBLE) AS ci_hi
+    FROM st
+    """,
+)
+def ml_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong standard error and 95% CI for the ROC AUC — the
+    inferential companion to ml_roc_auc's point estimate (the
+    variance formula from DeLong, DeLong & Clarke-Pearson 1988 that
+    every clinical/risk AUC report quotes): AUC's variance decomposes
+    into variances of the structural components V10 (per positive, the
+    fraction of negatives ranked below it) and V01. Both are CONSTANT
+    within a score bin, so their exact moments come from the ≤101-bin
+    grid: per-bin integer numerators 2·neg_below+neg (units 1/(2N)) and
+    2·pos_above+pos (units 1/(2P)), second moments still int64. One
+    sqrt at the end, 9dp.
+
+    Scale shape: identical to ml_roc_auc — per-doc hash agg, bin grid,
+    two cumulative windows (ascending for V10, descending for V01),
+    one tiny moment aggregate. The corpus is never ranked."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.floor(100.0 * F.count_distinct(F.col("token")) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("bin"),
+        (F.min("lang") == "en").alias("pos"),
+    )
+    cells = per_doc.groupBy("bin").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("p"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("q"),
+    )
+    w_up = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    w_dn = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "bin",
+        "p",
+        "q",
+        F.coalesce(F.sum("q").over(w_up), F.lit(0)).alias("q_below"),
+        F.coalesce(F.sum("p").over(w_dn), F.lit(0)).alias("p_above"),
+        F.sum("p").over(w_all).alias("np"),
+        F.sum("q").over(w_all).alias("nq"),
+    )
+    a = 2 * F.col("q_below") + F.col("q")
+    b = 2 * F.col("p_above") + F.col("p")
+    m = cum.agg(
+        F.max("np").cast("bigint").alias("np"),
+        F.max("nq").cast("bigint").alias("nq"),
+        F.sum(F.col("p") * a).cast("bigint").alias("spa"),
+        F.sum(F.col("p") * a * a).cast("bigint").alias("spa2"),
+        F.sum(F.col("q") * b).cast("bigint").alias("sqb"),
+        F.sum(F.col("q") * b * b).cast("bigint").alias("sqb2"),
+    )
+    np_, nq = F.col("np"), F.col("nq")
+    auc = F.round(F.col("spa") / (2 * np_ * nq), 9)
+    v10 = (np_ * F.col("spa2") - F.col("spa") * F.col("spa")) / (
+        4.0 * nq * nq * np_ * F.greatest(np_ - 1, F.lit(1))
+    )
+    v01 = (nq * F.col("sqb2") - F.col("sqb") * F.col("sqb")) / (
+        4.0 * np_ * np_ * nq * F.greatest(nq - 1, F.lit(1))
+    )
+    se = F.round(F.sqrt(v10 / np_ + v01 / nq), 9)
+    return m.select(
+        np_.alias("n_pos"),
+        nq.alias("n_neg"),
+        auc.cast("double").alias("auc"),
+        se.cast("double").alias("se"),
+        F.round(auc - 1.96 * se, 9).cast("double").alias("ci_lo"),
+        F.round(auc + 1.96 * se, 9).cast("double").alias("ci_hi"),
+    )
+
+
+@query(
+    "ml_ece",
+    # Expected calibration error over the same centile bins as
+    # ml_calibration_bins: ECE = sum_b (n_b/N)*|acc_b - conf_b|, with
+    # per-bin accuracy an exact integer ratio and confidence the
+    # floor-quantized nano mean; per-bin terms round 9dp, the total is
+    # the nano-quantized order-independent window sum. The repeated
+    # total per row keeps the result scalar-only.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+               % {_LR_BUCKETS} AS bucket
+      FROM tok),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
+          GROUP BY doc_id, bucket),
+    w AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * (CAST(('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 4))
+                                  AS BIGINT) % 101 - 50)) AS BIGINT) AS z_centi
+      FROM c GROUP BY doc_id),
+    sc AS (
+      SELECT w.doc_id,
+             ROUND(1.0 / (1.0 + EXP(-ROUND((z_centi + {_LR_BIAS_CENTI} * n_tokens) * 1.0
+                   / (100 * n_tokens), 9))), 9) AS score,
+             (d.lang = 'en') AS pos
+      FROM w JOIN documents d ON w.doc_id = d.doc_id),
+    cells AS (
+      SELECT CAST(FLOOR(score * 100) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CAST(FLOOR(score * 1e9) AS BIGINT)) AS BIGINT) AS sq
+      FROM sc GROUP BY 1),
+    term AS (
+      SELECT bin, n, n_pos,
+             SUM(n) OVER () AS nn,
+             ROUND(ABS(n_pos * 1.0 / n - ROUND(sq / (n * 1e9), 9)) * n * 1.0
+                   / SUM(n) OVER (), 9) AS ece_term
+      FROM cells)
+    SELECT bin, n, n_pos,
+           CAST(ece_term AS DOUBLE) AS ece_term,
+           CAST(ROUND(SUM(CAST(ROUND(ece_term * 1e9, 0) AS BIGINT))
+                        OVER () / 1e9, 9) AS DOUBLE) AS ece_total
+    FROM term
+    """,
+)
+def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error — the single-number summary of
+    ml_calibration_bins' reliability diagram (the metric temperature
+    scaling minimizes): ECE = Σ_b (n_b/N)·|accuracy_b − confidence_b|
+    over the centile score bins. Accuracy is an exact integer ratio,
+    confidence the floor-quantized nano mean (shared arithmetic with
+    ml_calibration_bins so the two always agree), per-bin terms round
+    9dp, and the total is the nano-quantized order-independent window
+    sum repeated per row (scalar-only results contract).
+
+    Scale shape: the stateless lr chain + ONE ≤100-cell hash agg +
+    windows on the cell grid. Nothing scales with the corpus after the
+    first agg."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _LR_BUCKETS
+    )
+    w_centi = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 101
+        - 50
+    )
+    c = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cnt") * w_centi).cast("bigint").alias("z_centi"),
+    )
+    logit = F.round(
+        (F.col("z_centi") + _LR_BIAS_CENTI * F.col("n_tokens"))
+        / (100.0 * F.col("n_tokens")),
+        9,
+    )
+    sc = w.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.round(1.0 / (1.0 + F.exp(-logit)), 9).alias("score"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    cells = sc.groupBy(
+        F.floor(F.col("score") * 100).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.floor(F.col("score") * F.lit(1e9)).cast("long"))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    term = cells.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(
+            F.abs(
+                F.col("n_pos") / F.col("n")
+                - F.round(F.col("sq") / (F.col("n") * F.lit(1e9)), 9)
+            )
+            * F.col("n")
+            / F.sum("n").over(w_all),
+            9,
+        ).alias("ece_term"),
+    )
+    return term.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.col("ece_term").cast("double").alias("ece_term"),
+        F.round(
+            F.sum(F.round(F.col("ece_term") * 1e9, 0).cast("bigint")).over(
+                w_all
+            )
+            / 1e9,
+            9,
+        )
+        .cast("double")
+        .alias("ece_total"),
+    )

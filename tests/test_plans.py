@@ -1430,3 +1430,23 @@ def test_peak_concurrency_sweeps_checkpointed_intervals(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert "events.parquet" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_delong_and_ece_stay_grid_bound(spark, sf_dir):
+    # both inferential metrics must keep the bin-grid discipline:
+    # corpus collapses before any window, one documents scan each
+    from insight_patents_spark.operators.ml import ml_auc_delong_ci, ml_ece
+
+    # delong: one scan (bins carry the label); ece: the lr score chain
+    # plus the pruned label join = two scans (same as calibration_bins)
+    for fn, n_scans in ((ml_auc_delong_ci, 1), (ml_ece, 2)):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert plan.count("documents.parquet") == n_scans, fn
+        idx_aggs = [
+            m.start()
+            for m in re.finditer(r"^\(\d+\) (Hash|Sort)Aggregate", plan, re.M)
+        ]
+        idx_wins = [
+            m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)
+        ]
+        assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins), fn

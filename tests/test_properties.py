@@ -5730,3 +5730,72 @@ def test_decompose_and_peak_concurrency_match_python(spark, sf_dir):
         assert g[0] == len(iv)
         assert g[1] == peak
         assert g[2] == peak_at, t
+
+
+def test_delong_ci_and_ece_match_python(spark, sf_dir):
+    """ml_auc_delong_ci vs the literal per-observation DeLong structural
+    components (V10 per positive, V01 per negative) — the binned moment
+    identity must equal the textbook definition; ml_ece vs a replay on
+    the Python-rebuilt calibration bins, and consistency with
+    ml_calibration_bins' published columns."""
+    import math
+    from collections import Counter
+
+    from insight_patents_spark.operators.ml import (
+        ml_auc_delong_ci,
+        ml_calibration_bins,
+        ml_ece,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    ).collect()
+
+    # --- DeLong replay from raw per-doc bins
+    pos_bins, neg_bins = [], []
+    for r in docs:
+        toks = r.text.split(" ")
+        b = (100 * len(set(toks))) // len(toks)
+        (pos_bins if r.lang == "en" else neg_bins).append(b)
+    np_, nq = len(pos_bins), len(neg_bins)
+    v10 = [
+        sum(1.0 if p > q else (0.5 if p == q else 0.0) for q in neg_bins) / nq
+        for p in pos_bins
+    ]
+    v01 = [
+        sum(1.0 if p > q else (0.5 if p == q else 0.0) for p in pos_bins) / np_
+        for q in neg_bins
+    ]
+    auc = sum(v10) / np_
+    s10 = sum((x - auc) ** 2 for x in v10) / (np_ - 1)
+    s01 = sum((x - auc) ** 2 for x in v01) / (nq - 1)
+    se = math.sqrt(s10 / np_ + s01 / nq)
+    row = ml_auc_delong_ci(spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.n_neg) == (np_, nq)
+    assert abs(row.auc - auc) < 1e-8
+    assert abs(row.se - se) < 1e-8
+    assert abs(row.ci_lo - (row.auc - 1.96 * row.se)) < 2e-9
+    assert abs(row.ci_hi - (row.auc + 1.96 * row.se)) < 2e-9
+
+    # --- ECE replay from ml_calibration_bins' own columns
+    cal = {
+        r.bin: (r.n, r.observed_rate, r.mean_predicted)
+        for r in ml_calibration_bins(spark, sf_dir).collect()
+    }
+    nn = sum(n for n, _, _ in cal.values())
+    want_terms = {
+        b: round(abs(obs - conf) * n / nn, 9)
+        for b, (n, obs, conf) in cal.items()
+    }
+    tot = round(sum(round(t * 1e9) for t in want_terms.values()) / 1e9, 9)
+    got = {
+        r.bin: (r.n, r.ece_term, r.ece_total)
+        for r in ml_ece(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want_terms)
+    for b, t in want_terms.items():
+        g = got[b]
+        assert g[0] == cal[b][0]
+        assert abs(g[1] - t) < 1.6e-9  # banker's vs HALF_UP boundary
+        assert abs(g[2] - tot) < 1e-7
