@@ -1222,3 +1222,152 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("approx_km"),
         )
     )
+
+
+_GEO_MINPTS = 4  # cells with >= this many points are "dense" (core)
+_GEO_CELL_CAP = 10_000  # guard: the 5°x10° grid has <= 432 cells, ever
+
+
+@query(
+    "geo_cluster_cells",
+    # Grid DBSCAN-lite: dense cells (>= 4 points in the shared 5°x10°
+    # grid) are core; clusters are connected components of dense cells
+    # under 8-neighborhood adjacency; points in sparse cells are noise
+    # (cluster_id = -1). Cell ids pack as (cy+12)*1000 + (cx+18); the
+    # component label is the MIN cell id, computed by a recursive
+    # reachability closure in the oracle and a guarded driver-side
+    # union-find in Spark — sound because the CELL GRAPH IS BOUNDED BY
+    # THE FIXED GRID (<= 432 cells at any data size), not by the data.
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5('lat' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 1200001 - 600000 AS lat,
+             CAST(('0x' || substr(md5('lon' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 3600001 - 1800000 AS lon
+      FROM customer),
+    cells AS (
+      SELECT CAST(FLOOR(lat * 1.0 / {_GEO_LAT_CELL}) AS BIGINT) AS cy,
+             CAST(FLOOR(lon * 1.0 / {_GEO_LON_CELL}) AS BIGINT) AS cx,
+             COUNT(*) AS n
+      FROM pts GROUP BY 1, 2),
+    dense AS (
+      SELECT (cy + 12) * 1000 + (cx + 18) AS cell, cy, cx, n
+      FROM cells WHERE n >= {_GEO_MINPTS}),
+    edges AS (
+      SELECT a.cell AS src, b.cell AS dst
+      FROM dense a JOIN dense b
+        ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+       AND a.cell <> b.cell),
+    lbl(cell, l) AS (
+      SELECT cell, cell FROM dense
+      UNION
+      SELECT e.dst, lbl.l FROM lbl JOIN edges e ON e.src = lbl.cell),
+    comp AS (
+      SELECT cell, CAST(MIN(l) AS BIGINT) AS cluster_id FROM lbl
+      GROUP BY cell),
+    clusters AS (
+      SELECT comp.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(d.n) AS BIGINT) AS n_points
+      FROM comp JOIN dense d ON comp.cell = d.cell
+      GROUP BY comp.cluster_id),
+    noise AS (
+      SELECT CAST(-1 AS BIGINT) AS cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_points
+      FROM cells WHERE n < {_GEO_MINPTS})
+    SELECT * FROM clusters UNION ALL SELECT * FROM noise
+    """,
+)
+def geo_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-based density clustering (DBSCAN-lite, the cell-level
+    variant production spatial stacks run before any point-level
+    refinement): cells of the shared 5°x10° grid holding ≥ 4 points are
+    core; clusters are 8-neighborhood connected components of core
+    cells labeled by their minimum packed cell id; points in sparse
+    cells report as the noise row (cluster_id = −1).
+
+    Scale shape: the POINT data contributes exactly one map-side-
+    combinable hash agg (points → cell counts) and never shuffles
+    again. The component computation runs on the CELL graph, which is
+    bounded by the FIXED grid geometry (≤ 432 cells at this
+    resolution, regardless of data size) — so the labels come from a
+    guarded driver-side union-find (cap asserted; the same
+    bounded-grid-collect pattern as seq_attribution_markov's guarded
+    chain solve), broadcast back as literals. The oracle computes the
+    identical components via a recursive reachability closure. At
+    10⁹ points only the first agg grows."""
+    c = load(spark, sf_dir, "customer")
+
+    def h(prefix: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    pts = c.select(
+        (h("lat") % 1200001 - 600000).alias("lat"),
+        (h("lon") % 3600001 - 1800000).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / _GEO_LAT_CELL).cast("bigint").alias("cy"),
+        F.floor(F.col("lon") / _GEO_LON_CELL).cast("bigint").alias("cx"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cells = cells.localCheckpoint()  # feeds dense collect + noise agg
+    dense_rows = (
+        cells.filter(F.col("n") >= _GEO_MINPTS)
+        .select(
+            ((F.col("cy") + 12) * 1000 + (F.col("cx") + 18)).alias("cell"),
+            "cy",
+            "cx",
+            "n",
+        )
+        .collect()
+    )
+    assert len(dense_rows) <= _GEO_CELL_CAP, "fixed grid exceeded its bound"
+    # driver union-find on the geography-bounded cell graph
+    parent = {r.cell: r.cell for r in dense_rows}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_pos = {(r.cy, r.cx): r.cell for r in dense_rows}
+    for r in dense_rows:
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nb = by_pos.get((r.cy + dy, r.cx + dx))
+                if nb is not None and nb != r.cell:
+                    ra, rb = find(r.cell), find(nb)
+                    if ra != rb:
+                        # union by min id keeps the label deterministic
+                        lo, hi = min(ra, rb), max(ra, rb)
+                        parent[hi] = lo
+    agg: dict[int, list[int]] = {}
+    for r in dense_rows:
+        root = find(r.cell)
+        cur = agg.setdefault(root, [0, 0])
+        cur[0] += 1
+        cur[1] += int(r.n)
+    rows = [
+        (int(cid), int(nc), int(np_)) for cid, (nc, np_) in agg.items()
+    ]
+    clusters = spark.createDataFrame(
+        rows or [], "cluster_id bigint, n_cells bigint, n_points bigint"
+    )
+    noise = cells.filter(F.col("n") < _GEO_MINPTS).agg(
+        F.lit(-1).cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_points"),
+    )
+    return clusters.unionByName(noise)

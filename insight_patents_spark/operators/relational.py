@@ -1878,3 +1878,155 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("freshness_ratio"),
         ((F.col("a") - F.col("last_es")) > 86400).alias("is_stale"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    # Referential-integrity audit across the star schema's FK edges
+    # (orders.custkey -> customer, lineitem.orderkey -> orders,
+    # lineitem.partkey -> part, lineitem.suppkey -> supplier): per edge,
+    # child rows / orphan rows (LEFT ANTI semantics via a null-extended
+    # join) / distinct orphan keys, plus parent coverage (share of
+    # parent keys referenced at all). All exact integer counts; the two
+    # ratios are single 9dp divisions.
+    oracle="""
+    WITH edges AS (
+      SELECT 'orders.custkey->customer' AS fk_edge,
+             (SELECT COUNT(*) FROM orders) AS n_child,
+             (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+               AS n_orphan,
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+               AS n_orphan_keys,
+             (SELECT COUNT(*) FROM customer) AS n_parent,
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders o
+               WHERE EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey))
+               AS n_parent_used
+      UNION ALL
+      SELECT 'lineitem.orderkey->orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL),
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)),
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'lineitem.partkey->part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+                ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+             (SELECT COUNT(DISTINCT l_partkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey)),
+             (SELECT COUNT(*) FROM part),
+             (SELECT COUNT(DISTINCT l_partkey) FROM lineitem l
+               WHERE EXISTS (SELECT 1 FROM part p
+                             WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.suppkey->supplier',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+                ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL),
+             (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey)),
+             (SELECT COUNT(*) FROM supplier),
+             (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem l
+               WHERE EXISTS (SELECT 1 FROM supplier s
+                             WHERE s.s_suppkey = l.l_suppkey)))
+    SELECT fk_edge,
+           CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphan AS BIGINT) AS n_orphan,
+           CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+           CAST(ROUND(n_orphan * 1.0 / n_child, 9) AS DOUBLE)
+             AS orphan_ratio,
+           CAST(ROUND(n_parent_used * 1.0 / n_parent, 9) AS DOUBLE)
+             AS parent_coverage
+    FROM edges
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema's four FK edges
+    — the first data-quality gate a warehouse load runs (and the one
+    that decides whether downstream joins silently drop rows): per
+    edge, orphan child rows (FK values with no parent), distinct orphan
+    keys, the orphan ratio, and parent coverage (share of parent keys
+    actually referenced — low coverage flags over-provisioned dims).
+    Completes the dq family: values (dq_expectations), shape
+    (profile_table), time (dq_freshness), now LINKS.
+
+    Scale shape: each edge is one LEFT ANTI join (orphans) + one LEFT
+    SEMI join (coverage), both on the FK key — dimension-sized parents
+    broadcast, the single fact-sized parent (orders) takes a standard
+    shuffled equi-join; counts are map-side-combinable. No window, no
+    sort, nothing quadratic. The four per-edge result rows union."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def edge(name, child, fk, parent, pk, broadcast_parent):
+        par = F.broadcast(parent) if broadcast_parent else parent
+        orphans = child.join(par, child[fk] == parent[pk], "left_anti")
+        used = child.join(par, child[fk] == parent[pk], "left_semi")
+        stats = (
+            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphan"),
+                    F.count_distinct(F.col(fk))
+                    .cast("bigint")
+                    .alias("n_orphan_keys"),
+                )
+            )
+            .crossJoin(
+                parent.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_parent")
+                )
+            )
+            .crossJoin(
+                used.agg(
+                    F.count_distinct(F.col(fk))
+                    .cast("bigint")
+                    .alias("n_parent_used")
+                )
+            )
+        )
+        return stats.select(
+            F.lit(name).alias("fk_edge"),
+            "n_child",
+            "n_orphan",
+            "n_orphan_keys",
+            F.round(F.col("n_orphan") / F.col("n_child"), 9)
+            .cast("double")
+            .alias("orphan_ratio"),
+            F.round(F.col("n_parent_used") / F.col("n_parent"), 9)
+            .cast("double")
+            .alias("parent_coverage"),
+        )
+
+    return (
+        edge("orders.custkey->customer", o, "o_custkey", c, "c_custkey", False)
+        .unionByName(
+            edge("lineitem.orderkey->orders", li, "l_orderkey",
+                 o.select("o_orderkey"), "o_orderkey", False)
+        )
+        .unionByName(
+            edge("lineitem.partkey->part", li, "l_partkey", p, "p_partkey",
+                 True)
+        )
+        .unionByName(
+            edge("lineitem.suppkey->supplier", li, "l_suppkey", su,
+                 "s_suppkey", True)
+        )
+    )

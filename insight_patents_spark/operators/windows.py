@@ -1449,3 +1449,121 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(at, "event_type")
         .select("event_type", "n_sessions", "peak", "peak_at_es")
     )
+
+
+@query(
+    "win_theil_sen",
+    # Theil-Sen robust trend per event_type: slope = MEDIAN of all
+    # pairwise slopes (cents_j - cents_i)/(d_j - d_i) on the daily
+    # grid (29% breakdown point — the estimator Mann-Kendall tests
+    # for), intercept = median residual at the fitted slope. Pairwise
+    # slopes are single divisions of exact int64s, so both engines
+    # interpolate the SAME double multiset (quantile_cont twins, the
+    # agg_mad_outliers contract); slope rounds 9dp only after the
+    # median.
+    oracle="""
+    WITH grid AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2),
+    slopes AS (
+      SELECT a.event_type,
+             (b.cents - a.cents) * 1.0 / (b.d - a.d) AS sl
+      FROM grid a JOIN grid b
+        ON a.event_type = b.event_type AND a.d < b.d),
+    fit AS (
+      SELECT event_type,
+             ROUND(quantile_cont(sl, 0.5) / 100.0, 9) AS slope_per_day
+      FROM slopes GROUP BY event_type),
+    resid AS (
+      SELECT g.event_type, f.slope_per_day,
+             ROUND(g.cents / 100.0 - f.slope_per_day * g.d, 9) AS r
+      FROM grid g JOIN fit f ON g.event_type = f.event_type),
+    ic AS (
+      SELECT event_type, MIN(slope_per_day) AS slope_per_day,
+             ROUND(quantile_cont(r, 0.5), 9) AS intercept,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM resid GROUP BY event_type)
+    SELECT event_type, n_days,
+           CAST(slope_per_day AS DOUBLE) AS slope_per_day,
+           CAST(intercept AS DOUBLE) AS intercept
+    FROM ic
+    """,
+)
+def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event_type — the median-of-pairwise-
+    slopes estimator (29% breakdown point) that win_mann_kendall tests
+    the significance of, and the robust counterpart to agg_trend_ols'
+    least-squares line (one corrupted day cannot move it): slope =
+    median of (Δcents/Δdays) over all day pairs, intercept = median
+    residual at that slope. Pairwise slopes are single divisions of
+    exact int64s, so both engines feed the SAME double multiset into
+    the interpolated median (the quantile_cont-twin contract shared
+    with agg_mad_outliers); rounding happens only after each median.
+
+    Scale shape: the fact collapses once to the checkpointed
+    (type, day) grid (shared shape with win_mann_kendall); the O(days²)
+    slope pairs and both percentile aggregates run on the grid —
+    calendar-bounded, never corpus-bounded. At 10⁹ events the plan is
+    unchanged."""
+    e = load(spark, sf_dir, "events")
+    grid = (
+        e.groupBy(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value*100,0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint()
+    )
+    a = grid.select(
+        "event_type", F.col("d").alias("da"), F.col("cents").alias("ca")
+    )
+    b = grid.select(
+        "event_type", F.col("d").alias("db"), F.col("cents").alias("cb")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            ((F.col("cb") - F.col("ca")) / (F.col("db") - F.col("da"))).alias(
+                "sl"
+            ),
+        )
+    )
+    fit = slopes.groupBy("event_type").agg(
+        F.round(F.expr("percentile(sl, 0.5)") / 100.0, 9).alias(
+            "slope_per_day"
+        )
+    )
+    resid = grid.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "slope_per_day",
+        F.round(
+            F.col("cents") / 100.0 - F.col("slope_per_day") * F.col("d"), 9
+        ).alias("r"),
+    )
+    return (
+        resid.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.min("slope_per_day").alias("slope_per_day"),
+            F.round(F.expr("percentile(r, 0.5)"), 9).alias("intercept"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.col("slope_per_day").cast("double").alias("slope_per_day"),
+            F.col("intercept").cast("double").alias("intercept"),
+        )
+    )

@@ -1450,3 +1450,39 @@ def test_delong_and_ece_stay_grid_bound(spark, sf_dir):
             m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)
         ]
         assert idx_wins and idx_aggs and min(idx_aggs) < min(idx_wins), fn
+
+
+def test_referential_integrity_broadcasts_dims(spark, sf_dir):
+    # dimension parents (part, supplier) must broadcast; no window, no
+    # cartesian beyond the 1-row scalar-combine cross joins
+    from insight_patents_spark.operators.relational import (
+        dq_referential_integrity,
+    )
+
+    plan = formatted_plan(dq_referential_integrity(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_pairs_on_checkpointed_grid(spark, sf_dir):
+    # pairwise slopes must come from the materialized daily grid
+    # (fact scanned once), same discipline as win_mann_kendall
+    from insight_patents_spark.operators.windows import win_theil_sen
+
+    plan = formatted_plan(win_theil_sen(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "events.parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_cells_points_aggregate_once(spark, sf_dir):
+    # the point data's only appearance is the checkpointed cell-count
+    # agg; the returned plan unions the broadcast-sized cluster rows
+    # with the noise aggregate over that checkpoint — no second scan
+    from insight_patents_spark.operators.joins import geo_cluster_cells
+
+    plan = formatted_plan(geo_cluster_cells(spark, sf_dir))
+    assert "customer.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

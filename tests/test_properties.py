@@ -5799,3 +5799,142 @@ def test_delong_ci_and_ece_match_python(spark, sf_dir):
         assert g[0] == cal[b][0]
         assert abs(g[1] - t) < 1.6e-9  # banker's vs HALF_UP boundary
         assert abs(g[2] - tot) < 1e-7
+
+
+def test_refint_theilsen_clusters_match_python(spark, sf_dir):
+    """Final r7 trio replays: FK orphan/coverage counting with Python
+    sets, Theil-Sen vs statistics.median of literal pairwise slopes,
+    and grid clustering vs a BFS connected-components replay."""
+    import statistics
+    from collections import Counter, defaultdict, deque
+
+    from insight_patents_spark.operators.joins import geo_cluster_cells
+    from insight_patents_spark.operators.relational import (
+        dq_referential_integrity,
+    )
+    from insight_patents_spark.operators.windows import win_theil_sen
+    from insight_patents_spark.sources.tables import load
+
+    # --- referential integrity
+    cust = {r.c_custkey for r in load(spark, sf_dir, "customer").collect()}
+    part = {r.p_partkey for r in
+            load(spark, sf_dir, "part").select("p_partkey").collect()}
+    supp = {r.s_suppkey for r in
+            load(spark, sf_dir, "supplier").select("s_suppkey").collect()}
+    orders = [
+        (r.o_orderkey, r.o_custkey)
+        for r in load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    ]
+    li = [
+        (r.l_orderkey, r.l_partkey, r.l_suppkey)
+        for r in load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .collect()
+    ]
+    okeys = {o for o, _ in orders}
+
+    def fkstats(children, parents):
+        orphans = [k for k in children if k not in parents]
+        used = {k for k in children if k in parents}
+        return (
+            len(children),
+            len(orphans),
+            len(set(orphans)),
+            round(len(orphans) / len(children), 9),
+            round(len(used) / len(parents), 9),
+        )
+
+    want = {
+        "orders.custkey->customer": fkstats([c for _, c in orders], cust),
+        "lineitem.orderkey->orders": fkstats([o for o, _, _ in li], okeys),
+        "lineitem.partkey->part": fkstats([p for _, p, _ in li], part),
+        "lineitem.suppkey->supplier": fkstats([s for _, _, s in li], supp),
+    }
+    got = {
+        r.fk_edge: (
+            r.n_child, r.n_orphan, r.n_orphan_keys,
+            r.orphan_ratio, r.parent_coverage,
+        )
+        for r in dq_referential_integrity(spark, sf_dir).collect()
+    }
+    assert got.keys() == want.keys()
+    for k, w in want.items():
+        g = got[k]
+        assert g[:3] == w[:3], k
+        assert abs(g[3] - w[3]) < 1e-9 and abs(g[4] - w[4]) < 1e-9, k
+
+    # --- Theil-Sen
+    rows = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    from datetime import date
+
+    grid = Counter()
+    for r in rows:
+        grid[(r.event_type, (r.ts.date() - date(1970, 1, 1)).days)] += int(
+            round(r.value * 100)
+        )
+    series = defaultdict(list)
+    for (t, d), c in grid.items():
+        series[t].append((d, c))
+    got_ts = {
+        r.event_type: (r.n_days, r.slope_per_day, r.intercept)
+        for r in win_theil_sen(spark, sf_dir).collect()
+    }
+    for t, pts in series.items():
+        pts.sort()
+        slopes = [
+            (c2 - c1) / (d2 - d1)
+            for i, (d1, c1) in enumerate(pts)
+            for (d2, c2) in pts[i + 1:]
+        ]
+        slope = round(statistics.median(slopes) / 100.0, 9)
+        resid = [round(c / 100.0 - slope * d, 9) for d, c in pts]
+        icept = round(statistics.median(resid), 9)
+        g = got_ts[t]
+        assert g[0] == len(pts)
+        assert abs(g[1] - slope) < 1e-9
+        assert abs(g[2] - icept) < 1e-9
+
+    # --- grid clustering via BFS replay
+    from insight_patents_spark.operators.joins import (
+        _GEO_LAT_CELL,
+        _GEO_LON_CELL,
+        _GEO_MINPTS,
+    )
+
+    cellcnt = Counter()
+    for cid in cust:
+        lat = _md5i8(f"lat{cid}") % 1200001 - 600000
+        lon = _md5i8(f"lon{cid}") % 3600001 - 1800000
+        cellcnt[
+            (lat // _GEO_LAT_CELL, lon // _GEO_LON_CELL)
+        ] += 1
+    dense = {k: v for k, v in cellcnt.items() if v >= _GEO_MINPTS}
+    seen = set()
+    want_cl = {}
+    for start in dense:
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen.add(start)
+        while q:
+            cy, cx = q.popleft()
+            comp.append((cy, cx))
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    nb = (cy + dy, cx + dx)
+                    if nb in dense and nb not in seen:
+                        seen.add(nb)
+                        q.append(nb)
+        cid = min((cy + 12) * 1000 + (cx + 18) for cy, cx in comp)
+        want_cl[cid] = (len(comp), sum(dense[c] for c in comp))
+    noise_cells = [v for k, v in cellcnt.items() if v < _GEO_MINPTS]
+    want_cl[-1] = (len(noise_cells), sum(noise_cells))
+    got_cl = {
+        r.cluster_id: (r.n_cells, r.n_points)
+        for r in geo_cluster_cells(spark, sf_dir).collect()
+    }
+    assert got_cl == want_cl
