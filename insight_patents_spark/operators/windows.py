@@ -1567,3 +1567,119 @@ def win_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("intercept").cast("double").alias("intercept"),
         )
     )
+
+
+# Holt-Winters additive step, shared between the Spark in-row fold and
+# the oracle's recursive CTE. Dyadic smoothing constants (exact binary
+# fractions) keep every multiply exact; the fold is sequential in both
+# engines, so even once intermediates exceed 2^53 the IEEE rounding
+# sequence is identical. State: (l, b, s1..s7) with s1 = the seasonal
+# component the NEXT observation consumes (rotate left each step).
+_HW_ALPHA, _HW_BETA, _HW_GAMMA = 0.5, 0.25, 0.5
+
+
+@query(
+    "win_holt_winters",
+    # EXACT recursive Holt-Winters (no kernel truncation): the oracle
+    # steps the recursion with a recursive CTE over (user, event index)
+    # carrying the 9-column state — NOT DuckDB list_reduce, whose 1.0
+    # lambda aliases the accumulator in place (later struct fields see
+    # already-updated values; verified on this box). Spark runs the
+    # same arithmetic as an in-row aggregate() fold over the user's
+    # time-sorted cents array. Identical operation order -> identical
+    # IEEE rounding -> bit-equal states; outputs round 9dp.
+    oracle=f"""
+    WITH RECURSIVE arr AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             CAST(CAST(round(value*100,0) AS BIGINT) AS DOUBLE) AS y
+      FROM events),
+    hw AS (
+      SELECT user_id, i, n, y AS l, 0.0::DOUBLE AS b,
+             0.0::DOUBLE AS s1, 0.0::DOUBLE AS s2, 0.0::DOUBLE AS s3,
+             0.0::DOUBLE AS s4, 0.0::DOUBLE AS s5, 0.0::DOUBLE AS s6,
+             0.0::DOUBLE AS s7
+      FROM arr WHERE i = 1
+      UNION ALL
+      SELECT hw.user_id, a.i, hw.n,
+             {_HW_ALPHA}*(a.y - hw.s1) + {1 - _HW_ALPHA}*(hw.l + hw.b),
+             {_HW_BETA}*(({_HW_ALPHA}*(a.y - hw.s1)
+                          + {1 - _HW_ALPHA}*(hw.l + hw.b)) - hw.l)
+               + {1 - _HW_BETA}*hw.b,
+             hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
+             {_HW_GAMMA}*(a.y - ({_HW_ALPHA}*(a.y - hw.s1)
+                                 + {1 - _HW_ALPHA}*(hw.l + hw.b)))
+               + {1 - _HW_GAMMA}*hw.s1
+      FROM hw JOIN arr a ON a.user_id = hw.user_id AND a.i = hw.i + 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(ROUND(l / 100.0, 9) AS DOUBLE) AS level,
+           CAST(ROUND(b / 100.0, 9) AS DOUBLE) AS trend,
+           CAST(ROUND((l + b + s1) / 100.0, 9) AS DOUBLE) AS forecast_next
+    FROM hw WHERE i = n
+    """,
+)
+def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Holt-Winters triple exponential smoothing per user
+    (additive, season length 7 over the event sequence; α=0.5 β=0.25
+    γ=0.5 — deliberately dyadic) — the seasonal rung above
+    win_holt_forecast, which is a TRUNCATED-kernel Holt; here the full
+    recursion runs to the last observation with zero truncation,
+    because the per-key fold executes IN-ROW over the user's
+    time-sorted series (seasonal impulse responses decay too slowly
+    for an honest fixed kernel — measured 25%+ tail mass, which is why
+    the convolution route was rejected).
+
+    Scale shape: ONE (user_id) shuffle builds the sorted per-user
+    array; the whole recursion is then a single aggregate() fold inside
+    the row — no iteration driver, no per-step shuffles, state is 9
+    numbers. Per-user sequence lengths bound the in-row cost (hundreds
+    here; a production pipeline windows the series first). Cross-engine
+    equality is ORDER equality: the oracle's recursive CTE executes the
+    identical arithmetic sequence, and sequential IEEE rounding is
+    deterministic — the _canonical_mean argument, extended to a
+    3-component state."""
+    e = load(spark, sf_dir, "events")
+    arr = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, "
+            "CAST(CAST(round(value*100,0) AS BIGINT) AS DOUBLE) AS y))), "
+            "x -> x.y)"
+        ).alias("ys"),
+    )
+    a, ia = _HW_ALPHA, 1 - _HW_ALPHA
+    bt, ib = _HW_BETA, 1 - _HW_BETA
+    g, ig = _HW_GAMMA, 1 - _HW_GAMMA
+    lnew = f"{a}*(x.l - element_at(acc.s, 1)) + {ia}*(acc.l + acc.b)"
+    fold = f"""
+    aggregate(
+      slice(transform(ys, y -> struct(y AS l, CAST(0.0 AS DOUBLE) AS b,
+            array(0D,0D,0D,0D,0D,0D,0D) AS s)), 2, size(ys) - 1),
+      transform(ys, y -> struct(y AS l, CAST(0.0 AS DOUBLE) AS b,
+            array(0D,0D,0D,0D,0D,0D,0D) AS s))[0],
+      (acc, x) -> struct(
+         {lnew} AS l,
+         {bt}*(({lnew}) - acc.l) + {ib}*acc.b AS b,
+         concat(slice(acc.s, 2, 6),
+                array({g}*(x.l - ({lnew})) + {ig}*element_at(acc.s, 1)))
+           AS s)
+    )
+    """
+    st = arr.select(
+        "user_id", "n_events", F.expr(fold).alias("st")
+    )
+    return st.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("st.l") / 100.0, 9).cast("double").alias("level"),
+        F.round(F.col("st.b") / 100.0, 9).cast("double").alias("trend"),
+        F.round(
+            (F.col("st.l") + F.col("st.b") + F.element_at(F.col("st.s"), 1))
+            / 100.0,
+            9,
+        )
+        .cast("double")
+        .alias("forecast_next"),
+    )

@@ -78,13 +78,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          (complement of the union of CORRECTNESS_r01-r06 keys),
 #          including every query whose code changed in r7
 #          (graph_scc, seq_attribution_markov) so the driver gate
-#          covers the round's diff; the 20 operators r7's NEW queries
+#          covers the round's diff; the 21 operators r7's NEW queries
 #          (ml_roc_auc, ml_average_precision, ml_lift_gains,
 #          ml_psi_drift, ml_ndcg, ml_ks_separation, agg_chi_square,
 #          geo_knn, text_winnowing, text_dsir_weight, seq_pair_support,
 #          win_mann_kendall, dq_freshness, time_decompose_classical,
 #          agg_peak_concurrency, ml_auc_delong_ci, ml_ece,
-#          win_theil_sen, dq_referential_integrity, geo_cluster_cells)
+#          win_theil_sen, dq_referential_integrity, geo_cluster_cells,
+#          win_holt_winters)
 #          displaced (win_cume_nth,
 #          win_drawdown,
 #          agg_iqr_outliers, agg_new_returning, agg_cohort_ltv,
@@ -92,7 +93,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          agg_bitmap_distinct, time_downsample_lttb, vec_cell_refine,
 #          agg_hll_intersect, seq_markov_stationary, agg_survival_km,
 #          win_skyline_2d, win_rolling_corr, agg_mad_outliers,
-#          agg_ab_ttest, win_anomaly_zscore, agg_mutual_info)
+#          agg_ab_ttest, win_anomaly_zscore, agg_mutual_info,
+#          agg_anova_f)
 #          join the remaining never-checked set for the r8 rotation.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
@@ -108,11 +110,11 @@ _SHOWCASE_50 = (
     "ml_average_precision", "ml_lift_gains", "ml_psi_drift", "ml_ndcg",
     "ml_ks_separation", "ml_auc_delong_ci", "ml_ece",
     # window analytics
-    "win_rsi", "win_sliding_distinct",
+    "win_rsi", "win_sliding_distinct", "win_holt_winters",
     # aggregations / statistics (agg_chi_square, win_mann_kendall NEW
     # in r7)
     "agg_chi_square", "win_mann_kendall", "win_theil_sen",
-    "agg_histogram_equidepth", "agg_anova_f",
+    "agg_histogram_equidepth",
     "agg_log_histogram",
     # sequences / time series (seq_pair_support,
     # time_decompose_classical, agg_peak_concurrency NEW in r7)

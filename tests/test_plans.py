@@ -1486,3 +1486,14 @@ def test_cluster_cells_points_aggregate_once(spark, sf_dir):
     assert "customer.parquet" not in plan
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_holt_winters_is_one_shuffle_in_row_fold(spark, sf_dir):
+    # the whole recursion must run inside the row: exactly one Exchange
+    # (the user_id grouping), no Window, no joins, no second scan
+    from insight_patents_spark.operators.windows import win_holt_winters
+
+    plan = formatted_plan(win_holt_winters(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Join" not in plan
+    assert plan.count("events.parquet") == 1

@@ -5938,3 +5938,45 @@ def test_refint_theilsen_clusters_match_python(spark, sf_dir):
         for r in geo_cluster_cells(spark, sf_dir).collect()
     }
     assert got_cl == want_cl
+
+
+def test_holt_winters_matches_python_recursion(spark, sf_dir):
+    """win_holt_winters vs a literal Python replay of the additive
+    Holt-Winters recursion (the definition, not the fold mechanics)."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.windows import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        win_holt_winters,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    rows = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    series = defaultdict(list)
+    for r in rows:
+        series[r.user_id].append(
+            (r.ts, r.event_id, float(int(round(r.value * 100))))
+        )
+    got = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_next)
+        for r in win_holt_winters(spark, sf_dir).collect()
+    }
+    assert set(got) == set(series)
+    for u, evs in series.items():
+        evs.sort()
+        ys = [y for _, _, y in evs]
+        l, b, s = ys[0], 0.0, [0.0] * 7
+        for y in ys[1:]:
+            ln = _HW_ALPHA * (y - s[0]) + (1 - _HW_ALPHA) * (l + b)
+            bn = _HW_BETA * (ln - l) + (1 - _HW_BETA) * b
+            s = s[1:] + [_HW_GAMMA * (y - ln) + (1 - _HW_GAMMA) * s[0]]
+            l, b = ln, bn
+        g = got[u]
+        assert g[0] == len(ys)
+        assert abs(g[1] - round(l / 100.0, 9)) < 1.6e-9
+        assert abs(g[2] - round(b / 100.0, 9)) < 1.6e-9
+        assert abs(g[3] - round((l + b + s[0]) / 100.0, 9)) < 1.6e-9
