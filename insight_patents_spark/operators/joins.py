@@ -1225,7 +1225,7 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GEO_MINPTS = 4  # cells with >= this many points are "dense" (core)
-_GEO_CELL_CAP = 10_000  # guard: the 5°x10° grid has <= 432 cells, ever
+_GEO_CELL_CAP = 10_000  # guard: the 5°x10° grid has <= 925 cells, ever
 
 
 @query(
@@ -1237,7 +1237,9 @@ _GEO_CELL_CAP = 10_000  # guard: the 5°x10° grid has <= 432 cells, ever
     # component label is the MIN cell id, computed by a recursive
     # reachability closure in the oracle and a guarded driver-side
     # union-find in Spark — sound because the CELL GRAPH IS BOUNDED BY
-    # THE FIXED GRID (<= 432 cells at any data size), not by the data.
+    # THE FIXED GRID (<= 25 x 37 = 925 cells at any data size: lat cells
+    # floor(±600000/50000) span -12..12, lon floor(±1800000/100000)
+    # span -18..18), not by the data.
     oracle=f"""
     WITH RECURSIVE pts AS (
       SELECT c_custkey AS id,
@@ -1291,7 +1293,7 @@ def geo_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the POINT data contributes exactly one map-side-
     combinable hash agg (points → cell counts) and never shuffles
     again. The component computation runs on the CELL graph, which is
-    bounded by the FIXED grid geometry (≤ 432 cells at this
+    bounded by the FIXED grid geometry (≤ 25×37 = 925 cells at this
     resolution, regardless of data size) — so the labels come from a
     guarded driver-side union-find (cap asserted; the same
     bounded-grid-collect pattern as seq_attribution_markov's guarded

@@ -1411,8 +1411,11 @@ def seq_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Confidence = support(a->b)/support(a), one exact division, 9dp.
     oracle="""
     WITH firsts AS (
-      SELECT user_id, event_type, MIN(ts) AS first_ts,
-             MIN(event_id) AS tie_id
+      SELECT user_id, event_type,
+             MIN(struct_pack(ts := ts, event_id := event_id))['ts']
+               AS first_ts,
+             MIN(struct_pack(ts := ts, event_id := event_id))['event_id']
+               AS tie_id
       FROM events GROUP BY user_id, event_type),
     users AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM firsts),
     pairs AS (
@@ -1449,13 +1452,28 @@ def seq_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume; the antecedent-base join is broadcast-sized (|types| rows).
     At 10⁹ events the plan is identical: the grid is the only shuffle
     that scales with data, and it scales with USERS, not events."""
-    e = load(spark, sf_dir, "events")
+    return _pair_support(load(spark, sf_dir, "events"))
+
+
+def _pair_support(e: DataFrame) -> DataFrame:
+    """Core of seq_pair_support over any events-shaped frame
+    (user_id, event_type, ts, event_id) — split out so adversarial
+    tests can feed synthetic frames (simultaneous firsts, reversed
+    event-id order) that the generated data never produces."""
     # the first-seen grid feeds FOUR consumers (both self-join sides,
     # the antecedent base, the user universe) — localCheckpoint pins it
     # so the fact is scanned once; it is |users|*|types| rows, cheap
+    # struct-min (lexicographic in BOTH engines) pins tie_id to the
+    # event_id OF the first-occurring event — MIN(ts) + MIN(event_id)
+    # separately would pair the earliest time with some OTHER event's
+    # id and flip the simultaneous-firsts tiebreak
+    first = F.min(F.struct("ts", "event_id"))
     firsts = (
         e.groupBy("user_id", "event_type")
-        .agg(F.min("ts").alias("first_ts"), F.min("event_id").alias("tie_id"))
+        .agg(
+            first.getField("ts").alias("first_ts"),
+            first.getField("event_id").alias("tie_id"),
+        )
         .localCheckpoint()
     )
     n_users = firsts.select(

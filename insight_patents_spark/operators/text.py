@@ -3037,7 +3037,14 @@ def text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST back, so the per-doc score join never shuffles the
     corpus; the final division is the only float op. Swapping the
     target proxy for a real trusted corpus changes one filter."""
-    d = load(spark, sf_dir, "documents")
+    return _dsir_weight(load(spark, sf_dir, "documents"))
+
+
+def _dsir_weight(d: DataFrame) -> DataFrame:
+    """Core of text_dsir_weight over any documents-shaped frame
+    (doc_id, text, lang) — split out so adversarial tests can feed
+    single-token / empty documents (the generated corpus is always
+    multi-token)."""
     toks = d.select("doc_id", "lang", _tokens().alias("t"))
     feats = toks.select(
         "doc_id",
@@ -3045,9 +3052,14 @@ def text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.concat(
                 F.col("t"),
+                # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark and
+                # element_at(t, 0) throws — single-token docs must yield
+                # an EMPTY bigram list (as the oracle's range(1,1) does)
                 F.expr(
+                    "IF(size(t) >= 2, "
                     "transform(sequence(1, size(t) - 1), "
-                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))), "
+                    "CAST(array() AS array<string>))"
                 ),
             )
         ).alias("f"),

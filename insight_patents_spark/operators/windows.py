@@ -1309,15 +1309,17 @@ def win_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_peak_concurrency",
     # Peak concurrent sessions per event_type (capacity planning): user
     # sessions (5-minute-gap sessionization, same rule as
-    # win_sessionize) become [start, end] intervals; the classic
-    # +1/-1 sweep orders the 2x|sessions| markers by (epoch second,
-    # delta) — delta ascending processes ENDS before STARTS at the same
-    # second, so touching sessions never double-count — and the running
+    # win_sessionize) become CLOSED integer-second intervals
+    # [s_es, e_es]; the sweep converts them to half-open [s_es, e_es+1)
+    # — +1 at s_es, -1 at e_es + 1 — so a zero-duration (single-second)
+    # session still counts as open during its second, and ordering
+    # markers by (second, delta) with ends first means a session ending
+    # at e and another starting at e+1 never double-count. The running
     # sum's max is the peak; peak_at_es is the earliest second it is
     # reached. All integer epoch-second arithmetic, no floats anywhere.
     oracle="""
     WITH flagged AS (
-      SELECT event_type, user_id,
+      SELECT event_type, user_id, ts, event_id,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type, user_id
                                           ORDER BY ts, event_id)
@@ -1328,7 +1330,8 @@ def win_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sess AS (
       SELECT event_type, user_id,
-             SUM(is_new) OVER (PARTITION BY event_type, user_id ORDER BY es
+             SUM(is_new) OVER (PARTITION BY event_type, user_id
+               ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno,
              es
       FROM flagged),
@@ -1338,7 +1341,7 @@ def win_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     marks AS (
       SELECT event_type, s_es AS es, 1 AS delta FROM iv
       UNION ALL
-      SELECT event_type, e_es, -1 FROM iv),
+      SELECT event_type, e_es + 1, -1 FROM iv),
     sweep AS (
       SELECT event_type, es,
              SUM(delta) OVER (PARTITION BY event_type ORDER BY es, delta
@@ -1365,11 +1368,14 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     this type were open at once, and when did the peak first occur':
     the capacity-planning readout behind connection-pool and autoscaler
     sizing. Sessions come from the same 5-minute-gap rule as
-    win_sessionize; each [start, end] interval emits +1/-1 markers and
-    the classic sweep's running sum peaks at the answer. Ordering
-    markers by (second, delta) processes ends BEFORE starts at the same
-    instant, so back-to-back sessions never inflate the peak. Exact
-    integer epoch seconds throughout — no floats in the whole operator.
+    win_sessionize; each closed integer-second interval [s, e] sweeps
+    as half-open [s, e+1) — +1 at s, -1 at e+1 — so a single-second
+    session still counts as open during its second (the closed-interval
+    -1-at-e variant silently reports peak=0 on zero-duration sessions,
+    which dominate clickstream data). Ordering markers by (second,
+    delta) processes ends before starts at the same instant, so a
+    session ending at e and one starting at e+1 never double-count.
+    Exact integer epoch seconds throughout — no floats anywhere.
 
     Scale shape: sessionization and the interval agg ride ONE
     (type, user) partitioning; markers are 2·|sessions| rows (data-
@@ -1392,6 +1398,8 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = e.select(
         "event_type",
         "user_id",
+        "ts",
+        "event_id",
         F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("es"),
         F.when(
             _pc_gap(w_lag).isNull()
@@ -1403,7 +1411,7 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cum = (
         Window.partitionBy("event_type", "user_id")
-        .orderBy("es")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = flagged.select(
@@ -1421,7 +1429,9 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("s_es").alias("es"), F.lit(1).alias("delta")
     ).unionByName(
         iv.select(
-            "event_type", F.col("e_es").alias("es"), F.lit(-1).alias("delta")
+            "event_type",
+            (F.col("e_es") + 1).alias("es"),
+            F.lit(-1).alias("delta"),
         )
     )
     w_sweep = (

@@ -5693,24 +5693,26 @@ def test_decompose_and_peak_concurrency_match_python(spark, sf_dir):
         # additive identity within rounding
         assert abs(g[0] - (g[1] + g[2] + g[3])) < 3e-9, k
 
-    # --- peak concurrency replay: brute-force occupancy per marker time
+    # --- peak concurrency replay: brute-force occupancy per marker time.
+    # Gap splitting uses MICROsecond precision (the operator's rule);
+    # interval endpoints floor to seconds; the sweep is half-open
+    # [s, e+1) so zero-duration sessions count as open.
     import calendar
 
-    sess = defaultdict(list)  # (type, user) -> [es]
+    sess = defaultdict(list)  # (type, user) -> [(ts, event_id)]
     for r in rows:
-        sess[(r.event_type, r.user_id)].append(
-            calendar.timegm(r.ts.timetuple())
-        )
-    intervals = defaultdict(list)  # type -> [(s, e)]
-    for (t, _), ess in sess.items():
-        ess.sort()
-        s0 = e0 = ess[0]
-        for x in ess[1:]:
-            if x - e0 > 300:
-                intervals[t].append((s0, e0))
-                s0 = x
-            e0 = x
-        intervals[t].append((s0, e0))
+        sess[(r.event_type, r.user_id)].append((r.ts, r.event_id))
+    intervals = defaultdict(list)  # type -> [(s_es, e_es)]
+    for (t, _), evs in sess.items():
+        evs.sort()
+        groups = [[evs[0][0]]]
+        for ts, _ in evs[1:]:
+            if (ts - groups[-1][-1]).total_seconds() > 300.0:
+                groups.append([])
+            groups[-1].append(ts)
+        for g in groups:
+            ess = [calendar.timegm(x.timetuple()) for x in g]
+            intervals[t].append((min(ess), max(ess)))
     got_pc = {
         r.event_type: (r.n_sessions, r.peak, r.peak_at_es)
         for r in agg_peak_concurrency(spark, sf_dir).collect()
@@ -5718,7 +5720,7 @@ def test_decompose_and_peak_concurrency_match_python(spark, sf_dir):
     assert set(got_pc) == set(intervals)
     for t, iv in intervals.items():
         marks = sorted(
-            [(s, 1) for s, _ in iv] + [(e, -1) for _, e in iv]
+            [(s, 1) for s, _ in iv] + [(e + 1, -1) for _, e in iv]
         , key=lambda m: (m[0], m[1]))
         cur = peak = 0
         peak_at = None
@@ -5729,6 +5731,7 @@ def test_decompose_and_peak_concurrency_match_python(spark, sf_dir):
         g = got_pc[t]
         assert g[0] == len(iv)
         assert g[1] == peak
+        assert g[1] >= 1  # half-open sweep: sessions actually count
         assert g[2] == peak_at, t
 
 
@@ -5980,3 +5983,48 @@ def test_holt_winters_matches_python_recursion(spark, sf_dir):
         assert abs(g[1] - round(l / 100.0, 9)) < 1.6e-9
         assert abs(g[2] - round(b / 100.0, 9)) < 1.6e-9
         assert abs(g[3] - round((l + b + s[0]) / 100.0, 9)) < 1.6e-9
+
+
+def test_pair_support_and_dsir_adversarial_frames(spark):
+    """Synthetic frames for the cases the generated data never produces
+    (found in the r7 self-review): simultaneous first occurrences must
+    tie-break on the FIRST event's id (not the key's global min id),
+    and single-token documents must not crash the DSIR bigram builder.
+    Also: a zero-duration-session workload must report peak >= 1 (the
+    half-open sweep contract)."""
+    import datetime as dt
+
+    from insight_patents_spark.operators.sequences import _pair_support
+    from insight_patents_spark.operators.text import _dsir_weight
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    # user 1: type A first at ts0 with id 100 (a LATER A has the smaller
+    # id 5); type B first at the SAME ts0 with id 50. First-event
+    # tiebreak: B (50) precedes A (100) -> expect B->A, never A->B.
+    ev = spark.createDataFrame(
+        [
+            (1, "A", t0, 100),
+            (1, "A", t0 + dt.timedelta(seconds=40), 5),
+            (1, "B", t0, 50),
+        ],
+        "user_id bigint, event_type string, ts timestamp_ntz, event_id bigint",
+    )
+    pairs = {
+        (r.type_a, r.type_b): r.support_n
+        for r in _pair_support(ev).collect()
+    }
+    assert pairs.get(("B", "A")) == 1
+    assert ("A", "B") not in pairs
+
+    # single-token and empty-text docs must flow through DSIR (Spark's
+    # sequence(1, 0) returns DESCENDING [1, 0] and element_at(t, 0)
+    # throws without the size guard)
+    docs = spark.createDataFrame(
+        [(1, "solo", "en"), (2, "", "xx"), (3, "two tokens here", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r.doc_id: r.n_feats for r in _dsir_weight(docs).collect()}
+    assert out[1] == 1  # one unigram, zero bigrams
+    assert out[2] == 1  # '' splits to [''] -> one (empty) unigram
+    assert out[3] == 5  # 3 unigrams + 2 bigrams
