@@ -3117,3 +3117,131 @@ def _dsir_weight(d: DataFrame) -> DataFrame:
         .alias("logratio_per_feat"),
         (F.col("s_nano") > 0).alias("keep"),
     )
+
+
+_PMI_MIN_DOCS = 5  # pairs must co-occur in >= this many docs
+
+
+@query(
+    "text_pmi_cooccur",
+    # Pointwise mutual information over within-document token
+    # co-occurrence (presence-based: each doc contributes each
+    # unordered token pair once) — the count table word-embedding and
+    # collocation pipelines start from. The (doc, token) presence grid
+    # is built ONCE; pairs enumerate IN-ROW from each doc's sorted
+    # distinct-token array (the graph _pairs builder's combination
+    # trick); PMI = ln(N*c_xy/(c_x*c_y)) and NPMI = pmi / ln(N/c_xy)
+    # are transcendentals of exact int64 ratios, rounded 9dp.
+    oracle=f"""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, t.token
+      FROM documents, unnest(string_split(text, ' ')) AS t(token)),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM pres),
+    tok AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM pres
+      GROUP BY token),
+    arrs AS (
+      SELECT doc_id, list_sort(list(token)) AS toks FROM pres
+      GROUP BY doc_id),
+    pairs AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM (
+        SELECT doc_id, u.x, v.y
+        FROM arrs,
+             unnest(toks) AS u(x),
+             unnest(toks) AS v(y)
+        WHERE u.x < v.y)
+      GROUP BY x, y HAVING COUNT(*) >= {_PMI_MIN_DOCS})
+    SELECT p.x AS token_x, p.y AS token_y, p.c_xy,
+           tx.c AS c_x, ty.c AS c_y,
+           CAST(ROUND(LN(n.n_docs * p.c_xy * 1.0 / (tx.c * ty.c)), 9)
+                AS DOUBLE) AS pmi,
+           CAST(ROUND(LN(n.n_docs * p.c_xy * 1.0 / (tx.c * ty.c))
+                      / LN(n.n_docs * 1.0 / p.c_xy), 9) AS DOUBLE)
+             AS npmi
+    FROM pairs p
+    JOIN tok tx ON p.x = tx.token
+    JOIN tok ty ON p.y = ty.token
+    CROSS JOIN n
+    WHERE p.c_xy < n.n_docs
+    """,
+)
+def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI / NPMI token co-occurrence — the collocation statistic the
+    word-embedding era's count-based pipelines (and phrase-mining /
+    stopword-pair diagnostics today) compute over a corpus: for every
+    unordered token pair present together in ≥ {_PMI_MIN_DOCS} docs,
+    PMI = ln(N·c_xy/(c_x·c_y)) and its [-1,1] normalization
+    NPMI = PMI / ln(N/c_xy). Pairs where c_xy = N are excluded (NPMI's
+    denominator is 0 there — tokens present in EVERY doc carry no
+    signal anyway).
+
+    Scale shape: ONE distinct (doc, token) presence grid, pinned via
+    localCheckpoint (it feeds the token-frequency table, the pair
+    enumeration, and the doc count); pair candidates enumerate IN-ROW
+    from each doc's sorted distinct-token array (combinations via the
+    same nested-transform trick as the graph pair builder — per-doc
+    cost is distinct-tokens², bounded by vocabulary not corpus, and a
+    production run caps per-doc distinct tokens first); the pair count
+    is one map-side-combinable hash agg; the ≤|vocab|-row frequency
+    table broadcasts back twice. Shuffle volume ∝ |vocab|², never
+    corpus size."""
+    d = load(spark, sf_dir, "documents")
+    pres = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = pres.agg(F.count_distinct("doc_id").alias("n_docs"))
+    tok = pres.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    arrs = pres.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("token")).alias("toks")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("toks"),
+            lambda x, i: F.transform(
+                F.slice(F.col("toks"), i + 2, F.size(F.col("toks"))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    pairs = (
+        arrs.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_DOCS)
+    )
+    tx = tok.select(F.col("token").alias("x"), F.col("c").alias("c_x"))
+    ty = tok.select(F.col("token").alias("y"), F.col("c").alias("c_y"))
+    j = (
+        pairs.join(F.broadcast(tx), "x")
+        .join(F.broadcast(ty), "y")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c_xy") < F.col("n_docs"))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("n_docs") * F.col("c_xy") / (F.col("c_x") * F.col("c_y"))
+        ),
+        9,
+    )
+    return j.select(
+        F.col("x").alias("token_x"),
+        F.col("y").alias("token_y"),
+        "c_xy",
+        "c_x",
+        "c_y",
+        pmi.cast("double").alias("pmi"),
+        F.round(
+            F.log(
+                F.col("n_docs") * F.col("c_xy") / (F.col("c_x") * F.col("c_y"))
+            )
+            / F.log(F.col("n_docs") / F.col("c_xy")),
+            9,
+        )
+        .cast("double")
+        .alias("npmi"),
+    )

@@ -78,14 +78,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          (complement of the union of CORRECTNESS_r01-r06 keys),
 #          including every query whose code changed in r7
 #          (graph_scc, seq_attribution_markov) so the driver gate
-#          covers the round's diff; the 21 operators r7's NEW queries
+#          covers the round's diff; the 22 operators r7's NEW queries
 #          (ml_roc_auc, ml_average_precision, ml_lift_gains,
 #          ml_psi_drift, ml_ndcg, ml_ks_separation, agg_chi_square,
 #          geo_knn, text_winnowing, text_dsir_weight, seq_pair_support,
 #          win_mann_kendall, dq_freshness, time_decompose_classical,
 #          agg_peak_concurrency, ml_auc_delong_ci, ml_ece,
 #          win_theil_sen, dq_referential_integrity, geo_cluster_cells,
-#          win_holt_winters)
+#          win_holt_winters, text_pmi_cooccur)
 #          displaced (win_cume_nth,
 #          win_drawdown,
 #          agg_iqr_outliers, agg_new_returning, agg_cohort_ltv,
@@ -94,7 +94,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          agg_hll_intersect, seq_markov_stationary, agg_survival_km,
 #          win_skyline_2d, win_rolling_corr, agg_mad_outliers,
 #          agg_ab_ttest, win_anomaly_zscore, agg_mutual_info,
-#          agg_anova_f)
+#          agg_anova_f, agg_histogram_equidepth)
 #          join the remaining never-checked set for the r8 rotation.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
@@ -114,7 +114,6 @@ _SHOWCASE_50 = (
     # aggregations / statistics (agg_chi_square, win_mann_kendall NEW
     # in r7)
     "agg_chi_square", "win_mann_kendall", "win_theil_sen",
-    "agg_histogram_equidepth",
     "agg_log_histogram",
     # sequences / time series (seq_pair_support,
     # time_decompose_classical, agg_peak_concurrency NEW in r7)
@@ -134,7 +133,7 @@ _SHOWCASE_50 = (
     # text / dedup (text_winnowing, text_dsir_weight NEW in r7)
     "dedup_eval", "text_jaccard_tokens", "dedup_minhash_pairs",
     "text_minhash_containment", "text_decontaminate", "text_winnowing",
-    "text_dsir_weight",
+    "text_dsir_weight", "text_pmi_cooccur",
     # vector similarity
     "vec_residual_pq",
     # joins (geo_knn NEW in r7)

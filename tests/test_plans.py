@@ -1497,3 +1497,16 @@ def test_holt_winters_is_one_shuffle_in_row_fold(spark, sf_dir):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "Join" not in plan
     assert plan.count("events.parquet") == 1
+
+
+def test_pmi_pairs_enumerate_in_row_from_one_grid(spark, sf_dir):
+    # the (doc, token) presence grid is checkpointed and feeds the
+    # frequency table, the in-row pair enumeration, and the doc count —
+    # one documents scan total; the frequency joins come back broadcast
+    from insight_patents_spark.operators.text import text_pmi_cooccur
+
+    plan = formatted_plan(text_pmi_cooccur(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "documents.parquet" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

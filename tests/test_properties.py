@@ -6028,3 +6028,50 @@ def test_pair_support_and_dsir_adversarial_frames(spark):
     assert out[1] == 1  # one unigram, zero bigrams
     assert out[2] == 1  # '' splits to [''] -> one (empty) unigram
     assert out[3] == 5  # 3 unigrams + 2 bigrams
+
+
+def test_pmi_cooccur_matches_python(spark, sf_dir):
+    """text_pmi_cooccur vs a literal Python replay of presence-based
+    pair counting and the PMI/NPMI definitions."""
+    import math
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import (
+        _PMI_MIN_DOCS,
+        text_pmi_cooccur,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tokfreq, pairfreq = Counter(), Counter()
+    n_docs = 0
+    for r in docs:
+        toks = sorted(set(r.text.split(" ")))
+        if not toks:
+            continue
+        n_docs += 1
+        for t in toks:
+            tokfreq[t] += 1
+        for i, x in enumerate(toks):
+            for y in toks[i + 1:]:
+                pairfreq[(x, y)] += 1
+    want = {}
+    for (x, y), cxy in pairfreq.items():
+        if cxy < _PMI_MIN_DOCS or cxy >= n_docs:
+            continue
+        pmi = round(math.log(n_docs * cxy / (tokfreq[x] * tokfreq[y])), 9)
+        npmi = round(
+            math.log(n_docs * cxy / (tokfreq[x] * tokfreq[y]))
+            / math.log(n_docs / cxy),
+            9,
+        )
+        want[(x, y)] = (cxy, tokfreq[x], tokfreq[y], pmi, npmi)
+    got = {
+        (r.token_x, r.token_y): (r.c_xy, r.c_x, r.c_y, r.pmi, r.npmi)
+        for r in text_pmi_cooccur(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g[:3] == w[:3], k
+        assert abs(g[3] - w[3]) < 1.6e-9 and abs(g[4] - w[4]) < 1.6e-9, k
