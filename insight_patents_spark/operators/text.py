@@ -3170,7 +3170,8 @@ def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI / NPMI token co-occurrence — the collocation statistic the
     word-embedding era's count-based pipelines (and phrase-mining /
     stopword-pair diagnostics today) compute over a corpus: for every
-    unordered token pair present together in ≥ {_PMI_MIN_DOCS} docs,
+    unordered token pair present together in enough docs
+    (_PMI_MIN_DOCS),
     PMI = ln(N·c_xy/(c_x·c_y)) and its [-1,1] normalization
     NPMI = PMI / ln(N/c_xy). Pairs where c_xy = N are excluded (NPMI's
     denominator is 0 there — tokens present in EVERY doc carry no
@@ -3222,11 +3223,8 @@ def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .filter(F.col("c_xy") < F.col("n_docs"))
     )
-    pmi = F.round(
-        F.log(
-            F.col("n_docs") * F.col("c_xy") / (F.col("c_x") * F.col("c_y"))
-        ),
-        9,
+    log_ratio = F.log(
+        F.col("n_docs") * F.col("c_xy") / (F.col("c_x") * F.col("c_y"))
     )
     return j.select(
         F.col("x").alias("token_x"),
@@ -3234,14 +3232,8 @@ def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_xy",
         "c_x",
         "c_y",
-        pmi.cast("double").alias("pmi"),
-        F.round(
-            F.log(
-                F.col("n_docs") * F.col("c_xy") / (F.col("c_x") * F.col("c_y"))
-            )
-            / F.log(F.col("n_docs") / F.col("c_xy")),
-            9,
-        )
+        F.round(log_ratio, 9).cast("double").alias("pmi"),
+        F.round(log_ratio / F.log(F.col("n_docs") / F.col("c_xy")), 9)
         .cast("double")
         .alias("npmi"),
     )
