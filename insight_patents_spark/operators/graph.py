@@ -13,9 +13,10 @@ algorithms are driver-side loops of join+aggregate with
 ``localCheckpoint`` every few rounds to truncate lineage. No GraphX
 (no Python API) and no external jars — pure DataFrame ops.
 
-Determinism (SURVEY §5): PageRank runs a FIXED 10 iterations with
-order-canonical contribution sums (sorted fold — bit-identical in both
-engines by induction over iterations); CC iterates to fixpoint in Spark
+Determinism (SURVEY §5): PageRank runs a FIXED 10 iterations with rank
+state in exact int64 femto-units (RANK_SCALE) — every reduction is a
+plain integer SUM, order-independent AND O(1) agg state per node (hub-
+safe: no per-node contribution array); CC iterates to fixpoint in Spark
 (propagation + pointer jumping — fixpoint is the same min-label-per-
 component regardless of schedule) and is checked against a 16-round
 unrolled propagation oracle.
@@ -32,6 +33,15 @@ from ..sources.tables import load, src_stamp
 
 MIN_SUPPORT = 2
 PAGERANK_ITERS = 10
+# Femto-unit scale for quantized-integer rank/score state in the
+# iterative ops (pagerank / ppr / hits). Contributions are floored to
+# int64 units so every reduction is a plain integer SUM —
+# order-independent and O(1) agg state per node (no collect_list fold;
+# a power-law hub never materializes its in-neighbor list in memory).
+RANK_SCALE = 10**15
+# Nano-unit scale for betweenness dependency deltas (values can reach
+# ~path-count magnitudes, so the quantum leaves 1e9 of headroom).
+DELTA_SCALE = 10**9
 DAMPING = 0.85
 CC_MAX_ROUNDS = 16  # oracle unroll depth; fixpoint at 11 on driver data
 KHOP_K = 3
@@ -310,37 +320,58 @@ def _cc_loop(edges: DataFrame) -> DataFrame:
 
 
 def _pagerank_oracle() -> str:
-    sql = _EDGES_CTE + """
+    # Integer-unit power iteration: rank state is int64 femto-units
+    # (RANK_SCALE = 1e15). Per-edge contribution = rq // deg (exact int
+    # division — nonnegative, so floor == truncate in both engines);
+    # damping = (85 * Σ) // 100; teleport = (15 * SCALE) // (100 * n).
+    # The per-group Σ is a plain integer SUM — order-independent and
+    # mergeable at any parallelism, with NO per-node contribution list
+    # (a 10^8-in-degree hub costs O(1) agg state, not an in-memory
+    # array). DuckDB SUM(BIGINT) is exact HUGEINT; group mass is
+    # bounded by total rank mass = SCALE, so 85 * Σ ≤ 8.5e16 fits int64
+    # on the Spark side. The only float op is the final /SCALE.
+    sql = _EDGES_CTE + f"""
     , deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     nn AS (SELECT COUNT(*) AS n FROM deg),
-    r0 AS (SELECT src AS node, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn)"""
+    r0 AS (SELECT src AS node, {RANK_SCALE} // nn.n AS rq
+           FROM deg CROSS JOIN nn)"""
     for t in range(1, PAGERANK_ITERS + 1):
         sql += f"""
     , r{t} AS MATERIALIZED (
       SELECT e.dst AS node,
-             0.15 / ANY_VALUE(nn.n) + 0.85 *
-               list_aggregate(list_sort(list(r.rank / d.deg)), 'sum') AS rank
+             (15 * {RANK_SCALE}) // (100 * ANY_VALUE(nn.n))
+               + (85 * SUM(r.rq // d.deg)) // 100 AS rq
       FROM r{t - 1} r
       JOIN deg d ON r.node = d.src
       JOIN edges e ON e.src = r.node
       CROSS JOIN nn
       GROUP BY e.dst
     )"""
-    return sql + f"\n    SELECT node, rank FROM r{PAGERANK_ITERS}"
+    return sql + f"""
+    SELECT node, CAST(rq AS DOUBLE) / {RANK_SCALE} AS rank
+    FROM r{PAGERANK_ITERS}"""
 
 
 @query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, damping 0.85, FIXED 10 iterations (fixed count =
-    deterministic, SURVEY §5). Contribution sums are order-canonical
-    (sorted fold) so ranks are bit-identical across engines by induction.
-    Every vertex of this graph has out-degree ≥ 1, so no dangling-mass
-    term is needed."""
+    deterministic, SURVEY §5). Rank state is exact int64 femto-units
+    (RANK_SCALE): per-edge contribution rq div deg, damping
+    (85·Σ) div 100, teleport (15·SCALE) div (100·n) — all integer, so
+    the per-node reduction is a plain SUM (order-independent, map-side
+    combinable, O(1) agg state per node). Unlike a collect_list fold,
+    a power-law hub with 10^7+ in-neighbors never materializes its
+    contribution list in memory — this is the 100 TB-safe posture
+    (quantized-sum, same as agg_time_decay / vec_pca_project).
+    Quantization error ≤ in_deg·iters/SCALE ≈ 1e-12 at bench scale;
+    every vertex of this graph has out-degree ≥ 1, so no dangling-mass
+    term is needed. The only float op is the final /SCALE."""
     edges = _edges(spark, sf_dir).select("src", "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()
+    tele_q = (15 * RANK_SCALE) // (100 * n)  # exact, mirrors the oracle
     ranks = deg.select(F.col("src").alias("node")).withColumn(
-        "rank", F.lit(1.0) / F.lit(float(n))
+        "rq", F.lit(RANK_SCALE // n).cast("long")
     )
     ranks = ranks.coalesce(4)
     for t in range(1, PAGERANK_ITERS + 1):
@@ -350,23 +381,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(edges.alias("e"), F.col("r.node") == F.col("e.src"))
             .select(
                 F.col("e.dst").alias("node"),
-                (F.col("r.rank") / F.col("d.deg")).alias("contrib"),
+                F.expr("r.rq div d.deg").alias("cq"),
             )
         )
         ranks = contribs.groupBy("node").agg(
-            (
-                F.lit(0.15) / F.lit(float(n))
-                + F.lit(0.85)
-                * F.aggregate(
-                    F.sort_array(F.collect_list("contrib")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("rank")
+            (F.lit(tele_q) + F.expr("(85 * sum(cq)) div 100"))
+            .cast("long")
+            .alias("rq")
         )
         if t % 5 == 0:
             ranks = ranks.coalesce(4).localCheckpoint()
-    return ranks.select("node", "rank")
+    return ranks.select(
+        "node", (F.col("rq") / F.lit(float(RANK_SCALE))).alias("rank")
+    )
 
 
 _SEED_PRED = "src % 500 = 0"
@@ -754,28 +781,33 @@ PPR_ITERS = 6
 
 
 def _ppr_oracle() -> str:
-    sql = _EDGES_CTE + """
+    # Same integer-unit posture as _pagerank_oracle: rank state in int64
+    # femto-units, contributions rq // deg, damping (85·Σ)//100, teleport
+    # (15·SCALE)//(100·n_seeds); the contribution+teleport merge is an
+    # integer SUM over the union — order-independent, no sorted folds.
+    sql = _EDGES_CTE + f"""
     , deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 500 = 0),
     ns AS (SELECT COUNT(*) AS n FROM seeds),
-    tele AS (SELECT node, 0.15 / ns.n AS v FROM seeds CROSS JOIN ns),
-    p0 AS (SELECT node, 1.0 / ns.n AS rank FROM seeds CROSS JOIN ns)"""
+    tele AS (SELECT node, (15 * {RANK_SCALE}) // (100 * ns.n) AS vq
+             FROM seeds CROSS JOIN ns),
+    p0 AS (SELECT node, {RANK_SCALE} // ns.n AS rq FROM seeds CROSS JOIN ns)"""
     for t in range(1, PPR_ITERS + 1):
         sql += f"""
     , c{t} AS (
-      SELECT e.dst AS node,
-             0.85 * list_aggregate(list_sort(list(r.rank / d.deg)), 'sum') AS v
+      SELECT e.dst AS node, (85 * SUM(r.rq // d.deg)) // 100 AS vq
       FROM p{t - 1} r
       JOIN deg d ON r.node = d.src
       JOIN edges e ON e.src = r.node
       GROUP BY e.dst
     ),
     p{t} AS MATERIALIZED (
-      SELECT node, list_aggregate(list_sort(list(v)), 'sum') AS rank
-      FROM (SELECT node, v FROM c{t} UNION ALL SELECT node, v FROM tele)
+      SELECT node, SUM(vq) AS rq
+      FROM (SELECT node, vq FROM c{t} UNION ALL SELECT node, vq FROM tele)
       GROUP BY node
     )"""
-    return sql + f"\n    SELECT node, rank FROM p{PPR_ITERS}"
+    return sql + f"""
+    SELECT node, CAST(rq AS DOUBLE) / {RANK_SCALE} AS rank FROM p{PPR_ITERS}"""
 
 
 @query("graph_pagerank_personalized", oracle=_ppr_oracle())
@@ -784,9 +816,12 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     same seeds as graph_bfs_khop): teleport mass returns ONLY to seeds,
     so rank measures proximity to the seed neighborhood (the
     related-patents / recommendation query, SURVEY §0.1 step 4). Fixed
-    6 iterations; every float fold is order-canonical (sorted list sum)
-    and the teleport+contribution merge is itself a canonical 2-element
-    fold, so ranks are bit-identical to the oracle by induction.
+    6 iterations; rank state is exact int64 femto-units (RANK_SCALE) —
+    contributions rq div deg, damping (85·Σ) div 100, and the
+    teleport+contribution merge is a plain integer SUM over the union.
+    Every reduction is order-independent with O(1) agg state per node
+    (no collect_list fold: a hub's in-neighbor contributions never
+    materialize as one in-memory array — the 100 TB-safe posture).
 
     Scale shape: identical to graph_pagerank (join+agg per round over a
     checkpointed edge cache) plus one union with the constant seed
@@ -801,14 +836,12 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_seeds = seeds.count()
-    tele = seeds.withColumn("v", F.lit(0.15) / F.lit(float(n_seeds)))
-    ranks = seeds.withColumn("rank", F.lit(1.0) / F.lit(float(n_seeds))).coalesce(4)
-
-    def canonical_sum(col: str) -> F.Column:
-        return F.aggregate(
-            F.sort_array(F.collect_list(col)), F.lit(0.0), lambda acc, x: acc + x
-        )
-
+    tele = seeds.withColumn(
+        "vq", F.lit((15 * RANK_SCALE) // (100 * n_seeds)).cast("long")
+    )
+    ranks = seeds.withColumn(
+        "rq", F.lit(RANK_SCALE // n_seeds).cast("long")
+    ).coalesce(4)
     for t in range(1, PPR_ITERS + 1):
         contribs = (
             ranks.alias("r")
@@ -816,20 +849,22 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(edges.alias("e"), F.col("r.node") == F.col("e.src"))
             .select(
                 F.col("e.dst").alias("node"),
-                (F.col("r.rank") / F.col("d.deg")).alias("contrib"),
+                F.expr("r.rq div d.deg").alias("cq"),
             )
         )
         summed = contribs.groupBy("node").agg(
-            (F.lit(0.85) * canonical_sum("contrib")).alias("v")
+            F.expr("(85 * sum(cq)) div 100").cast("long").alias("vq")
         )
         ranks = (
-            summed.unionByName(tele.select("node", "v"))
+            summed.unionByName(tele.select("node", "vq"))
             .groupBy("node")
-            .agg(canonical_sum("v").alias("rank"))
+            .agg(F.sum("vq").cast("long").alias("rq"))
         )
         if t % 3 == 0:
             ranks = ranks.coalesce(4).localCheckpoint()
-    return ranks.select("node", "rank")
+    return ranks.select(
+        "node", (F.col("rq") / F.lit(float(RANK_SCALE))).alias("rank")
+    )
 
 
 _CLOSENESS_SEED_PRED = "src % 250 = 0"
@@ -900,24 +935,39 @@ HITS_ITERS = 3
 def _hits_oracle() -> str:
     # Directed subgraph (pa < pb half of the co-purchase pairs): on the
     # symmetric graph hubs == authorities and the exhibit is vacuous.
-    sql = _EDGES_CTE + """
+    # Integer-unit HITS: scores live in int64 femto-units (RANK_SCALE).
+    # Per-side raw score = plain SUM of the opposite side's quantized
+    # scores (exact: DuckDB SUM(BIGINT) is HUGEINT — no overflow at any
+    # in-degree); max-normalization re-quantizes via
+    # FLOOR(raw/max * SCALE), whose inputs are identical exact integers
+    # in both engines (int→double casts are correctly rounded IEEE in
+    # both), so the floor is bit-identical. No sorted folds anywhere.
+    sql = _EDGES_CTE + f"""
     , de AS (SELECT src, dst FROM edges WHERE src < dst),
-    a0 AS (SELECT DISTINCT dst AS node, 1.0 AS a FROM de)"""
+    a0 AS (SELECT DISTINCT dst AS node, CAST({RANK_SCALE} AS BIGINT) AS aq
+           FROM de)"""
     for t in range(1, HITS_ITERS + 1):
         sql += f"""
     , hraw{t} AS MATERIALIZED (
-      SELECT de.src AS node,
-             list_aggregate(list_sort(list(a.a)), 'sum') AS h
+      SELECT de.src AS node, SUM(a.aq) AS hs
       FROM de JOIN a{t - 1} a ON de.dst = a.node GROUP BY de.src),
-    h{t} AS (SELECT node, h / (SELECT MAX(h) FROM hraw{t}) AS h FROM hraw{t}),
+    h{t} AS (SELECT node,
+                    CAST(FLOOR(CAST(hs AS DOUBLE)
+                          / CAST((SELECT MAX(hs) FROM hraw{t}) AS DOUBLE)
+                          * {RANK_SCALE}) AS BIGINT) AS hq
+             FROM hraw{t}),
     araw{t} AS MATERIALIZED (
-      SELECT de.dst AS node,
-             list_aggregate(list_sort(list(h.h)), 'sum') AS a
+      SELECT de.dst AS node, SUM(h.hq) AS "as"
       FROM de JOIN h{t} h ON de.src = h.node GROUP BY de.dst),
-    a{t} AS (SELECT node, a / (SELECT MAX(a) FROM araw{t}) AS a FROM araw{t})"""
+    a{t} AS (SELECT node,
+                    CAST(FLOOR(CAST("as" AS DOUBLE)
+                          / CAST((SELECT MAX("as") FROM araw{t}) AS DOUBLE)
+                          * {RANK_SCALE}) AS BIGINT) AS aq
+             FROM araw{t})"""
     return sql + f"""
     SELECT COALESCE(h.node, a.node) AS node,
-           COALESCE(h.h, 0.0) AS hub, COALESCE(a.a, 0.0) AS authority
+           COALESCE(CAST(h.hq AS DOUBLE) / {RANK_SCALE}, 0.0) AS hub,
+           COALESCE(CAST(a.aq AS DOUBLE) / {RANK_SCALE}, 0.0) AS authority
     FROM h{HITS_ITERS} h FULL OUTER JOIN a{HITS_ITERS} a ON h.node = a.node"""
 
 
@@ -927,55 +977,62 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph, fixed 3 iterations: h(u) = Σ a(v) over u→v, then
     a(v) = Σ h(u), each normalized by the MAX score — max-normalization
     instead of the L2 norm because max is order-free and exact, where a
-    global float L2 sum would be reduction-order-dependent (the same
-    determinism reasoning as PageRank's canonical folds, which the
-    contribution sums here also use). Same Pregel shape as PageRank —
-    per iteration one join + one canonical-fold agg per side, the
-    1-row max broadcast — so the 100 TB cost model is identical."""
+    global float L2 sum would be reduction-order-dependent. Scores live
+    in exact int64 femto-units (RANK_SCALE); the per-side reduction is
+    a plain SUM accumulated in DECIMAL(38,0) (exact at ANY in-degree —
+    a 10^8-in-neighbor hub costs O(1) agg state, never a collect_list
+    array), and the max-normalize re-quantizes via one
+    FLOOR(raw/max·SCALE) whose int→double inputs are correctly-rounded
+    IEEE in both engines. Same Pregel shape as PageRank — per iteration
+    one join + one integer-sum agg per side, the 1-row max broadcast —
+    so the 100 TB cost model is identical."""
     de = _edges(spark, sf_dir).select("src", "dst").filter(F.col("src") < F.col("dst"))
-    a = de.select(F.col("dst").alias("node")).distinct().withColumn("a", F.lit(1.0))
+    a = (
+        de.select(F.col("dst").alias("node"))
+        .distinct()
+        .withColumn("aq", F.lit(RANK_SCALE).cast("long"))
+    )
     a = a.coalesce(4)
     h = None
+
+    def _requant(raw: F.Column, mx: F.Column) -> F.Column:
+        # FLOOR(raw/max * SCALE): decimal→double casts are correctly
+        # rounded in both engines, then one IEEE divide+multiply+floor.
+        return F.floor(
+            raw.cast("double") / mx.cast("double") * F.lit(float(RANK_SCALE))
+        ).cast("long")
+
     for t in range(1, HITS_ITERS + 1):
         hraw = (
             de.join(a, de.dst == a.node)
             .groupBy(de.src.alias("hnode"))
-            .agg(
-                F.aggregate(
-                    F.sort_array(F.collect_list("a")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("h")
-            )
+            .agg(F.sum(F.col("aq").cast("decimal(38,0)")).alias("hs"))
         )
-        hmax = hraw.agg(F.max("h").alias("hm"))
+        hmax = hraw.agg(F.max("hs").alias("hm"))
         h = hraw.crossJoin(F.broadcast(hmax)).select(
-            F.col("hnode").alias("node"), (F.col("h") / F.col("hm")).alias("h")
+            F.col("hnode").alias("node"),
+            _requant(F.col("hs"), F.col("hm")).alias("hq"),
         )
         araw = (
             de.join(h, de.src == h.node)
             .groupBy(de.dst.alias("anode"))
-            .agg(
-                F.aggregate(
-                    F.sort_array(F.collect_list("h")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("a")
-            )
+            .agg(F.sum(F.col("hq").cast("decimal(38,0)")).alias("as"))
         )
-        amax = araw.agg(F.max("a").alias("am"))
+        amax = araw.agg(F.max("as").alias("am"))
         a = araw.crossJoin(F.broadcast(amax)).select(
-            F.col("anode").alias("node"), (F.col("a") / F.col("am")).alias("a")
+            F.col("anode").alias("node"),
+            _requant(F.col("as"), F.col("am")).alias("aq"),
         )
         a = a.coalesce(4).localCheckpoint()
         h = h.coalesce(4).localCheckpoint()
+    scale = F.lit(float(RANK_SCALE))
     return (
         h.withColumnRenamed("node", "hnode")
         .join(a.withColumnRenamed("node", "anode"), F.col("hnode") == F.col("anode"), "full")
         .select(
             F.coalesce(F.col("hnode"), F.col("anode")).alias("node"),
-            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
-            F.coalesce(F.col("a"), F.lit(0.0)).alias("authority"),
+            F.coalesce(F.col("hq") / scale, F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("aq") / scale, F.lit(0.0)).alias("authority"),
         )
     )
 
@@ -1231,33 +1288,41 @@ def _betweenness_oracle() -> str:
       GROUP BY f.seed, e.dst
     )"""
         vis.append(f"l{lv}")
+    # Dependency deltas live in int64 nano-units (DELTA_SCALE): each
+    # per-successor contribution is floored to an integer once, so both
+    # the per-(seed,pred) accumulation and the final per-node fold
+    # across seeds are plain integer SUMs — order-independent, O(1) agg
+    # state (no sorted collect_list fold; DuckDB SUM(BIGINT) is exact
+    # HUGEINT). The ratio sigma_p/sigma_w and the (1 + delta) factor
+    # are IEEE ops on identical exact-int inputs in both engines.
     sql += f"""
     , d{_BETWEENNESS_DEPTH} AS (
-      SELECT seed, node, sigma, 0.0 AS delta FROM l{_BETWEENNESS_DEPTH})"""
+      SELECT seed, node, sigma, CAST(0 AS BIGINT) AS dq
+      FROM l{_BETWEENNESS_DEPTH})"""
     for lv in range(_BETWEENNESS_DEPTH - 1, 0, -1):
         sql += f"""
     , a{lv} AS MATERIALIZED (
       SELECT w.seed, p.node,
-             list_aggregate(list_sort(list(
-               (CAST(p.sigma AS DOUBLE) / w.sigma) * (1.0 + w.delta))),
-               'sum') AS delta
+             CAST(SUM(CAST(FLOOR((CAST(p.sigma AS DOUBLE) / w.sigma)
+                    * (1.0 + w.dq / {float(DELTA_SCALE)})
+                    * {float(DELTA_SCALE)}) AS BIGINT)) AS BIGINT) AS dq
       FROM d{lv + 1} w
       JOIN edges e ON e.dst = w.node
       JOIN l{lv} p ON p.seed = w.seed AND p.node = e.src
       GROUP BY w.seed, p.node
     ),
     d{lv} AS (
-      SELECT p.seed, p.node, p.sigma, COALESCE(a.delta, 0.0) AS delta
+      SELECT p.seed, p.node, p.sigma, COALESCE(a.dq, 0) AS dq
       FROM l{lv} p LEFT JOIN a{lv} a
         ON a.seed = p.seed AND a.node = p.node
     )"""
     union = " UNION ALL ".join(
-        f"SELECT seed, node, delta FROM d{lv}"
+        f"SELECT seed, node, dq FROM d{lv}"
         for lv in range(1, _BETWEENNESS_DEPTH + 1)
     )
     return sql + f"""
     SELECT node, COUNT(*) AS n_seeds,
-           list_aggregate(list_sort(list(delta)), 'sum') AS betweenness
+           CAST(SUM(dq) AS DOUBLE) / {float(DELTA_SCALE)} AS betweenness
     FROM ({union}) GROUP BY node"""
 
 
@@ -1271,11 +1336,16 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer's successors; bc(v) = sum of per-seed deltas. The bridge/
     broker signal fraud and infrastructure teams rank by.
 
-    Determinism: sigma is integer arithmetic; every float reduction (the
-    per-(seed,pred) delta fold and the final per-node fold across seeds)
-    is an order-canonical sorted fold, and the sigma_v/sigma_w ratio is
-    one double division of exact ints — bit-identical to the oracle's
-    identical unrolled CTE by induction, no rounding needed.
+    Determinism + hub safety: sigma is integer arithmetic; dependency
+    deltas live in exact int64 nano-units (DELTA_SCALE) — each
+    per-successor contribution sigma_v/sigma_w · (1 + delta_w) is one
+    chain of IEEE ops on exact-int inputs, floored to an integer ONCE,
+    so both the per-(seed,pred) accumulation and the final per-node
+    fold across seeds are plain integer SUMs (order-independent,
+    map-side combinable, O(1) agg state — never a per-node
+    contribution array, the quantized-sum posture of agg_time_decay).
+    Spark sums in DECIMAL(38,0) to match DuckDB's exact HUGEINT at any
+    fan-in; quantization error ≤ successors/DELTA_SCALE per level.
 
     Scale shape: forward state is |seeds| x reach (never |V|^2) exactly
     like graph_closeness; the backward pass touches only (frontier x
@@ -1304,19 +1374,20 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         levels.append(new)
         vis = vis.unionByName(new.select("seed", "node"))
 
-    def canon(col: str) -> F.Column:
-        return F.aggregate(
-            F.sort_array(F.collect_list(col)), F.lit(0.0), lambda acc, x: acc + x
-        )
-
+    dscale = F.lit(float(DELTA_SCALE))
     deltas = {
         _BETWEENNESS_DEPTH: levels[_BETWEENNESS_DEPTH].withColumn(
-            "delta", F.lit(0.0)
+            "dq", F.lit(0).cast("long")
         )
     }
     for lv in range(_BETWEENNESS_DEPTH - 1, 0, -1):
         w = deltas[lv + 1].alias("w")
         p = levels[lv].alias("p")
+        cq = F.floor(
+            (F.col("p.sigma").cast("double") / F.col("w.sigma"))
+            * (F.lit(1.0) + F.col("w.dq") / dscale)
+            * dscale
+        ).cast("long")
         acc = (
             w.join(edges.alias("e"), F.col("w.node") == F.col("e.dst"))
             .join(
@@ -1327,13 +1398,14 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("w.seed").alias("seed"),
                 F.col("p.node").alias("node"),
-                (
-                    (F.col("p.sigma").cast("double") / F.col("w.sigma"))
-                    * (F.lit(1.0) + F.col("w.delta"))
-                ).alias("c"),
+                cq.alias("cq"),
             )
             .groupBy("seed", "node")
-            .agg(canon("c").alias("delta"))
+            .agg(
+                F.sum(F.col("cq").cast("decimal(38,0)"))
+                .cast("long")
+                .alias("dq")
+            )
         )
         deltas[lv] = (
             levels[lv]
@@ -1342,15 +1414,17 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "seed",
                 "node",
                 "sigma",
-                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+                F.coalesce("dq", F.lit(0)).cast("long").alias("dq"),
             )
         )
-    allv = deltas[1].select("seed", "node", "delta")
+    allv = deltas[1].select("seed", "node", "dq")
     for lv in range(2, _BETWEENNESS_DEPTH + 1):
-        allv = allv.unionByName(deltas[lv].select("seed", "node", "delta"))
+        allv = allv.unionByName(deltas[lv].select("seed", "node", "dq"))
     return allv.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_seeds"),
-        canon("delta").alias("betweenness"),
+        (F.sum(F.col("dq").cast("decimal(38,0)")).cast("double") / dscale).alias(
+            "betweenness"
+        ),
     )
 
 

@@ -722,12 +722,15 @@ def test_stream_streaks_equals_batch_twin(spark, sf_dir):
 def test_betweenness_matches_bruteforce(spark, sf_dir):
     """graph_betweenness vs a pure-Python depth-limited Brandes on the
     collected edge list: identical seed set, per-node seed counts exact,
-    dependency scores equal to 1e-9 (the Spark side is an order-canonical
-    fold; Python sums the same finite sets)."""
+    dependency scores bit-equal (both sides quantize each contribution
+    to int64 nano-units with the same IEEE op chain, then take exact
+    integer sums — order no longer matters on either side)."""
+    import math
     from collections import defaultdict
 
     from insight_patents_spark.operators.graph import (
         _BETWEENNESS_DEPTH,
+        DELTA_SCALE,
         _pairs,
         graph_betweenness,
     )
@@ -737,7 +740,7 @@ def test_betweenness_matches_bruteforce(spark, sf_dir):
         adj[r.pa].add(r.pb)
         adj[r.pb].add(r.pa)
     seeds = [v for v in adj if v % 250 == 0]
-    bc = defaultdict(float)
+    bc = defaultdict(int)  # int64 nano-unit sums, exact
     n_seeds = defaultdict(int)
     for s in seeds:
         dist = {s: 0}
@@ -753,22 +756,27 @@ def test_betweenness_matches_bruteforce(spark, sf_dir):
                 dist[v] = d + 1
             sigma.update(nxt)
             layers.append(sorted(nxt))
-        delta = defaultdict(float)
+        dq = defaultdict(int)
         for d in range(_BETWEENNESS_DEPTH, 0, -1):
             for w in layers[d]:
                 for u in adj[w]:
                     if dist.get(u) == d - 1:
-                        delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+                        # same IEEE op chain as both engines
+                        dq[u] += math.floor(
+                            (sigma[u] / sigma[w])
+                            * (1.0 + dq[w] / float(DELTA_SCALE))
+                            * float(DELTA_SCALE)
+                        )
         for d in range(1, _BETWEENNESS_DEPTH + 1):
             for v in layers[d]:
-                bc[v] += delta[v]
+                bc[v] += dq[v]
                 n_seeds[v] += 1
     got = {r.node: (r.n_seeds, r.betweenness) for r in
            graph_betweenness(spark, sf_dir).collect()}
     assert set(got) == set(bc)
     for v, (ns, b) in got.items():
         assert ns == n_seeds[v]
-        assert abs(b - bc[v]) < 1e-9, (v, b, bc[v])
+        assert b == bc[v] / float(DELTA_SCALE), (v, b, bc[v])
 
 
 def test_profile_metrics_are_consistent(spark, sf_dir):
@@ -2875,8 +2883,12 @@ def test_closeness_matches_bruteforce(spark, sf_dir):
 
 def test_hits_matches_python_power_iteration(spark, sf_dir):
     """graph_hits vs a Python replication of the same 3 max-normalized
-    iterations with ascending-sorted float folds."""
-    from insight_patents_spark.operators.graph import graph_hits
+    iterations in int64 femto-units: raw scores are exact integer sums,
+    and the max-normalize requantizes via the identical IEEE
+    float(raw)/float(max)·SCALE floor — bit-equal, no tolerance."""
+    import math
+
+    from insight_patents_spark.operators.graph import RANK_SCALE, graph_hits
 
     pairs, _ = _brute_graph(spark, sf_dir)
     de = sorted(pairs)  # (src < dst) directed half
@@ -2885,32 +2897,39 @@ def test_hits_matches_python_power_iteration(spark, sf_dir):
     for s, d in de:
         out_of.setdefault(s, []).append(d)
         into.setdefault(d, []).append(s)
-    a = {d: 1.0 for d in into}
+
+    def _requant(raw: int, mx: int) -> int:
+        # mirror the engines: operands cast to double FIRST (raw can
+        # exceed 2^53, where int/int true division would round
+        # differently), then one IEEE divide+multiply+floor
+        return math.floor(float(raw) / float(mx) * float(RANK_SCALE))
+
+    a = {d: RANK_SCALE for d in into}
     h = {}
     for _ in range(3):
         hraw = {
-            s: _sorted_fold([a[d] for d in ds if d in a])
+            s: sum(a[d] for d in ds if d in a)
             for s, ds in out_of.items()
             if any(d in a for d in ds)
         }
         hm = max(hraw.values())
-        h = {s: v / hm for s, v in hraw.items()}
+        h = {s: _requant(v, hm) for s, v in hraw.items()}
         araw = {
-            d: _sorted_fold([h[s] for s in ss if s in h])
+            d: sum(h[s] for s in ss if s in h)
             for d, ss in into.items()
             if any(s in h for s in ss)
         }
         am = max(araw.values())
-        a = {d: v / am for d, v in araw.items()}
+        a = {d: _requant(v, am) for d, v in araw.items()}
     want = {}
     for n in set(h) | set(a):
-        want[n] = (h.get(n, 0.0), a.get(n, 0.0))
+        want[n] = (h.get(n, 0) / float(RANK_SCALE), a.get(n, 0) / float(RANK_SCALE))
     got = {
         r.node: (r.hub, r.authority) for r in graph_hits(spark, sf_dir).collect()
     }
     assert set(got) == set(want)
     for n, (hub, auth) in got.items():
-        assert abs(hub - want[n][0]) < 1e-12 and abs(auth - want[n][1]) < 1e-12
+        assert hub == want[n][0] and auth == want[n][1], n
 
 
 def _sorted_fold(xs):
