@@ -2585,17 +2585,23 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHI2_EXACT_N = 46340  # floor(sqrt(2^31)): N*O <= 2^31 keeps num^2 in int64
+
+
 @query(
     "agg_chi_square",
     # Chi-squared test of independence on the lang x source contingency
     # table: per-cell term = (N*O - r*c)^2 / (N*r*c) — the classic
-    # statistic with expected counts cross-multiplied away, so the
-    # numerator is an EXACT int64 (N*O <= 2^31 at any per-cell count up
-    # to ~46k x 46k; production swaps to DOUBLE above that) and the only
-    # float op per cell is one division, rounded 9dp. The statistic
-    # total re-quantizes rounded terms to nano-units so the window sum
-    # is order-independent; dof = (R-1)(C-1) from window counts.
-    oracle="""
+    # statistic with expected counts cross-multiplied away. For corpora
+    # with N <= _CHI2_EXACT_N (46340 = floor(sqrt(2^31)); N*O <= 2^31,
+    # numerator square < 2^63) the numerator is EXACT int64 and the
+    # only float op per cell is one division, rounded 9dp. Beyond that
+    # bound both engines switch — via the identical CASE — to the same
+    # double-precision numerator instead of silently wrapping int64
+    # (the r7 ADVICE finding). The statistic total re-quantizes rounded
+    # terms to nano-units so the window sum is order-independent;
+    # dof = (R-1)(C-1) from window counts.
+    oracle=f"""
     WITH obs AS (
       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
       FROM documents GROUP BY lang, source),
@@ -2610,8 +2616,13 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     term AS (
       SELECT lang, source, o, nr, nc,
              CAST(ROUND(r * c * 1.0 / n, 9) AS DOUBLE) AS expected,
-             ROUND((n * o - r * c) * (n * o - r * c) * 1.0 / (n * r * c), 9)
-               AS chi2_term
+             CASE WHEN n <= {_CHI2_EXACT_N}
+                  THEN ROUND((n * o - r * c) * (n * o - r * c) * 1.0
+                             / (n * r * c), 9)
+                  ELSE ROUND((n * 1.0 * o - r * 1.0 * c)
+                             * (n * 1.0 * o - r * 1.0 * c)
+                             / (n * 1.0 * r * c), 9)
+             END AS chi2_term
       FROM tot)
     SELECT lang, source, o AS observed, expected,
            CAST(chi2_term AS DOUBLE) AS chi2_term,
@@ -2627,9 +2638,12 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     categorical counterpart to agg_anova_f (numeric) and
     agg_mutual_info (information-theoretic) in the statistics battery.
     Expected counts are cross-multiplied away: term =
-    (N·O − r·c)² / (N·r·c), numerator exact int64, ONE double division
-    per cell rounded 9dp; the statistic is the nano-quantized window
-    sum (order-independent), dof = (R−1)(C−1).
+    (N·O − r·c)² / (N·r·c), numerator exact int64 up to N ≤ 46340
+    (past that, BOTH engines switch via the identical CASE to the same
+    double-precision numerator — graceful precision loss instead of a
+    silent int64 wrap), ONE double division per cell rounded 9dp; the
+    statistic is the nano-quantized window sum (order-independent),
+    dof = (R−1)(C−1).
 
     Scale shape: one hash agg to R·C cells (bounded by the category
     product, not the corpus), then windows over that tiny grid. Row and
@@ -2659,6 +2673,12 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("source").over(w_all)).cast("bigint").alias("nc"),
     )
     num = F.col("n") * F.col("o") - F.col("r") * F.col("c")
+    # double-precision numerator past the exact-int bound — the operand
+    # order mirrors the oracle's CASE branch exactly (n·1.0·o − r·1.0·c)
+    num_d = (
+        F.col("n") * F.lit(1.0) * F.col("o")
+        - F.col("r") * F.lit(1.0) * F.col("c")
+    )
     term = tot.select(
         "lang",
         "source",
@@ -2668,9 +2688,17 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r") * F.col("c") / F.col("n"), 9)
         .cast("double")
         .alias("expected"),
-        F.round(num * num / (F.col("n") * F.col("r") * F.col("c")), 9).alias(
-            "chi2_term"
-        ),
+        F.when(
+            F.col("n") <= F.lit(_CHI2_EXACT_N),
+            F.round(num * num / (F.col("n") * F.col("r") * F.col("c")), 9),
+        )
+        .otherwise(
+            F.round(
+                num_d * num_d / (F.col("n") * F.lit(1.0) * F.col("r") * F.col("c")),
+                9,
+            )
+        )
+        .alias("chi2_term"),
     )
     return term.select(
         "lang",

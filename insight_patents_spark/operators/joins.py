@@ -1334,7 +1334,11 @@ def geo_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    assert len(dense_rows) <= _GEO_CELL_CAP, "fixed grid exceeded its bound"
+    if len(dense_rows) > _GEO_CELL_CAP:  # loud even under python -O
+        raise RuntimeError(
+            f"geo_cluster_cells: fixed grid exceeded its bound "
+            f"({len(dense_rows)} > {_GEO_CELL_CAP})"
+        )
     # driver union-find on the geography-bounded cell graph
     parent = {r.cell: r.cell for r in dense_rows}
 

@@ -105,3 +105,27 @@ def test_doc_counts_match_registry():
             assert got == n, f"{doc}: says {got} queries, registry has {n}"
         for m in re.finditer(r"how (\d+) oracle queries", text):
             assert int(m.group(1)) == n, f"{doc}: {m.group(0)} != {n}"
+
+
+def test_no_bare_assert_guards_driver_collects():
+    """Bounded-collect guards must fail loudly under `python -O` too:
+    a bare `assert` is stripped by -O, silently removing the unbounded-
+    collect protection (the geo_cluster_cells finding, VERDICT r7 #2).
+    Rule: within 8 lines after any `.collect()` in an operator module,
+    an `assert` statement is forbidden — use an explicit raise."""
+    op_dir = REPO / "insight_patents_spark"
+    offenders = []
+    for path in sorted(op_dir.rglob("*.py")):
+        lines = path.read_text().splitlines()
+        collect_at = [
+            i for i, ln in enumerate(lines) if ".collect()" in ln
+        ]
+        for i, ln in enumerate(lines):
+            if re.match(r"\s*assert\s", ln) and any(
+                0 <= i - c <= 8 for c in collect_at
+            ):
+                offenders.append(f"{path.relative_to(REPO)}:{i + 1}")
+    assert not offenders, (
+        f"bare assert guarding a driver collect (stripped under -O; "
+        f"raise instead): {offenders}"
+    )

@@ -5425,18 +5425,18 @@ def test_winnowing_matches_python_and_covers_every_window(spark, sf_dir):
         if n < _WIN_W:
             continue
         packed = [
-            _md5i8(t[p - 1 : p - 1 + _WIN_K]) * 16777216 + (16777215 - p)
+            _md5i8(t[p - 1 : p - 1 + _WIN_K]) * 2147483648 + (2147483647 - p)
             for p in range(1, n + 1)
         ]
         sel = set()
         for i in range(_WIN_W, n + 1):
             sel.add(min(packed[i - _WIN_W : i]))
-        poss = sorted(16777215 - pk % 16777216 for pk in sel)
+        poss = sorted(2147483647 - pk % 2147483648 for pk in sel)
         gaps_ok = gaps_ok and all(
             b - a <= _WIN_W for a, b in zip(poss, poss[1:])
         )
         for pk in sel:
-            want.add((r.doc_id, 16777215 - pk % 16777216, pk // 16777216))
+            want.add((r.doc_id, 2147483647 - pk % 2147483648, pk // 2147483648))
     got = {
         (r.doc_id, r.pos, r.fp)
         for r in text_winnowing(spark, sf_dir).collect()
