@@ -319,18 +319,22 @@ def _cc_loop(edges: DataFrame) -> DataFrame:
     return lbl.select("node", F.col("lbl").alias("component"))
 
 
-def _pagerank_oracle() -> str:
-    # Integer-unit power iteration: rank state is int64 femto-units
-    # (RANK_SCALE = 1e15). Per-edge contribution = rq // deg (exact int
-    # division — nonnegative, so floor == truncate in both engines);
-    # damping = (85 * Σ) // 100; teleport = (15 * SCALE) // (100 * n).
-    # The per-group Σ is a plain integer SUM — order-independent and
-    # mergeable at any parallelism, with NO per-node contribution list
-    # (a 10^8-in-degree hub costs O(1) agg state, not an in-memory
-    # array). DuckDB SUM(BIGINT) is exact HUGEINT; group mass is
-    # bounded by total rank mass = SCALE, so 85 * Σ ≤ 8.5e16 fits int64
-    # on the Spark side. The only float op is the final /SCALE.
-    sql = _EDGES_CTE + f"""
+def pagerank_rounds_sql() -> str:
+    """The quantized PageRank unroll as SQL CTEs, assuming an `edges`
+    CTE is already in scope: appends deg/nn/r0..r{ITERS}. Shared by the
+    graph_pagerank oracle and the pipeline_patents_e2e flagship oracle.
+
+    Integer-unit power iteration: rank state is int64 femto-units
+    (RANK_SCALE = 1e15). Per-edge contribution = rq // deg (exact int
+    division — nonnegative, so floor == truncate in both engines);
+    damping = (85 * Σ) // 100; teleport = (15 * SCALE) // (100 * n).
+    The per-group Σ is a plain integer SUM — order-independent and
+    mergeable at any parallelism, with NO per-node contribution list
+    (a 10^8-in-degree hub costs O(1) agg state, not an in-memory
+    array). DuckDB SUM(BIGINT) is exact HUGEINT; group mass is
+    bounded by total rank mass = SCALE, so 85 * Σ ≤ 8.5e16 fits int64
+    on the Spark side. The only float op is the final /SCALE."""
+    sql = f"""
     , deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
     nn AS (SELECT COUNT(*) AS n FROM deg),
     r0 AS (SELECT src AS node, {RANK_SCALE} // nn.n AS rq
@@ -347,26 +351,22 @@ def _pagerank_oracle() -> str:
       CROSS JOIN nn
       GROUP BY e.dst
     )"""
-    return sql + f"""
+    return sql
+
+
+def _pagerank_oracle() -> str:
+    return _EDGES_CTE + pagerank_rounds_sql() + f"""
     SELECT node, CAST(rq AS DOUBLE) / {RANK_SCALE} AS rank
     FROM r{PAGERANK_ITERS}"""
 
 
-@query("graph_pagerank", oracle=_pagerank_oracle())
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank, damping 0.85, FIXED 10 iterations (fixed count =
-    deterministic, SURVEY §5). Rank state is exact int64 femto-units
-    (RANK_SCALE): per-edge contribution rq div deg, damping
-    (85·Σ) div 100, teleport (15·SCALE) div (100·n) — all integer, so
-    the per-node reduction is a plain SUM (order-independent, map-side
-    combinable, O(1) agg state per node). Unlike a collect_list fold,
-    a power-law hub with 10^7+ in-neighbors never materializes its
-    contribution list in memory — this is the 100 TB-safe posture
-    (quantized-sum, same as agg_time_decay / vec_pca_project).
-    Quantization error ≤ in_deg·iters/SCALE ≈ 1e-12 at bench scale;
-    every vertex of this graph has out-degree ≥ 1, so no dangling-mass
-    term is needed. The only float op is the final /SCALE."""
-    edges = _edges(spark, sf_dir).select("src", "dst")
+def pagerank_loop(edges: DataFrame, checkpoint_every: int = 5) -> DataFrame:
+    """Quantized PageRank state loop over an arbitrary directed edge
+    list (src, dst): returns (node, rq) with rq in int64 femto-units
+    after PAGERANK_ITERS rounds — the Spark twin of
+    pagerank_rounds_sql(). Shared by graph_pagerank and the
+    pipeline_patents_e2e flagship."""
+    edges = edges.select("src", "dst")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.count()
     tele_q = (15 * RANK_SCALE) // (100 * n)  # exact, mirrors the oracle
@@ -389,8 +389,26 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("rq")
         )
-        if t % 5 == 0:
+        if t % checkpoint_every == 0:
             ranks = ranks.coalesce(4).localCheckpoint()
+    return ranks
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, damping 0.85, FIXED 10 iterations (fixed count =
+    deterministic, SURVEY §5). Rank state is exact int64 femto-units
+    (RANK_SCALE): per-edge contribution rq div deg, damping
+    (85·Σ) div 100, teleport (15·SCALE) div (100·n) — all integer, so
+    the per-node reduction is a plain SUM (order-independent, map-side
+    combinable, O(1) agg state per node). Unlike a collect_list fold,
+    a power-law hub with 10^7+ in-neighbors never materializes its
+    contribution list in memory — this is the 100 TB-safe posture
+    (quantized-sum, same as agg_time_decay / vec_pca_project).
+    Quantization error ≤ in_deg·iters/SCALE ≈ 1e-12 at bench scale;
+    every vertex of this graph has out-degree ≥ 1, so no dangling-mass
+    term is needed. The only float op is the final /SCALE."""
+    ranks = pagerank_loop(_edges(spark, sf_dir))
     return ranks.select(
         "node", (F.col("rq") / F.lit(float(RANK_SCALE))).alias("rank")
     )

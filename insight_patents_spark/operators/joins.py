@@ -472,6 +472,123 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AQE_SKEW_CONFS = {
+    # the production-default path: let AQE detect and split the hot
+    # partition at runtime. Thresholds are lowered so the split ALSO
+    # triggers at test scale (defaults are 256 MB / factor 5 — sized
+    # for real clusters, where these overrides are unnecessary).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    # keep both planners honest: the dim side is tiny, and a broadcast
+    # join would dissolve the exhibit (no shuffle, nothing to skew)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _skew_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unsalted hot-key join (fact: half the events collapse onto
+    key 0; dim: distinct keys → grp label), sort-merge hinted so the
+    skew exhibit survives planning. Shared by join_skew_aqe and its
+    executed-plan gate."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("hot_key"),
+            "value",
+        )
+        # AQE splits a skewed REDUCE partition by regrouping its
+        # MAP-output blocks — with a single map task (this fact ships
+        # as one small parquet split locally) the hot partition is one
+        # indivisible block and the rule can never fire. Real fact
+        # tables arrive in hundreds of splits; emulate that map-side
+        # parallelism explicitly so the exhibit is faithful.
+        .repartition(32)
+    )
+    dim = (
+        ev.select("hot_key")
+        .distinct()
+        .select(
+            "hot_key",
+            F.concat(
+                F.lit("grp_"), (F.col("hot_key") % 5).cast("string")
+            ).alias("grp"),
+        )
+        # materialize the dim: OptimizeSkewedJoin pattern-matches
+        # SMJ(Sort(ShuffleRead), Sort(ShuffleRead)) — an aggregate
+        # sitting between the dim's shuffle read and its sort defeats
+        # the rule, so the dim build must complete before the join
+        # (which is also how a real dim table arrives: as its own scan)
+        .localCheckpoint()
+    )
+    return ev.join(dim.hint("merge"), "hot_key")
+
+
+@query(
+    "join_skew_aqe",
+    # same unsalted-join semantics as join_skew_salted: the oracle is
+    # the plain hot-key join + rollup (skew handling is physical-only)
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS hot_key, value
+      FROM events
+    ),
+    d AS (
+      SELECT DISTINCT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS hot_key
+      FROM events
+    ),
+    dim AS (SELECT hot_key, 'grp_' || CAST(hot_key % 5 AS VARCHAR) AS grp FROM d)
+    SELECT dim.grp, COUNT(*) AS n_events,
+           CAST(SUM(CAST(f.value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM f JOIN dim ON f.hot_key = dim.hot_key
+    GROUP BY dim.grp
+    """,
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-split join — the production-DEFAULT counterpart
+    to join_skew_salted's manual salting: the same deterministic hot key
+    (half the fact rows collapse onto key 0) goes through a PLAIN
+    sort-merge join and `spark.sql.adaptive.skewJoin` splits the
+    oversized shuffle partition at runtime, replicating the matching dim
+    rows across the splits. No query rewrite, no salt column — this is
+    what a 1000-executor cluster runs when the skew is discovered at
+    execution time rather than known up front (salting remains the
+    portable fallback where AQE can't reach: grouped state, streaming
+    joins). The join is executed EAGERLY (localCheckpoint) under
+    temporarily-lowered skew thresholds so the split provably fires at
+    test scale; the session confs are restored after (runtime-config
+    pattern, not build-time — AQE reads them at execution).
+
+    Plan gate: tests/test_plans.py asserts the executed plan carries the
+    `skew=true` sort-merge marker and that no broadcast join swallowed
+    the exhibit."""
+    old = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+    for k, v in _AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # materialize the JOIN under the skew confs (the rollup after it
+        # re-shuffles on grp anyway, so splitting the join partition is
+        # legal and AQE takes it)
+        joined = _skew_join_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return joined.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(22,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 @query(
     "join_range_bucketed",
     oracle="""

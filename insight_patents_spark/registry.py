@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "insight_patents_spark.operators.vector",
     "insight_patents_spark.operators.multimodal",
     "insight_patents_spark.operators.graph",
+    "insight_patents_spark.operators.pipeline",
     "insight_patents_spark.operators.udf",
     "insight_patents_spark.operators.sequences",
     "insight_patents_spark.operators.ml",
@@ -74,77 +75,57 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          see git history) + 20 tail entries r2 picked up = 70 checked.
 #   r5:    50 of the then-163 never-checked (see git history).
 #   r6:    50 of the 157 never-checked after r5 (see git history).
-#   r7:    the set below — 50 of the 108 never-checked after r6
-#          (complement of the union of CORRECTNESS_r01-r06 keys),
-#          including every query whose code changed in r7
-#          (graph_scc, seq_attribution_markov) so the driver gate
-#          covers the round's diff; the 22 operators r7's NEW queries
-#          (ml_roc_auc, ml_average_precision, ml_lift_gains,
-#          ml_psi_drift, ml_ndcg, ml_ks_separation, agg_chi_square,
-#          geo_knn, text_winnowing, text_dsir_weight, seq_pair_support,
-#          win_mann_kendall, dq_freshness, time_decompose_classical,
-#          agg_peak_concurrency, ml_auc_delong_ci, ml_ece,
-#          win_theil_sen, dq_referential_integrity, geo_cluster_cells,
-#          win_holt_winters, text_pmi_cooccur)
-#          displaced (win_cume_nth,
-#          win_drawdown,
-#          agg_iqr_outliers, agg_new_returning, agg_cohort_ltv,
-#          time_acf, sample_priority, seq_topk_paths,
-#          agg_bitmap_distinct, time_downsample_lttb, vec_cell_refine,
-#          agg_hll_intersect, seq_markov_stationary, agg_survival_km,
-#          win_skyline_2d, win_rolling_corr, agg_mad_outliers,
-#          agg_ab_ttest, win_anomaly_zscore, agg_mutual_info,
-#          agg_anova_f, agg_histogram_equidepth)
-#          join the remaining never-checked set for the r8 rotation.
+#   r7:    50 of the 108 never-checked after r6 + the 22 NEW r7 queries
+#          + the changed set (graph_scc, seq_attribution_markov) — see
+#          git history for the full list.
+#   r8:    the set below — 38 of the 80 never-checked after r7
+#          (complement of the union of CORRECTNESS_r01-r07 keys) + the
+#          2 queries NEW in r8 (pipeline_patents_e2e, join_skew_aqe) +
+#          every query whose CODE changed in r8: graph_pagerank /
+#          graph_pagerank_personalized / graph_hits / graph_betweenness
+#          (quantized integer-unit folds — VALUES changed),
+#          geo_cluster_cells (assert→raise), text_winnowing (packing
+#          widened), agg_chi_square (overflow CASE), text_jaccard_tokens
+#          + dedup_eval (merged strategy probe), and dedup_ngram_jaccard
+#          (r7 PPJoin rewrite that the r7 prefix missed — the ADVICE
+#          finding). The 40 still-never-checked ops left for r9 are
+#          listed in STATE.md.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # streaming (clears the family's never-checked backlog)
-    "stream_streaks", "stream_watermark_late", "stream_static_join",
-    "stream_foreach_batch", "stream_transform_with_state",
-    "stream_rollup_incremental",
-    # model scoring (ml_roc_auc/ml_average_precision/ml_lift_gains/
-    # ml_psi_drift/ml_ndcg are NEW in r7 — this round's diff, so they
-    # take prefix slots; the 8 backlog ops they displaced rotate in r8)
-    "ml_pr_curve", "ml_calibration_bins", "ml_roc_auc",
-    "ml_average_precision", "ml_lift_gains", "ml_psi_drift", "ml_ndcg",
-    "ml_ks_separation", "ml_auc_delong_ci", "ml_ece",
-    # window analytics
-    "win_rsi", "win_sliding_distinct", "win_holt_winters",
-    # aggregations / statistics (agg_chi_square, win_mann_kendall NEW
-    # in r7)
-    "agg_chi_square", "win_mann_kendall", "win_theil_sen",
-    "agg_log_histogram",
-    # sequences / time series (seq_pair_support,
-    # time_decompose_classical, agg_peak_concurrency NEW in r7)
-    "seq_pair_support", "time_decompose_classical",
-    "agg_peak_concurrency",
-    # relational / dq / sinks (dq_freshness NEW in r7)
-    "profile_table", "sink_scd2", "sink_cdc_apply",
-    "sql_recursive_cte", "dq_impute", "dq_freshness",
-    "dq_referential_integrity",
-    # graph — NOTE: with the builders (graph_build/graph_triangles)
-    # already retired from the prefix, graph_hits is now the first
-    # graph query in emission order and pays the shared edge-cache
-    # first-touch (~+3 s at sf0.1 in BENCH, moved from graph_triangles;
-    # totals conserved). Same for dedup_eval and the minhash signature
-    # cache below.
-    "graph_hits", "graph_diameter_2sweep",
-    # text / dedup (text_winnowing, text_dsir_weight NEW in r7)
-    "dedup_eval", "text_jaccard_tokens", "dedup_minhash_pairs",
-    "text_minhash_containment", "text_decontaminate", "text_winnowing",
-    "text_dsir_weight", "text_pmi_cooccur",
-    # vector similarity
-    "vec_residual_pq",
-    # joins (geo_knn NEW in r7)
-    "join_scd2_asof", "geo_knn", "geo_cluster_cells",
-    # python UDF surface
-    "udtf_table_arg",
-    # changed-in-r7 queries LAST in the prefix: still inside the
+    # scalar-function battery (9 — never driver-checked before)
+    "fn_array", "fn_explode", "fn_map", "fn_json", "fn_hash",
+    "fn_bitwise", "fn_variant", "fn_interval", "fn_url",
+    # sets / sorts / sampling / joins backlog
+    "set_union_distinct", "set_except", "sample_priority",
+    "join_shuffle_hash",
+    # window + aggregate backlog
+    "win_cume_nth", "win_drawdown", "agg_hll_intersect",
+    "agg_bitmap_distinct",
+    # vector similarity backlog (the ANN/dedup scale path)
+    "dedup_embed_cosine", "vec_ann_lsh", "vec_pq_codes",
+    "vec_rerank_stub", "dedup_semantic", "vec_matryoshka",
+    "vec_cell_refine", "vec_pca_project", "vec_pca_top2",
+    # multimodal backlog
+    "mm_decode_stub", "mm_phash_dedup",
+    # python UDF backlog
+    "udf_python_scalar", "udaf_pandas_agg", "udf_python_arrow",
+    # graph backlog — first graph query in emission order pays the
+    # shared edge-cache first-touch (~+3 s at sf0.1 in BENCH; totals
+    # conserved)
+    "graph_shortest_path", "graph_sssp_weighted", "graph_assoc_rules",
+    "graph_label_prop", "graph_closeness", "graph_random_walks",
+    "graph_assortativity",
+    # NEW in r8
+    "pipeline_patents_e2e", "join_skew_aqe",
+    # changed-in-r8 queries LAST in the prefix: still inside the
     # driver's 50-query gate (external evidence for the diff), but run
-    # on a warmed session — graph_scc's iterative peel pays ~10 s of
-    # first-scan/JIT cost when it goes first
-    "graph_scc", "seq_attribution_markov",
+    # on a warmed session. dedup_eval pays the minhash signature-cache
+    # first-touch here.
+    "graph_pagerank", "graph_pagerank_personalized", "graph_hits",
+    "graph_betweenness", "geo_cluster_cells", "text_winnowing",
+    "agg_chi_square", "text_jaccard_tokens", "dedup_eval",
+    "dedup_ngram_jaccard",
 )
 
 

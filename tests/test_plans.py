@@ -1545,3 +1545,43 @@ def test_pmi_pairs_enumerate_in_row_from_one_grid(spark, sf_dir):
     assert "documents.parquet" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_skew_aqe_splits_hot_partition(spark, sf_dir):
+    # The AQE runtime skew-split must actually fire on the hot-key
+    # fixture: executed plan carries the skew-join marker on a
+    # sort-merge join (no broadcast may swallow the exhibit).
+    from insight_patents_spark.operators.joins import (
+        _AQE_SKEW_CONFS,
+        _skew_join_frame,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+    for k, v in _AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _skew_join_frame(spark, sf_dir)
+        df.foreach(lambda r: None)  # execute under the skew confs
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in plan
+    assert "skewed" in plan  # the AQEShuffleRead skew-split marker
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_pipeline_e2e_plan_shape(spark, sf_dir):
+    # The flagship chain's pre-sink plan: the part dim is broadcast,
+    # the per-class top-3 is WindowGroupLimit-eligible, the rank state
+    # arrives from the checkpointed loop (ExistingRDD), and the fact
+    # table never re-enters (the text roundtrip + edge checkpoint own
+    # it). No cartesian anywhere.
+    from insight_patents_spark.operators.pipeline import _e2e_presink
+
+    plan = formatted_plan(_e2e_presink(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "lineitem" not in plan

@@ -6094,3 +6094,30 @@ def test_pmi_cooccur_matches_python(spark, sf_dir):
         g = got[k]
         assert g[:3] == w[:3], k
         assert abs(g[3] - w[3]) < 1.6e-9 and abs(g[4] - w[4]) < 1.6e-9, k
+
+
+def test_pipeline_e2e_matches_componentwise_run(spark, sf_dir):
+    """pipeline_patents_e2e composes the SAME logic its component
+    queries run piecewise: the flagship's ranks must equal
+    graph_pagerank's for every surfaced node (same fixture, same
+    quantized loop), every brand keeps <= 3 rows with dense pos, and
+    the sink round-trip must not perturb a single value."""
+    from insight_patents_spark.operators.graph import graph_pagerank
+    from insight_patents_spark.operators.pipeline import (
+        _TOPK_PER_CLASS,
+        pipeline_patents_e2e,
+    )
+
+    got = pipeline_patents_e2e(spark, sf_dir).collect()
+    assert got
+    pr = {r.node: r.rank for r in graph_pagerank(spark, sf_dir).collect()}
+    by_brand = {}
+    for r in got:
+        assert r.rank == pr[r.node], (r.node, r.rank, pr[r.node])
+        by_brand.setdefault(r.p_brand, []).append(r)
+    for brand, rows in by_brand.items():
+        assert 1 <= len(rows) <= _TOPK_PER_CLASS, brand
+        assert sorted(r.pos for r in rows) == list(range(1, len(rows) + 1))
+        rows.sort(key=lambda r: r.pos)
+        ranks = [r.rank for r in rows]
+        assert ranks == sorted(ranks, reverse=True), brand

@@ -95,6 +95,16 @@ SHOWCASE = [
     ("ml_ndcg", "both ranking windows (model + ideal) and the per-user "
      "aggregate ride ONE user_id Exchange — partitioning reuse makes "
      "ranking evaluation a single-shuffle job"),
+    ("pipeline_patents_e2e", "the flagship composite (ingest->parse->edge "
+     "build->PageRank->top-k per class->sink): pre-sink plan shows the "
+     "part dim broadcast, WindowGroupLimit top-3, rank state from the "
+     "checkpointed quantized loop; ONE fact scan feeds the whole chain "
+     "(the text roundtrip + edge checkpoint own it — lineitem never "
+     "re-enters)"),
+    ("join_skew_aqe", "AQE runtime skew-split: SortMergeJoin(skew=true) "
+     "with 'AQEShuffleRead coalesced and skewed' on the hot fact side — "
+     "the production-default skew path beside join_skew_salted's manual "
+     "salting"),
 ]
 
 
@@ -114,8 +124,33 @@ def main() -> None:
         "",
     ]
     for name, why in SHOWCASE:
-        df = specs[name].fn(spark, args.sf)
-        plan = formatted_plan(df)
+        if name == "pipeline_patents_e2e":
+            # the registered query returns the sink READ-BACK; the
+            # dataflow worth reviewing is the pre-sink chain
+            from insight_patents_spark.operators.pipeline import _e2e_presink
+
+            plan = formatted_plan(_e2e_presink(spark, args.sf))
+        elif name == "join_skew_aqe":
+            # the skew split is a RUNTIME re-plan: dump the executed
+            # plan of the join frame under the exhibit's confs
+            from insight_patents_spark.operators.joins import (
+                _AQE_SKEW_CONFS,
+                _skew_join_frame,
+            )
+
+            old = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+            for k, v in _AQE_SKEW_CONFS.items():
+                spark.conf.set(k, v)
+            try:
+                df = _skew_join_frame(spark, args.sf)
+                df.foreach(lambda r: None)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+            finally:
+                for k, v in old.items():
+                    spark.conf.unset(k) if v is None else spark.conf.set(k, v)
+        else:
+            df = specs[name].fn(spark, args.sf)
+            plan = formatted_plan(df)
         out += [f"## {name}", "", f"**Demonstrates:** {why}", "", "```",
                 plan.rstrip(), "```", ""]
     (REPO / "PLANS.md").write_text("\n".join(out))
