@@ -49,11 +49,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     only = sys.argv[1:]  # optional subset for iteration
 
-    # Registry order (not alphabetical): shared caches are then charged to
-    # the operator that documents owning them — graph_build (edge cache)
-    # and dedup_minhash (signature cache) are registered before their
-    # consumers, so first-touch cost lands on the builder, not on whichever
-    # consumer happens to sort first.
+    # Registry order (not alphabetical). Shared-cache first-touch is
+    # charged to the dedicated _cache_warm row below, so per-query
+    # numbers stay comparable across showcase-rotation reorders.
     specs = registry.load_all()
     names = [n for n in specs if not only or n in only]
 
@@ -72,6 +70,21 @@ def main() -> None:
     _execute(specs["vec_cosine_topk"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
+    # Shared-cache first-touch goes to a DEDICATED row instead of
+    # whichever consumer the showcase rotation happens to order first
+    # (r7 bench archaeology: the edge cache landed on graph_hits, the
+    # minhash signature cache on dedup_eval, ±3 s of phantom per-query
+    # "regression" per rotation). graph_build owns the pair/edge cache,
+    # dedup_minhash the signature cache, and the first streaming query
+    # pays the state-store spin-up — charge all three here so per-query
+    # numbers are comparable across rounds. (vec_ann_lsh's bucket cache
+    # stays charged to its own measured run by documented design.)
+    if not only:
+        t0 = time.time()
+        _execute(specs["graph_build"].fn(spark, sf_dir))
+        _execute(specs["dedup_minhash"].fn(spark, sf_dir))
+        _execute(specs["stream_tumbling"].fn(spark, sf_dir))
+        timings["_cache_warm"] = round(time.time() - t0, 3)
     for name in names:
         t0 = time.time()
         try:
@@ -84,6 +97,7 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     n_err = sum(1 for t in timings.values() if t < 0)
+    n_queries = sum(1 for n in timings if not n.startswith("_"))
 
     # Per-family subtotals keep the stdout line < 1.5 KB (the driver's
     # stdout tail is 2 KB; a 156-entry per-query map decapitated the line
@@ -92,7 +106,7 @@ def main() -> None:
     for name, t in timings.items():
         if t < 0:
             continue
-        fam = name.split("_", 1)[0]
+        fam = name.split("_", 1)[0] if not name.startswith("_") else "warm"
         if fam in ("udf", "udaf", "udtf"):
             fam = "udf"
         fams[fam] = round(fams.get(fam, 0.0) + t, 3)
@@ -103,7 +117,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-        "n_queries": len(timings),
+        "n_queries": n_queries,
         "n_errors": n_err,
     }
     if not only:  # subset runs must not clobber the full per-query record
@@ -119,7 +133,7 @@ def main() -> None:
             "unit": "sec",
             "queries": fams,
             "sf": float(sf),
-            "n_queries": len(timings),
+            "n_queries": n_queries,
             "n_errors": n_err,
             "detail": "BENCH_local.json",
         }

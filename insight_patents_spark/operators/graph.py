@@ -232,6 +232,112 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pertex.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+_KTRUSS_K = 3  # every surviving edge sits in >= k-2 = 1 triangle
+_KTRUSS_ORACLE_ROUNDS = 4  # unroll depth; measured fixpoint is 2 at all SFs
+_KTRUSS_MAX_ROUNDS = 12  # Spark-side loud-fail bound on the peel loop
+
+
+def _ktruss_oracle() -> str:
+    # Fixed-depth unroll of the support peel (the CC_MAX_ROUNDS
+    # pattern): each round enumerates triangles on the CURRENT edge set
+    # (ordered x<y<z — each triangle once), credits its three edges,
+    # drops edges under k-2 support. Depth 4 covers the measured
+    # fixpoint (2) with margin; the Spark side iterates to the true
+    # fixpoint and fails loudly past _KTRUSS_MAX_ROUNDS, so a deeper
+    # corpus surfaces as a loud error, not a silent mismatch.
+    sql = _EDGES_CTE + ", t0 AS (SELECT pa, pb FROM pairs)"
+    cur = "t0"
+    for r in range(1, _KTRUSS_ORACLE_ROUNDS + 1):
+        sql += f"""
+    , sup{r} AS MATERIALIZED (
+      SELECT pa, pb, COUNT(*) AS s FROM (
+        SELECT x AS pa, y AS pb FROM (
+          SELECT p1.pa AS x, p1.pb AS y, p2.pb AS z
+          FROM {cur} p1 JOIN {cur} p2 ON p1.pb = p2.pa
+          JOIN {cur} p3 ON p3.pa = p1.pa AND p3.pb = p2.pb)
+        UNION ALL
+        SELECT y, z FROM (
+          SELECT p1.pa AS x, p1.pb AS y, p2.pb AS z
+          FROM {cur} p1 JOIN {cur} p2 ON p1.pb = p2.pa
+          JOIN {cur} p3 ON p3.pa = p1.pa AND p3.pb = p2.pb)
+        UNION ALL
+        SELECT x, z FROM (
+          SELECT p1.pa AS x, p1.pb AS y, p2.pb AS z
+          FROM {cur} p1 JOIN {cur} p2 ON p1.pb = p2.pa
+          JOIN {cur} p3 ON p3.pa = p1.pa AND p3.pb = p2.pb)
+      ) GROUP BY pa, pb),
+    t{r} AS MATERIALIZED (
+      SELECT s.pa, s.pb, s.s FROM sup{r} s
+      WHERE s.s >= {_KTRUSS_K - 2})"""
+        cur = f"t{r}"
+    return sql + f"""
+    SELECT pa, pb, CAST(s AS BIGINT) AS support FROM t{_KTRUSS_ORACLE_ROUNDS}"""
+
+
+@query("graph_ktruss", oracle=_ktruss_oracle())
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss decomposition (k=3): the maximal subgraph where every
+    edge closes at least k-2 triangles — the EDGE-level cohesion
+    filter (graph_kcore is the vertex-level one): citation cliques,
+    review rings, and tightly-coupled component clusters survive; the
+    long tail of incidental co-occurrence edges peels away. Returns the
+    surviving edges with their final-round support.
+
+    Algorithm: iterative support peel — enumerate ordered triangles
+    x<y<z on the current edge set (each triangle exactly once via the
+    canonical pa<pb pair list), credit each triangle's three edges,
+    drop edges with support < k-2, repeat until the edge set stops
+    shrinking (fixpoint is schedule-independent: the k-truss is unique,
+    so the loop and the oracle's fixed unroll meet at the same set).
+    Integer counts only — no float surface at all.
+
+    Scale shape: each round is two self-joins on the shrinking edge set
+    + one count agg — the graph_triangles plan run to fixpoint, always
+    on the pruned set (cost is monotone decreasing, the kcore-peel
+    property). Edge state is localCheckpointed per round so lineage
+    stays flat; the loop fails loudly past _KTRUSS_MAX_ROUNDS rather
+    than mismatch a deeper corpus."""
+    cur = _pairs(spark, sf_dir).select("pa", "pb").withColumn(
+        "s", F.lit(0).cast("bigint")
+    )
+    prev_n = cur.count()
+    for _ in range(_KTRUSS_MAX_ROUNDS):
+        p1, p2, p3 = cur.alias("p1"), cur.alias("p2"), cur.alias("p3")
+        tri = (
+            p1.join(p2, F.col("p1.pb") == F.col("p2.pa"))
+            .join(
+                p3,
+                (F.col("p3.pa") == F.col("p1.pa"))
+                & (F.col("p3.pb") == F.col("p2.pb")),
+            )
+            .select(
+                F.col("p1.pa").alias("x"),
+                F.col("p1.pb").alias("y"),
+                F.col("p2.pb").alias("z"),
+            )
+        )
+        sup = (
+            tri.select(F.col("x").alias("pa"), F.col("y").alias("pb"))
+            .unionAll(tri.select(F.col("y").alias("pa"), F.col("z").alias("pb")))
+            .unionAll(tri.select(F.col("x").alias("pa"), F.col("z").alias("pb")))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+        )
+        cur = (
+            sup.filter(F.col("s") >= _KTRUSS_K - 2)
+            .select("pa", "pb", "s")
+            .localCheckpoint()
+        )
+        n = cur.count()
+        if n == prev_n:
+            return cur.select("pa", "pb", F.col("s").alias("support"))
+        prev_n = n
+    raise RuntimeError(
+        f"graph_ktruss: no fixpoint within {_KTRUSS_MAX_ROUNDS} rounds "
+        f"(raise _KTRUSS_MAX_ROUNDS and the oracle unroll together)"
+    )
+
+
 def _cc_oracle() -> str:
     sql = _EDGES_CTE + ", l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"
     for r in range(1, CC_MAX_ROUNDS + 1):

@@ -3240,3 +3240,107 @@ def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("npmi"),
     )
+
+
+@query(
+    "dedup_url_canonical",
+    # URL-canonicalization dedup — the FIRST dedup stage of a web-crawl
+    # curation pipeline: raw crawl URLs differ by scheme/host case,
+    # default port, tracking params, trailing slash, and fragment while
+    # naming the same resource. Raw URLs are synthesized from the
+    # documents table with deterministic per-doc junk (the
+    # scan_text_parse construct-then-parse pattern); the canonicalizer
+    # (lowercase scheme+authority, strip :443, drop #fragment, drop
+    # utm_* params, collapse '/?') is the same regex chain in both
+    # engines. Docs collapsing to one canonical URL dedup to the min
+    # doc_id keeper.
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+             || source
+             || (CASE WHEN doc_id % 3 = 0 THEN '.EXAMPLE.COM' ELSE '.example.com' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+             || '/d/' || CAST(doc_id % 40 AS VARCHAR)
+             || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+             || '?id=' || CAST(doc_id % 40 AS VARCHAR)
+             || '&utm_source=feed&utm_campaign=' || lang
+             || (CASE WHEN doc_id % 4 = 0 THEN '#top' ELSE '' END) AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, url,
+             replace(
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_extract(url, '^[^/]*//[^/]*'))
+                     || substr(url, length(regexp_extract(url, '^[^/]*//[^/]*')) + 1),
+                   '#.*$', ''),
+                 '&utm_[^&#]*', '', 'g'),
+               ':443', '') AS cu
+      FROM raw),
+    fixed AS (SELECT doc_id, url, replace(cu, '/?', '?') AS canonical_url
+              FROM canon)
+    SELECT canonical_url,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT url) AS n_raw_variants,
+           MIN(doc_id) AS keeper_doc_id
+    FROM fixed GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — stage zero of web-corpus curation
+    (before any content hashing): crawls see the same resource under
+    scheme/host case variants, explicit default ports, utm_* tracking
+    params, trailing slashes, and fragments. The canonicalizer is a
+    pure JVM regex chain (zero shuffle until the final group-by
+    canonical URL), so at 100 TB it runs at scan speed and the dedup
+    itself is one hash agg on the canonical key — the cheapest
+    duplicate mass any pipeline removes. Keeper policy: min doc_id
+    (first-crawled), with raw-variant counts kept for audit.
+
+    Raw URLs are synthesized deterministically from the documents table
+    (the construct-then-parse oracle pattern); both engines run the
+    identical canonicalization, so every value is hash-checked."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("https://")
+        ),
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".EXAMPLE.COM")).otherwise(
+            F.lit(".example.com")
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/d/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("&utm_source=feed&utm_campaign="),
+        F.col("lang"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    prefix = F.regexp_extract(F.col("url"), r"^[^/]*//[^/]*", 0)
+    lowered = F.concat(
+        F.lower(prefix), F.expr("substr(url, length(regexp_extract(url, '^[^/]*//[^/]*', 0)) + 1)")
+    )
+    cu = F.replace(
+        F.regexp_replace(
+            F.regexp_replace(lowered, F.lit(r"#.*$"), F.lit("")),
+            F.lit(r"&utm_[^&#]*"),
+            F.lit(""),
+        ),
+        F.lit(":443"),
+        F.lit(""),
+    )
+    fixed = raw.select(
+        "doc_id",
+        "url",
+        F.replace(cu, F.lit("/?"), F.lit("?")).alias("canonical_url"),
+    )
+    return fixed.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("url").alias("n_raw_variants"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

@@ -1654,6 +1654,186 @@ def vec_cell_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vec_cell_kmeans",
+    # Per-cell k-means refinement: one full Lloyd step INSIDE every
+    # coarse IVF cell (seed split -> quantized-mean update -> re-assign)
+    # — the codebook-training move that follows vec_cell_refine's seed
+    # split when sub-seeds alone leave lopsided sub-cells. Sub-centroid
+    # means are nano-quantized integer sums per (cell, subcell, dim)
+    # (order-independent, O(1) agg state — never a per-member value
+    # list), inertia micro-quantized; distances compared at 9dp like
+    # every vec argmin here.
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 64 = 0),
+    a1 AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 9), c.cell) AS rn
+        FROM e CROSS JOIN c0 c
+      ) WHERE rn = 1),
+    seeds AS (SELECT cell, MIN(vec_id) AS s0, MAX(vec_id) AS s1
+              FROM a1 GROUP BY cell),
+    sv AS (SELECT s.cell, e0.v AS v0, e1.v AS v1
+           FROM seeds s
+           JOIN e e0 ON e0.vec_id = s.s0
+           JOIN e e1 ON e1.vec_id = s.s1),
+    a2 AS (
+      SELECT vec_id, v, cell,
+             CASE WHEN ROUND(d0, 9) <= ROUND(d1, 9) THEN 0 ELSE 1 END AS subcell
+      FROM (
+        SELECT a.vec_id, a.v, a.cell,
+               list_dot_product(a.v, a.v) - 2*list_dot_product(a.v, s.v0)
+                 + list_dot_product(s.v0, s.v0) AS d0,
+               list_dot_product(a.v, a.v) - 2*list_dot_product(a.v, s.v1)
+                 + list_dot_product(s.v1, s.v1) AS d1
+        FROM a1 a JOIN sv s ON a.cell = s.cell)),
+    upd AS (
+      SELECT cell, subcell, pos,
+             CAST(SUM(CAST(FLOOR(x * 1000000000) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 / COUNT(*) AS m
+      FROM (SELECT cell, subcell, generate_subscripts(v, 1) AS pos,
+                   CAST(unnest(v) AS DOUBLE) AS x
+            FROM a2)
+      GROUP BY cell, subcell, pos),
+    newc AS (
+      SELECT cell, subcell, list(m ORDER BY pos) AS c
+      FROM upd GROUP BY cell, subcell),
+    cc AS (
+      SELECT n0.cell, n0.c AS nc0, COALESCE(n1.c, n0.c) AS nc1
+      FROM (SELECT cell, c FROM newc WHERE subcell = 0) n0
+      LEFT JOIN (SELECT cell, c FROM newc WHERE subcell = 1) n1
+        ON n0.cell = n1.cell),
+    a3 AS (
+      SELECT vec_id, cell,
+             CASE WHEN ROUND(d0, 9) <= ROUND(d1, 9) THEN 0 ELSE 1 END AS subcell,
+             CASE WHEN ROUND(d0, 9) <= ROUND(d1, 9) THEN d0 ELSE d1 END AS d2
+      FROM (
+        SELECT a.vec_id, a.cell,
+               list_dot_product(a.v, a.v) - 2*list_dot_product(a.v, c.nc0)
+                 + list_dot_product(c.nc0, c.nc0) AS d0,
+               list_dot_product(a.v, a.v) - 2*list_dot_product(a.v, c.nc1)
+                 + list_dot_product(c.nc1, c.nc1) AS d1
+        FROM a2 a JOIN cc c ON a.cell = c.cell))
+    SELECT cell, subcell, COUNT(*) AS n_members,
+           SUM(CAST(ROUND(d2 * 1000000, 0) AS BIGINT)) / 1000000.0 AS inertia
+    FROM a3 GROUP BY cell, subcell
+    """,
+)
+def vec_cell_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell 2-means refinement with a FULL Lloyd step — the
+    codebook-training counterpart to vec_cell_refine\'s pure seed
+    split: per coarse IVF cell, split members by the deterministic
+    min/max-vec_id sub-seeds, UPDATE both sub-centroids to the member
+    mean, then RE-ASSIGN members to the nearer updated centroid and
+    report the refined occupancy + inertia. One Lloyd step per cell is
+    the standard residual-codebook training move (IVF-PQ / IMI
+    pipelines re-run exactly this whenever cell occupancy drifts).
+
+    Scale shape: both assignment passes move only KB-sized broadcast
+    centroid tables — items never shuffle for assignment; the update
+    shuffles (cell, subcell, dim, partial) after map-side combine
+    (≤ cells × 2 × 64 rows). The mean is a nano-quantized integer sum
+    per dimension (order-independent at any executor count, O(1) agg
+    state per group — NO per-member value list, the posture every
+    iterative fold in this repo now uses); inertia reduces in exact
+    integer micro-units. Empty subcells degenerate to the sibling
+    centroid (COALESCE), identically in both engines."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    cent = e.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "d2", _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("cell"))
+    a1 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    seeds = a1.groupBy("cell").agg(
+        F.min("vec_id").alias("s0"), F.max("vec_id").alias("s1")
+    )
+    e0 = e.select(F.col("vec_id").alias("i0"), F.col("v").alias("v0"))
+    e1 = e.select(F.col("vec_id").alias("i1"), F.col("v").alias("v1"))
+    sv = (
+        e0.join(F.broadcast(seeds), F.col("i0") == F.col("s0"))
+        .join(e1, F.col("i1") == F.col("s1"))
+        .select("cell", "v0", "v1")
+    )
+    d0 = _dot("v", "v") - 2 * _dot("v", "v0") + _dot("v0", "v0")
+    d1 = _dot("v", "v") - 2 * _dot("v", "v1") + _dot("v1", "v1")
+    a2 = (
+        a1.join(F.broadcast(sv), "cell")
+        .withColumn("d0", d0)
+        .withColumn("d1", d1)
+        .select(
+            "vec_id",
+            "v",
+            "cell",
+            F.when(F.round("d0", 9) <= F.round("d1", 9), 0)
+            .otherwise(1)
+            .alias("subcell"),
+        )
+        .localCheckpoint()  # feeds the update AND the re-assignment
+    )
+    # Lloyd update: nano-quantized integer mean per (cell, subcell, dim)
+    upd = (
+        a2.select("cell", "subcell", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("cell", "subcell", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * 1_000_000_000).cast("bigint"))
+                .cast("double")
+                / F.lit(1_000_000_000.0)
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    newc = upd.groupBy("cell", "subcell").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos AS p, m AS c))), x -> x.c)"
+        ).alias("c")
+    )
+    n0 = newc.filter(F.col("subcell") == 0).select("cell", F.col("c").alias("nc0"))
+    n1 = newc.filter(F.col("subcell") == 1).select(
+        F.col("cell").alias("cell1"), F.col("c").alias("c1")
+    )
+    cc = (
+        n0.join(n1, n0.cell == n1.cell1, "left")
+        .select("cell", "nc0", F.coalesce("c1", "nc0").alias("nc1"))
+    )
+    nd0 = _dot("v", "v") - 2 * _dot("v", "nc0") + _dot("nc0", "nc0")
+    nd1 = _dot("v", "v") - 2 * _dot("v", "nc1") + _dot("nc1", "nc1")
+    a3 = (
+        a2.join(F.broadcast(cc), "cell")
+        .withColumn("d0", nd0)
+        .withColumn("d1", nd1)
+        .select(
+            "cell",
+            F.when(F.round("d0", 9) <= F.round("d1", 9), 0)
+            .otherwise(1)
+            .alias("subcell"),
+            F.when(F.round("d0", 9) <= F.round("d1", 9), F.col("d0"))
+            .otherwise(F.col("d1"))
+            .alias("d2"),
+        )
+    )
+    return a3.groupBy("cell", "subcell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum(F.expr("CAST(ROUND(d2 * 1000000, 0) AS BIGINT)")) / 1000000.0
+        ).alias("inertia"),
+    )
+
+
+@query(
     "vec_ann_recall",
     # Recall@3 of the LSH shortlist vs exact brute-force top-3 for a
     # probe subset (every 50th vec_id). The oracle embeds the full LSH

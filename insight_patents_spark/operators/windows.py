@@ -1086,6 +1086,223 @@ def win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_sliding_hll",
+    # The SKETCH-state variant of win_sliding_distinct — the shape that
+    # actually runs at 10^9 users: ONE HLL sketch per (type, day), then
+    # the <=7-day trailing merge unions SKETCHES (bytes, mergeable,
+    # user set never re-deduped per window). DuckDB has no DataSketches
+    # HLL, so (the agg_hll_sketch contract) the oracle hashes the EXACT
+    # windowed distinct plus an always-true accuracy flag; the Spark
+    # side computes both paths and validates the estimate in-query
+    # (lgK=12 -> rse ~1.6%; 10% is ~6 sigma and the sketch is
+    # deterministic per engine, so the flag is stable). A regression in
+    # sketch build/union/estimate flips the flag and fails the hash.
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS day
+      FROM events),
+    contrib AS (
+      SELECT event_type, user_id, day + CAST(o.k AS INT) AS wend
+      FROM ud CROSS JOIN (SELECT unnest(range(0, {_SLIDE_DAYS})) AS k) o),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT c.event_type, CAST(c.wend AS VARCHAR) AS window_end,
+           COUNT(DISTINCT c.user_id) AS exact_users,
+           TRUE AS est_within_10pct
+    FROM contrib c JOIN days d ON c.wend = d.day
+    GROUP BY c.event_type, c.wend
+    """,
+)
+def win_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct users per event type via HLL sketch
+    merge — the 100 TB posture for rolling reach/DAU: the fact is
+    reduced ONCE to a (type, day) grid of fixed-size HLL sketches
+    (hll_sketch_agg), and each trailing window is a union of ≤7
+    sketches (hll_union_agg) — per-window state is KBs of sketch bytes
+    instead of the window's user set, and day sketches are reusable
+    across every window they serve (the same reuse that makes
+    continuous aggregates work, time_rollup_hier). The exact twin
+    (win_sliding_distinct) re-deduplicates users per window-end — fine
+    until user sets stop fitting the agg hash table.
+
+    Validation: the exact windowed count rides the same frame (the
+    explode-to-windows topology), and the estimate must land within
+    10% of it — the flag is hashed, so sketch regressions fail the
+    oracle gate; accuracy is ~1.6% rse at lgK=12."""
+    e = load(spark, sf_dir, "events")
+    # day-grid sketches: ONE pass over the fact
+    day_sk = (
+        e.select(
+            "event_type", "user_id", F.col("ts").cast("date").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    )
+    # fan each day sketch out to the <=7 window-ends it serves
+    sk_contrib = day_sk.select(
+        "event_type",
+        "sk",
+        F.explode(F.sequence(F.lit(0), F.lit(_SLIDE_DAYS - 1))).alias("k"),
+        "day",
+    ).select(
+        "event_type", "sk", F.date_add(F.col("day"), F.col("k")).alias("wend")
+    )
+    days = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    est = (
+        sk_contrib.join(F.broadcast(days), sk_contrib.wend == days.day)
+        .groupBy("event_type", "wend")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+        )
+    )
+    # exact twin for the hashed in-query validation
+    ud = e.select(
+        "event_type", "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    exact = (
+        ud.select(
+            "event_type",
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_SLIDE_DAYS - 1))).alias("k"),
+            "day",
+        )
+        .select(
+            "event_type",
+            "user_id",
+            F.date_add(F.col("day"), F.col("k")).alias("wend"),
+        )
+        .join(F.broadcast(days), F.col("wend") == days.day)
+        .groupBy("event_type", "wend")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        est.join(exact, ["event_type", "wend"])
+        .select(
+            "event_type",
+            F.col("wend").cast("string").alias("window_end"),
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.10 * F.col("exact_users")
+            ).alias("est_within_10pct"),
+        )
+    )
+
+
+_SKY3_BUCKETS = 16
+_SKY3_CAND_CAP = 500_000  # loud-fail bound on the merged local skylines
+
+
+def _sky3_dominates(q: str, p: str) -> str:
+    """SQL dominance predicate for the (n_tok MAX, n_uniq MAX, len_c
+    MIN) criteria: q weakly better everywhere, strictly somewhere."""
+    return (
+        f"{q}.n_tok >= {p}.n_tok AND {q}.n_uniq >= {p}.n_uniq "
+        f"AND {q}.len_c <= {p}.len_c AND ({q}.n_tok > {p}.n_tok "
+        f"OR {q}.n_uniq > {p}.n_uniq OR {q}.len_c < {p}.len_c)"
+    )
+
+
+@query(
+    "win_skyline_3d",
+    # 3D skyline for training-data curation: the Pareto frontier of
+    # documents over (token count MAX, distinct-token count MAX, char
+    # length MIN) — "the most token-diverse docs per byte". The oracle
+    # is the direct quadratic dominance NOT EXISTS (fine at oracle
+    # scale); the Spark side is the distributed two-phase skyline.
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_uniq,
+             CAST(length(text) AS BIGINT) AS len_c
+      FROM documents)
+    SELECT doc_id, n_tok, n_uniq, len_c FROM m p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m q WHERE {_sky3_dominates('q', 'p')})
+    """,
+)
+def win_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3D skyline (Pareto frontier) over documents — the multi-criteria
+    curation shortlist: no other document has ≥ tokens AND ≥ distinct
+    tokens AND ≤ characters (with one strict). Past 2D the one-pass
+    window trick (win_skyline_2d) no longer exists, so this is the
+    standard distributed two-phase skyline:
+
+    1. Partition-local skylines: documents hash into
+       {_SKY3_BUCKETS} deterministic buckets (crc32 of doc_id — never
+       spark_partition_id, which is schedule-dependent even though the
+       skyline itself is partition-invariant); each bucket's frontier
+       is computed in ONE Arrow batch via applyInPandas (sort by
+       (n_tok desc, n_uniq desc, len asc), then a keep-list scan — a
+       kept point can only be dominated by an earlier kept point).
+       Correctness: skyline(union) ⊆ union of local skylines, for ANY
+       partitioning of the rows.
+    2. Merge: the unioned local frontiers (tiny vs the corpus — guarded
+       by a loud cap) self-prune with a broadcast LEFT ANTI nested-loop
+       join on the dominance predicate — quadratic only in the
+       candidate count, never in |corpus|.
+
+    All three criteria are exact integers; the skyline set is unique,
+    so the result is schedule-independent by construction."""
+    import pandas as pd
+
+    m = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("n_uniq"),
+        F.length("text").cast("bigint").alias("len_c"),
+        F.pmod(F.crc32(F.col("doc_id").cast("string")), _SKY3_BUCKETS).alias(
+            "bkt"
+        ),
+    )
+
+    def local_skyline(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "n_uniq", "len_c", "doc_id"],
+            ascending=[False, False, True, True],
+        )
+        kept: list[int] = []  # positional indices into the sorted frame
+        nt = pdf["n_tok"].to_numpy()
+        nu = pdf["n_uniq"].to_numpy()
+        lc = pdf["len_c"].to_numpy()
+        for i in range(len(pdf)):
+            dominated = False
+            for j in kept:
+                if (
+                    nt[j] >= nt[i]
+                    and nu[j] >= nu[i]
+                    and lc[j] <= lc[i]
+                    and (nt[j] > nt[i] or nu[j] > nu[i] or lc[j] < lc[i])
+                ):
+                    dominated = True
+                    break
+            if not dominated:
+                kept.append(i)
+        return pdf.iloc[kept][["doc_id", "n_tok", "n_uniq", "len_c"]]
+
+    cand = (
+        m.groupBy("bkt")
+        .applyInPandas(
+            local_skyline, "doc_id bigint, n_tok bigint, n_uniq bigint, len_c bigint"
+        )
+        .localCheckpoint()
+    )
+    n_cand = cand.count()
+    if n_cand > _SKY3_CAND_CAP:  # loud even under python -O
+        raise RuntimeError(
+            f"win_skyline_3d: merged local skylines exceed the cap "
+            f"({n_cand} > {_SKY3_CAND_CAP}); raise _SKY3_BUCKETS"
+        )
+    p, q = cand.alias("p"), cand.alias("q")
+    return p.join(
+        F.broadcast(q), F.expr(_sky3_dominates("q", "p")), "left_anti"
+    ).select("doc_id", "n_tok", "n_uniq", "len_c")
+
+
+@query(
     "agg_bounce_rate",
     # Bounce rate per entry event type: sessionize (the win_sessionize
     # gaps-and-islands pass), take each session's ENTRY event type and

@@ -78,9 +78,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r7:    50 of the 108 never-checked after r6 + the 22 NEW r7 queries
 #          + the changed set (graph_scc, seq_attribution_markov) — see
 #          git history for the full list.
-#   r8:    the set below — 38 of the 80 never-checked after r7
+#   r8:    the set below — 33 of the 80 never-checked after r7
 #          (complement of the union of CORRECTNESS_r01-r07 keys) + the
-#          2 queries NEW in r8 (pipeline_patents_e2e, join_skew_aqe) +
+#          7 queries NEW in r8 (pipeline_patents_e2e, join_skew_aqe,
+#          graph_ktruss, win_skyline_3d, win_sliding_hll,
+#          vec_cell_kmeans, dedup_url_canonical) +
 #          every query whose CODE changed in r8: graph_pagerank /
 #          graph_pagerank_personalized / graph_hits / graph_betweenness
 #          (quantized integer-unit folds — VALUES changed),
@@ -88,7 +90,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          widened), agg_chi_square (overflow CASE), text_jaccard_tokens
 #          + dedup_eval (merged strategy probe), and dedup_ngram_jaccard
 #          (r7 PPJoin rewrite that the r7 prefix missed — the ADVICE
-#          finding). The 40 still-never-checked ops left for r9 are
+#          finding). The 45 still-never-checked ops left for r9 are
 #          listed in STATE.md.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
@@ -105,19 +107,20 @@ _SHOWCASE_50 = (
     # vector similarity backlog (the ANN/dedup scale path)
     "dedup_embed_cosine", "vec_ann_lsh", "vec_pq_codes",
     "vec_rerank_stub", "dedup_semantic", "vec_matryoshka",
-    "vec_cell_refine", "vec_pca_project", "vec_pca_top2",
+    "vec_cell_refine", "vec_pca_project",
     # multimodal backlog
     "mm_decode_stub", "mm_phash_dedup",
     # python UDF backlog
-    "udf_python_scalar", "udaf_pandas_agg", "udf_python_arrow",
+    "udf_python_scalar", "udaf_pandas_agg",
     # graph backlog — first graph query in emission order pays the
     # shared edge-cache first-touch (~+3 s at sf0.1 in BENCH; totals
     # conserved)
     "graph_shortest_path", "graph_sssp_weighted", "graph_assoc_rules",
-    "graph_label_prop", "graph_closeness", "graph_random_walks",
-    "graph_assortativity",
+    "graph_label_prop",
     # NEW in r8
-    "pipeline_patents_e2e", "join_skew_aqe",
+    "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
+    "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
+    "dedup_url_canonical",
     # changed-in-r8 queries LAST in the prefix: still inside the
     # driver's 50-query gate (external evidence for the diff), but run
     # on a warmed session. dedup_eval pays the minhash signature-cache

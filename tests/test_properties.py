@@ -6121,3 +6121,128 @@ def test_pipeline_e2e_matches_componentwise_run(spark, sf_dir):
         rows.sort(key=lambda r: r.pos)
         ranks = [r.rank for r in rows]
         assert ranks == sorted(ranks, reverse=True), brand
+
+
+def test_ktruss_matches_python_peel(spark, sf_dir):
+    """graph_ktruss vs a pure-Python support peel on the collected
+    canonical pair list: identical surviving edge set and per-edge
+    final support (integer-exact, no tolerance)."""
+    from insight_patents_spark.operators.graph import (
+        _KTRUSS_K,
+        _pairs,
+        graph_ktruss,
+    )
+
+    edges = {(r.pa, r.pb) for r in _pairs(spark, sf_dir).collect()}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+        sup = {}
+        for a, b in edges:
+            # triangles x<y<z counted once; credit all three edges
+            for c in adj.get(b, set()):
+                if c in adj.get(a, set()):
+                    for e in ((a, b), (b, c), (a, c)):
+                        sup[e] = sup.get(e, 0) + 1
+        kept = {e for e in edges if sup.get(e, 0) >= _KTRUSS_K - 2}
+        if kept == edges:
+            break
+        edges = kept
+    got = {(r.pa, r.pb): r.support for r in graph_ktruss(spark, sf_dir).collect()}
+    assert set(got) == edges
+    for e, s in got.items():
+        assert s == sup[e], (e, s, sup[e])
+
+
+def test_skyline3d_matches_bruteforce(spark, sf_dir):
+    """win_skyline_3d vs a quadratic Python dominance check over the
+    same integer metrics — exact set equality (the skyline is unique)."""
+    from insight_patents_spark.operators.windows import win_skyline_3d
+    from insight_patents_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_uniq"),
+        F.length("text").alias("len_c"),
+    )
+    pts = [(r.doc_id, r.n_tok, r.n_uniq, r.len_c) for r in d.collect()]
+    want = set()
+    for p in pts:
+        dominated = any(
+            q[1] >= p[1] and q[2] >= p[2] and q[3] <= p[3]
+            and (q[1] > p[1] or q[2] > p[2] or q[3] < p[3])
+            for q in pts
+        )
+        if not dominated:
+            want.add(p)
+    got = {
+        (r.doc_id, r.n_tok, r.n_uniq, r.len_c)
+        for r in win_skyline_3d(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_sliding_hll_tracks_exact(spark, sf_dir):
+    """win_sliding_hll's exact column must equal win_sliding_distinct's
+    counts window-for-window, and every estimate flag must be true."""
+    from insight_patents_spark.operators.windows import (
+        win_sliding_distinct,
+        win_sliding_hll,
+    )
+
+    exact = {
+        (r.event_type, r.window_end): r.distinct_users
+        for r in win_sliding_distinct(spark, sf_dir).collect()
+    }
+    rows = win_sliding_hll(spark, sf_dir).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r.exact_users == exact[(r.event_type, r.window_end)]
+        assert r.est_within_10pct, (r.event_type, r.window_end)
+
+
+def test_cell_kmeans_lloyd_step_reduces_inertia(spark, sf_dir):
+    """The Lloyd guarantee: one update+reassign step never increases a
+    cell's inertia vs the seed split (vec_cell_refine) — up to the
+    documented 1e-6 inertia quantum + 1e-9 centroid quantization."""
+    from insight_patents_spark.operators.vector import (
+        vec_cell_kmeans,
+        vec_cell_refine,
+    )
+
+    before = {}
+    for r in vec_cell_refine(spark, sf_dir).collect():
+        before[r.cell] = before.get(r.cell, 0.0) + r.inertia
+    after = {}
+    counts = {}
+    for r in vec_cell_kmeans(spark, sf_dir).collect():
+        after[r.cell] = after.get(r.cell, 0.0) + r.inertia
+        counts[r.cell] = counts.get(r.cell, 0) + r.n_members
+    assert set(after) == set(before)
+    for cell, j_after in after.items():
+        assert j_after <= before[cell] + 1e-3, (cell, j_after, before[cell])
+    # membership is preserved by the re-assignment (no vector lost)
+    ref_counts = {}
+    for r in vec_cell_refine(spark, sf_dir).collect():
+        ref_counts[r.cell] = ref_counts.get(r.cell, 0) + r.n_members
+    assert counts == ref_counts
+
+
+def test_url_canonical_invariants(spark, sf_dir):
+    """Every doc lands in exactly one canonical group; canonical URLs
+    carry no tracking params, fragments, default ports, or uppercase;
+    the keeper is the group's min doc_id by construction."""
+    from insight_patents_spark.operators.text import dedup_url_canonical
+    from insight_patents_spark.sources.tables import load
+
+    rows = dedup_url_canonical(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        cu = r.canonical_url
+        assert "utm_" not in cu and "#" not in cu and ":443" not in cu, cu
+        assert cu == cu.lower(), cu
+        assert 1 <= r.n_raw_variants <= r.n_docs
+        assert cu.startswith("https://")
