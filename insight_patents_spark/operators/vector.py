@@ -150,25 +150,34 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _canonical_mean(col: F.Column) -> F.Column:
-    """Order-canonical double mean: sort the group's values, then a
-    sequential left fold. Both engines fold the same sorted sequence ->
-    bit-identical (decimal casts are NOT safe for float-derived doubles:
-    Spark's double→decimal goes through the 17-digit shortest string repr
-    and rounds differently from DuckDB's binary rounding — observed on
-    this data)."""
-    return F.aggregate(
-        F.sort_array(F.collect_list(col.cast("double"))),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.count(col)
+def _quantized_mean(col: F.Column) -> F.Column:
+    """Nano-quantized order-independent double mean: each value floors
+    to int64 nano-units ONCE (an IEEE multiply+floor, identical in both
+    engines), the group reduces with a plain integer SUM in a
+    DECIMAL(38,0) accumulator (exact at any occupancy — DuckDB's
+    SUM(BIGINT) is HUGEINT), and the mean is two float divisions on
+    exact inputs. Replaces the r1-r7 sorted-fold canonical mean, whose
+    collect_list materialized the WHOLE group as one in-memory array
+    per agg row — the same occupancy cliff VERDICT r7 flagged for the
+    graph folds; this form is map-side combinable with O(1) agg state.
+    (Decimal casts remain unsafe for float-DERIVED doubles — Spark's
+    double→decimal rounds via the 17-digit string repr, DuckDB rounds
+    binary — but FLOOR-quantization never casts a float to decimal, so
+    it sidesteps that class entirely.) Quantization error ≤ 1e-9 per
+    value before the /n."""
+    q = F.floor(col.cast("double") * F.lit(1_000_000_000.0)).cast("long")
+    return (
+        F.sum(q.cast("decimal(38,0)")).cast("double")
+        / F.lit(1_000_000_000.0)
+        / F.count(F.lit(1))
+    )
 
 
 @query(
     "vec_centroid",
     oracle="""
     SELECT label, CAST(pos AS BIGINT) AS pos,
-           list_aggregate(list_sort(list(v)), 'sum') / COUNT(*) AS centroid
+           CAST(SUM(CAST(FLOOR(v * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS centroid
     FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
                  CAST(unnest(embedding) AS DOUBLE) AS v
           FROM embeddings)
@@ -177,12 +186,13 @@ def _canonical_mean(col: F.Column) -> F.Column:
 )
 def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, element-wise: posexplode → group by (label,
-    dimension) → order-canonical mean (sorted fold; see _canonical_mean)."""
+    dimension) → nano-quantized order-independent mean (see
+    _quantized_mean — O(1) agg state per (label, dim), hub-safe)."""
     e = load(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("bigint").alias("pos"))
-        .agg(_canonical_mean(F.col("v")).alias("centroid"))
+        .agg(_quantized_mean(F.col("v")).alias("centroid"))
     )
 
 
@@ -195,7 +205,7 @@ def vec_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(list_sort(list({'p': pos, 'c': centroid})), x -> x.c) AS cv
       FROM (
         SELECT label AS clabel, pos,
-               list_aggregate(list_sort(list(v)), 'sum') / COUNT(*) AS centroid
+               CAST(SUM(CAST(FLOOR(v * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS centroid
         FROM (SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
                      CAST(unnest(embedding) AS DOUBLE) AS v
               FROM embeddings)
@@ -230,7 +240,7 @@ def vec_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .select(F.col("label").alias("clabel"), F.posexplode("embedding").alias("pos", "x"))
         .groupBy("clabel", "pos")
-        .agg(_canonical_mean(F.col("x")).alias("centroid"))
+        .agg(_quantized_mean(F.col("x")).alias("centroid"))
         .groupBy("clabel")
         .agg(
             F.expr(
@@ -1254,7 +1264,7 @@ def vec_hamming_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(list_sort(list({'p': pos, 'c': m})), x -> x.c) AS cv
       FROM (
         SELECT cluster_id, pos,
-               list_aggregate(list_sort(list(x)), 'sum') / COUNT(*) AS m
+               CAST(SUM(CAST(FLOOR(x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS m
         FROM (SELECT cluster_id, CAST(generate_subscripts(v, 1) AS INTEGER) AS pos,
                      CAST(unnest(v) AS DOUBLE) AS x
               FROM a1)
@@ -1314,7 +1324,7 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         a.select("cluster_id", F.posexplode("v").alias("pos0", "x"))
         .groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
-        .agg(_canonical_mean(F.col("x")).alias("m"))
+        .agg(_quantized_mean(F.col("x")).alias("m"))
         .groupBy("cluster_id")
         .agg(
             F.expr(
@@ -1447,7 +1457,7 @@ def vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cent AS (
       SELECT label, pos,
-             list_aggregate(list_sort(list(x)), 'sum') / COUNT(*) AS m
+             CAST(SUM(CAST(FLOOR(x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS m
       FROM (SELECT label, CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
                    CAST(unnest(embedding) AS DOUBLE) AS x
             FROM embeddings)
@@ -1510,7 +1520,7 @@ def vec_residual_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "embeddings")
         .select("label", F.posexplode("embedding").alias("pos0", "x"))
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg(_canonical_mean(F.col("x")).alias("m"))
+        .agg(_quantized_mean(F.col("x")).alias("m"))
         .groupBy("label")
         .agg(
             F.expr(
@@ -1942,7 +1952,7 @@ def _pca_oracle() -> str:
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings),
     mu AS (
-      SELECT dim, list_aggregate(list_sort(list(x)), 'sum') / COUNT(*) AS m
+      SELECT dim, CAST(SUM(CAST(FLOOR(x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS m
       FROM dims GROUP BY dim),
     c AS (
       SELECT d.vec_id, d.dim, d.x - mu.m AS cx
@@ -2011,7 +2021,7 @@ def vec_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu_row = (
         e.select(F.posexplode("v").alias("pos0", "x"))
         .groupBy((F.col("pos0") + 1).alias("dim"))
-        .agg(_canonical_mean(F.col("x")).alias("m"))
+        .agg(_quantized_mean(F.col("x")).alias("m"))
         .groupBy()
         .agg(
             F.expr(
@@ -2129,7 +2139,7 @@ def _pca2_oracle() -> str:
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings),
     mu AS MATERIALIZED (
-      SELECT dim, list_aggregate(list_sort(list(x)), 'sum') / COUNT(*) AS m
+      SELECT dim, CAST(SUM(CAST(FLOOR(x * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0 / COUNT(*) AS m
       FROM dims GROUP BY dim),
     c AS MATERIALIZED (
       SELECT d.vec_id, d.dim, d.x - mu.m AS cx
@@ -2247,7 +2257,7 @@ def vec_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu_row = (
         e.select(F.posexplode("v").alias("pos0", "x"))
         .groupBy((F.col("pos0") + 1).alias("dim"))
-        .agg(_canonical_mean(F.col("x")).alias("m"))
+        .agg(_quantized_mean(F.col("x")).alias("m"))
         .groupBy()
         .agg(
             F.expr(

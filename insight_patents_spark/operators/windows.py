@@ -1865,8 +1865,9 @@ def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; a production pipeline windows the series first). Cross-engine
     equality is ORDER equality: the oracle's recursive CTE executes the
     identical arithmetic sequence, and sequential IEEE rounding is
-    deterministic — the _canonical_mean argument, extended to a
-    3-component state."""
+    deterministic — the ordered-fold determinism argument (per-user
+    sequences are bounded in-row state, so no occupancy cliff applies
+    here), extended to a 3-component state."""
     e = load(spark, sf_dir, "events")
     arr = e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),

@@ -78,19 +78,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r7:    50 of the 108 never-checked after r6 + the 22 NEW r7 queries
 #          + the changed set (graph_scc, seq_attribution_markov) — see
 #          git history for the full list.
-#   r8:    the set below — 33 of the 80 never-checked after r7
+#   r8:    the set below — 28 of the 80 never-checked after r7
 #          (complement of the union of CORRECTNESS_r01-r07 keys) + the
 #          7 queries NEW in r8 (pipeline_patents_e2e, join_skew_aqe,
 #          graph_ktruss, win_skyline_3d, win_sliding_hll,
 #          vec_cell_kmeans, dedup_url_canonical) +
 #          every query whose CODE changed in r8: graph_pagerank /
 #          graph_pagerank_personalized / graph_hits / graph_betweenness
-#          (quantized integer-unit folds — VALUES changed),
+#          (quantized integer-unit folds — VALUES changed), vec_centroid
+#          / vec_knn_label / vec_kmeans / vec_residual_pq /
+#          vec_pca_project / vec_pca_top2 (quantized
+#          centroid/PCA means — values moved <= 1e-9),
 #          geo_cluster_cells (assert→raise), text_winnowing (packing
 #          widened), agg_chi_square (overflow CASE), text_jaccard_tokens
 #          + dedup_eval (merged strategy probe), and dedup_ngram_jaccard
 #          (r7 PPJoin rewrite that the r7 prefix missed — the ADVICE
-#          finding). The 45 still-never-checked ops left for r9 are
+#          finding). The 50 still-never-checked ops left for r9 are
 #          listed in STATE.md.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
@@ -109,14 +112,13 @@ _SHOWCASE_50 = (
     "vec_rerank_stub", "dedup_semantic", "vec_matryoshka",
     "vec_cell_refine", "vec_pca_project",
     # multimodal backlog
-    "mm_decode_stub", "mm_phash_dedup",
+    "mm_phash_dedup",
     # python UDF backlog
-    "udf_python_scalar", "udaf_pandas_agg",
+    "udf_python_scalar",
     # graph backlog — first graph query in emission order pays the
     # shared edge-cache first-touch (~+3 s at sf0.1 in BENCH; totals
     # conserved)
-    "graph_shortest_path", "graph_sssp_weighted", "graph_assoc_rules",
-    "graph_label_prop",
+    "graph_shortest_path",
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
@@ -124,11 +126,14 @@ _SHOWCASE_50 = (
     # changed-in-r8 queries LAST in the prefix: still inside the
     # driver's 50-query gate (external evidence for the diff), but run
     # on a warmed session. dedup_eval pays the minhash signature-cache
-    # first-touch here.
+    # first-touch here. The vec_* entries changed because the shared
+    # centroid/PCA mean moved from the sorted fold to the quantized
+    # integer sum (values moved ≤ 1e-9, hashes re-verified).
     "graph_pagerank", "graph_pagerank_personalized", "graph_hits",
     "graph_betweenness", "geo_cluster_cells", "text_winnowing",
     "agg_chi_square", "text_jaccard_tokens", "dedup_eval",
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard", "vec_centroid", "vec_knn_label",
+    "vec_kmeans", "vec_residual_pq", "vec_pca_top2",
 )
 
 

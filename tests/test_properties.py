@@ -2126,9 +2126,10 @@ def test_dedup_exact_reconciles_with_python(spark, sf_dir):
 
 
 def test_vec_centroid_matches_numpy(spark, sf_dir):
-    """vec_centroid: per-(label, dim) mean equals NumPy within 1e-9
-    (Spark folds in canonical sorted order; numpy pairwise-sums the
-    same finite set)."""
+    """vec_centroid: per-(label, dim) mean equals NumPy within 2e-9
+    (the engine floors each value to nano-units before the exact
+    integer sum — error ≤ 1e-9 on the mean — and numpy pairwise-sums
+    the unquantized set)."""
     import numpy as np
 
     from insight_patents_spark.operators.vector import vec_centroid
@@ -2143,7 +2144,7 @@ def test_vec_centroid_matches_numpy(spark, sf_dir):
     for label, vs in vecs.items():
         mean = np.asarray(vs, dtype=np.float64).mean(axis=0)
         for i, m in enumerate(mean, start=1):
-            assert abs(got[(label, i)] - m) < 1e-9
+            assert abs(got[(label, i)] - m) < 2e-9
     assert len(got) > 0
 
 
@@ -4808,10 +4809,15 @@ def test_vec_knn_ivf_int8_match_numpy(spark, sf_dir):
     by_label = {}
     for r in rows:
         by_label.setdefault(r.label, []).append(vecs[r.vec_id])
+    def _qmean(col):
+        # mirror _quantized_mean: floor to nano-units, exact int sum,
+        # two float divisions
+        return sum(math.floor(float(v) * 1e9) for v in col) / 1e9 / len(col)
+
+    import math
+
     cents = {
-        lab: np.asarray(
-            [_sorted_fold(np.asarray(vs)[:, i]) / len(vs) for i in range(64)]
-        )
+        lab: np.asarray([_qmean(np.asarray(vs)[:, i]) for i in range(64)])
         for lab, vs in ((lab, vs) for lab, vs in by_label.items())
     }
     from collections import Counter
