@@ -1423,3 +1423,128 @@ def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ece_total"),
     )
+
+
+@query(
+    "ml_group_parity",
+    # Group-fairness audit of the corpus-curation classifier: per
+    # source (the crawl-provenance group), the keep rate of
+    # ml_lr_inference's exact integer decision, the statistical-parity
+    # difference vs the overall rate, and the disparate-impact ratio vs
+    # the best-treated group. Counts are exact ints from one hash agg;
+    # every rate is one division rounded 9dp; diff/ratio operate on the
+    # ROUNDED rates so both engines subtract/divide identical doubles.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+               % {_LR_BUCKETS} AS bucket
+      FROM tok),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
+          GROUP BY doc_id, bucket),
+    w AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * (CAST(('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 4))
+                                  AS BIGINT) % 101 - 50)) AS BIGINT) AS z_centi
+      FROM c GROUP BY doc_id),
+    dec AS (
+      SELECT d.source, w.doc_id,
+             CASE WHEN 4 * (w.z_centi + {_LR_BIAS_CENTI} * w.n_tokens)
+                       + 100 * w.n_tokens > 0
+                  THEN 1 ELSE 0 END AS kept
+      FROM w JOIN documents d ON w.doc_id = d.doc_id),
+    grp AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(kept) AS BIGINT) AS n_kept,
+             CAST(ROUND(SUM(kept) * 1.0 / COUNT(*), 9) AS DOUBLE) AS keep_rate
+      FROM dec GROUP BY source)
+    SELECT source, n_docs, n_kept, keep_rate,
+           CAST(ROUND(keep_rate -
+             ROUND(SUM(n_kept) OVER () * 1.0 / SUM(n_docs) OVER (), 9), 9)
+             AS DOUBLE) AS parity_diff,
+           CAST(ROUND(keep_rate / MAX(keep_rate) OVER (), 9) AS DOUBLE)
+             AS impact_ratio
+    FROM grp
+    """,
+)
+def ml_group_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the curation classifier — the
+    responsible-AI gate a corpus pipeline runs BEFORE shipping filter
+    decisions: per crawl source, the classifier's keep rate, the
+    statistical-parity difference vs the corpus-wide rate, and the
+    disparate-impact ratio vs the best-treated group (the 80%-rule
+    denominator). A filter that silently drops one provenance or
+    language at twice the rate of another skews the training mixture —
+    this surfaces it as a first-class, oracle-checked metric.
+
+    Scale shape: decisions come from the stateless hashed-weights
+    classifier (exact int64 z, no float in the decision), so the whole
+    audit is the inference pipeline + ONE (source) hash agg + windows
+    over the |groups|-row grid — corpus scanned once, nothing sorted."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+        % _LR_BUCKETS
+    )
+    w_centi = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 101
+        - 50
+    )
+    c = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cnt") * w_centi).cast("bigint").alias("z_centi"),
+    )
+    # keep <=> logit > -0.25 (the operating point for this corpus's
+    # score distribution; ml_lr_inference's keep-at-0 would keep nothing
+    # here). Still an exact integer comparison: 4*z_num + 100*n > 0.
+    kept = (
+        (
+            4 * (F.col("z_centi") + _LR_BIAS_CENTI * F.col("n_tokens"))
+            + 100 * F.col("n_tokens")
+        )
+        > 0
+    ).cast("int")
+    dec = w.join(d.select("doc_id", "source"), "doc_id").select(
+        "source", kept.alias("kept")
+    )
+    grp = dec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.round(F.sum("kept") * 1.0 / F.count(F.lit(1)), 9)
+        .cast("double")
+        .alias("keep_rate"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    overall = F.round(
+        F.sum("n_kept").over(w_all) * 1.0 / F.sum("n_docs").over(w_all), 9
+    )
+    return grp.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "keep_rate",
+        F.round(F.col("keep_rate") - overall, 9)
+        .cast("double")
+        .alias("parity_diff"),
+        F.round(F.col("keep_rate") / F.max("keep_rate").over(w_all), 9)
+        .cast("double")
+        .alias("impact_ratio"),
+    )

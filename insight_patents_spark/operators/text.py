@@ -3344,3 +3344,91 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_raw_variants"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
+
+
+_BOILER_N = 5  # token n-gram length
+_BOILER_DF = 2  # a gram is boilerplate if it appears in >= this many docs
+
+
+@query(
+    "text_boilerplate_flag",
+    # Cross-document boilerplate audit (the C4/RefinedWeb repeated-
+    # passage filter, at flag granularity): a doc's token 5-grams are
+    # scored by corpus document-frequency; the boilerplate ratio is the
+    # fraction of the doc's grams shared with >= 2 other-or-same docs,
+    # and docs with >= 30% shared-gram mass are flagged for removal.
+    # Integer counts, integer flag comparison (ratio*10 vs grams*3),
+    # one 9dp division for the reported ratio. Docs shorter than 5
+    # tokens have no grams and are excluded (nothing to judge).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {_BOILER_N - 2}), i ->
+               array_to_string(t[CAST(i AS INT):CAST(i + {_BOILER_N - 1} AS INT)], ' ')))
+               AS g
+      FROM toks),
+    df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+    per AS (
+      SELECT gr.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN df.df >= {_BOILER_DF} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boiler
+      FROM grams gr JOIN df ON gr.g = df.g GROUP BY gr.doc_id)
+    SELECT doc_id, n_grams, n_boiler,
+           CAST(ROUND(n_boiler * 1.0 / n_grams, 9) AS DOUBLE) AS boiler_ratio,
+           n_boiler * 10 >= n_grams * 3 AS drop_flag
+    FROM per
+    """,
+)
+def text_boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection — the repeated-passage
+    filter every web-corpus pipeline runs (C4 dropped repeated lines;
+    RefinedWeb drops documents dominated by cross-page boilerplate):
+    token 5-grams are the passage unit, corpus document-frequency the
+    sharedness signal, and a document whose shared-gram mass reaches
+    30% is flagged for removal. Complements the in-DOC repetition score
+    (text_repetition — self-similarity) and pairwise dedup
+    (dedup_ngram_jaccard — near-identical pairs): boilerplate mass is a
+    CORPUS-level property a pairwise join never aggregates.
+
+    Scale shape: grams explode in-row (bounded ×(len−4) fan-out), the
+    df table is one hash agg on the gram key, the scoring join is a
+    plain equi-join on that key, and the verdict is one more hash agg —
+    everything map-side combinable, nothing quadratic, the exact
+    sub-quadratic topology of the MinHash family. The flag comparison
+    is pure integer (n_boiler·10 ≥ n_grams·3), so the hashed decision
+    carries no float risk."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {_BOILER_N - 1}), "
+                f"i -> array_join(slice(split(text, ' '), i, {_BOILER_N}), ' '))"
+            )
+        ).alias("g"),
+    )
+    df = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    per = (
+        grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        F.round(F.col("n_boiler") * 1.0 / F.col("n_grams"), 9)
+        .cast("double")
+        .alias("boiler_ratio"),
+        (F.col("n_boiler") * 10 >= F.col("n_grams") * 3).alias("drop_flag"),
+    )

@@ -78,11 +78,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r7:    50 of the 108 never-checked after r6 + the 22 NEW r7 queries
 #          + the changed set (graph_scc, seq_attribution_markov) — see
 #          git history for the full list.
-#   r8:    the set below — 28 of the 80 never-checked after r7
+#   r8:    the set below — 26 of the 80 never-checked after r7
 #          (complement of the union of CORRECTNESS_r01-r07 keys) + the
-#          7 queries NEW in r8 (pipeline_patents_e2e, join_skew_aqe,
+#          9 queries NEW in r8 (pipeline_patents_e2e, join_skew_aqe,
 #          graph_ktruss, win_skyline_3d, win_sliding_hll,
-#          vec_cell_kmeans, dedup_url_canonical) +
+#          vec_cell_kmeans, dedup_url_canonical, ml_group_parity,
+#          text_boilerplate_flag) +
 #          every query whose CODE changed in r8: graph_pagerank /
 #          graph_pagerank_personalized / graph_hits / graph_betweenness
 #          (quantized integer-unit folds — VALUES changed), vec_centroid
@@ -93,7 +94,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          widened), agg_chi_square (overflow CASE), text_jaccard_tokens
 #          + dedup_eval (merged strategy probe), and dedup_ngram_jaccard
 #          (r7 PPJoin rewrite that the r7 prefix missed — the ADVICE
-#          finding). The 50 still-never-checked ops left for r9 are
+#          finding). The 51 still-never-checked ops left for r9 are
 #          listed in STATE.md.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
@@ -113,16 +114,10 @@ _SHOWCASE_50 = (
     "vec_cell_refine", "vec_pca_project",
     # multimodal backlog
     "mm_phash_dedup",
-    # python UDF backlog
-    "udf_python_scalar",
-    # graph backlog — first graph query in emission order pays the
-    # shared edge-cache first-touch (~+3 s at sf0.1 in BENCH; totals
-    # conserved)
-    "graph_shortest_path",
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
-    "dedup_url_canonical",
+    "dedup_url_canonical", "ml_group_parity", "text_boilerplate_flag",
     # changed-in-r8 queries LAST in the prefix: still inside the
     # driver's 50-query gate (external evidence for the diff), but run
     # on a warmed session. dedup_eval pays the minhash signature-cache

@@ -6252,3 +6252,61 @@ def test_url_canonical_invariants(spark, sf_dir):
         assert cu == cu.lower(), cu
         assert 1 <= r.n_raw_variants <= r.n_docs
         assert cu.startswith("https://")
+
+
+def test_group_parity_arithmetic(spark, sf_dir):
+    """ml_group_parity invariants: group counts partition the corpus,
+    rates equal n_kept/n_docs, the impact ratio is 1.0 for exactly the
+    best-treated group(s), and parity diffs reconstruct the overall
+    rate."""
+    from insight_patents_spark.operators.ml import ml_group_parity
+    from insight_patents_spark.sources.tables import load
+
+    rows = ml_group_parity(spark, sf_dir).collect()
+    assert rows
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    overall = round(sum(r.n_kept for r in rows) / n_docs, 9)
+    max_rate = max(r.keep_rate for r in rows)
+    for r in rows:
+        assert r.keep_rate == round(r.n_kept / r.n_docs, 9)
+        assert r.parity_diff == round(r.keep_rate - overall, 9)
+        assert r.impact_ratio == round(r.keep_rate / max_rate, 9)
+        assert 0.0 < r.impact_ratio <= 1.0
+    assert any(r.impact_ratio == 1.0 for r in rows)
+
+
+def test_boilerplate_flag_matches_bruteforce(spark, sf_dir):
+    """text_boilerplate_flag vs a pure-Python 5-gram df scorer on the
+    collected corpus — exact counts, ratios, and flags."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.text import (
+        _BOILER_DF,
+        _BOILER_N,
+        text_boilerplate_flag,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    gram_docs = defaultdict(set)
+    per_doc = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        grams = [
+            " ".join(toks[i : i + _BOILER_N])
+            for i in range(len(toks) - _BOILER_N + 1)
+        ]
+        if grams:
+            per_doc[r.doc_id] = grams
+            for g in set(grams):
+                gram_docs[g].add(r.doc_id)
+    got = {r.doc_id: r for r in text_boilerplate_flag(spark, sf_dir).collect()}
+    assert set(got) == set(per_doc)
+    for doc_id, grams in per_doc.items():
+        n_boiler = sum(1 for g in grams if len(gram_docs[g]) >= _BOILER_DF)
+        r = got[doc_id]
+        assert r.n_grams == len(grams)
+        assert r.n_boiler == n_boiler
+        assert r.boiler_ratio == round(n_boiler / len(grams), 9)
+        assert r.drop_flag == (n_boiler * 10 >= len(grams) * 3)
