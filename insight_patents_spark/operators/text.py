@@ -3432,3 +3432,129 @@ def text_boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("boiler_ratio"),
         (F.col("n_boiler") * 10 >= F.col("n_grams") * 3).alias("drop_flag"),
     )
+
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle() -> str:
+    # Unrolled BPE training: each round counts weighted adjacent symbol
+    # pairs over the (word, count) table, takes the argmax (ties: pair
+    # ascending), and applies the merge via delimiter-framed string
+    # replace — '|a|b|' -> '|ab|' is exactly the left-to-right
+    # non-overlapping greedy merge BPE specifies, and the delimiters on
+    # BOTH sides make multi-char symbols collision-proof.
+    sql = """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    words0 AS (
+      SELECT '|' || array_to_string(list_transform(range(1, length(w) + 1),
+               i -> substr(w, CAST(i AS INT), 1)), '|') || '|' AS s,
+             COUNT(*) AS n
+      FROM tok WHERE length(w) > 0 GROUP BY w)"""
+    cur = "words0"
+    for r in range(1, _BPE_ROUNDS + 1):
+        sql += f"""
+    , pairs{r} AS (
+      SELECT sym[CAST(i AS INT)] AS l, sym[CAST(i AS INT) + 1] AS rr,
+             SUM(n) AS cnt
+      FROM (SELECT string_split(trim(s, '|'), '|') AS sym, n FROM {cur}),
+           unnest(range(1, len(sym))) AS u(i)
+      GROUP BY 1, 2),
+    best{r} AS (
+      SELECT l, rr, cnt FROM pairs{r} ORDER BY cnt DESC, l, rr LIMIT 1),
+    words{r} AS (
+      SELECT replace(w.s, '|' || b.l || '|' || b.rr || '|',
+                     '|' || b.l || b.rr || '|') AS s, w.n
+      FROM {cur} w CROSS JOIN best{r} b)"""
+        cur = f"words{r}"
+    return sql + "\n    SELECT " + "\n    UNION ALL SELECT ".join(
+        f"CAST({r} AS BIGINT) AS merge_rank, l, rr AS r, l || rr AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+
+
+@query("text_bpe_train", oracle=_bpe_oracle())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, 6 merge rounds — the actual
+    Sennrich-et-al. loop (text_bpe_pairs is its single-step probe): the
+    corpus collapses ONCE to a (word, count) table; each round counts
+    count-weighted adjacent symbol pairs, picks the most frequent
+    (ties: lexicographic pair — deterministic), and merges every
+    non-overlapping occurrence left-to-right in all words.
+
+    Scale shape — the key fact about BPE at 100 TB: after the ONE
+    corpus-sized word-count aggregation, training state is the
+    VOCABULARY-sized (word, count) table; every merge round touches
+    only that table (in-row pair explode + one tiny agg + a 1-row
+    argmax + one string replace). The corpus is never re-scanned. The
+    per-round argmax is a guarded 1-row driver collect (the bounded-
+    scalar class: seeds/anchors), and the word table localCheckpoints
+    so lineage stays flat across rounds.
+
+    Merge mechanics: words are delimiter-framed symbol strings
+    ('|k|e|y|'); the merge is replace('|a|b|' -> '|ab|'), which is
+    precisely BPE's greedy left-to-right non-overlapping application
+    ('|b|b|b|' -> '|bb|b|'), and the two-sided delimiters make
+    multi-char symbols collision-proof ('|ab|cd|' can never match
+    '|b|c|'). Both engines run the identical replace semantics."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(
+                F.lit("|"),
+                F.array_join(
+                    F.expr(
+                        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                    ),
+                    "|",
+                ),
+                F.lit("|"),
+            ).alias("s"),
+            "n",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        sym = F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|")
+        pairs = (
+            words.select(sym.alias("sym"), "n")
+            # single-symbol words contribute no pairs — and Spark's
+            # sequence(1, 0) is DESCENDING [1, 0], so they must not
+            # reach the transform at all
+            .filter(F.size("sym") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(sym) - 1), "
+                        "i -> struct(sym[i - 1] AS l, sym[i] AS r))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()[0]  # guarded 1-row argmax per round
+        merges.append(
+            (r, best.l, best.r, best.l + best.r, int(best.cnt))
+        )
+        words = words.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"|{best.l}|{best.r}|"),
+                F.lit(f"|{best.l}{best.r}|"),
+            ).alias("s"),
+            "n",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, l string, r string, merged string, pair_count bigint"
+    )

@@ -6310,3 +6310,47 @@ def test_boilerplate_flag_matches_bruteforce(spark, sf_dir):
         assert r.n_boiler == n_boiler
         assert r.boiler_ratio == round(n_boiler / len(grams), 9)
         assert r.drop_flag == (n_boiler * 10 >= len(grams) * 3)
+
+
+def test_bpe_train_matches_python_replay(spark, sf_dir):
+    """text_bpe_train vs a pure-Python Sennrich BPE loop on the
+    collected word counts — identical merges, counts, and order."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import _BPE_ROUNDS, text_bpe_train
+    from insight_patents_spark.sources.tables import load
+
+    wc = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                wc[w] += 1
+    words = {tuple(w): n for w, n in wc.items()}
+    want = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        pc = Counter()
+        for sym, n in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += n
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, l + r, cnt))
+        merged = {}
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + n
+        words = merged
+    got = [
+        (row.merge_rank, row.l, row.r, row.merged, row.pair_count)
+        for row in text_bpe_train(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
