@@ -2043,3 +2043,92 @@ def _scc_peel_rounds(
         confirmed.select("node"), "node", "left_anti"
     ).select("node", F.col("node").alias("scc"))
     return confirmed.select("node", "scc").unionByName(singletons)
+
+
+_HYPERBALL_RADIUS = 3
+
+
+@query(
+    "graph_hyperball",
+    # HyperBall (Boldi/Vigna): per-node reachable-set size at radius 3
+    # via HLL counters union-folded along edges. DuckDB has no
+    # DataSketches HLL, so (the agg_hll_sketch oracle contract) the
+    # hashed values are the EXACT per-node 3-hop reach plus an
+    # estimate-accuracy flag the Spark side validates in-query (lgK=12,
+    # rse ~1.6%; reaches here are <= hundreds, where the sketch runs in
+    # near-exact sparse mode — a 10% bound is ultra-conservative and
+    # stable). A regression in sketch init/union/estimate flips flags
+    # and fails the hash.
+    oracle=_EDGES_CTE + """
+    , d0 AS (SELECT DISTINCT src AS seed, src AS node FROM edges),
+    d1 AS MATERIALIZED (
+      SELECT seed, node FROM d0
+      UNION SELECT d.seed, e.dst FROM d0 d JOIN edges e ON e.src = d.node),
+    d2 AS MATERIALIZED (
+      SELECT seed, node FROM d1
+      UNION SELECT d.seed, e.dst FROM d1 d JOIN edges e ON e.src = d.node),
+    d3 AS MATERIALIZED (
+      SELECT seed, node FROM d2
+      UNION SELECT d.seed, e.dst FROM d2 d JOIN edges e ON e.src = d.node)
+    SELECT seed AS node, COUNT(*) AS exact_reach3, TRUE AS est_within_10pct
+    FROM d3 GROUP BY seed
+    """,
+)
+def graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall — the neighborhood function at web scale (Boldi &
+    Vigna; the algorithm behind the Facebook four-degrees measurement):
+    each node carries an HLL counter of its reachable set, and one
+    round of B(v,t+1) = B(v,t) ∪ ⋃_{v→w} B(w,t) is a join + sketch
+    union per edge. After r rounds the counter estimates |reach_r(v)|
+    — per-node state is a KB-sized sketch instead of the reached-set
+    itself, which is THE difference between O(V·reach) memory (the
+    exact frontier table) and O(V) sketches at 10⁹ nodes: effective
+    diameter, neighborhood growth curves, and harmonic-centrality
+    estimates all read off these counters.
+
+    Validation (test-SF grounding, the vec_ann_recall pattern): the
+    exact 3-hop reach rides the frontier-expansion loop the oracle
+    unrolls, and every estimate must land within 10% of it — the flags
+    are hashed, the estimates are not (DuckDB cannot replicate
+    DataSketches); at these reach sizes the sketch is in sparse mode
+    and effectively exact."""
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # HLL state: B(v, 0) = {v}
+    state = nodes.groupBy("node").agg(
+        F.hll_sketch_agg("node", F.lit(12)).alias("sk")
+    )
+    for _ in range(_HYPERBALL_RADIUS):
+        contrib = edges.join(state, edges.dst == state.node).select(
+            edges.src.alias("node"), "sk"
+        )
+        state = (
+            state.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .localCheckpoint()
+        )
+    est = state.select(
+        "node", F.hll_sketch_estimate("sk").alias("est_reach3")
+    )
+    # exact twin for the hashed in-query grounding
+    reached = nodes.select(F.col("node").alias("seed"), "node")
+    for _ in range(_HYPERBALL_RADIUS):
+        expanded = reached.join(edges, reached.node == edges.src).select(
+            "seed", F.col("dst").alias("node")
+        )
+        reached = reached.unionByName(expanded).distinct().localCheckpoint()
+    exact = reached.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_reach3")
+    )
+    return (
+        exact.join(est, exact.seed == est.node)
+        .select(
+            F.col("seed").alias("node"),
+            "exact_reach3",
+            (
+                F.abs(F.col("est_reach3") - F.col("exact_reach3"))
+                <= 0.10 * F.col("exact_reach3")
+            ).alias("est_within_10pct"),
+        )
+    )

@@ -6354,3 +6354,29 @@ def test_bpe_train_matches_python_replay(spark, sf_dir):
         .collect()
     ]
     assert got == want
+
+
+def test_hyperball_exact_matches_bruteforce(spark, sf_dir):
+    """graph_hyperball's exact column vs a pure-Python 3-hop BFS on the
+    collected edges, and every HLL flag true."""
+    from insight_patents_spark.operators.graph import (
+        _HYPERBALL_RADIUS,
+        _pairs,
+        graph_hyperball,
+    )
+
+    adj = {}
+    for r in _pairs(spark, sf_dir).collect():
+        adj.setdefault(r.pa, set()).add(r.pb)
+        adj.setdefault(r.pb, set()).add(r.pa)
+    want = {}
+    for v in adj:
+        reach = {v}
+        frontier = {v}
+        for _ in range(_HYPERBALL_RADIUS):
+            frontier = {w for u in frontier for w in adj[u]} - reach
+            reach |= frontier
+        want[v] = len(reach)
+    got = graph_hyperball(spark, sf_dir).collect()
+    assert {r.node: r.exact_reach3 for r in got} == want
+    assert all(r.est_within_10pct for r in got)
