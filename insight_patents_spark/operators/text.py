@@ -623,9 +623,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_signatures(spark, sf_dir)
 
 
-@query(
-    "dedup_minhash_pairs",
-    oracle=f"""
+# Shared MinHash-LSH verified-pairs CTE chain (ends in `pairs_out`):
+# dedup_minhash_pairs hashes it directly; dedup_cluster_cc appends the
+# connected-components unroll on top of the same pair graph.
+_MINHASH_PAIRS_CTE = f"""
     WITH seeds(seed, seed_id) AS (VALUES {_SEEDS_SQL}),
     tok AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
@@ -651,18 +652,27 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
              len(list_distinct(string_split(text, ' '))) AS n
       FROM documents
+    ),
+    pairs_out AS MATERIALIZED (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(da.toks, db.toks)) AS inter,
+               da.n AS na, db.n AS nb
+        FROM cand c
+        JOIN docs da ON c.doc_a = da.doc_id
+        JOIN docs db ON c.doc_b = db.doc_id
+      )
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
     )
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-    FROM (
-      SELECT c.doc_a, c.doc_b,
-             len(list_intersect(da.toks, db.toks)) AS inter, da.n AS na, db.n AS nb
-      FROM cand c
-      JOIN docs da ON c.doc_a = da.doc_id
-      JOIN docs db ON c.doc_b = db.doc_id
-    )
-    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
-    """,
+"""
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=_MINHASH_PAIRS_CTE
+    + "SELECT doc_a, doc_b, jaccard FROM pairs_out",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: 4 bands × 4 rows; docs whose band
@@ -3557,4 +3567,87 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     return spark.createDataFrame(
         merges, "merge_rank bigint, l string, r string, merged string, pair_count bigint"
+    )
+
+
+_DUP_CC_ROUNDS = 8  # oracle unroll; measured min-label fixpoint <= 5 at all SFs
+
+
+def _dup_cc_oracle() -> str:
+    # Min-label propagation unrolled over the symmetrized verified-pair
+    # graph (the CC_MAX_ROUNDS pattern): depth 8 covers the measured
+    # fixpoint (<= 5 at sf0.001/0.01/0.1) with margin; the Spark side
+    # runs the real fixpoint loop (propagation + pointer jumping), and
+    # CC labels at fixpoint are schedule-independent (min doc_id per
+    # component), so both engines meet at the same clustering.
+    sql = _MINHASH_PAIRS_CTE + """
+    , e AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs_out
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs_out),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)"""
+    for r in range(1, _DUP_CC_ROUNDS + 1):
+        sql += f"""
+    , l{r} AS MATERIALIZED (
+      SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM l{r - 1}
+        UNION ALL
+        SELECT e.dst AS node, l.lbl FROM l{r - 1} l JOIN e ON e.src = l.node
+      ) GROUP BY node)"""
+    return sql + f"""
+    SELECT node AS doc_id, lbl AS cluster_id, node = lbl AS keep,
+           COUNT(*) OVER (PARTITION BY lbl) AS cluster_size
+    FROM l{_DUP_CC_ROUNDS}"""
+
+
+@query("dedup_cluster_cc", oracle=_dup_cc_oracle())
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS — the final stage of corpus dedup that
+    the pair operators feed: LSH-verified pairs (dedup_minhash_pairs,
+    J ≥ 0.7) form a graph; connected components make transitive
+    duplicate clusters ('A≈B, B≈C ⟹ one cluster' — pairwise keep
+    decisions alone double-keep or double-drop chain duplicates); the
+    min doc_id per cluster is the keeper, everything else drops. This
+    is exactly how web-corpus dedup ships (pair emit → union-find →
+    one survivor per cluster), and the cluster SIZES are the dedup
+    audit metric (duplicate-mass distribution).
+
+    Scale shape: the pair graph is the LSH join's output — orders of
+    magnitude smaller than the corpus — and components run the same
+    min-label propagation + pointer jumping loop as graph_cc (O(log
+    diameter) rounds, one join + min-agg each, fixpoint-checked).
+    Labels at fixpoint are the min doc_id per component regardless of
+    schedule, so the result is deterministic at any parallelism. Docs
+    with no near-dup pair never enter the graph (they keep by default
+    and are not rows here — this operator reports the DUPLICATE mass)."""
+    from .graph import _cc_loop
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetrize via a single-branch explode — a unionByName of two
+    # projections of the SAME frame reuses attribute ids across
+    # branches, and the cc loop's pointer-jump self-join then fails
+    # attribute resolution at localCheckpoint (observed on Spark 4.1)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
+    comp = _cc_loop(edges)  # (node, component) at fixpoint
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("keep"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )

@@ -78,12 +78,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r7:    50 of the 108 never-checked after r6 + the 22 NEW r7 queries
 #          + the changed set (graph_scc, seq_attribution_markov) — see
 #          git history for the full list.
-#   r8:    the set below — 24 of the 80 never-checked after r7
+#   r8:    the set below — 23 of the 80 never-checked after r7
 #          (complement of the union of CORRECTNESS_r01-r07 keys) + the
-#          11 queries NEW in r8 (pipeline_patents_e2e, join_skew_aqe,
+#          12 queries NEW in r8 (pipeline_patents_e2e, join_skew_aqe,
 #          graph_ktruss, win_skyline_3d, win_sliding_hll,
 #          vec_cell_kmeans, dedup_url_canonical, ml_group_parity,
-#          text_boilerplate_flag, text_bpe_train, graph_hyperball) +
+#          text_boilerplate_flag, text_bpe_train, graph_hyperball,
+#          dedup_cluster_cc) +
 #          every query whose CODE changed in r8: graph_pagerank /
 #          graph_pagerank_personalized / graph_hits / graph_betweenness
 #          (quantized integer-unit folds — VALUES changed), vec_centroid
@@ -94,7 +95,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          widened), agg_chi_square (overflow CASE), text_jaccard_tokens
 #          + dedup_eval (merged strategy probe), and dedup_ngram_jaccard
 #          (r7 PPJoin rewrite that the r7 prefix missed — the ADVICE
-#          finding). The 53 still-never-checked ops left for r9 are
+#          finding). The 54 still-never-checked ops left for r9 are
 #          listed in STATE.md.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
@@ -106,7 +107,7 @@ _SHOWCASE_50 = (
     "set_union_distinct", "set_except", "sample_priority",
     "join_shuffle_hash",
     # window + aggregate backlog
-    "win_drawdown", "agg_hll_intersect",
+    "agg_hll_intersect",
     "agg_bitmap_distinct",
     # vector similarity backlog (the ANN/dedup scale path)
     "dedup_embed_cosine", "vec_ann_lsh", "vec_pq_codes",
@@ -117,6 +118,7 @@ _SHOWCASE_50 = (
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
     "dedup_url_canonical", "ml_group_parity", "text_boilerplate_flag",
     "text_bpe_train", "graph_hyperball",
+    "dedup_cluster_cc",
     # changed-in-r8 queries LAST in the prefix: still inside the
     # driver's 50-query gate (external evidence for the diff), but run
     # on a warmed session. dedup_eval pays the minhash signature-cache

@@ -6380,3 +6380,46 @@ def test_hyperball_exact_matches_bruteforce(spark, sf_dir):
     got = graph_hyperball(spark, sf_dir).collect()
     assert {r.node: r.exact_reach3 for r in got} == want
     assert all(r.est_within_10pct for r in got)
+
+
+def test_dedup_cluster_cc_matches_union_find(spark, sf_dir):
+    """dedup_cluster_cc vs a Python union-find over the same verified
+    pair list: identical clustering, keepers, and sizes."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import (
+        dedup_cluster_cc,
+        dedup_minhash_pairs,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_pairs(spark, sf_dir).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    # canonicalize to min doc_id per component
+    comp_min = {}
+    for v, r in want.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[r] for v, r in want.items()}
+    sizes = Counter(want.values())
+    got = {r.doc_id: r for r in dedup_cluster_cc(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for doc, cl in want.items():
+        r = got[doc]
+        assert r.cluster_id == cl
+        assert r.keep == (doc == cl)
+        assert r.cluster_size == sizes[cl]
