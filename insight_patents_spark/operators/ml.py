@@ -1465,8 +1465,9 @@ def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROUND(keep_rate -
              ROUND(SUM(n_kept) OVER () * 1.0 / SUM(n_docs) OVER (), 9), 9)
              AS DOUBLE) AS parity_diff,
-           CAST(ROUND(keep_rate / MAX(keep_rate) OVER (), 9) AS DOUBLE)
-             AS impact_ratio
+           CAST(CASE WHEN MAX(keep_rate) OVER () > 0
+                     THEN ROUND(keep_rate / MAX(keep_rate) OVER (), 9)
+                     ELSE 0.0 END AS DOUBLE) AS impact_ratio
     FROM grp
     """,
 )
@@ -1544,7 +1545,11 @@ def ml_group_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("keep_rate") - overall, 9)
         .cast("double")
         .alias("parity_diff"),
-        F.round(F.col("keep_rate") / F.max("keep_rate").over(w_all), 9)
+        F.when(
+            F.max("keep_rate").over(w_all) > 0,
+            F.round(F.col("keep_rate") / F.max("keep_rate").over(w_all), 9),
+        )
+        .otherwise(F.lit(0.0))  # all-zero keep rates: no 0/0 under ANSI
         .cast("double")
         .alias("impact_ratio"),
     )

@@ -3411,14 +3411,22 @@ def text_boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure integer (n_boiler·10 ≥ n_grams·3), so the hashed decision
     carries no float risk."""
     d = load(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(split(text, ' ')) - {_BOILER_N - 1}), "
-                f"i -> array_join(slice(split(text, ' '), i, {_BOILER_N}), ' '))"
-            )
-        ).alias("g"),
+    grams = (
+        d
+        # docs under N tokens have no grams; they MUST be filtered here
+        # because Spark's sequence(1, 0) is DESCENDING ([1, 0]) and
+        # slice(arr, 0, n) is an error — the oracle's range(1, n) is
+        # simply empty for them, so semantics are unchanged
+        .filter(F.size(F.split("text", " ")) >= _BOILER_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {_BOILER_N - 1}), "
+                    f"i -> array_join(slice(split(text, ' '), i, {_BOILER_N}), ' '))"
+                )
+            ).alias("g"),
+        )
     )
     df = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
     per = (
@@ -3551,9 +3559,16 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("n").alias("cnt"))
         )
-        best = pairs.orderBy(
+        top = pairs.orderBy(
             F.col("cnt").desc(), F.col("l"), F.col("r")
-        ).limit(1).collect()[0]  # guarded 1-row argmax per round
+        ).limit(1).collect()  # guarded 1-row argmax per round
+        if not top:  # degenerate corpus (no adjacent pairs left)
+            raise RuntimeError(
+                f"text_bpe_train: pair table exhausted before round {r} "
+                f"of {_BPE_ROUNDS} (corpus too small for the configured "
+                f"merge count)"
+            )
+        best = top[0]
         merges.append(
             (r, best.l, best.r, best.l + best.r, int(best.cnt))
         )
