@@ -111,7 +111,14 @@ def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram counts via index-lambda over the token array (no shuffle
     until the final count)."""
-    d = load(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        # 1-token docs have no bigrams; they MUST be filtered because
+        # Spark's sequence(1, 0) is DESCENDING and element_at(toks, 0)
+        # errors (the oracle's range(1, 1) is simply empty)
+        .filter(F.size("toks") >= 2)
+    )
     bigrams = F.expr(
         "transform(sequence(1, size(toks) - 1), "
         "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
@@ -1881,7 +1888,14 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched rows reach the (doc, gram) distinct. Real pipelines swap
     the slice for the actual eval files and optionally hash grams to
     64-bit (fn_hash shows the xxhash64 path) to shrink the broadcast."""
-    d = load(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        # sub-4-token docs have no 4-grams (and sequence(1, <=0) is
+        # descending -> slice(toks, 0, 4) errors); the oracle's range
+        # is empty for them
+        .filter(F.size("toks") >= 4)
+    )
     grams = F.expr(
         "transform(sequence(1, size(toks) - 3), "
         "i -> array_join(slice(toks, i, 4), ' '))"
@@ -2309,8 +2323,12 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not corpus size) and merge map-side — at 100 TB the count table
     for a 100k vocabulary is the only thing that ever crosses the wire,
     which is why n-gram LMs were THE scalable LM before neural ones."""
-    d = load(spark, sf_dir, "documents").select(
-        F.split("text", " ").alias("ws")
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(F.split("text", " ").alias("ws"))
+        # 1-token docs have no pairs; sequence(1, 0) is descending and
+        # element_at(ws, 0) errors (the oracle's range is empty there)
+        .filter(F.size("ws") >= 2)
     )
     pairs = d.select(
         F.expr(

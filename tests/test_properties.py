@@ -6423,3 +6423,38 @@ def test_dedup_cluster_cc_matches_union_find(spark, sf_dir):
         assert r.cluster_id == cl
         assert r.keep == (doc == cl)
         assert r.cluster_size == sizes[cl]
+
+
+def test_short_doc_guards_no_crash(spark, tmp_path):
+    """Regression for the Spark sequence(1, <=0)-is-DESCENDING class:
+    1-token and 3-token documents must flow through every gram/bigram
+    operator without element_at(_, 0) / slice(_, 0, n) runtime errors,
+    contributing zero grams (the oracle's half-open range semantics)."""
+    import pandas as pd
+
+    from insight_patents_spark.operators.text import (
+        text_bigram_lm,
+        text_boilerplate_flag,
+        text_decontaminate,
+        text_ngrams,
+    )
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["solo", "a b c", "one two three four five six", "x y"],
+            "lang": ["en"] * 4,
+            "source": ["src0"] * 4,
+            "n_chars": [4, 5, 27, 3],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    ngrams = text_ngrams(spark, sf).collect()
+    assert {r.bigram for r in ngrams} >= {"a b", "x y"}
+    assert all("solo" not in r.bigram for r in ngrams)
+    lm = text_bigram_lm(spark, sf).collect()
+    assert lm  # pairs from the multi-token docs only
+    bf = text_boilerplate_flag(spark, sf).collect()
+    assert {r.doc_id for r in bf} == {2}  # only the >=5-token doc
+    de = text_decontaminate(spark, sf).collect()
+    assert all(r.doc_id != 0 for r in de) or not de
