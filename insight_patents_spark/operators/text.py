@@ -1090,19 +1090,28 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            array_to_string(
              list_sort(list_transform(
-               list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+               list_transform(range(1, len(toks) - 1),
                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
                s -> md5(s)))[1:4],
              '|') AS fingerprint
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    WHERE len(toks) >= 3
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: 3-token shingles → md5 → 4 smallest hashes
     (a deterministic winnowing-style signature for containment checks)."""
-    d = load(spark, sf_dir, "documents").withColumn("toks", _tokens())
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", _tokens())
+        # sub-3-token docs have no shingles and no fingerprint — and the
+        # old greatest(...,1) floor made element_at(toks, 2) ERROR under
+        # ANSI for them (DuckDB would have returned NULL: divergent
+        # semantics either way). Excluded identically in both engines.
+        .filter(F.size("toks") >= 3)
+    )
     shingles = F.expr(
-        "transform(sequence(1, greatest(size(toks) - 2, 1)), "
+        "transform(sequence(1, size(toks) - 2), "
         "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
         "element_at(toks, i + 2)))"
     )

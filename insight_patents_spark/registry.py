@@ -78,7 +78,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r7:    50 of the 108 never-checked after r6 + the 22 NEW r7 queries
 #          + the changed set (graph_scc, seq_attribution_markov) — see
 #          git history for the full list.
-#   r8:    the set below — 23 of the 80 never-checked after r7
+#   r8:    the set below — 20 of the 80 never-checked after r7
 #          (complement of the union of CORRECTNESS_r01-r07 keys) + the
 #          12 queries NEW in r8 (pipeline_patents_e2e, join_skew_aqe,
 #          graph_ktruss, win_skyline_3d, win_sliding_hll,
@@ -95,19 +95,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          widened), agg_chi_square (overflow CASE), text_jaccard_tokens
 #          + dedup_eval (merged strategy probe), and dedup_ngram_jaccard
 #          (r7 PPJoin rewrite that the r7 prefix missed — the ADVICE
-#          finding). The 54 still-never-checked ops left for r9 are
-#          listed in STATE.md.
+#          finding), and the late-r8 short-doc guard fixes
+#          (text_ngrams, text_bigram_lm, text_decontaminate,
+#          text_fingerprint) + dedup_minhash_pairs (pairs-CTE oracle
+#          refactor). The never-checked ops left for r9 are listed in
+#          STATE.md.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # scalar-function battery (9 — never driver-checked before)
+    # scalar-function battery (never driver-checked before)
     "fn_array", "fn_explode", "fn_map", "fn_json", "fn_hash",
-    "fn_bitwise", "fn_variant", "fn_interval", "fn_url",
+    "fn_bitwise", "fn_variant",
     # sets / sorts / sampling / joins backlog
-    "set_union_distinct", "set_except", "sample_priority",
-    "join_shuffle_hash",
+    "set_union_distinct", "sample_priority",
     # window + aggregate backlog
-    "agg_hll_intersect",
     "agg_bitmap_distinct",
     # vector similarity backlog (the ANN/dedup scale path)
     "dedup_embed_cosine", "vec_ann_lsh", "vec_pq_codes",
@@ -130,6 +131,9 @@ _SHOWCASE_50 = (
     "agg_chi_square", "text_jaccard_tokens", "dedup_eval",
     "dedup_ngram_jaccard", "vec_centroid", "vec_knn_label",
     "vec_kmeans", "vec_residual_pq", "vec_pca_top2",
+    # late-r8 short-doc guard fixes + the pairs-CTE oracle refactor
+    "text_ngrams", "text_bigram_lm", "text_decontaminate",
+    "text_fingerprint", "dedup_minhash_pairs",
 )
 
 
