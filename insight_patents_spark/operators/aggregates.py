@@ -2717,3 +2717,239 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chi2_total"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
     )
+
+
+_BOOT_B = 32  # bootstrap replicates
+# Poisson(1) CDF thresholds (9dp literals, identical in both engines):
+# inverse-CDF of a deterministic md5 uniform gives each row's replicate
+# multiplicity — the Poisson bootstrap (Chamandy et al., the only
+# bootstrap that runs in one pass over sharded data).
+_BOOT_CDF = (
+    (0.367879441, 0),
+    (0.735758882, 1),
+    (0.919698603, 2),
+    (0.981011843, 3),
+    (0.996340153, 4),
+    (0.999405815, 5),
+)
+_BOOT_CAP = 6
+
+
+def _boot_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for c, k in _BOOT_CDF
+    )
+    return f"CASE {branches} ELSE {_BOOT_CAP} END"
+
+
+@query(
+    "agg_bootstrap_ci",
+    # Poisson-bootstrap confidence interval for the per-type mean event
+    # value: every (row, replicate) pair draws a deterministic
+    # Poisson(1) weight via inverse-CDF on a 48-bit md5 uniform (exact
+    # double: 48-bit int / 2^48), replicate means are exact int64
+    # weighted ratios rounded 9dp, and the CI is percentile_cont over
+    # the 32 replicate means (4dp, the agg_percentile contract).
+    oracle=f"""
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c
+               FROM events),
+    rep AS (
+      SELECT event_type, c, b.k AS b,
+             {_boot_case_sql("(CAST(('0x' || substr(md5('bs:' || CAST(event_id AS VARCHAR) || ':' || CAST(b.k AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0)")}
+               AS w
+      FROM e CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS k) b),
+    means AS (
+      SELECT event_type, b,
+             ROUND(SUM(w * c) * 1.0 / (100.0 * SUM(w)), 9) AS m
+      FROM rep GROUP BY event_type, b HAVING SUM(w) > 0),
+    ci AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_replicates,
+             CAST(ROUND(quantile_cont(m, 0.025), 4) AS DOUBLE) AS ci_lo,
+             CAST(ROUND(quantile_cont(m, 0.975), 4) AS DOUBLE) AS ci_hi
+      FROM means GROUP BY event_type),
+    pt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(ROUND(SUM(c) * 1.0 / (100.0 * COUNT(*)), 9) AS DOUBLE)
+               AS mean_value
+      FROM e GROUP BY event_type)
+    SELECT p.event_type, p.n_events, p.mean_value,
+           c.ci_lo, c.ci_hi, c.n_replicates
+    FROM pt p JOIN ci c ON p.event_type = c.event_type
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the per-event_type mean value — the
+    one-pass resampling scheme that works on sharded data (classic
+    with-replacement bootstrap needs the global N per draw; Poisson(1)
+    multiplicities are independent per row, so each shard resamples
+    locally and the replicate sums merge associatively). Weights come
+    from an md5 inverse-CDF, so both engines materialize the identical
+    resample — no RNG state, stable under resharding.
+
+    Scale shape: the fact explodes x32 in-row (bounded, explicit), then
+    ONE map-side-combinable hash agg to the (type, replicate) grid —
+    shuffle traffic is B x |types| cells regardless of corpus size; the
+    percentile runs on 32-row groups. At 10^12 rows the x32 explode is
+    the dominant cost and amortizes across the combine; alternatives
+    (jackknife blocks) trade accuracy for one fewer pass."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    rep = e.select(
+        "event_type",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bs:"),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**12)
+    )
+    w = F.lit(_BOOT_CAP)
+    for c, k in reversed(_BOOT_CDF):
+        w = F.when(u < F.lit(c), F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).cast("bigint").alias("swc"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            F.round(F.col("swc") / (100.0 * F.col("sw")), 9).alias("m"),
+        )
+    )
+    ci = means.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.round(F.percentile("m", F.lit(0.025)), 4).cast("double").alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).cast("double").alias("ci_hi"),
+    )
+    pt = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("c") / (100.0 * F.count(F.lit(1))), 9)
+        .cast("double")
+        .alias("mean_value"),
+    )
+    return pt.join(F.broadcast(ci), "event_type").select(
+        "event_type", "n_events", "mean_value", "ci_lo", "ci_hi", "n_replicates"
+    )
+
+
+@query(
+    "agg_winsorize",
+    # Winsorized and trimmed means per order priority: cut ranks are
+    # pure integer (k_lo = n//10 + 1, k_hi = n - n//10), thresholds are
+    # the k-th order statistics of exact int64 cents, clamping and both
+    # robust means stay integer until one final division each. Rank
+    # ties are broken by o_orderkey but cannot affect either statistic
+    # (tied rows carry equal values).
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS pri, o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders),
+    r AS (
+      SELECT pri, o_orderkey, c,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY c, o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM o),
+    cuts AS (
+      SELECT pri,
+             MAX(CASE WHEN rk = n // 10 + 1 THEN c END) AS lo_c,
+             MAX(CASE WHEN rk = n - n // 10 THEN c END) AS hi_c
+      FROM r GROUP BY pri),
+    j AS (SELECT r.*, cuts.lo_c, cuts.hi_c
+          FROM r JOIN cuts ON r.pri = cuts.pri)
+    SELECT pri AS o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(MAX(lo_c) / 100.0 AS DOUBLE) AS lo_cut,
+           CAST(MAX(hi_c) / 100.0 AS DOUBLE) AS hi_cut,
+           CAST(ROUND(SUM(c) * 1.0 / (100.0 * MAX(n)), 9) AS DOUBLE)
+             AS mean_raw,
+           CAST(ROUND(SUM(LEAST(GREATEST(c, lo_c), hi_c)) * 1.0
+                      / (100.0 * MAX(n)), 9) AS DOUBLE) AS mean_winsor,
+           CAST(ROUND(SUM(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+                               THEN c ELSE 0 END) * 1.0
+                      / (100.0 * MAX(n - 2 * (n // 10))), 9) AS DOUBLE)
+             AS mean_trimmed
+    FROM j GROUP BY pri
+    """,
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p10/p90 clamp) and trimmed robust means per order
+    priority — the outlier-resistant averages a metrics layer reports
+    next to the raw mean. Cut points are DISCRETE order statistics at
+    integer ranks (k_lo = n//10 + 1, k_hi = n - n//10), not interpolated
+    percentiles: every comparison and sum is exact int64 cents, so both
+    engines agree bit-for-bit with no float-threshold edge cases.
+
+    Scale shape: one rank window per group (the exact-order-statistic
+    cost, same posture as agg_weighted_median), a tiny per-group cut
+    table broadcast back, then a single hash agg. At 10^9 rows per
+    group swap the rank window for agg_quantile_sketch cuts (documented
+    approx swap); the clamp-and-agg stage is unchanged."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)").alias("c"),
+    )
+    wrk = Window.partitionBy("pri").orderBy("c", "o_orderkey")
+    wn = Window.partitionBy("pri")
+    r = o.select(
+        "pri",
+        "c",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).withColumn("t", F.expr("n div 10"))  # integer div == DuckDB n // 10
+    cuts = r.groupBy("pri").agg(
+        F.max(
+            F.when(F.col("rk") == F.col("t") + 1, F.col("c"))
+        ).alias("lo_c"),
+        F.max(
+            F.when(F.col("rk") == F.col("n") - F.col("t"), F.col("c"))
+        ).alias("hi_c"),
+    )
+    j = r.join(F.broadcast(cuts), "pri")
+    clamped = F.least(F.greatest(F.col("c"), F.col("lo_c")), F.col("hi_c"))
+    kept = (F.col("rk") > F.col("t")) & (
+        F.col("rk") <= F.col("n") - F.col("t")
+    )
+    return j.groupBy("pri").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        (F.max("lo_c") / 100.0).cast("double").alias("lo_cut"),
+        (F.max("hi_c") / 100.0).cast("double").alias("hi_cut"),
+        F.round(F.sum("c") / (100.0 * F.max("n")), 9)
+        .cast("double")
+        .alias("mean_raw"),
+        F.round(F.sum(clamped) / (100.0 * F.max("n")), 9)
+        .cast("double")
+        .alias("mean_winsor"),
+        F.round(
+            F.sum(F.when(kept, F.col("c")).otherwise(0))
+            / (100.0 * F.max(F.col("n") - 2 * F.col("t"))),
+            9,
+        )
+        .cast("double")
+        .alias("mean_trimmed"),
+    ).withColumnRenamed("pri", "o_orderpriority")

@@ -1553,3 +1553,352 @@ def ml_group_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("impact_ratio"),
     )
+
+
+@query(
+    "ml_brier_decomp",
+    # Brier score + Murphy decomposition of the binned forecaster over
+    # the same centile bins as ml_calibration_bins/ml_ece: raw Brier
+    # rides an exact nano-quantized integer sum carried THROUGH the bin
+    # agg (so the corpus-level total is order-independent), per-bin
+    # reliability/resolution terms compose exact integer ratios with
+    # the floor-quantized bin confidence, rounded 9dp, totals via the
+    # nano window-sum contract. Uncertainty = base*(1-base) of the
+    # exact global base rate.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+               % {_LR_BUCKETS} AS bucket
+      FROM tok),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
+          GROUP BY doc_id, bucket),
+    w AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * (CAST(('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 4))
+                                  AS BIGINT) % 101 - 50)) AS BIGINT) AS z_centi
+      FROM c GROUP BY doc_id),
+    sc AS (
+      SELECT w.doc_id,
+             ROUND(1.0 / (1.0 + EXP(-ROUND((z_centi + {_LR_BIAS_CENTI} * n_tokens) * 1.0
+                   / (100 * n_tokens), 9))), 9) AS score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM w JOIN documents d ON w.doc_id = d.doc_id),
+    cells AS (
+      SELECT CAST(FLOOR(score * 100) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(CAST(FLOOR(score * 1e9) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(SUM(CAST(FLOOR((score - y) * (score - y) * 1e9) AS BIGINT))
+               AS BIGINT) AS qb
+      FROM sc GROUP BY 1),
+    t AS (
+      SELECT bin, n, n_pos, qb,
+             SUM(n) OVER () AS nn,
+             SUM(n_pos) OVER () AS nnpos,
+             SUM(qb) OVER () AS qball,
+             n_pos * 1.0 / n AS acc,
+             ROUND(sq / (n * 1e9), 9) AS conf
+      FROM cells),
+    term AS (
+      SELECT bin, n, n_pos,
+             CAST(conf AS DOUBLE) AS conf,
+             ROUND((conf - acc) * (conf - acc) * n / nn, 9) AS rel_term,
+             ROUND((acc - nnpos * 1.0 / nn) * (acc - nnpos * 1.0 / nn)
+                   * n / nn, 9) AS res_term,
+             ROUND(CAST(qball AS DOUBLE) / (nn * 1e9), 9) AS brier_raw,
+             ROUND((nnpos * 1.0 / nn) * (1.0 - nnpos * 1.0 / nn), 9)
+               AS uncertainty
+      FROM t)
+    SELECT bin, n, n_pos, conf,
+           CAST(rel_term AS DOUBLE) AS rel_term,
+           CAST(res_term AS DOUBLE) AS res_term,
+           CAST(ROUND(SUM(CAST(ROUND(rel_term * 1e9, 0) AS BIGINT)) OVER ()
+                / 1e9, 9) AS DOUBLE) AS reliability,
+           CAST(ROUND(SUM(CAST(ROUND(res_term * 1e9, 0) AS BIGINT)) OVER ()
+                / 1e9, 9) AS DOUBLE) AS resolution,
+           CAST(brier_raw AS DOUBLE) AS brier_raw,
+           CAST(uncertainty AS DOUBLE) AS uncertainty
+    FROM term
+    """,
+)
+def ml_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy reliability/resolution/uncertainty
+    decomposition — the proper-scoring-rule view of the curation
+    classifier that ml_ece's calibration error cannot separate (a model
+    can be well-calibrated yet useless; resolution is what tells them
+    apart). Raw Brier is an exact nano-quantized integer sum CARRIED
+    THROUGH the bin agg (per-bin int64 partials, window-summed — fully
+    order-independent); reliability/resolution decompose the binned
+    forecaster over the <=101 centile bins with exact integer
+    accuracy/base ratios; uncertainty = base*(1-base).
+
+    Scale shape: the stateless lr chain + ONE <=101-cell hash agg +
+    windows on the cell grid — identical topology to ml_ece; nothing
+    after the first agg scales with the corpus."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _LR_BUCKETS
+    )
+    w_centi = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 101
+        - 50
+    )
+    c = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cnt") * w_centi).cast("bigint").alias("z_centi"),
+    )
+    logit = F.round(
+        (F.col("z_centi") + _LR_BIAS_CENTI * F.col("n_tokens"))
+        / (100.0 * F.col("n_tokens")),
+        9,
+    )
+    sc = w.join(d.select("doc_id", "lang"), "doc_id").select(
+        F.round(1.0 / (1.0 + F.exp(-logit)), 9).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    sqerr = (F.col("score") - F.col("y")) * (F.col("score") - F.col("y"))
+    cells = sc.groupBy(
+        F.floor(F.col("score") * 100).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(F.floor(F.col("score") * F.lit(1e9)).cast("long"))
+        .cast("bigint")
+        .alias("sq"),
+        F.sum(F.floor(sqerr * F.lit(1e9)).cast("long"))
+        .cast("bigint")
+        .alias("qb"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = cells.select(
+        "bin",
+        "n",
+        "n_pos",
+        "qb",
+        F.sum("n").over(w_all).alias("nn"),
+        F.sum("n_pos").over(w_all).alias("nnpos"),
+        F.sum("qb").over(w_all).alias("qball"),
+        (F.col("n_pos") / F.col("n")).alias("acc"),
+        F.round(F.col("sq") / (F.col("n") * F.lit(1e9)), 9).alias("conf"),
+    )
+    base = F.col("nnpos") / F.col("nn")
+    term = t.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.col("conf").cast("double").alias("conf"),
+        F.round(
+            (F.col("conf") - F.col("acc"))
+            * (F.col("conf") - F.col("acc"))
+            * F.col("n")
+            / F.col("nn"),
+            9,
+        ).alias("rel_term"),
+        F.round(
+            (F.col("acc") - base) * (F.col("acc") - base) * F.col("n") / F.col("nn"),
+            9,
+        ).alias("res_term"),
+        F.round(F.col("qball").cast("double") / (F.col("nn") * F.lit(1e9)), 9).alias(
+            "brier_raw"
+        ),
+        F.round(base * (1.0 - base), 9).alias("uncertainty"),
+    )
+    return term.select(
+        "bin",
+        "n",
+        "n_pos",
+        "conf",
+        F.col("rel_term").cast("double").alias("rel_term"),
+        F.col("res_term").cast("double").alias("res_term"),
+        F.round(
+            F.sum(F.round(F.col("rel_term") * 1e9, 0).cast("bigint")).over(w_all)
+            / 1e9,
+            9,
+        )
+        .cast("double")
+        .alias("reliability"),
+        F.round(
+            F.sum(F.round(F.col("res_term") * 1e9, 0).cast("bigint")).over(w_all)
+            / 1e9,
+            9,
+        )
+        .cast("double")
+        .alias("resolution"),
+        F.col("brier_raw").cast("double").alias("brier_raw"),
+        F.col("uncertainty").cast("double").alias("uncertainty"),
+    )
+
+
+@query(
+    "ml_shap_linear",
+    # Exact Shapley attributions for the hashed-linear scorer: for a
+    # linear model phi_b(doc) = w_b * (cnt_b - mu_b) — no sampling, no
+    # approximation. The global importance mean |phi| per bucket splits
+    # into present-doc |cnt - mu| (nano-floor-quantized per pair, then
+    # an exact decimal/HUGEINT sum) plus the (N - n_b) absent docs at
+    # exactly mu each (one quantized term), so the result is
+    # order-independent at any parallelism.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    bk AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+               % {_LR_BUCKETS} AS bucket
+      FROM tok),
+    c AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM bk
+          GROUP BY doc_id, bucket),
+    nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM c),
+    buckets AS (
+      SELECT unnest(range(0, {_LR_BUCKETS})) AS bucket),
+    stats AS (
+      SELECT b.bucket,
+             CAST(('0x' || substr(md5('w' || CAST(b.bucket AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 101 - 50 AS w_centi,
+             COALESCE(COUNT(c.doc_id), 0) AS n_docs_with,
+             COALESCE(SUM(c.cnt), 0) AS sum_cnt
+      FROM buckets b LEFT JOIN c ON b.bucket = c.bucket
+      GROUP BY b.bucket),
+    mu AS (
+      SELECT s.bucket, s.w_centi, s.n_docs_with, s.sum_cnt,
+             s.sum_cnt * 1.0 / nn.n AS m, nn.n AS n
+      FROM stats s CROSS JOIN nn),
+    dev AS (
+      SELECT m.bucket, m.w_centi, m.n_docs_with, m.m, m.n,
+             COALESCE(SUM(CAST(FLOOR(ABS(c.cnt - m.m) * 1e9) AS HUGEINT)), 0)
+               + (m.n - m.n_docs_with) * CAST(FLOOR(m.m * 1e9) AS HUGEINT)
+               AS qdev
+      FROM mu m LEFT JOIN c ON m.bucket = c.bucket
+      GROUP BY m.bucket, m.w_centi, m.n_docs_with, m.m, m.n)
+    SELECT bucket, CAST(w_centi AS BIGINT) AS w_centi,
+           CAST(n_docs_with AS BIGINT) AS n_docs_with,
+           CAST(ROUND(m, 9) AS DOUBLE) AS mean_count,
+           CAST(ROUND(ABS(w_centi) * (CAST(qdev AS DOUBLE) / (n * 1e9))
+                      / 100.0, 9) AS DOUBLE) AS mean_abs_shap
+    FROM dev
+    """,
+)
+def ml_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-feature Shapley importance for the hashed-linear
+    curation classifier — for a linear model the Shapley value is
+    closed-form, phi_b(doc) = w_b*(cnt_b - mu_b), so the engine computes
+    TRUE global attributions (mean |phi| per hash bucket) with zero
+    sampling: the explanation stage of a model-driven data pipeline as
+    one aggregation, not a per-doc explainer loop.
+
+    The mean absolute deviation splits exactly: docs containing the
+    bucket contribute |cnt - mu| (floor-quantized to nano-units per
+    (doc, bucket), summed in a decimal accumulator), absent docs each
+    contribute exactly mu (one closed-form term, (N - n_b)*floor(mu*1e9))
+    — so the whole statistic is an order-independent integer sum; the
+    only floats are mu itself and the final scaling, rounded 9dp.
+
+    Scale shape: the (doc, bucket) count table (one hash agg of the
+    exploded corpus) feeds a {_LR_BUCKETS}-row per-bucket agg; the
+    bucket domain never leaves a broadcast. Nothing is per-doc after
+    the first agg."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _LR_BUCKETS
+    )
+    c = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    n_docs = c.agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n")
+    )
+    buckets = spark.range(_LR_BUCKETS).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    w_centi = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 101
+        - 50
+    )
+    stats = (
+        buckets.join(c, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_docs_with"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("sum_cnt"),
+        )
+        .withColumn("w_centi", w_centi)
+    )
+    mu = stats.crossJoin(F.broadcast(n_docs)).select(
+        "bucket",
+        "w_centi",
+        "n_docs_with",
+        (F.col("sum_cnt") / F.col("n")).alias("m"),
+        "n",
+    )
+    dev = (
+        mu.join(c, "bucket", "left")
+        .groupBy("bucket", "w_centi", "n_docs_with", "m", "n")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.abs(F.col("cnt") - F.col("m")) * F.lit(1e9))
+                        .cast("long")
+                        .cast("decimal(38,0)")
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                + (
+                    (F.col("n") - F.col("n_docs_with"))
+                    * F.floor(F.col("m") * F.lit(1e9)).cast("long")
+                ).cast("decimal(38,0)")
+            ).alias("qdev")
+        )
+    )
+    return dev.select(
+        "bucket",
+        F.col("w_centi").cast("bigint").alias("w_centi"),
+        F.col("n_docs_with").cast("bigint").alias("n_docs_with"),
+        F.round(F.col("m"), 9).cast("double").alias("mean_count"),
+        F.round(
+            F.abs(F.col("w_centi"))
+            * (F.col("qdev").cast("double") / (F.col("n") * F.lit(1e9)))
+            / 100.0,
+            9,
+        )
+        .cast("double")
+        .alias("mean_abs_shap"),
+    )

@@ -3743,3 +3743,110 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("lbl")).alias("keep"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+_LINE_TOKENS = 8  # tokens per synthesized line (fixture granularity)
+
+
+@query(
+    "dedup_lines",
+    # C4/RefinedWeb line-level exact dedup: every line is kept only at
+    # its FIRST corpus occurrence (min packed (doc_id, line_no) key per
+    # line hash) and dropped everywhere else; per-doc retention is the
+    # curation signal. The synthetic docs carry no newlines, so lines
+    # are synthesized deterministically as 8-token chunks (the
+    # construct-then-parse fixture pattern, dedup_url_canonical) — the
+    # dedup topology (explode -> hash-agg on line hash -> join back) is
+    # the real one. Integer counts; one 9dp ratio.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    lines AS (
+      SELECT doc_id, (pos - 1) // {_LINE_TOKENS} AS ln,
+             md5(string_agg(token, ' ' ORDER BY pos)) AS lh
+      FROM tok GROUP BY doc_id, (pos - 1) // {_LINE_TOKENS}),
+    packed AS (
+      SELECT doc_id, ln, lh, doc_id * 1000000 + ln AS pk FROM lines),
+    keepers AS (
+      SELECT lh, MIN(pk) AS keeper_pk FROM packed GROUP BY lh)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN p.pk = k.keeper_pk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(ROUND(SUM(CASE WHEN p.pk = k.keeper_pk THEN 1 ELSE 0 END)
+                      * 1.0 / COUNT(*), 9) AS DOUBLE) AS retained_ratio
+    FROM packed p JOIN keepers k ON p.lh = k.lh
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup across the corpus — the C4/RefinedWeb
+    boilerplate-removal primitive at line granularity: a line survives
+    only at its first occurrence (global min (doc_id, line_no)), every
+    later copy is dropped, and each doc reports how much of it
+    survived. Complements text_boilerplate_flag (df-scored grams, doc
+    verdict) with the line-precise keep/drop decision.
+
+    Scale shape: docs explode to lines in-row, lines collapse by md5
+    line-hash (the shuffle key is a 32-byte digest, never the line
+    text), one min-agg picks keepers, one equi-join marks survivors,
+    one doc-level agg reports. All hash-partitioned — no sort, no
+    quadratic step; at 100 TB this is the cheapest dedup pass after
+    URL canonicalization. Line identity = content hash; the packed
+    first-occurrence key doc_id*1e6+line_no is exact for any doc under
+    10^6 lines (8-token lines -> docs beyond ~8M tokens would need a
+    wider pack, same recipe as text_winnowing's 2^31 widening)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nl = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(_LINE_TOKENS)).cast("int")
+    )
+    lines = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), nl - 1)).alias("ln"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "ln",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    F.col("ln") * _LINE_TOKENS + 1,
+                    _LINE_TOKENS,
+                ),
+                " ",
+            )
+        ).alias("lh"),
+    )
+    packed = lines.select(
+        "doc_id",
+        "ln",
+        "lh",
+        (F.col("doc_id") * 1000000 + F.col("ln")).alias("pk"),
+    )
+    keepers = packed.groupBy("lh").agg(F.min("pk").alias("keeper_pk"))
+    return (
+        packed.join(keepers, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(
+                F.when(F.col("pk") == F.col("keeper_pk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(
+                F.sum(
+                    F.when(F.col("pk") == F.col("keeper_pk"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                9,
+            )
+            .cast("double")
+            .alias("retained_ratio"),
+        )
+    )

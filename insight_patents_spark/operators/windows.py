@@ -1911,3 +1911,118 @@ def win_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("forecast_next"),
     )
+
+
+_BOLL_DAYS = 20  # Bollinger frame length (trading-day convention)
+
+
+@query(
+    "win_bollinger",
+    # Bollinger bands over the per-type daily-revenue grid: the frame
+    # mean and population variance come from exact integer frame sums
+    # (sum and sum-of-squares in decimal/HUGEINT accumulators, so the
+    # variance numerator n*Sxx - Sx^2 is EXACT at any day magnitude);
+    # sqrt is the one transcendental, rounded 9dp, and every derived
+    # band composes already-rounded doubles. %B uses the exact integer
+    # numerator x*n - Sx; zero-variance frames pin %B to 0.5 via an
+    # exact integer test.
+    oracle=f"""
+    WITH grid AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    fr AS (
+      SELECT event_type, day, x,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+             SUM(CAST(x AS HUGEINT) * x) OVER w AS sx2
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {_BOLL_DAYS - 1} PRECEDING AND CURRENT ROW)),
+    v AS (
+      SELECT event_type, day, x, n, sx,
+             n * sx2 - sx * sx AS num,
+             ROUND(SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)) / (n * n * 100.0), 9)
+               AS sd,
+             ROUND(CAST(sx AS DOUBLE) / (n * 100.0), 9) AS mid
+      FROM fr WHERE n = {_BOLL_DAYS})
+    SELECT event_type, CAST(day AS VARCHAR) AS day, mid,
+           CAST(sd AS DOUBLE) AS sd,
+           CAST(ROUND(mid + 2 * sd, 9) AS DOUBLE) AS upper_band,
+           CAST(ROUND(mid - 2 * sd, 9) AS DOUBLE) AS lower_band,
+           CAST(CASE WHEN num = 0 THEN 0.5
+                ELSE ROUND(CAST(x * n - sx AS DOUBLE) / (n * 100.0)
+                           / (4 * sd) + 0.5, 9) END AS DOUBLE) AS pct_b
+    FROM v
+    """,
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-day mean +/- 2 sigma) and %B position per
+    event_type over daily revenue — the volatility envelope beside
+    win_rsi / win_drawdown in the finance battery. Variance uses the
+    one-pass identity n*Sxx - Sx^2 over EXACT integer frame sums held
+    in decimal(38,0) accumulators (HUGEINT on the oracle side), so the
+    only floats are one sqrt and the band compositions of
+    already-rounded values; flat frames (num = 0, an exact integer
+    test) pin %B to 0.5.
+
+    Scale shape: one map-side-combinable hash agg to the (type, day)
+    grid, then a single trailing frame over the per-type day sort —
+    identical topology to win_rsi; agg state is O(1) per frame (two
+    sums), never a materialized window list."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    grid = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_BOLL_DAYS - 1), Window.currentRow)
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    fr = grid.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(xd).over(w).alias("sx"),
+        F.sum(xd * F.col("x")).over(w).alias("sx2"),
+    ).filter(F.col("n") == _BOLL_DAYS)
+    num = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    v = fr.select(
+        "event_type",
+        "day",
+        "x",
+        "n",
+        "sx",
+        num.alias("num"),
+        F.round(
+            F.sqrt(num.cast("double")) / (F.col("n") * F.col("n") * 100.0), 9
+        ).alias("sd"),
+        F.round(F.col("sx").cast("double") / (F.col("n") * 100.0), 9).alias(
+            "mid"
+        ),
+    )
+    pct_b = F.when(F.col("num") == 0, F.lit(0.5)).otherwise(
+        F.round(
+            (F.col("x") * F.col("n") - F.col("sx")).cast("double")
+            / (F.col("n") * 100.0)
+            / (4 * F.col("sd"))
+            + 0.5,
+            9,
+        )
+    )
+    return v.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "mid",
+        F.col("sd").cast("double").alias("sd"),
+        F.round(F.col("mid") + 2 * F.col("sd"), 9)
+        .cast("double")
+        .alias("upper_band"),
+        F.round(F.col("mid") - 2 * F.col("sd"), 9)
+        .cast("double")
+        .alias("lower_band"),
+        pct_b.cast("double").alias("pct_b"),
+    )

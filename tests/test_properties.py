@@ -6458,3 +6458,164 @@ def test_short_doc_guards_no_crash(spark, tmp_path):
     assert {r.doc_id for r in bf} == {2}  # only the >=5-token doc
     de = text_decontaminate(spark, sf).collect()
     assert all(r.doc_id != 0 for r in de) or not de
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    """agg_bootstrap_ci invariants: 32 replicates per type, ci_lo <=
+    ci_hi, and on this deterministic corpus every type's Poisson-
+    bootstrap CI brackets the exact point mean (replicate means of
+    ~10^4-row groups concentrate tightly; the fixture makes this a
+    fixed, reproducible fact, not a flaky sample)."""
+    from insight_patents_spark.operators.aggregates import agg_bootstrap_ci
+
+    rows = agg_bootstrap_ci(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_replicates == 32
+        assert r.ci_lo <= r.ci_hi
+        assert r.ci_lo <= r.mean_value <= r.ci_hi, r
+        assert r.n_events > 0
+
+
+def test_winsorize_means_inside_cuts(spark, sf_dir):
+    """agg_winsorize invariants: cuts ordered, both robust means lie
+    inside [lo_cut, hi_cut], and group sizes partition orders."""
+    from insight_patents_spark.operators.aggregates import agg_winsorize
+    from insight_patents_spark.sources.tables import load
+
+    rows = agg_winsorize(spark, sf_dir).collect()
+    assert rows
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert r.lo_cut <= r.hi_cut
+        assert r.lo_cut <= r.mean_winsor <= r.hi_cut, r
+        assert r.lo_cut <= r.mean_trimmed <= r.hi_cut, r
+
+
+def test_bollinger_band_ordering(spark, sf_dir):
+    """win_bollinger invariants: sd >= 0, lower <= mid <= upper, and
+    each emitted row sits on a full 20-day frame (per-type row count =
+    n_days - 19)."""
+    from insight_patents_spark.operators.windows import (
+        _BOLL_DAYS,
+        win_bollinger,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    rows = win_bollinger(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.sd >= 0.0
+        assert r.lower_band <= r.mid <= r.upper_band, r
+    days = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    want = {d.event_type: max(0, d["count"] - (_BOLL_DAYS - 1)) for d in days}
+    got: dict[str, int] = {}
+    for r in rows:
+        got[r.event_type] = got.get(r.event_type, 0) + 1
+    assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_brier_decomp_identity(spark, sf_dir):
+    """ml_brier_decomp: totals are constant across rows; reliability
+    and resolution are nonnegative; uncertainty = base*(1-base) is in
+    [0, 0.25]; and the Murphy identity rel - res + unc equals the
+    BINNED-forecaster Brier, which differs from brier_raw only by
+    within-bin score variance/covariance terms — each bounded by the
+    0.01 centile bin width, so the two agree within 0.011."""
+    from insight_patents_spark.operators.ml import ml_brier_decomp
+
+    rows = ml_brier_decomp(spark, sf_dir).collect()
+    assert rows
+    rel = {r.reliability for r in rows}
+    res = {r.resolution for r in rows}
+    unc = {r.uncertainty for r in rows}
+    braw = {r.brier_raw for r in rows}
+    assert len(rel) == len(res) == len(unc) == len(braw) == 1
+    (rel,), (res,), (unc,), (braw,) = rel, res, unc, braw
+    assert rel >= 0.0 and res >= 0.0
+    assert 0.0 <= unc <= 0.25
+    assert abs(braw - (rel - res + unc)) <= 0.011, (braw, rel, res, unc)
+    assert 0.0 <= braw <= 1.0
+    for r in rows:
+        assert 0 <= r.bin <= 100
+        assert 0 <= r.n_pos <= r.n
+
+
+def test_shap_linear_matches_numpy_replay(spark, sf_dir):
+    """ml_shap_linear vs an exact Python replay of the closed-form
+    linear Shapley importance (same md5 buckets/weights, same nano
+    quantization split between present and absent docs)."""
+    import hashlib
+    from collections import Counter
+
+    from insight_patents_spark.operators.ml import (
+        _LR_BUCKETS,
+        ml_shap_linear,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    cnt: Counter = Counter()
+    for d in docs:
+        for t in d.text.split(" "):
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % _LR_BUCKETS
+            cnt[(d.doc_id, b)] += 1
+    n_total = len({k[0] for k in cnt})
+    want = {}
+    for b in range(_LR_BUCKETS):
+        w = int(hashlib.md5(f"w{b}".encode()).hexdigest()[:4], 16) % 101 - 50
+        cnts = [v for (doc, bb), v in cnt.items() if bb == b]
+        mu = float(sum(cnts)) / n_total
+        qdev = sum(int(abs(c - mu) * 1e9) for c in cnts) + (
+            n_total - len(cnts)
+        ) * int(mu * 1e9)
+        want[b] = (
+            w,
+            len(cnts),
+            round(mu, 9),
+            round(abs(w) * (float(qdev) / (n_total * 1e9)) / 100.0, 9),
+        )
+    rows = ml_shap_linear(spark, sf_dir).collect()
+    assert len(rows) == _LR_BUCKETS
+    for r in rows:
+        w, n_with, mean_count, shap = want[r.bucket]
+        assert r.w_centi == w
+        assert r.n_docs_with == n_with
+        assert abs(r.mean_count - mean_count) <= 2e-9
+        assert abs(r.mean_abs_shap - shap) <= 2e-9, (r, want[r.bucket])
+
+
+def test_dedup_lines_first_occurrence_exact(spark, sf_dir):
+    """dedup_lines: the number of kept lines corpus-wide equals the
+    number of DISTINCT line hashes (each survives exactly once), and
+    every doc keeps between 1 and all of its lines... (a doc's first
+    line can still lose to an earlier doc, so the lower bound is 0 for
+    non-first docs; checked per-doc as 0 <= kept <= lines)."""
+    from insight_patents_spark.operators.text import _LINE_TOKENS, dedup_lines
+    from insight_patents_spark.sources.tables import load
+
+    rows = dedup_lines(spark, sf_dir).collect()
+    assert rows
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    distinct_lines = len(
+        {
+            " ".join(d.text.split(" ")[i : i + _LINE_TOKENS])
+            for d in docs
+            for i in range(
+                0, max(1, len(d.text.split(" "))), _LINE_TOKENS
+            )
+        }
+    )
+    assert sum(r.n_kept for r in rows) == distinct_lines
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_lines
+        assert r.retained_ratio == round(r.n_kept / r.n_lines, 9)
