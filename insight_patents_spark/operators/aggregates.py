@@ -2953,3 +2953,107 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_trimmed"),
     ).withColumnRenamed("pri", "o_orderpriority")
+
+
+@query(
+    "agg_theil_index",
+    # Theil T and L inequality indices of customer revenue per
+    # mktsegment (decomposable entropy-based siblings of agg_gini):
+    # per-customer revenue collapses to exact int64 cents, the group
+    # mean is one exact-ratio double, each customer contributes ONE
+    # 9dp-rounded term — (c/mu)*ln(c/mu) for T, ln(mu/c) for L, the
+    # identical expression order in both engines — and the group totals
+    # are nano-quantized order-independent integer sums.
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey),
+    m AS (
+      SELECT seg, o_custkey, c,
+             SUM(c) OVER (PARTITION BY seg) AS s,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM cust),
+    term AS (
+      SELECT seg, n, c,
+             ROUND((c / (s * 1.0 / n)) * LN(c / (s * 1.0 / n)), 9) AS tt,
+             ROUND(LN((s * 1.0 / n) / c), 9) AS tl
+      FROM m)
+    SELECT seg AS c_mktsegment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(ROUND(SUM(c) * 1.0 / (100.0 * MAX(n)), 4) AS DOUBLE)
+             AS mean_revenue,
+           CAST(ROUND(SUM(CAST(ROUND(tt * 1e9, 0) AS BIGINT))
+                      / (MAX(n) * 1e9), 9) AS DOUBLE) AS theil_t,
+           CAST(ROUND(SUM(CAST(ROUND(tl * 1e9, 0) AS BIGINT))
+                      / (MAX(n) * 1e9), 9) AS DOUBLE) AS theil_l
+    FROM term GROUP BY seg
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and mean-log-deviation (Theil L) inequality indices of
+    customer revenue per market segment — the entropy-based
+    concentration metrics beside agg_gini and agg_pareto, and the ones
+    a hierarchy can DECOMPOSE exactly (between-group + within-group
+    terms add up, which Gini cannot do — why Theil is the inequality
+    metric of record for nested rollups).
+
+    Each customer contributes one 9dp-rounded term built from the
+    exact int64 revenue and the group's exact-ratio mean (identical
+    expression order in both engines; ln is the single transcendental),
+    and the totals are nano-quantized integer sums — order-independent
+    at any parallelism, no per-group value lists.
+
+    Scale shape: one (custkey) hash agg, one (segment) window for the
+    group moments (swap for a broadcast two-level agg at 10^9
+    customers — boundary-broadcast posture, documented), one final
+    hash agg. Zero customers are structurally absent (inner join),
+    so ln never sees 0."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    wseg = Window.partitionBy("seg")
+    m = cust.select(
+        "seg",
+        "c",
+        F.sum("c").over(wseg).alias("s"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    mu = F.col("s") * 1.0 / F.col("n")
+    term = m.select(
+        "seg",
+        "n",
+        "c",
+        F.round((F.col("c") / mu) * F.log(F.col("c") / mu), 9).alias("tt"),
+        F.round(F.log(mu / F.col("c")), 9).alias("tl"),
+    )
+    return term.groupBy("seg").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum("c") / (100.0 * F.max("n")), 4)
+        .cast("double")
+        .alias("mean_revenue"),
+        F.round(
+            F.sum(F.round(F.col("tt") * 1e9, 0).cast("bigint"))
+            / (F.max("n") * F.lit(1e9)),
+            9,
+        )
+        .cast("double")
+        .alias("theil_t"),
+        F.round(
+            F.sum(F.round(F.col("tl") * 1e9, 0).cast("bigint"))
+            / (F.max("n") * F.lit(1e9)),
+            9,
+        )
+        .cast("double")
+        .alias("theil_l"),
+    ).withColumnRenamed("seg", "c_mktsegment")

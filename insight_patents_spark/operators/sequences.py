@@ -1671,3 +1671,212 @@ def time_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("residual"),
     )
+
+
+# Croston smoothing constant — dyadic so each update multiply is an
+# exact binary scale; the fold is sequential in both engines, so the
+# IEEE rounding sequence is identical (the win_holt_winters argument).
+_CROSTON_ALPHA = 0.25
+
+
+@query(
+    "time_croston",
+    # Croston's intermittent-demand forecast per event_type over DEMAND
+    # DAYS (days with purchase revenue): classic init z=d1, p=first
+    # gap; from the 2nd demand day z' = z + a(d-z), p' = p + a(q-p);
+    # forecast = z/p. The oracle steps the identical recursion with a
+    # recursive CTE carrying the 2-column state; Spark runs it as one
+    # in-row aggregate() fold over the type's (demand, gap) array.
+    oracle=f"""
+    WITH RECURSIVE dd AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS d
+      FROM events WHERE event_type = 'purchase' OR event_type = 'view'
+      GROUP BY 1, 2 HAVING SUM(CAST(round(value*100,0) AS BIGINT)) > 0),
+    seqd AS (
+      SELECT event_type, day, CAST(d AS DOUBLE) AS d,
+             CAST(day - LAG(day) OVER (PARTITION BY event_type
+                                       ORDER BY day) AS DOUBLE) AS q,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dd),
+    cr AS (
+      SELECT event_type, i, n, d AS z, q AS p
+      FROM seqd WHERE i = 2
+      UNION ALL
+      SELECT cr.event_type, s.i, cr.n,
+             cr.z + {_CROSTON_ALPHA} * (s.d - cr.z),
+             cr.p + {_CROSTON_ALPHA} * (s.q - cr.p)
+      FROM cr JOIN seqd s
+        ON s.event_type = cr.event_type AND s.i = cr.i + 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_demand_days,
+           CAST(ROUND(z / 100.0, 9) AS DOUBLE) AS smoothed_demand,
+           CAST(ROUND(p, 9) AS DOUBLE) AS smoothed_interval,
+           CAST(ROUND(z / (100.0 * p), 9) AS DOUBLE) AS forecast_per_day
+    FROM cr WHERE i = n AND n >= 2
+    """,
+)
+def time_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method — THE intermittent-demand forecaster (spare
+    parts, long-tail SKUs, sparse ad conversions): naive exponential
+    smoothing biases toward zero on sparse series, so Croston smooths
+    demand SIZE and demand INTERVAL separately, updating only on
+    demand occurrences; forecast per day = z/p. Here per event_type
+    over days with positive revenue (init z = first demand, p = first
+    gap; the wait-for-two-points classic init).
+
+    Scale shape: one (type, day) hash agg, one lag window for gaps,
+    then the entire recursion is ONE in-row aggregate() fold over the
+    type's time-sorted (demand, gap) array — no iteration driver, no
+    per-step shuffle; state is 2 numbers. Cross-engine equality is
+    order equality: the oracle's recursive CTE executes the identical
+    arithmetic sequence (dyadic alpha; sequential IEEE rounding is
+    deterministic). Day grids are bounded in-row state (the
+    win_holt_winters argument)."""
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") | (F.col("event_type") == "view")
+    )
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    dd = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(cents).cast("bigint").alias("d"))
+        .filter(F.col("d") > 0)
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    seqd = dd.select(
+        "event_type",
+        "day",
+        F.col("d").cast("double").alias("d"),
+        F.datediff(F.col("day"), F.lag("day").over(wlag))
+        .cast("double")
+        .alias("q"),
+    )
+    arr = seqd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_demand_days"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(day, d, q))), "
+            "x -> struct(x.d AS d, x.q AS q))"
+        ).alias("dq"),
+    ).filter(F.col("n_demand_days") >= 2)
+    a = _CROSTON_ALPHA
+    fold = f"""
+    aggregate(
+      slice(dq, 3, size(dq) - 2),
+      struct(dq[1].d AS z, dq[1].q AS p),
+      (acc, x) -> struct(acc.z + {a} * (x.d - acc.z) AS z,
+                         acc.p + {a} * (x.q - acc.p) AS p)
+    )
+    """
+    st = arr.select("event_type", "n_demand_days", F.expr(fold).alias("st"))
+    return st.select(
+        "event_type",
+        "n_demand_days",
+        F.round(F.col("st.z") / 100.0, 9)
+        .cast("double")
+        .alias("smoothed_demand"),
+        F.round(F.col("st.p"), 9).cast("double").alias("smoothed_interval"),
+        F.round(F.col("st.z") / (100.0 * F.col("st.p")), 9)
+        .cast("double")
+        .alias("forecast_per_day"),
+    )
+
+
+_SMA_SHORT, _SMA_LONG = 7, 28
+
+
+@query(
+    "time_sma_crossover",
+    # Golden/death-cross detection per event_type: 7- vs 28-day moving
+    # averages of daily revenue compared WITHOUT division — the sign of
+    # s7*28 - s28*7 is an exact int64 cross-product, so crossing
+    # detection (sign != previous sign) is pure integer logic; the
+    # reported MAs are the only divisions, 9dp. Emitted only on full
+    # 28-day frames and actual sign flips through/across zero.
+    oracle=f"""
+    WITH grid AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    fr AS (
+      SELECT event_type, day,
+             COUNT(*) OVER wl AS nl,
+             SUM(x) OVER ws AS ss,
+             SUM(x) OVER wl AS sl
+      FROM grid
+      WINDOW ws AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {_SMA_SHORT - 1} PRECEDING AND CURRENT ROW),
+             wl AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN {_SMA_LONG - 1} PRECEDING AND CURRENT ROW)),
+    sg AS (
+      SELECT event_type, day, ss, sl,
+             CASE WHEN ss * {_SMA_LONG} > sl * {_SMA_SHORT} THEN 1
+                  WHEN ss * {_SMA_LONG} < sl * {_SMA_SHORT} THEN -1
+                  ELSE 0 END AS sgn
+      FROM fr WHERE nl = {_SMA_LONG}),
+    fl AS (
+      SELECT event_type, day, ss, sl, sgn,
+             LAG(sgn) OVER (PARTITION BY event_type ORDER BY day) AS prev
+      FROM sg)
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CASE WHEN sgn = 1 THEN 'golden' ELSE 'death' END AS cross_type,
+           CAST(ROUND(ss / ({_SMA_SHORT} * 100.0), 9) AS DOUBLE) AS short_ma,
+           CAST(ROUND(sl / ({_SMA_LONG} * 100.0), 9) AS DOUBLE) AS long_ma
+    FROM fl
+    WHERE prev IS NOT NULL AND sgn != 0 AND prev != sgn
+    """,
+)
+def time_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-cross / death-cross signal detection per event_type (the
+    7/28-day moving-average crossover screen — the signal layer on top
+    of win_bollinger/win_rsi's indicator layer): a cross fires when the
+    short MA moves to the other side of the long MA. The comparison is
+    the SIGN of the exact int64 cross-product s7*28 - s28*7 — no MA is
+    ever divided before the decision, so detection is bit-exact in both
+    engines; equal-MA days (sign 0) fire nothing, and the flip test
+    rides one lag window.
+
+    Scale shape: one hash agg to the (type, day) grid, two frames +
+    one lag sharing a single per-type day sort — the win_rsi topology
+    with two frame lengths. Output is |crossings|, data-bounded and
+    tiny."""
+    e = load(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    grid = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("x"))
+    wbase = Window.partitionBy("event_type").orderBy("day")
+    ws = wbase.rowsBetween(-(_SMA_SHORT - 1), Window.currentRow)
+    wl = wbase.rowsBetween(-(_SMA_LONG - 1), Window.currentRow)
+    fr = grid.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wl).alias("nl"),
+        F.sum("x").over(ws).alias("ss"),
+        F.sum("x").over(wl).alias("sl"),
+    ).filter(F.col("nl") == _SMA_LONG)
+    diff = F.col("ss") * _SMA_LONG - F.col("sl") * _SMA_SHORT
+    sg = fr.select(
+        "event_type",
+        "day",
+        "ss",
+        "sl",
+        F.when(diff > 0, 1).when(diff < 0, -1).otherwise(0).alias("sgn"),
+    )
+    fl = sg.withColumn("prev", F.lag("sgn").over(wbase))
+    return fl.filter(
+        F.col("prev").isNotNull()
+        & (F.col("sgn") != 0)
+        & (F.col("prev") != F.col("sgn"))
+    ).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.when(F.col("sgn") == 1, "golden").otherwise("death").alias(
+            "cross_type"
+        ),
+        F.round(F.col("ss") / (_SMA_SHORT * 100.0), 9)
+        .cast("double")
+        .alias("short_ma"),
+        F.round(F.col("sl") / (_SMA_LONG * 100.0), 9)
+        .cast("double")
+        .alias("long_ma"),
+    )

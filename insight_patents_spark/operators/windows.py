@@ -2026,3 +2026,90 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lower_band"),
         pct_b.cast("double").alias("pct_b"),
     )
+
+
+# 1D Kalman constants (cents^2 units). Dyadic so the gain expression is
+# built from exact binary fractions; the fold is sequential in both
+# engines, so the IEEE rounding sequence is identical (the
+# win_holt_winters determinism argument).
+_KF_Q, _KF_R = 256.0, 4096.0
+
+
+@query(
+    "win_kalman_1d",
+    # 1D constant-level Kalman filter per user over the time-sorted
+    # event values: predict P+Q, gain K = (P+Q)/(P+Q+R), update
+    # x' = x + K(y-x), P' = (1-K)(P+Q); init x = first value, P = R.
+    # The oracle steps the identical recursion via a recursive CTE
+    # carrying (x, P, K); Spark runs one in-row aggregate() fold.
+    oracle=f"""
+    WITH RECURSIVE arr AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS i,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             CAST(CAST(round(value*100,0) AS BIGINT) AS DOUBLE) AS y
+      FROM events),
+    kf AS (
+      SELECT user_id, i, n, y AS x, {_KF_R}::DOUBLE AS p, 0.0::DOUBLE AS k
+      FROM arr WHERE i = 1
+      UNION ALL
+      SELECT kf.user_id, a.i, kf.n,
+             kf.x + ((kf.p + {_KF_Q}) / (kf.p + {_KF_Q} + {_KF_R}))
+                    * (a.y - kf.x),
+             (1.0 - (kf.p + {_KF_Q}) / (kf.p + {_KF_Q} + {_KF_R}))
+               * (kf.p + {_KF_Q}),
+             (kf.p + {_KF_Q}) / (kf.p + {_KF_Q} + {_KF_R})
+      FROM kf JOIN arr a ON a.user_id = kf.user_id AND a.i = kf.i + 1)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(ROUND(x / 100.0, 9) AS DOUBLE) AS level,
+           CAST(ROUND(p, 9) AS DOUBLE) AS variance,
+           CAST(ROUND(k, 9) AS DOUBLE) AS last_gain
+    FROM kf WHERE i = n
+    """,
+)
+def win_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1D Kalman filter (constant-level state-space model) per user
+    over event values — the optimal-gain cousin of win_ewma: instead of
+    a fixed smoothing constant, the gain K adapts from the error
+    covariance recursion (P converges to the steady-state Riccati
+    fixpoint, so the filter trusts data exactly as much as the noise
+    ratio Q/R warrants — the principled version of 'pick alpha').
+
+    Scale shape: ONE (user_id) shuffle builds the sorted per-user
+    array; the full predict/update recursion is a single in-row
+    aggregate() fold with 3-number state — no iteration driver, no
+    per-step shuffles. Cross-engine equality is order equality: the
+    oracle's recursive CTE executes the identical arithmetic sequence
+    and sequential IEEE rounding is deterministic (the
+    win_holt_winters argument; per-user series are bounded in-row
+    state)."""
+    e = load(spark, sf_dir, "events")
+    arr = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "transform(sort_array(collect_list(struct(ts, event_id, "
+            "CAST(CAST(round(value*100,0) AS BIGINT) AS DOUBLE) AS y))), "
+            "x -> x.y)"
+        ).alias("ys"),
+    )
+    q, r = _KF_Q, _KF_R
+    gain = f"(acc.p + {q}) / (acc.p + {q} + {r})"
+    fold = f"""
+    aggregate(
+      slice(ys, 2, size(ys) - 1),
+      struct(ys[0] AS x, CAST({r} AS DOUBLE) AS p, CAST(0.0 AS DOUBLE) AS k),
+      (acc, yv) -> struct(
+         acc.x + ({gain}) * (yv - acc.x) AS x,
+         (1.0 - {gain}) * (acc.p + {q}) AS p,
+         {gain} AS k)
+    )
+    """
+    st = arr.select("user_id", "n_events", F.expr(fold).alias("st"))
+    return st.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("st.x") / 100.0, 9).cast("double").alias("level"),
+        F.round(F.col("st.p"), 9).cast("double").alias("variance"),
+        F.round(F.col("st.k"), 9).cast("double").alias("last_gain"),
+    )

@@ -103,22 +103,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # scalar-function battery (never driver-checked before). The late-r8
-    # second wave (agg_bootstrap_ci ... dedup_lines below) displaced
-    # fn_array/fn_explode/fn_map/fn_json/fn_hash/fn_bitwise back into
+    # never-driver-checked backlog (vector/ANN scale path). The late-r8
+    # second wave (agg_bootstrap_ci ... win_kalman_1d below) displaced
+    # fn_array/fn_explode/fn_map/fn_json/fn_hash/fn_bitwise/fn_variant/
+    # set_union_distinct/sample_priority/agg_bitmap_distinct back into
     # the r9 backlog — new code outranks backlog for the external gate.
-    "fn_variant",
-    # sets / sorts / sampling / joins backlog
-    "set_union_distinct", "sample_priority",
-    # window + aggregate backlog
-    "agg_bitmap_distinct",
-    # vector similarity backlog (the ANN/dedup scale path)
     "dedup_embed_cosine", "vec_ann_lsh", "vec_pq_codes",
     "vec_rerank_stub", "dedup_semantic", "vec_matryoshka",
     "vec_cell_refine", "vec_pca_project",
     # NEW in late r8 (second wave)
     "agg_bootstrap_ci", "agg_winsorize", "win_bollinger",
     "ml_brier_decomp", "ml_shap_linear", "dedup_lines",
+    "agg_theil_index", "time_croston", "time_sma_crossover",
+    "win_kalman_1d",
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
