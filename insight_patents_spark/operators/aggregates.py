@@ -3057,3 +3057,327 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("theil_l"),
     ).withColumnRenamed("seg", "c_mktsegment")
+
+
+_DID_SPLIT = "2024-01-16"  # fixed calendar pre/post boundary
+
+
+@query(
+    "agg_causal_did",
+    # Difference-in-differences per event_type: treatment = md5(user)
+    # parity (deterministic assignment), period = fixed calendar split.
+    # The 2x2 cell means are exact int64-cents ratios rounded 9dp; the
+    # DiD estimate composes the four rounded means; cell variances use
+    # the one-pass identity n*Sxx - Sx^2 in HUGEINT/decimal
+    # accumulators (exact), and the Welch-style SE sums the four
+    # variance/n terms in a FIXED order before the single sqrt.
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('t:' || CAST(user_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) % 2 AS treated,
+             CASE WHEN CAST(ts AS DATE) < DATE '{_DID_SPLIT}' THEN 0
+                  ELSE 1 END AS post,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events),
+    cells AS (
+      SELECT event_type, treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sxx
+      FROM e GROUP BY 1, 2, 3),
+    m AS (
+      SELECT event_type, treated, post, n,
+             ROUND(CAST(s AS DOUBLE) / (100.0 * n), 9) AS mean_v,
+             CAST(n * sxx - s * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1) * n) AS vn
+      FROM cells),
+    p AS (
+      SELECT event_type,
+             MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_v END) AS tp,
+             MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_v END) AS tq,
+             MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_v END) AS cp,
+             MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_v END) AS cq,
+             MAX(CASE WHEN treated = 1 AND post = 1 THEN vn END) AS v1,
+             MAX(CASE WHEN treated = 1 AND post = 0 THEN vn END) AS v2,
+             MAX(CASE WHEN treated = 0 AND post = 1 THEN vn END) AS v3,
+             MAX(CASE WHEN treated = 0 AND post = 0 THEN vn END) AS v4,
+             CAST(SUM(n) AS BIGINT) AS n_events
+      FROM m GROUP BY event_type)
+    SELECT event_type, n_events,
+           CAST(ROUND(tp - tq - cp + cq, 9) AS DOUBLE) AS did,
+           CAST(ROUND(SQRT(v1 + v2 + v3 + v4) / 100.0, 9) AS DOUBLE) AS se,
+           CAST(ROUND((tp - tq - cp + cq)
+                      / (SQRT(v1 + v2 + v3 + v4) / 100.0), 9) AS DOUBLE)
+             AS t_stat
+    FROM p
+    """,
+)
+def agg_causal_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimator for
+    launch analysis without randomization guarantees: treatment =
+    deterministic md5(user) parity, period = fixed calendar split,
+    and the parallel-trends-adjusted effect is (T_post - T_pre) -
+    (C_post - C_pre) per event_type, with a Welch-style SE from the
+    four cell variances.
+
+    Determinism: cell means are exact cents ratios (9dp); variances
+    come from the one-pass identity n*Sxx - Sx^2 held in decimal/
+    HUGEINT accumulators (exact at any cell mass); the SE sums the
+    four variance terms in a fixed order before the single sqrt.
+
+    Scale shape: ONE map-side-combinable hash agg to the |types|x2x2
+    cell grid; everything after is arithmetic on <= 4 cells per type.
+    The estimator never touches row order — DiD at 10^12 events is
+    exactly this plan."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("t:"), F.col("user_id").cast("string"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("treated"),
+        F.when(
+            F.col("ts").cast("date") < F.lit(_DID_SPLIT).cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("post"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    cells = e.groupBy("event_type", "treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cd).alias("s"),
+        F.sum(cd * F.col("c")).alias("sxx"),
+    )
+    m = cells.select(
+        "event_type",
+        "treated",
+        "post",
+        "n",
+        F.round(F.col("s").cast("double") / (100.0 * F.col("n")), 9).alias(
+            "mean_v"
+        ),
+        (
+            (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n").cast("double") * (F.col("n") - 1) * F.col("n"))
+        ).alias("vn"),
+    )
+
+    def cell(tr, po, col):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), F.col(col))
+        )
+
+    p = m.groupBy("event_type").agg(
+        cell(1, 1, "mean_v").alias("tp"),
+        cell(1, 0, "mean_v").alias("tq"),
+        cell(0, 1, "mean_v").alias("cp"),
+        cell(0, 0, "mean_v").alias("cq"),
+        cell(1, 1, "vn").alias("v1"),
+        cell(1, 0, "vn").alias("v2"),
+        cell(0, 1, "vn").alias("v3"),
+        cell(0, 0, "vn").alias("v4"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    did = F.col("tp") - F.col("tq") - F.col("cp") + F.col("cq")
+    se = F.sqrt(F.col("v1") + F.col("v2") + F.col("v3") + F.col("v4")) / 100.0
+    return p.select(
+        "event_type",
+        "n_events",
+        F.round(did, 9).cast("double").alias("did"),
+        F.round(se, 9).cast("double").alias("se"),
+        F.round(did / se, 9).cast("double").alias("t_stat"),
+    )
+
+
+@query(
+    "agg_cuped",
+    # CUPED variance reduction over the purchase experiment: per-user
+    # pre-period covariate X and post-period metric Y (exact int64
+    # cents, absent periods coalesce to 0), pooled theta =
+    # (n*Sxy - Sx*Sy)/(n*Sxx - Sx*Sx) from decimal/HUGEINT
+    # cross-moments (exact — the products pass 2^63 at scale), and the
+    # per-group adjusted variance via the closed form
+    # var(Y - tX) = varY - 2t*cov + t^2*varX — no second pass, no
+    # per-user float accumulation anywhere.
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('t:' || CAST(user_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) % 2 AS treated,
+             CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < DATE '{_DID_SPLIT}'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END), 0)
+               AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '{_DID_SPLIT}'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END), 0)
+               AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM u),
+    th AS (
+      SELECT n AS n_all,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+             CAST(sx AS DOUBLE) / n AS mx_all
+      FROM g),
+    gg AS (
+      SELECT treated,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM u GROUP BY treated),
+    v AS (
+      SELECT treated, n,
+             CAST(sy AS DOUBLE) / n AS my,
+             CAST(sx AS DOUBLE) / n AS mx,
+             CAST(n * syy - sy * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS vy,
+             CAST(n * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS vx,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS cxy
+      FROM gg)
+    SELECT v.treated,
+           v.n AS n_users,
+           CAST(ROUND(v.my / 100.0, 9) AS DOUBLE) AS mean_y,
+           CAST(ROUND((v.my - th.theta * (v.mx - th.mx_all)) / 100.0, 9)
+             AS DOUBLE) AS mean_y_cuped,
+           CAST(ROUND(th.theta, 9) AS DOUBLE) AS theta,
+           CAST(ROUND(v.vy / 10000.0, 9) AS DOUBLE) AS var_y,
+           CAST(ROUND((v.vy - 2 * th.theta * v.cxy
+                       + th.theta * th.theta * v.vx) / 10000.0, 9) AS DOUBLE)
+             AS var_y_cuped,
+           CAST(ROUND((v.vy - 2 * th.theta * v.cxy
+                       + th.theta * th.theta * v.vx) / v.vy, 9) AS DOUBLE)
+             AS var_ratio
+    FROM v CROSS JOIN th
+    """,
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    industry-standard variance-reduction adjustment for A/B readouts:
+    the post-period metric Y is adjusted by theta*(X - E[X]) using the
+    pre-period covariate X, cutting variance by corr(X,Y)^2 with zero
+    bias. Here per-user purchase revenue, treatment = md5 parity,
+    pooled theta = cov(X,Y)/var(X).
+
+    The scale-defining trick: the adjusted variance NEVER requires a
+    second pass over adjusted rows — var(Y - tX) = varY - 2t*cov +
+    t^2*varX, all from the same exact decimal/HUGEINT cross-moments as
+    theta itself (the products exceed 2^63 at production scale, hence
+    the wide accumulators). One user-level hash agg + one 2-row group
+    agg + a broadcast 1-row theta frame; no driver collect, no
+    order-dependent float sum anywhere.
+
+    Determinism: every moment is an exact integer; theta and the
+    variance compositions are fixed-order double expressions of those
+    exact integers, rounded 9dp."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    pre = F.col("ts").cast("date") < F.lit(_DID_SPLIT).cast("date")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(pre, cents)), F.lit(0))
+        .cast("bigint")
+        .alias("x"),
+        F.coalesce(F.sum(F.when(~pre, cents)), F.lit(0))
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("t:"), F.col("user_id").cast("string"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("treated"),
+        "x",
+        "y",
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    g = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    th = g.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx_all"),
+    )
+    gg = u.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    v = gg.select(
+        "treated",
+        "n",
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            / (nd * (F.col("n") - 1))
+        ).alias("vy"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (nd * (F.col("n") - 1))
+        ).alias("vx"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (nd * (F.col("n") - 1))
+        ).alias("cxy"),
+    )
+    vc = (
+        F.col("vy")
+        - 2 * F.col("theta") * F.col("cxy")
+        + F.col("theta") * F.col("theta") * F.col("vx")
+    )
+    return v.crossJoin(F.broadcast(th)).select(
+        "treated",
+        F.col("n").alias("n_users"),
+        F.round(F.col("my") / 100.0, 9).cast("double").alias("mean_y"),
+        F.round(
+            (F.col("my") - F.col("theta") * (F.col("mx") - F.col("mx_all")))
+            / 100.0,
+            9,
+        )
+        .cast("double")
+        .alias("mean_y_cuped"),
+        F.round(F.col("theta"), 9).cast("double").alias("theta"),
+        F.round(F.col("vy") / 10000.0, 9).cast("double").alias("var_y"),
+        F.round(vc / 10000.0, 9).cast("double").alias("var_y_cuped"),
+        F.round(vc / F.col("vy"), 9).cast("double").alias("var_ratio"),
+    )

@@ -2132,3 +2132,102 @@ def graph_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_within_10pct"),
         )
     )
+
+
+_PATHCOUNT_DEPTH = 3
+_PATHCOUNT_SEED_PRED = "src % 500 = 0"
+
+
+def _path_count_oracle() -> str:
+    sql = _EDGES_CTE + f"""
+    , dag AS (SELECT src, dst FROM edges WHERE src < dst),
+    seeds AS (SELECT DISTINCT src AS node FROM dag
+              WHERE {_PATHCOUNT_SEED_PRED}),
+    p1 AS MATERIALIZED (
+      SELECT d.dst AS node, CAST(COUNT(*) AS BIGINT) AS c
+      FROM dag d JOIN seeds s ON d.src = s.node GROUP BY d.dst)"""
+    for r in range(2, _PATHCOUNT_DEPTH + 1):
+        sql += f"""
+    , p{r} AS MATERIALIZED (
+      SELECT d.dst AS node, CAST(SUM(p.c) AS BIGINT) AS c
+      FROM p{r - 1} p JOIN dag d ON d.src = p.node GROUP BY d.dst)"""
+    cols = ", ".join(
+        f"COALESCE(p{r}.c, 0) AS n_paths_{r}"
+        for r in range(1, _PATHCOUNT_DEPTH + 1)
+    )
+    joins = " ".join(
+        f"FULL OUTER JOIN p{r} ON nodes.node = p{r}.node"
+        for r in range(1, _PATHCOUNT_DEPTH + 1)
+    )
+    total = " + ".join(
+        f"COALESCE(p{r}.c, 0)" for r in range(1, _PATHCOUNT_DEPTH + 1)
+    )
+    return sql + f"""
+    , nodes AS (SELECT DISTINCT node FROM (
+        SELECT node FROM p1 UNION ALL SELECT node FROM p2
+        UNION ALL SELECT node FROM p3))
+    SELECT nodes.node, {cols}, CAST({total} AS BIGINT) AS n_paths_total
+    FROM nodes {joins}"""
+
+
+@query("graph_path_count_dag", oracle=_path_count_oracle())
+def graph_path_count_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact path COUNTING on the DAG half of the co-purchase graph
+    (src < dst orients every edge low->high, so the subgraph is acyclic
+    by construction): the number of distinct seed-to-node paths of
+    length 1, 2, 3 — reachability's quantitative sibling
+    (graph_bfs_khop answers CAN we reach it; this answers HOW MANY
+    WAYS, the signal citation analysis uses for influence flow and
+    provenance multiplicity).
+
+    The recurrence is sparse matrix-vector style: paths_r(v) =
+    sum over (u,v) edges of paths_{r-1}(u) — one equi-join + one SUM
+    hash agg per level, exact int64 counts (path counts on 3 levels of
+    a bounded-degree DAG stay far under 2^63; DECIMAL swap documented
+    for deeper unrolls). No frontier dedup is wanted — multiplicity IS
+    the quantity — so state per level is one (node, count) row, never
+    per-path.
+
+    Scale shape: the shared checkpointed edge cache feeds 3 join+agg
+    rounds; counts merge via FULL OUTER on the <=|V| result grid. At
+    100 TB the joins shuffle on node id like every other traversal
+    here; level state is O(|reached|), not O(paths)."""
+    edges = _edges(spark, sf_dir).select("src", "dst").filter(
+        F.col("src") < F.col("dst")
+    )
+    seeds = (
+        edges.filter(F.expr(_PATHCOUNT_SEED_PRED))
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    levels = []
+    p = (
+        edges.join(seeds, edges.src == seeds.node)
+        .groupBy(edges.dst.alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    levels.append(p)
+    for _ in range(2, _PATHCOUNT_DEPTH + 1):
+        # alias both sides: p derives from edges, so bare column refs
+        # are ambiguous (the dedup_cluster_cc attribute-id lesson)
+        p = (
+            p.alias("p")
+            .join(edges.alias("e"), F.col("p.node") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(F.sum(F.col("p.c")).cast("bigint").alias("c"))
+        )
+        levels.append(p)
+    out = None
+    for r, lv in enumerate(levels, start=1):
+        lv = lv.select("node", F.col("c").alias(f"n_paths_{r}"))
+        out = lv if out is None else out.join(lv, "node", "full_outer")
+    cols = [F.coalesce(F.col(f"n_paths_{r}"), F.lit(0)).cast("bigint")
+            for r in range(1, _PATHCOUNT_DEPTH + 1)]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    return out.select(
+        "node",
+        *[c.alias(f"n_paths_{r}") for r, c in enumerate(cols, start=1)],
+        total.cast("bigint").alias("n_paths_total"),
+    )

@@ -1902,3 +1902,105 @@ def ml_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_abs_shap"),
     )
+
+
+def _tree_model() -> list[dict]:
+    """Fixed 4-tree depth-2 ensemble ('trained' offline, compiled into
+    the plan): every split threshold and leaf value derives from md5 of
+    its position at IMPORT time, so the model is a pure constant
+    artifact — both engines receive identical literals, exactly like a
+    real exported GBM. Features: 0 = token count, 1 = char count,
+    2 = distinct-token count, with per-feature threshold ranges."""
+    import hashlib
+
+    rng = [(10, 70), (50, 450), (5, 40)]
+
+    def h(tag: str, mod: int) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) % mod
+
+    trees = []
+    for k in range(4):
+        nodes = []
+        for j in range(3):  # root, left child, right child
+            f = h(f"tree{k}:node{j}:f", 3)
+            lo, hi = rng[f]
+            nodes.append((f, lo + h(f"tree{k}:node{j}:t", hi - lo)))
+        leaves = [h(f"tree{k}:leaf{i}", 101) - 50 for i in range(4)]
+        trees.append({"nodes": nodes, "leaves": leaves})
+    return trees
+
+
+_TREES = _tree_model()
+_TREE_FEATS = (
+    "size(split(text, ' '))",
+    "length(text)",
+    "size(array_distinct(split(text, ' ')))",
+)
+_TREE_FEATS_SQL = (
+    "len(string_split(text, ' '))",
+    "length(text)",
+    "len(list_distinct(string_split(text, ' ')))",
+)
+
+
+def _tree_case(k: int, feats: tuple) -> str:
+    t = _TREES[k]
+    (f0, t0), (f1, t1), (f2, t2) = t["nodes"]
+    l0, l1, l2, l3 = t["leaves"]
+    return (
+        f"CASE WHEN {feats[f0]} <= {t0} THEN "
+        f"(CASE WHEN {feats[f1]} <= {t1} THEN {l0} ELSE {l1} END) "
+        f"ELSE (CASE WHEN {feats[f2]} <= {t2} THEN {l2} ELSE {l3} END) END"
+    )
+
+
+@query(
+    "ml_tree_inference",
+    # Tree-ensemble inference compiled into the plan: each depth-2 tree
+    # is a nested CASE over three integer features (token/char/distinct
+    # counts — exact in both engines), leaf values are centi-units, the
+    # ensemble score is the exact int64 leaf sum with ONE division at
+    # the end; keep = integer comparison on the raw sum. The model is a
+    # deterministic import-time constant, so both engines score with
+    # byte-identical literals.
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_TREE_FEATS_SQL[0]} AS BIGINT) AS n_tokens,
+           CAST({_TREE_FEATS_SQL[1]} AS BIGINT) AS n_chars,
+           CAST({_TREE_FEATS_SQL[2]} AS BIGINT) AS n_distinct,
+           CAST({" + ".join(f"({_tree_case(k, _TREE_FEATS_SQL)})" for k in range(4))}
+             AS BIGINT) AS leaf_sum_centi,
+           CAST(ROUND(({" + ".join(f"({_tree_case(k, _TREE_FEATS_SQL)})" for k in range(4))})
+                      / 400.0, 9) AS DOUBLE) AS score,
+           ({" + ".join(f"({_tree_case(k, _TREE_FEATS_SQL)})" for k in range(4))}) > 0
+             AS keep
+    FROM documents
+    """,
+)
+def ml_tree_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted-ensemble-style inference run INSIDE the engine
+    — the way production pipelines actually deploy tree models over
+    10^12 rows: the trained ensemble COMPILES to nested CASE
+    expressions (one per tree) over cheap integer features, the whole
+    scorer is a stateless narrow map with zero joins, zero UDFs, zero
+    shuffles — whole-stage-codegen-able and pushdown-friendly. The
+    ensemble here is 4 depth-2 trees with md5-derived import-time
+    constants (a fixed model artifact; swapping in a real XGBoost dump
+    changes only the literals).
+
+    Determinism: features are exact integers (token/char/distinct-token
+    counts), every split is an integer comparison, leaf values are
+    centi-units, the score is the exact leaf SUM divided once (9dp),
+    and the keep decision compares the raw integer sum — the filter
+    never touches a float."""
+    d = load(spark, sf_dir, "documents")
+    leaf_sum = " + ".join(f"({_tree_case(k, _TREE_FEATS)})" for k in range(4))
+    return d.select(
+        "doc_id",
+        F.expr(_TREE_FEATS[0]).cast("bigint").alias("n_tokens"),
+        F.expr(_TREE_FEATS[1]).cast("bigint").alias("n_chars"),
+        F.expr(_TREE_FEATS[2]).cast("bigint").alias("n_distinct"),
+        F.expr(leaf_sum).cast("bigint").alias("leaf_sum_centi"),
+        F.round(F.expr(leaf_sum) / 400.0, 9).cast("double").alias("score"),
+        (F.expr(leaf_sum) > 0).alias("keep"),
+    )

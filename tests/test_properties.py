@@ -6765,3 +6765,226 @@ def test_sma_crossover_alternates(spark, sf_dir):
                 assert r.short_ma > r.long_ma, r
             else:
                 assert r.short_ma < r.long_ma, r
+
+
+def test_causal_did_matches_python_replay(spark, sf_dir):
+    """agg_causal_did vs an exact Python replay of the 2x2 cell means
+    and the Welch SE (same md5 assignment, same fixed-order float
+    composition)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import (
+        _DID_SPLIT,
+        agg_causal_did,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    from datetime import date
+
+    split = date.fromisoformat(_DID_SPLIT)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "value"
+    ).collect()
+    cells = defaultdict(lambda: [0, 0, 0])  # n, s, sxx
+    for r in ev:
+        tr = int(hashlib.md5(f"t:{r.user_id}".encode()).hexdigest()[:2], 16) % 2
+        po = 0 if r.ts.date() < split else 1
+        c = int(round(r.value * 100))
+        k = (r.event_type, tr, po)
+        cells[k][0] += 1
+        cells[k][1] += c
+        cells[k][2] += c * c
+    rows = agg_causal_did(spark, sf_dir).collect()
+    for row in rows:
+        m, vn = {}, {}
+        for (typ, tr, po), (n, s, sxx) in cells.items():
+            if typ != row.event_type:
+                continue
+            m[(tr, po)] = round(float(s) / (100.0 * n), 9)
+            vn[(tr, po)] = float(n * sxx - s * s) / (float(n) * (n - 1) * n)
+        did = m[(1, 1)] - m[(1, 0)] - m[(0, 1)] + m[(0, 0)]
+        se = (
+            math.sqrt(vn[(1, 1)] + vn[(1, 0)] + vn[(0, 1)] + vn[(0, 0)])
+            / 100.0
+        )
+        assert abs(row.did - round(did, 9)) <= 2e-9
+        assert abs(row.se - round(se, 9)) <= 2e-9
+        assert abs(row.t_stat - round(did / se, 9)) <= 2e-9
+
+
+def test_cuped_matches_python_replay(spark, sf_dir):
+    """agg_cuped vs an exact Python replay of the pooled theta and the
+    closed-form adjusted variance. The POOLED theta minimizes pooled —
+    not per-group — variance, and this synthetic corpus has near-zero
+    pre/post correlation, so a group ratio can sit slightly above 1;
+    the guarantee worth pinning is the moment arithmetic, plus a loose
+    no-blow-up band on the ratio."""
+    import hashlib
+    from collections import defaultdict
+    from datetime import date
+
+    from insight_patents_spark.operators.aggregates import (
+        _DID_SPLIT,
+        agg_cuped,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    split = date.fromisoformat(_DID_SPLIT)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    xy = defaultdict(lambda: [0, 0])
+    for r in ev:
+        c = int(round(r.value * 100))
+        xy[r.user_id][0 if r.ts.date() < split else 1] += c
+    us = [
+        (
+            int(hashlib.md5(f"t:{u}".encode()).hexdigest()[:2], 16) % 2,
+            x,
+            y,
+        )
+        for u, (x, y) in xy.items()
+    ]
+    n = len(us)
+    sx = sum(x for _, x, _ in us)
+    sy = sum(y for _, _, y in us)
+    sxx = sum(x * x for _, x, _ in us)
+    sxy = sum(x * y for _, x, y in us)
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    mx_all = float(sx) / n
+    rows = {r.treated: r for r in agg_cuped(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    for tr in (0, 1):
+        g = [(x, y) for t, x, y in us if t == tr]
+        gn = len(g)
+        gsx = sum(x for x, _ in g)
+        gsy = sum(y for _, y in g)
+        gsxx = sum(x * x for x, _ in g)
+        gsyy = sum(y * y for _, y in g)
+        gsxy = sum(x * y for x, y in g)
+        my, mx = float(gsy) / gn, float(gsx) / gn
+        vy = float(gn * gsyy - gsy * gsy) / (float(gn) * (gn - 1))
+        vx = float(gn * gsxx - gsx * gsx) / (float(gn) * (gn - 1))
+        cxy = float(gn * gsxy - gsx * gsy) / (float(gn) * (gn - 1))
+        vc = vy - 2 * theta * cxy + theta * theta * vx
+        r = rows[tr]
+        assert r.n_users == gn
+        assert abs(r.theta - round(theta, 9)) <= 2e-9
+        assert abs(r.mean_y - round(my / 100.0, 9)) <= 2e-9
+        assert (
+            abs(r.mean_y_cuped - round((my - theta * (mx - mx_all)) / 100.0, 9))
+            <= 2e-9
+        )
+        assert abs(r.var_y_cuped - round(vc / 10000.0, 9)) <= 2e-9
+        assert 0.0 < r.var_ratio < 1.2
+
+
+def test_tokenizer_apply_matches_python_encode(spark, sf_dir):
+    """text_tokenizer_apply vs a Python re-encode of every document
+    using the merges text_bpe_train reports (greedy left-to-right
+    non-overlapping application per merge, in rank order)."""
+    from insight_patents_spark.operators.text import (
+        text_bpe_train,
+        text_tokenizer_apply,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    merges = [
+        (r.l, r.r)
+        for r in sorted(
+            text_bpe_train(spark, sf_dir).collect(), key=lambda r: r.merge_rank
+        )
+    ]
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    rows = {r.doc_id: r for r in text_tokenizer_apply(spark, sf_dir).collect()}
+    for d in docs:
+        n_words = n_chars = n_tok = 0
+        for w in d.text.split(" "):
+            if not w:
+                continue
+            s = "|" + "|".join(w) + "|"
+            for left, right in merges:
+                s = s.replace(f"|{left}|{right}|", f"|{left}{right}|")
+            n_words += 1
+            n_chars += len(w)
+            n_tok += len(s.strip("|").split("|"))
+        r = rows[d.doc_id]
+        assert (r.n_words, r.n_chars, r.n_bpe_tokens) == (
+            n_words,
+            n_chars,
+            n_tok,
+        ), d.doc_id
+        assert r.n_bpe_tokens <= r.n_chars
+
+
+def test_tree_inference_matches_python_walk(spark, sf_dir):
+    """ml_tree_inference vs a Python walk of the same import-time tree
+    constants over every document."""
+    from insight_patents_spark.operators.ml import _TREES, ml_tree_inference
+    from insight_patents_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    rows = {r.doc_id: r for r in ml_tree_inference(spark, sf_dir).collect()}
+    for d in docs:
+        toks = d.text.split(" ")
+        feats = (len(toks), len(d.text), len(set(toks)))
+        total = 0
+        for t in _TREES:
+            (f0, t0), (f1, t1), (f2, t2) = t["nodes"]
+            if feats[f0] <= t0:
+                leaf = t["leaves"][0] if feats[f1] <= t1 else t["leaves"][1]
+            else:
+                leaf = t["leaves"][2] if feats[f2] <= t2 else t["leaves"][3]
+            total += leaf
+        r = rows[d.doc_id]
+        assert (r.n_tokens, r.n_chars, r.n_distinct) == feats
+        assert r.leaf_sum_centi == total
+        assert abs(r.score - round(total / 400.0, 9)) <= 1e-12
+        assert r.keep == (total > 0)
+
+
+def test_path_count_dag_matches_python_dp(spark, sf_dir):
+    """graph_path_count_dag vs a Python dynamic program over the
+    collected DAG edge list (exact path counts per level)."""
+    from collections import Counter, defaultdict
+
+    from insight_patents_spark.operators.graph import (
+        _PATHCOUNT_DEPTH,
+        _edges,
+        graph_path_count_dag,
+    )
+
+    es = [
+        (r.src, r.dst)
+        for r in _edges(spark, sf_dir).select("src", "dst").collect()
+        if r.src < r.dst
+    ]
+    adj = defaultdict(list)
+    for s, t in es:
+        adj[s].append(t)
+    seeds = {s for s, _ in es if s % 500 == 0}
+    counts = Counter()
+    for s in seeds:
+        for t in adj[s]:
+            counts[(1, t)] += 1
+    for r in range(2, _PATHCOUNT_DEPTH + 1):
+        prev = {n: c for (lv, n), c in counts.items() if lv == r - 1}
+        for n, c in prev.items():
+            for t in adj[n]:
+                counts[(r, t)] += c
+    want = defaultdict(lambda: [0] * _PATHCOUNT_DEPTH)
+    for (lv, n), c in counts.items():
+        want[n][lv - 1] = c
+    rows = graph_path_count_dag(spark, sf_dir).collect()
+    got = {
+        r.node: (r.n_paths_1, r.n_paths_2, r.n_paths_3, r.n_paths_total)
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for n, (c1, c2, c3) in want.items():
+        assert got[n] == (c1, c2, c3, c1 + c2 + c3), n
