@@ -3381,3 +3381,113 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vc / 10000.0, 9).cast("double").alias("var_y_cuped"),
         F.round(vc / F.col("vy"), 9).cast("double").alias("var_ratio"),
     )
+
+
+# z_{0.025} + z_{0.20} as ONE pre-rounded 9dp literal (the repo's
+# pre-rounded-constant posture, cf. ml_ndcg's discount table): 80% power
+# at two-sided alpha = 0.05.
+_POWER_K = 2.801585219
+_POWER_REL_MDE = 0.01  # target relative effect for the sample-size column
+
+
+@query(
+    "agg_power_mde",
+    # Experiment power calculator per event_type (the planning
+    # companion of agg_causal_did/agg_cuped): observed variance from
+    # exact decimal/HUGEINT moments, MDE = K*sqrt(2*var/n_arm) with
+    # K the pre-rounded z-sum literal, plus the per-arm sample size
+    # needed to detect a 1% relative lift — identical fixed-order
+    # float compositions of exact integers in both engines, one sqrt
+    # each, rounded 9dp/4dp.
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sxx
+      FROM e GROUP BY event_type),
+    v AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS mean_c,
+             CAST(n * sxx - s * s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_c
+      FROM g)
+    SELECT event_type, n AS n_events,
+           CAST(ROUND(mean_c / 100.0, 9) AS DOUBLE) AS mean_value,
+           CAST(ROUND(SQRT(var_c) / 100.0, 9) AS DOUBLE) AS sd_value,
+           CAST(ROUND({_POWER_K} * SQRT(2.0 * var_c / (n // 2)) / 100.0, 9)
+             AS DOUBLE) AS mde_abs,
+           CAST(ROUND({_POWER_K} * SQRT(2.0 * var_c / (n // 2)) / mean_c, 9)
+             AS DOUBLE) AS mde_rel,
+           CAST(ROUND(2.0 * {_POWER_K} * {_POWER_K} * var_c
+                      / ({_POWER_REL_MDE} * mean_c * {_POWER_REL_MDE} * mean_c),
+                      4) AS DOUBLE) AS n_per_arm_for_1pct
+    FROM v
+    """,
+)
+def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power / minimum-detectable-effect calculator per
+    event_type — the planning stage of the experimentation suite
+    (agg_causal_did and agg_cuped analyze; this answers 'is the test
+    worth running'): with the observed variance, an equal-split A/B of
+    this population detects MDE = K*sqrt(2*var/n_arm) at 80% power and
+    alpha 0.05 (K = z_0.025 + z_0.20 as ONE pre-rounded literal — the
+    repo's pre-rounded-constant posture), and the per-arm sample size
+    for a 1% relative lift falls out of the same identity inverted.
+
+    Determinism: moments are exact decimal/HUGEINT integer sums;
+    every derived number is a fixed-order composition with one sqrt,
+    rounded 9dp (4dp for the large sample-size figure). Scale shape:
+    ONE map-side-combinable hash agg to |types| cells; everything
+    after is per-cell arithmetic."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cd).alias("s"),
+        F.sum(cd * F.col("c")).alias("sxx"),
+    )
+    mean_c = F.col("s").cast("double") / F.col("n")
+    var_c = (
+        (F.col("n") * F.col("sxx") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    v = g.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        mean_c.alias("mean_c"),
+        var_c.alias("var_c"),
+        F.expr("n div 2").alias("n_arm"),
+    )
+    mde_c = _POWER_K * F.sqrt(2.0 * F.col("var_c") / F.col("n_arm"))
+    return v.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("mean_c") / 100.0, 9).cast("double").alias("mean_value"),
+        F.round(F.sqrt(F.col("var_c")) / 100.0, 9)
+        .cast("double")
+        .alias("sd_value"),
+        F.round(mde_c / 100.0, 9).cast("double").alias("mde_abs"),
+        F.round(mde_c / F.col("mean_c"), 9).cast("double").alias("mde_rel"),
+        F.round(
+            2.0
+            * _POWER_K
+            * _POWER_K
+            * F.col("var_c")
+            / (
+                _POWER_REL_MDE
+                * F.col("mean_c")
+                * _POWER_REL_MDE
+                * F.col("mean_c")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("n_per_arm_for_1pct"),
+    )

@@ -1880,3 +1880,169 @@ def time_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("long_ma"),
     )
+
+
+# Channel bit positions (alphabetical over the non-conversion types).
+_SHAP_CHANNELS = ("click", "error", "signup", "view")
+# 12*w(|S|) for |S| = 0..3 with n = 4 channels: w = |S|!(n-1-|S|)!/n!
+# = [1/4, 1/12, 1/12, 1/4] — scaled by 12 they are EXACT integers, so
+# the whole Shapley numerator stays int64.
+_SHAP_W12 = (3, 1, 1, 3)
+
+
+@query(
+    "seq_attribution_shapley",
+    # Shapley-value attribution (Zhao et al.) over the 4 touch
+    # channels: v(S) = (converters whose touch set is a subset of S)/N;
+    # phi_i = sum over coalitions S not containing i of
+    # w(|S|)*(v(S+i) - v(S)). With 12w integral, the numerator is an
+    # EXACT int64 subset-sum expression; the only floats are the two
+    # final divisions (phi, share), 9dp. All coalition work runs on the
+    # 16-row mask grid — corpus-size-independent.
+    oracle=f"""
+    WITH fp AS MATERIALIZED (
+      SELECT user_id, MIN(epoch_us(ts)) AS pus
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    j AS MATERIALIZED (
+      SELECT e.user_id, e.event_type, fp.pus IS NOT NULL AS conv
+      FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+      WHERE fp.pus IS NULL OR epoch_us(ts) <= fp.pus),
+    um AS (
+      SELECT user_id, BOOL_OR(conv) AS conv,
+             COALESCE(BIT_OR(CASE event_type
+               WHEN 'click' THEN 1 WHEN 'error' THEN 2
+               WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0) AS mask
+      FROM j GROUP BY user_id),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM um),
+    cm AS (
+      SELECT mask, CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+               AS convs
+      FROM um GROUP BY mask),
+    coal AS (
+      SELECT s.k AS s, CAST(COALESCE(SUM(cm.convs), 0) AS BIGINT) AS cs
+      FROM (SELECT unnest(range(0, 16)) AS k) s
+      LEFT JOIN cm ON (cm.mask & s.k) = cm.mask
+      GROUP BY s.k),
+    terms AS (
+      SELECT ch.i AS ci,
+             SUM((CASE bit_count(c0.s) WHEN 0 THEN 3 WHEN 1 THEN 1
+                  WHEN 2 THEN 1 ELSE 3 END)
+                 * (c1.cs - c0.cs)) AS num
+      FROM (SELECT unnest(range(0, 4)) AS i) ch
+      JOIN coal c0 ON ((c0.s >> ch.i) & 1) = 0
+      JOIN coal c1 ON c1.s = (c0.s | (1 << ch.i))
+      GROUP BY ch.i),
+    tot AS (SELECT SUM(num) AS total FROM terms)
+    SELECT CASE terms.ci WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+           WHEN 2 THEN 'signup' ELSE 'view' END AS channel,
+           CAST(terms.num AS BIGINT) AS shapley_num,
+           CAST(ROUND(terms.num / (12.0 * nn.n), 9) AS DOUBLE) AS shapley_value,
+           CAST(CASE WHEN tot.total = 0 THEN 0.25
+                ELSE ROUND(terms.num * 1.0 / tot.total, 9) END AS DOUBLE)
+             AS share
+    FROM terms CROSS JOIN nn CROSS JOIN tot
+    """,
+)
+def seq_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value multi-touch attribution — the game-theoretic
+    model beside seq_attribution_markov's removal effects and
+    agg_attribution's rule-based splits (the three standard answers to
+    'which channel gets conversion credit'): channels are players,
+    v(S) = converting users whose pre-conversion touch set fits inside
+    S, and each channel receives its exact Shapley value. With 4
+    channels the coalition lattice is 16 masks, so 12*w(|S|) is an
+    exact integer weight and the whole numerator is int64 — the only
+    floats are the final two divisions (9dp).
+
+    Scale shape: journeys truncate at first purchase (shared
+    convention with the Markov model, ONE user_id shuffle), users
+    collapse to a bitmask via BIT_OR in the same agg, conversions
+    collapse to the <=16-row mask grid — every coalition subset-sum
+    and pairwise marginal runs on that grid via bounded bitwise
+    equi-joins; nothing after the first agg scales with the corpus.
+    More channels grow the lattice 2^k — past ~20 channels production
+    samples coalitions (documented), the grid topology unchanged."""
+    e = load(spark, sf_dir, "events")
+    us = F.expr(_TS_US)
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("pus"))
+    )
+    j = (
+        e.join(F.broadcast(fp), "user_id", "left")
+        .filter(F.col("pus").isNull() | (us <= F.col("pus")))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("pus").isNotNull().alias("conv"),
+        )
+    )
+    um = j.groupBy("user_id").agg(
+        F.expr("bool_or(conv)").alias("conv"),
+        F.coalesce(F.expr(
+            "bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+            "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END)"
+        ), F.lit(0)).alias("mask"),
+    )
+    nn = um.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cm = um.groupBy("mask").agg(
+        F.sum(F.when(F.col("conv"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("convs")
+    )
+    s16 = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    coal = (
+        s16.join(
+            F.broadcast(cm),
+            (F.col("mask").bitwiseAND(F.col("s"))) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("convs"), F.lit(0)).cast("bigint").alias("cs"))
+    )
+    ch = spark.range(4).select(F.col("id").cast("int").alias("ci"))
+    w12 = (
+        F.when(F.expr("bit_count(c0.s)") == 0, 3)
+        .when(F.expr("bit_count(c0.s)") == 1, 1)
+        .when(F.expr("bit_count(c0.s)") == 2, 1)
+        .otherwise(3)
+    )
+    terms = (
+        ch.join(
+            F.broadcast(coal.alias("c0")),
+            F.expr("((c0.s >> ci) & 1) = 0"),
+        )
+        .join(
+            F.broadcast(coal.alias("c1")),
+            F.expr("c1.s = (c0.s | (1 << ci))"),
+        )
+        .groupBy("ci")
+        .agg(
+            F.sum(w12 * (F.col("c1.cs") - F.col("c0.cs")))
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    tot = terms.agg(F.sum("num").cast("bigint").alias("total"))
+    name = (
+        F.when(F.col("ci") == 0, "click")
+        .when(F.col("ci") == 1, "error")
+        .when(F.col("ci") == 2, "signup")
+        .otherwise("view")
+    )
+    return (
+        terms.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            name.alias("channel"),
+            F.col("num").alias("shapley_num"),
+            F.round(F.col("num") / (12.0 * F.col("n")), 9)
+            .cast("double")
+            .alias("shapley_value"),
+            F.when(F.col("total") == 0, F.lit(0.25))
+            .otherwise(F.round(F.col("num") / F.col("total"), 9))
+            .cast("double")
+            .alias("share"),
+        )
+    )

@@ -108,13 +108,14 @@ _SHOWCASE_50 = (
     # fn_array/fn_explode/fn_map/fn_json/fn_hash/fn_bitwise/fn_variant/
     # set_union_distinct/sample_priority/agg_bitmap_distinct back into
     # the r9 backlog — new code outranks backlog for the external gate.
-    "vec_matryoshka", "vec_cell_refine", "vec_pca_project",
+    "vec_pca_project",
     # NEW in late r8 (second wave)
     "agg_bootstrap_ci", "agg_winsorize", "win_bollinger",
     "ml_brier_decomp", "ml_shap_linear", "dedup_lines",
     "agg_theil_index", "time_croston", "time_sma_crossover",
     "win_kalman_1d", "agg_causal_did", "agg_cuped",
     "text_tokenizer_apply", "ml_tree_inference", "graph_path_count_dag",
+    "agg_power_mde", "seq_attribution_shapley",
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",

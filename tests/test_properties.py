@@ -6988,3 +6988,78 @@ def test_path_count_dag_matches_python_dp(spark, sf_dir):
     assert set(got) == set(want)
     for n, (c1, c2, c3) in want.items():
         assert got[n] == (c1, c2, c3, c1 + c2 + c3), n
+
+
+def test_power_mde_identities(spark, sf_dir):
+    """agg_power_mde: mde_rel reconstructs mde over mean; the 1%-lift
+    sample size inverts back to a per-arm MDE of ~1% of the mean; all
+    figures positive."""
+    from insight_patents_spark.operators.aggregates import (
+        _POWER_K,
+        agg_power_mde,
+    )
+
+    rows = agg_power_mde(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.sd_value > 0 and r.mde_abs > 0 and r.n_per_arm_for_1pct > 0
+        assert abs(r.mde_rel - r.mde_abs / r.mean_value) < 1e-6
+        # invert: with n_per_arm_for_1pct per arm, MDE should be ~1% of mean
+        implied = _POWER_K * (
+            (2 * (r.sd_value**2) / r.n_per_arm_for_1pct) ** 0.5
+        )
+        assert abs(implied / r.mean_value - 0.01) < 1e-4
+
+
+def test_shapley_attribution_matches_python_lattice(spark, sf_dir):
+    """seq_attribution_shapley vs a full Python replay (journey
+    truncation, touch masks, subset-sum lattice, exact integer Shapley
+    numerators) + the efficiency axiom: numerators sum to
+    12*(conv(full) - conv(empty))."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.sequences import (
+        _SHAP_W12,
+        seq_attribution_shapley,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    first_p = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                first_p[r.user_id] = r.ts
+    bit = {"click": 1, "error": 2, "signup": 4, "view": 8}
+    masks = defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.user_id in first_p and r.ts > first_p[r.user_id]:
+            continue
+        if r.event_type != "purchase":
+            masks[r.user_id] |= bit[r.event_type]
+    n = len(users)
+    conv_by_mask = defaultdict(int)
+    for u in users:
+        if u in first_p:
+            conv_by_mask[masks.get(u, 0)] += 1
+    cs = [
+        sum(c for m, c in conv_by_mask.items() if (m & s) == m)
+        for s in range(16)
+    ]
+    rows = {r.channel: r for r in seq_attribution_shapley(spark, sf_dir).collect()}
+    nums = {}
+    for i, chname in enumerate(("click", "error", "signup", "view")):
+        num = sum(
+            _SHAP_W12[bin(s).count("1")] * (cs[s | (1 << i)] - cs[s])
+            for s in range(16)
+            if not (s >> i) & 1
+        )
+        nums[chname] = num
+        r = rows[chname]
+        assert r.shapley_num == num, (chname, r.shapley_num, num)
+        assert abs(r.shapley_value - round(num / (12.0 * n), 9)) <= 2e-9
+    assert sum(nums.values()) == 12 * (cs[15] - cs[0])  # efficiency
