@@ -105,6 +105,19 @@ SHOWCASE = [
      "with 'AQEShuffleRead coalesced and skewed' on the hot fact side — "
      "the production-default skew path beside join_skew_salted's manual "
      "salting"),
+    ("ml_tree_inference", "tree ensemble compiled into the plan: nested "
+     "CASE chains over integer features — a narrow zero-Exchange "
+     "whole-stage-codegen projection; model serving at scan speed"),
+    ("agg_causal_did", "DiD estimator: one corpus scan -> partial+final "
+     "hash agg to the |types|x2x2 cell grid (decimal moment "
+     "accumulators), then a second agg over the ~20-cell grid pivots "
+     "per type — all post-scan work is grid-sized"),
+    ("dedup_lines", "line-level dedup shuffles 32-byte md5 digests, never "
+     "line text: in-row line Generate, min hash agg on the digest, one "
+     "digest equi-join back, doc-level agg"),
+    ("win_kalman_1d", "whole Kalman recursion inside ONE aggregate() fold "
+     "per user row: a single user_id Exchange builds the sorted array; "
+     "no per-step operators in the plan at all"),
 ]
 
 
