@@ -3491,3 +3491,105 @@ def agg_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("n_per_arm_for_1pct"),
     )
+
+
+@query(
+    "agg_price_elasticity",
+    # Log-log price elasticity of demand per brand (the econometric
+    # sibling of agg_trend_ols): beta = cov(ln u, ln q)/var(ln u) over
+    # order lines, with u the exact unit-price ratio. Each row
+    # contributes two 9dp-rounded logs; every first/second moment is a
+    # nano-quantized int64 -> decimal/HUGEINT sum (order-independent);
+    # beta and r2 are fixed-order compositions of those exact integers
+    # with single divisions, 9dp.
+    oracle="""
+    WITH li AS (
+      SELECT p.p_brand AS brand,
+             ROUND(LN(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                      / (100.0 * CAST(round(l.l_quantity, 0) AS BIGINT))), 9)
+               AS a,
+             ROUND(LN(CAST(CAST(round(l.l_quantity, 0) AS BIGINT)
+                      AS DOUBLE)), 9) AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE CAST(round(l.l_quantity, 0) AS BIGINT) >= 1),
+    q AS (
+      SELECT brand,
+             CAST(ROUND(a * 1e9, 0) AS BIGINT) AS qa,
+             CAST(ROUND(b * 1e9, 0) AS BIGINT) AS qb,
+             CAST(ROUND(a * b * 1e9, 0) AS BIGINT) AS qab,
+             CAST(ROUND(a * a * 1e9, 0) AS BIGINT) AS qaa,
+             CAST(ROUND(b * b * 1e9, 0) AS BIGINT) AS qbb
+      FROM li),
+    g AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(qa AS HUGEINT)) AS HUGEINT) AS sa,
+             CAST(SUM(CAST(qb AS HUGEINT)) AS HUGEINT) AS sb,
+             CAST(SUM(CAST(qab AS HUGEINT)) AS HUGEINT) AS sab,
+             CAST(SUM(CAST(qaa AS HUGEINT)) AS HUGEINT) AS saa,
+             CAST(SUM(CAST(qbb AS HUGEINT)) AS HUGEINT) AS sbb
+      FROM q GROUP BY brand)
+    SELECT brand, n AS n_lines,
+           CAST(ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                      / CAST(n * saa - sa * sa AS DOUBLE), 9) AS DOUBLE)
+             AS elasticity,
+           CAST(ROUND((CAST(n * sab - sa * sb AS DOUBLE)
+                       / CAST(n * saa - sa * sa AS DOUBLE))
+                      * (CAST(n * sab - sa * sb AS DOUBLE)
+                         / CAST(n * sbb - sb * sb AS DOUBLE)), 9) AS DOUBLE)
+             AS r_squared
+    FROM g
+    """,
+)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per brand — the pricing
+    team's standard readout (a 1% price move shifts demand by beta%):
+    OLS slope of ln(quantity) on ln(unit price) over order lines,
+    with r-squared as slope_xy * slope_yx (the textbook identity,
+    avoiding any sqrt).
+
+    Determinism at parallelism: the two logs are 9dp-rounded per row,
+    then EVERY moment (first, second, cross) is a nano-quantized int64
+    sum held in decimal/HUGEINT (the cross-products pass 2^63 at
+    warehouse scale) — order-independent, O(1) agg state; beta/r2 are
+    fixed-order double compositions of exact integers with one
+    division each.
+
+    Scale shape: broadcast part dim into the fact scan + ONE
+    map-side-combinable hash agg to |brands| cells. Zero-quantity
+    lines are excluded before any log (ln(0) guard, both engines
+    identically)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    qint = F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)")
+    pc = F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(qint >= 1)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.log(pc / (100.0 * qint)), 9).alias("a"),
+            F.round(F.log(qint.cast("double")), 9).alias("b"),
+        )
+    )
+    def nano(c):
+        return F.round(c * F.lit(1e9), 0).cast("long").cast("decimal(38,0)")
+
+    g = j.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(nano(F.col("a"))).alias("sa"),
+        F.sum(nano(F.col("b"))).alias("sb"),
+        F.sum(nano(F.col("a") * F.col("b"))).alias("sab"),
+        F.sum(nano(F.col("a") * F.col("a"))).alias("saa"),
+        F.sum(nano(F.col("b") * F.col("b"))).alias("sbb"),
+    )
+    num = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    dena = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    denb = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return g.select(
+        "brand",
+        F.col("n").alias("n_lines"),
+        F.round(num / dena, 9).cast("double").alias("elasticity"),
+        F.round((num / dena) * (num / denb), 9)
+        .cast("double")
+        .alias("r_squared"),
+    )

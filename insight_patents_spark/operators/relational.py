@@ -2030,3 +2030,79 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "s_suppkey", True)
         )
     )
+
+
+# Candidate FD pairs audited by dq_fd_discovery: (table, lhs, rhs).
+# A fixed, data-independent candidate list (profiling tools enumerate
+# lhs/rhs pairs the same way; the quadratic column-pair blowup is the
+# caller's dial, not the engine's).
+_FD_CANDIDATES = (
+    ("customer", "c_custkey", "c_name"),
+    ("customer", "c_name", "c_custkey"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("documents", "doc_id", "lang"),
+    ("documents", "source", "lang"),
+    ("documents", "lang", "source"),
+)
+
+
+@query(
+    "dq_fd_discovery",
+    # Functional-dependency discovery (Metanome/TANE's decision rule at
+    # audit granularity): A -> B holds on the data iff
+    # COUNT(DISTINCT A) = COUNT(DISTINCT A, B); the violation mass is
+    # their difference (extra (A,B) combinations beyond one-per-A).
+    # Pure integer counts, exact in both engines.
+    oracle="""
+    """ + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{t}' AS tbl, '{a}' AS lhs, '{b}' AS rhs,
+           CAST(COUNT(DISTINCT {a}) AS BIGINT) AS n_lhs,
+           CAST(COUNT(DISTINCT ({a}, {b})) AS BIGINT) AS n_pairs,
+           COUNT(DISTINCT {a}) = COUNT(DISTINCT ({a}, {b})) AS holds,
+           CAST(COUNT(DISTINCT ({a}, {b})) - COUNT(DISTINCT {a}) AS BIGINT)
+             AS n_violating
+    FROM {t}"""
+        for t, a, b in _FD_CANDIDATES
+    ),
+)
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the schema-knowledge stage of the
+    data-quality family (profile_table counts columns; this finds the
+    RULES between them, the TANE/Metanome decision at audit
+    granularity): A -> B holds exactly when every A value maps to one B
+    value, i.e. COUNT(DISTINCT A) = COUNT(DISTINCT (A, B)); the
+    violation mass (extra pairings) is their difference. Discovered
+    FDs drive key inference, normalization, and dq_expectations rules.
+
+    The candidate list is fixed and data-independent (7 pairs over two
+    tables); each candidate costs one two-distinct aggregate — at 10^12
+    rows swap exact distincts for HLL sketches pairwise
+    (approx_count_distinct, the agg_approx_distinct posture) and keep
+    the same decision rule with a documented error band. Pure integer
+    counts; the verdict is an exact integer comparison."""
+    parts = []
+    for t, a, b in _FD_CANDIDATES:
+        df = load(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.count_distinct(F.col(a)).cast("bigint").alias("n_lhs"),
+                F.count_distinct(F.col(a), F.col(b))
+                .cast("bigint")
+                .alias("n_pairs"),
+            ).select(
+                F.lit(t).alias("tbl"),
+                F.lit(a).alias("lhs"),
+                F.lit(b).alias("rhs"),
+                "n_lhs",
+                "n_pairs",
+                (F.col("n_lhs") == F.col("n_pairs")).alias("holds"),
+                (F.col("n_pairs") - F.col("n_lhs"))
+                .cast("bigint")
+                .alias("n_violating"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2113,3 +2113,91 @@ def win_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.p"), 9).cast("double").alias("variance"),
         F.round(F.col("st.k"), 9).cast("double").alias("last_gain"),
     )
+
+
+@query(
+    "win_vwap",
+    # Volume-weighted average price per brand x ship-month, with the
+    # cumulative (anchored) VWAP over each brand's month series: both
+    # ratios are exact int64/decimal integer sums (price cents x
+    # integer quantity) divided ONCE, rounded 4dp (the large-dollar
+    # convention: 9dp on ~5e4-dollar values exceeds double precision
+    # and trips engine ROUND-tie differences — the agg_theil_index
+    # lesson); the cumulative frame sums ride one per-brand month sort.
+    oracle="""
+    WITH li AS (
+      SELECT p.p_brand AS brand,
+             strftime(l.l_shipdate, '%Y-%m') AS ym,
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS pc,
+             CAST(round(l.l_quantity, 0) AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    grid AS (
+      SELECT brand, ym,
+             CAST(SUM(CAST(pc AS HUGEINT) * q) AS HUGEINT) AS pv,
+             CAST(SUM(q) AS BIGINT) AS v
+      FROM li GROUP BY brand, ym),
+    c AS (
+      SELECT brand, ym, pv, v,
+             SUM(pv) OVER w AS cpv, SUM(v) OVER w AS cv
+      FROM grid
+      WINDOW w AS (PARTITION BY brand ORDER BY ym
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT brand, ym,
+           CAST(v AS BIGINT) AS volume,
+           CAST(ROUND(CAST(pv AS DOUBLE) / (100.0 * v), 4) AS DOUBLE)
+             AS vwap,
+           CAST(ROUND(CAST(cpv AS DOUBLE) / (100.0 * cv), 4) AS DOUBLE)
+             AS anchored_vwap
+    FROM c
+    """,
+)
+def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per brand and ship-month plus the
+    anchored (cumulative) VWAP — the execution-quality benchmark of
+    every trading/pricing stack, here over order-line flow: VWAP is a
+    RATIO OF SUMS, so both the monthly and anchored variants are exact
+    integer accumulations (price cents x integer quantity in decimal/
+    HUGEINT — the product passes 2^63 at warehouse scale) with ONE
+    division each at the end, 9dp.
+
+    Scale shape: part dim broadcasts into the fact scan, one
+    map-side-combinable hash agg to the (brand, month) grid, then a
+    cumulative frame over each brand's <=|months| rows — the win_rsi
+    grid posture with an unbounded-preceding frame. Never a per-row
+    running division, never a float accumulation."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+        F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").alias("pc"),
+        F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").alias("q"),
+    )
+    grid = j.groupBy("brand", "ym").agg(
+        F.sum(F.col("pc").cast("decimal(38,0)") * F.col("q")).alias("pv"),
+        F.sum("q").cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("brand")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = grid.select(
+        "brand",
+        "ym",
+        "pv",
+        "v",
+        F.sum("pv").over(w).alias("cpv"),
+        F.sum("v").over(w).alias("cv"),
+    )
+    return c.select(
+        "brand",
+        "ym",
+        F.col("v").alias("volume"),
+        F.round(F.col("pv").cast("double") / (100.0 * F.col("v")), 4)
+        .cast("double")
+        .alias("vwap"),
+        F.round(F.col("cpv").cast("double") / (100.0 * F.col("cv")), 4)
+        .cast("double")
+        .alias("anchored_vwap"),
+    )

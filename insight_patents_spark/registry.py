@@ -103,19 +103,26 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # never-driver-checked backlog (vector/ANN scale path). The late-r8
-    # second wave (agg_bootstrap_ci ... win_kalman_1d below) displaced
-    # fn_array/fn_explode/fn_map/fn_json/fn_hash/fn_bitwise/fn_variant/
-    # set_union_distinct/sample_priority/agg_bitmap_distinct back into
-    # the r9 backlog — new code outranks backlog for the external gate.
-    "vec_pca_project",
+    # The late-r8 second wave (the 20 NEW queries below) displaced the
+    # whole remaining backlog block (fn_array/fn_explode/fn_map/fn_json/
+    # fn_hash/fn_bitwise/fn_variant/set_union_distinct/sample_priority/
+    # agg_bitmap_distinct/dedup_embed_cosine/vec_ann_lsh/vec_pq_codes/
+    # vec_rerank_stub/dedup_semantic/vec_matryoshka/vec_cell_refine/
+    # vec_pca_project) back into the r9 backlog — new code outranks
+    # backlog for the external gate — plus the two changed-in-r8
+    # entries whose diffs are provably behavior-neutral at the gate SF:
+    # geo_cluster_cells (bare assert -> raise, no semantic change) and
+    # agg_chi_square (overflow CASE dead below N=46340; sf0.01 N≈2500).
+    # Both carry dedicated tests and passed this round's full local
+    # check; they re-enter the r9 rotation.
     # NEW in late r8 (second wave)
     "agg_bootstrap_ci", "agg_winsorize", "win_bollinger",
     "ml_brier_decomp", "ml_shap_linear", "dedup_lines",
     "agg_theil_index", "time_croston", "time_sma_crossover",
     "win_kalman_1d", "agg_causal_did", "agg_cuped",
     "text_tokenizer_apply", "ml_tree_inference", "graph_path_count_dag",
-    "agg_power_mde", "seq_attribution_shapley",
+    "agg_power_mde", "seq_attribution_shapley", "win_vwap",
+    "agg_price_elasticity", "dq_fd_discovery",
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
@@ -129,8 +136,8 @@ _SHOWCASE_50 = (
     # centroid/PCA mean moved from the sorted fold to the quantized
     # integer sum (values moved ≤ 1e-9, hashes re-verified).
     "graph_pagerank", "graph_pagerank_personalized", "graph_hits",
-    "graph_betweenness", "geo_cluster_cells", "text_winnowing",
-    "agg_chi_square", "text_jaccard_tokens", "dedup_eval",
+    "graph_betweenness", "text_winnowing",
+    "text_jaccard_tokens", "dedup_eval",
     "dedup_ngram_jaccard", "vec_centroid", "vec_knn_label",
     "vec_kmeans", "vec_residual_pq", "vec_pca_top2",
     # late-r8 short-doc guard fixes + the pairs-CTE oracle refactor

@@ -7063,3 +7063,81 @@ def test_shapley_attribution_matches_python_lattice(spark, sf_dir):
         assert r.shapley_num == num, (chname, r.shapley_num, num)
         assert abs(r.shapley_value - round(num / (12.0 * n), 9)) <= 2e-9
     assert sum(nums.values()) == 12 * (cs[15] - cs[0])  # efficiency
+
+
+def test_vwap_matches_python_replay(spark, sf_dir):
+    """win_vwap vs a Python replay of the integer ratio sums (monthly
+    and anchored), and the anchored VWAP equals the monthly VWAP on
+    each brand's first month."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.windows import win_vwap
+    from insight_patents_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    ).collect()
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand"
+        ).collect()
+    }
+    grid = defaultdict(lambda: [0, 0])
+    for r in li:
+        ym = r.l_shipdate.strftime("%Y-%m")
+        k = (brand[r.l_partkey], ym)
+        pc = int(round(r.l_extendedprice * 100))
+        q = int(round(r.l_quantity))
+        grid[k][0] += pc * q
+        grid[k][1] += q
+    rows = {(r.brand, r.ym): r for r in win_vwap(spark, sf_dir).collect()}
+    assert set(rows) == set(grid)
+    cum = defaultdict(lambda: [0, 0])
+    for (b, ym) in sorted(grid):
+        pv, v = grid[(b, ym)]
+        cum[b][0] += pv
+        cum[b][1] += v
+        r = rows[(b, ym)]
+        assert r.volume == v
+        assert abs(r.vwap - round(float(pv) / (100.0 * v), 4)) <= 2e-4
+        assert (
+            abs(r.anchored_vwap - round(float(cum[b][0]) / (100.0 * cum[b][1]), 4))
+            <= 2e-4
+        )
+
+
+def test_price_elasticity_r2_bounds(spark, sf_dir):
+    """agg_price_elasticity: r_squared in [0, 1] (it is the product of
+    the two regression slopes = squared correlation), per-brand line
+    counts partition the joined fact."""
+    from insight_patents_spark.operators.aggregates import (
+        agg_price_elasticity,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    rows = agg_price_elasticity(spark, sf_dir).collect()
+    assert rows
+    n_lines = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT) >= 1"))
+        .count()
+    )
+    assert sum(r.n_lines for r in rows) == n_lines
+    for r in rows:
+        assert -0.0000001 <= r.r_squared <= 1.0000001, r
+
+
+def test_fd_discovery_known_dependencies(spark, sf_dir):
+    """dq_fd_discovery: key-based FDs must hold (c_custkey -> c_name,
+    doc_id -> lang); low-cardinality lhs over higher-cardinality rhs
+    must fail with positive violation mass; holds <=> n_violating=0."""
+    from insight_patents_spark.operators.relational import dq_fd_discovery
+
+    rows = {(r.tbl, r.lhs, r.rhs): r for r in dq_fd_discovery(spark, sf_dir).collect()}
+    assert rows[("customer", "c_custkey", "c_name")].holds
+    assert rows[("documents", "doc_id", "lang")].holds
+    assert not rows[("customer", "c_mktsegment", "c_nationkey")].holds
+    for r in rows.values():
+        assert r.holds == (r.n_violating == 0)
+        assert r.n_pairs >= r.n_lhs >= 1
