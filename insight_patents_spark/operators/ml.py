@@ -2004,3 +2004,137 @@ def ml_tree_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(leaf_sum) / 400.0, 9).cast("double").alias("score"),
         (F.expr(leaf_sum) > 0).alias("keep"),
     )
+
+
+_FBETA_NUM_DEN = ((0.5, 1, 4), (1.0, 4, 4), (2.0, 16, 4))
+# (beta, 4*beta^2, 4): F_beta = (4+4b2)tp / ((4+4b2)tp + 4fp + 4b2*fn)
+# with 4*beta^2 integral for beta in {0.5, 1, 2} -> the score is a
+# single division of exact int64s.
+
+
+@query(
+    "ml_threshold_opt",
+    # Operating-point selection on the shared <=101-bin grid: for beta
+    # in {0.5, 1, 2}, F_beta at every threshold is ONE division of
+    # exact int64s (4*beta^2 integral), and the argmax picks the
+    # highest 9dp-rounded score with the LOWEST bin as tiebreak
+    # (deterministic in both engines). The corpus is never sorted by
+    # score — ml_pr_curve's binned-sweep posture, reduced to the
+    # decision output.
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(100.0 * COUNT(DISTINCT t.token) / COUNT(*))
+                  AS BIGINT) AS bin,
+             (MIN(d.lang) = 'en') AS pos
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      GROUP BY d.doc_id),
+    cells AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM per_doc GROUP BY bin),
+    cum AS (
+      SELECT bin,
+             SUM(pos) OVER (ORDER BY bin DESC) AS tp,
+             SUM(neg) OVER (ORDER BY bin DESC) AS fp,
+             SUM(pos) OVER () - SUM(pos) OVER (ORDER BY bin DESC) AS fn
+      FROM cells),
+    scored AS (
+      SELECT b.beta, b.n4b2, cum.bin, cum.tp, cum.fp, cum.fn,
+             ROUND((4 + b.n4b2) * cum.tp * 1.0
+                   / ((4 + b.n4b2) * cum.tp + 4 * cum.fp + b.n4b2 * cum.fn),
+                   9) AS fbeta
+      FROM cum CROSS JOIN (VALUES {", ".join(f"({b}, {n})" for b, n, _ in _FBETA_NUM_DEN)})
+           AS b(beta, n4b2)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY beta
+                                   ORDER BY fbeta DESC, bin) AS rn
+      FROM scored)
+    SELECT CAST(beta AS DOUBLE) AS beta,
+           CAST(bin AS BIGINT) AS best_threshold_bin,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(ROUND(tp * 1.0 / (tp + fp), 9) AS DOUBLE) AS precision_at,
+           CAST(ROUND(tp * 1.0 / (tp + fn), 9) AS DOUBLE) AS recall_at,
+           CAST(fbeta AS DOUBLE) AS fbeta
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ml_threshold_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection — the decision ml_pr_curve's sweep
+    exists to inform: the F-beta-optimal score threshold for three
+    cost profiles (beta = 0.5 precision-weighted, 1 balanced, 2
+    recall-weighted — the curation trade between corpus purity and
+    corpus yield). F_beta at every bin is ONE division of exact int64s
+    (4*beta^2 is integral for these betas), the argmax takes the
+    highest 9dp score with lowest-bin tiebreak, and everything runs on
+    the <=101-bin grid — the corpus is never sorted by score.
+
+    Scale shape: one per-doc hash agg + one <=101-row cell agg +
+    windows on the (3 x grid) cross — identical cost to ml_pr_curve
+    regardless of corpus size."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.floor(100.0 * F.count_distinct(F.col("token")) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("bin"),
+        (F.min("lang") == "en").alias("pos"),
+    )
+    cells = per_doc.groupBy("bin").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("bigint").alias("neg"),
+    )
+    w_cum = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        "bin",
+        F.sum("pos").over(w_cum).alias("tp"),
+        F.sum("neg").over(w_cum).alias("fp"),
+        (F.sum("pos").over(w_all) - F.sum("pos").over(w_cum)).alias("fn"),
+    )
+    betas = spark.createDataFrame(
+        [(b, n) for b, n, _ in _FBETA_NUM_DEN], "beta double, n4b2 long"
+    )
+    scored = cum.crossJoin(F.broadcast(betas)).select(
+        "beta",
+        "bin",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            (4 + F.col("n4b2")) * F.col("tp")
+            / (
+                (4 + F.col("n4b2")) * F.col("tp")
+                + 4 * F.col("fp")
+                + F.col("n4b2") * F.col("fn")
+            ),
+            9,
+        ).alias("fbeta"),
+    )
+    w_rank = Window.partitionBy("beta").orderBy(
+        F.col("fbeta").desc(), F.col("bin")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("beta").cast("double").alias("beta"),
+            F.col("bin").cast("bigint").alias("best_threshold_bin"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            F.col("fn").cast("bigint").alias("fn"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 9)
+            .cast("double")
+            .alias("precision_at"),
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 9)
+            .cast("double")
+            .alias("recall_at"),
+            F.col("fbeta").cast("double").alias("fbeta"),
+        )
+    )

@@ -2294,3 +2294,134 @@ def vec_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pc1").cast("double").alias("pc1"),
         F.round(F.expr(dot_expr), 9).cast("double").alias("pc2"),
     )
+
+
+@query(
+    "vec_mrr_eval",
+    # MRR@3 of the LSH shortlist against the exact nearest neighbor
+    # for the 2% probe sample (vec_ann_recall's companion: recall asks
+    # DID we find the truth, MRR asks HOW HIGH it ranked): reciprocal
+    # ranks accumulate in exact SIXTHS (6/rank integral for rank <= 3,
+    # misses contribute 0), so the mean is one division of exact
+    # int64s, 9dp. Shortlist ranks re-derive from the shared LSH CTE
+    # with the identical (round(cosine,9) DESC, id) ordering.
+    oracle=f"""
+    WITH sl AS (
+      SELECT vec_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ROUND(cosine, 9) DESC, neighbor_id)
+               AS rnk
+      FROM ({_LSH_ORACLE})),
+    e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    probes2 AS (SELECT vec_id AS q_id, v AS qv FROM e2 WHERE vec_id % 50 = 0),
+    truth AS (
+      SELECT q_id, neighbor_id AS truth_id FROM (
+        SELECT p.q_id, e2.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.q_id
+                                  ORDER BY ROUND(list_dot_product(p.qv, e2.v), 9) DESC,
+                                           e2.vec_id) AS rn
+        FROM probes2 p JOIN e2 ON e2.vec_id <> p.q_id
+      ) WHERE rn = 1),
+    hit AS (
+      SELECT t.q_id, t.truth_id,
+             CAST(COALESCE(MAX(sl.rnk), 0) AS BIGINT) AS found_rank
+      FROM truth t LEFT JOIN sl
+        ON sl.vec_id = t.q_id AND sl.neighbor_id = t.truth_id
+      GROUP BY t.q_id, t.truth_id),
+    rr AS (
+      SELECT q_id, truth_id, found_rank,
+             CAST(CASE found_rank WHEN 1 THEN 6 WHEN 2 THEN 3
+                  WHEN 3 THEN 2 ELSE 0 END AS BIGINT) AS rr_sixths
+      FROM hit)
+    SELECT q_id, truth_id, found_rank, rr_sixths,
+           CAST(ROUND(SUM(rr_sixths) OVER () * 1.0
+                      / (6.0 * COUNT(*) OVER ()), 9) AS DOUBLE) AS mrr
+    FROM rr
+    """,
+)
+def vec_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the ANN shortlist — vec_ann_recall's
+    ranking-quality companion (recall@k says whether the true neighbor
+    appears; MRR says how high, the metric retrieval stacks report for
+    first-relevant-result quality): for each probe, the exact top-1
+    neighbor (ground truth) is looked up in the CACHED LSH shortlist's
+    rank order; reciprocal ranks accumulate in exact SIXTHS (6/rank is
+    integral for rank <= 3, a miss adds 0), so MRR is one division of
+    exact int64s.
+
+    Plan shape: truth = probe-broadcast x items (items never shuffle,
+    cost |probes|*N); shortlist ranks re-derive from the cached
+    _lsh_shortlist with the identical (round(cosine,9) DESC, id)
+    ordering; the hit join is exact-key against the tiny truth table.
+    The per-probe rows keep the audit trail; the repeated mrr column
+    is the headline (scalar-only results contract)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    probes = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot("qv", "v").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor_id")
+    )
+    truth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("neighbor_id").alias("truth_id"))
+    )
+    wsl = Window.partitionBy("vec_id").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor_id")
+    )
+    sl = _lsh_shortlist(spark, sf_dir).withColumn(
+        "rnk", F.row_number().over(wsl)
+    )
+    hit = (
+        truth.join(
+            sl,
+            (F.col("q_id") == F.col("vec_id"))
+            & (F.col("truth_id") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("q_id", "truth_id")
+        .agg(
+            F.coalesce(F.max("rnk"), F.lit(0)).cast("bigint").alias(
+                "found_rank"
+            )
+        )
+    )
+    rr6 = (
+        F.when(F.col("found_rank") == 1, 6)
+        .when(F.col("found_rank") == 2, 3)
+        .when(F.col("found_rank") == 3, 2)
+        .otherwise(0)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = hit.select(
+        "q_id", "truth_id", "found_rank", rr6.cast("bigint").alias("rr_sixths")
+    )
+    return out.select(
+        "q_id",
+        "truth_id",
+        "found_rank",
+        "rr_sixths",
+        F.round(
+            F.sum("rr_sixths").over(w_all)
+            / (6.0 * F.count(F.lit(1)).over(w_all)),
+            9,
+        )
+        .cast("double")
+        .alias("mrr"),
+    )

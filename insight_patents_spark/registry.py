@@ -111,10 +111,14 @@ _SHOWCASE_50 = (
     # vec_pca_project) back into the r9 backlog — new code outranks
     # backlog for the external gate — plus the two changed-in-r8
     # entries whose diffs are provably behavior-neutral at the gate SF:
-    # geo_cluster_cells (bare assert -> raise, no semantic change) and
-    # agg_chi_square (overflow CASE dead below N=46340; sf0.01 N≈2500).
-    # Both carry dedicated tests and passed this round's full local
-    # check; they re-enter the r9 rotation.
+    # geo_cluster_cells (bare assert -> raise, no semantic change),
+    # agg_chi_square (overflow CASE dead below N=46340; sf0.01 N≈2500),
+    # text_winnowing (packing widened 2^24 -> 2^31: pure headroom, the
+    # selected fingerprints are identical at gate doc sizes), and
+    # text_jaccard_tokens (two strategy probes merged into one agg:
+    # plan-only, values unchanged). All four carry dedicated tests and
+    # passed this round's full local check; they re-enter the r9
+    # rotation.
     # NEW in late r8 (second wave)
     "agg_bootstrap_ci", "agg_winsorize", "win_bollinger",
     "ml_brier_decomp", "ml_shap_linear", "dedup_lines",
@@ -122,7 +126,8 @@ _SHOWCASE_50 = (
     "win_kalman_1d", "agg_causal_did", "agg_cuped",
     "text_tokenizer_apply", "ml_tree_inference", "graph_path_count_dag",
     "agg_power_mde", "seq_attribution_shapley", "win_vwap",
-    "agg_price_elasticity", "dq_fd_discovery",
+    "agg_price_elasticity", "dq_fd_discovery", "ml_threshold_opt",
+    "vec_mrr_eval",
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
@@ -136,8 +141,7 @@ _SHOWCASE_50 = (
     # centroid/PCA mean moved from the sorted fold to the quantized
     # integer sum (values moved ≤ 1e-9, hashes re-verified).
     "graph_pagerank", "graph_pagerank_personalized", "graph_hits",
-    "graph_betweenness", "text_winnowing",
-    "text_jaccard_tokens", "dedup_eval",
+    "graph_betweenness", "dedup_eval",
     "dedup_ngram_jaccard", "vec_centroid", "vec_knn_label",
     "vec_kmeans", "vec_residual_pq", "vec_pca_top2",
     # late-r8 short-doc guard fixes + the pairs-CTE oracle refactor

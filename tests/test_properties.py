@@ -7141,3 +7141,39 @@ def test_fd_discovery_known_dependencies(spark, sf_dir):
     for r in rows.values():
         assert r.holds == (r.n_violating == 0)
         assert r.n_pairs >= r.n_lhs >= 1
+
+
+def test_threshold_opt_is_grid_argmax(spark, sf_dir):
+    """ml_threshold_opt's chosen bin must dominate every bin of
+    ml_pr_curve's F1 sweep at beta=1 (same grid, same arithmetic), and
+    precision/recall reconstruct from the reported counts."""
+    from insight_patents_spark.operators.ml import ml_pr_curve, ml_threshold_opt
+
+    opt = {r.beta: r for r in ml_threshold_opt(spark, sf_dir).collect()}
+    assert set(opt) == {0.5, 1.0, 2.0}
+    curve = ml_pr_curve(spark, sf_dir).collect()
+    best_f1 = max(r.f1_at for r in curve)
+    assert abs(opt[1.0].fbeta - best_f1) <= 2e-9
+    for r in opt.values():
+        assert r.precision_at == round(r.tp / (r.tp + r.fp), 9)
+        assert r.recall_at == round(r.tp / (r.tp + r.fn), 9)
+        assert 0.0 <= r.fbeta <= 1.0
+
+
+def test_mrr_bounded_by_recall(spark, sf_dir):
+    """vec_mrr_eval invariants: found_rank in {0,1,2,3}; rr_sixths
+    matches the rank; MRR equals the exact sixths mean; and MRR <= 
+    hit-rate of the truth neighbor (reciprocal rank <= 1 per probe)."""
+    from insight_patents_spark.operators.vector import vec_mrr_eval
+
+    rows = vec_mrr_eval(spark, sf_dir).collect()
+    assert rows
+    rrmap = {0: 0, 1: 6, 2: 3, 3: 2}
+    tot = sum(r.rr_sixths for r in rows)
+    mrr = {round(tot / (6.0 * len(rows)), 9)}
+    for r in rows:
+        assert r.found_rank in rrmap
+        assert r.rr_sixths == rrmap[r.found_rank]
+        assert r.mrr in mrr
+    hit_rate = sum(1 for r in rows if r.found_rank > 0) / len(rows)
+    assert rows[0].mrr <= hit_rate + 1e-9
