@@ -2087,7 +2087,12 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             df.agg(
                 F.count_distinct(F.col(a)).cast("bigint").alias("n_lhs"),
-                F.count_distinct(F.col(a), F.col(b))
+                # struct-wrapped: count_distinct(a, b) DROPS rows where
+                # either column is NULL, while DuckDB's
+                # COUNT(DISTINCT (a, b)) counts NULL-bearing pairs — the
+                # struct is never NULL, so both engines agree even on a
+                # future NULL-bearing fixture (review finding, r8).
+                F.count_distinct(F.struct(F.col(a), F.col(b)))
                 .cast("bigint")
                 .alias("n_pairs"),
             ).select(

@@ -1682,8 +1682,9 @@ _CROSTON_ALPHA = 0.25
 @query(
     "time_croston",
     # Croston's intermittent-demand forecast per event_type over DEMAND
-    # DAYS (days with purchase revenue): classic init z=d1, p=first
-    # gap; from the 2nd demand day z' = z + a(d-z), p' = p + a(q-p);
+    # DAYS (days with purchase revenue): classic init z = d1 (the FIRST
+    # demand size), p = q2 (the first interval); from the 2nd demand
+    # day z' = z + a(d-z), p' = p + a(q-p);
     # forecast = z/p. The oracle steps the identical recursion with a
     # recursive CTE carrying the 2-column state; Spark runs it as one
     # in-row aggregate() fold over the type's (demand, gap) array.
@@ -1693,16 +1694,21 @@ _CROSTON_ALPHA = 0.25
              CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS d
       FROM events WHERE event_type = 'purchase' OR event_type = 'view'
       GROUP BY 1, 2 HAVING SUM(CAST(round(value*100,0) AS BIGINT)) > 0),
-    seqd AS (
+    seqd0 AS (
       SELECT event_type, day, CAST(d AS DOUBLE) AS d,
              CAST(day - LAG(day) OVER (PARTITION BY event_type
                                        ORDER BY day) AS DOUBLE) AS q,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i,
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM dd),
+    seqd AS (
+      SELECT *,
+             MAX(CASE WHEN i = 2 THEN q END)
+               OVER (PARTITION BY event_type) AS q2
+      FROM seqd0),
     cr AS (
-      SELECT event_type, i, n, d AS z, q AS p
-      FROM seqd WHERE i = 2
+      SELECT event_type, i, n, d AS z, q2 AS p
+      FROM seqd WHERE i = 1
       UNION ALL
       SELECT cr.event_type, s.i, cr.n,
              cr.z + {_CROSTON_ALPHA} * (s.d - cr.z),
@@ -1759,10 +1765,14 @@ def time_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dq"),
     ).filter(F.col("n_demand_days") >= 2)
     a = _CROSTON_ALPHA
+    # init z = d1 (FIRST demand, the classic Croston base), p = q2 (the
+    # first observed interval); updates run from the 2nd demand day —
+    # the i=2 p-update p + a*(q2 - p) with p = q2 is an exact no-op
+    # (a*0 == 0 in IEEE), matching the oracle's recursion step for step.
     fold = f"""
     aggregate(
-      slice(dq, 3, size(dq) - 2),
-      struct(dq[1].d AS z, dq[1].q AS p),
+      slice(dq, 2, size(dq) - 1),
+      struct(dq[0].d AS z, dq[1].q AS p),
       (acc, x) -> struct(acc.z + {a} * (x.d - acc.z) AS z,
                          acc.p + {a} * (x.q - acc.p) AS p)
     )
@@ -1925,8 +1935,9 @@ _SHAP_W12 = (3, 1, 1, 3)
       GROUP BY s.k),
     terms AS (
       SELECT ch.i AS ci,
-             SUM((CASE bit_count(c0.s) WHEN 0 THEN 3 WHEN 1 THEN 1
-                  WHEN 2 THEN 1 ELSE 3 END)
+             SUM((CASE bit_count(c0.s)
+                  {" ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(_SHAP_W12))}
+                  ELSE 0 END)
                  * (c1.cs - c0.cs)) AS num
       FROM (SELECT unnest(range(0, 4)) AS i) ch
       JOIN coal c0 ON ((c0.s >> ch.i) & 1) = 0
@@ -2002,12 +2013,9 @@ def seq_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.coalesce(F.sum("convs"), F.lit(0)).cast("bigint").alias("cs"))
     )
     ch = spark.range(4).select(F.col("id").cast("int").alias("ci"))
-    w12 = (
-        F.when(F.expr("bit_count(c0.s)") == 0, 3)
-        .when(F.expr("bit_count(c0.s)") == 1, 1)
-        .when(F.expr("bit_count(c0.s)") == 2, 1)
-        .otherwise(3)
-    )
+    w12 = F.lit(0)
+    for i, wgt in enumerate(_SHAP_W12):
+        w12 = F.when(F.expr("bit_count(c0.s)") == i, wgt).otherwise(w12)
     terms = (
         ch.join(
             F.broadcast(coal.alias("c0")),

@@ -1942,7 +1942,7 @@ _BOLL_DAYS = 20  # Bollinger frame length (trading-day convention)
     v AS (
       SELECT event_type, day, x, n, sx,
              n * sx2 - sx * sx AS num,
-             ROUND(SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)) / (n * n * 100.0), 9)
+             ROUND(SQRT(CAST(n * sx2 - sx * sx AS DOUBLE)) / (n * 100.0), 9)
                AS sd,
              ROUND(CAST(sx AS DOUBLE) / (n * 100.0), 9) AS mid
       FROM fr WHERE n = {_BOLL_DAYS})
@@ -1998,7 +1998,7 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sx",
         num.alias("num"),
         F.round(
-            F.sqrt(num.cast("double")) / (F.col("n") * F.col("n") * 100.0), 9
+            F.sqrt(num.cast("double")) / (F.col("n") * 100.0), 9
         ).alias("sd"),
         F.round(F.col("sx").cast("double") / (F.col("n") * 100.0), 9).alias(
             "mid"
@@ -2120,10 +2120,11 @@ def win_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Volume-weighted average price per brand x ship-month, with the
     # cumulative (anchored) VWAP over each brand's month series: both
     # ratios are exact int64/decimal integer sums (price cents x
-    # integer quantity) divided ONCE, rounded 4dp (the large-dollar
-    # convention: 9dp on ~5e4-dollar values exceeds double precision
-    # and trips engine ROUND-tie differences — the agg_theil_index
-    # lesson); the cumulative frame sums ride one per-brand month sort.
+    # integer quantity). The 4dp rounding is PURE INTEGER HALF-UP:
+    # (pv*200 + v) div (2*v) — engine ROUND() on doubles disagrees at
+    # exact 4dp ties (banker's vs half-up, hit by this very fixture),
+    # while integer div is bit-identical everywhere; the only float op
+    # is the final /1e4 of an exact integer.
     oracle="""
     WITH li AS (
       SELECT p.p_brand AS brand,
@@ -2144,10 +2145,10 @@ def win_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
     SELECT brand, ym,
            CAST(v AS BIGINT) AS volume,
-           CAST(ROUND(CAST(pv AS DOUBLE) / (100.0 * v), 4) AS DOUBLE)
+           CAST(CAST((pv * 200 + v) // (2 * v) AS DOUBLE) / 10000.0 AS DOUBLE)
              AS vwap,
-           CAST(ROUND(CAST(cpv AS DOUBLE) / (100.0 * cv), 4) AS DOUBLE)
-             AS anchored_vwap
+           CAST(CAST((cpv * 200 + cv) // (2 * cv) AS DOUBLE) / 10000.0
+             AS DOUBLE) AS anchored_vwap
     FROM c
     """,
 )
@@ -2158,7 +2159,10 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     RATIO OF SUMS, so both the monthly and anchored variants are exact
     integer accumulations (price cents x integer quantity in decimal/
     HUGEINT — the product passes 2^63 at warehouse scale) with ONE
-    division each at the end, 9dp.
+    division each at the end, expressed as pure-integer HALF-UP 4dp
+    rounding ((pv*200+v) div (2*v)) because engine ROUND() on doubles
+    diverges at exact 4dp ties and 9dp on ~5e4-dollar values exceeds
+    double precision.
 
     Scale shape: part dim broadcasts into the fact scan, one
     map-side-combinable hash agg to the (brand, month) grid, then a
@@ -2194,10 +2198,14 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand",
         "ym",
         F.col("v").alias("volume"),
-        F.round(F.col("pv").cast("double") / (100.0 * F.col("v")), 4)
+        (
+            F.expr("(pv * 200 + v) div (2 * v)").cast("double") / 10000.0
+        )
         .cast("double")
         .alias("vwap"),
-        F.round(F.col("cpv").cast("double") / (100.0 * F.col("cv")), 4)
+        (
+            F.expr("(cpv * 200 + cv) div (2 * cv)").cast("double") / 10000.0
+        )
         .cast("double")
         .alias("anchored_vwap"),
     )

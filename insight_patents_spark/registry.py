@@ -103,7 +103,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # The late-r8 second wave (the 20 NEW queries below) displaced the
+    # The late-r8 second wave (the 22 NEW late-wave queries below) displaced the
     # whole remaining backlog block (fn_array/fn_explode/fn_map/fn_json/
     # fn_hash/fn_bitwise/fn_variant/set_union_distinct/sample_priority/
     # agg_bitmap_distinct/dedup_embed_cosine/vec_ann_lsh/vec_pq_codes/

@@ -6494,9 +6494,13 @@ def test_winsorize_means_inside_cuts(spark, sf_dir):
 
 
 def test_bollinger_band_ordering(spark, sf_dir):
-    """win_bollinger invariants: sd >= 0, lower <= mid <= upper, and
-    each emitted row sits on a full 20-day frame (per-type row count =
-    n_days - 19)."""
+    """win_bollinger invariants: sd >= 0, lower <= mid <= upper, each
+    emitted row sits on a full 20-day frame (per-type row count =
+    n_days - 19), and sd equals the POPULATION stddev of the frame
+    replayed in Python (the factor-of-n scale bug class the mirrored
+    oracle cannot catch)."""
+    from collections import defaultdict
+
     from insight_patents_spark.operators.windows import (
         _BOLL_DAYS,
         win_bollinger,
@@ -6505,9 +6509,27 @@ def test_bollinger_band_ordering(spark, sf_dir):
 
     rows = win_bollinger(spark, sf_dir).collect()
     assert rows
+    grid = defaultdict(dict)
+    for g in (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value*100,0) AS BIGINT)")).alias("x")
+        )
+        .collect()
+    ):
+        grid[g.event_type][str(g.day)] = g.x
     for r in rows:
         assert r.sd >= 0.0
         assert r.lower_band <= r.mid <= r.upper_band, r
+        days = sorted(grid[r.event_type])
+        idx = days.index(r.day)
+        frame = [grid[r.event_type][d] for d in days[idx - (_BOLL_DAYS - 1) : idx + 1]]
+        assert len(frame) == _BOLL_DAYS
+        mean = sum(frame) / len(frame)
+        var = sum((x - mean) ** 2 for x in frame) / len(frame)
+        assert abs(r.sd - (var**0.5) / 100.0) <= 1e-3, r
+        assert abs(r.mid - mean / 100.0) <= 1e-3, r
     days = (
         load(spark, sf_dir, "events")
         .select("event_type", F.col("ts").cast("date").alias("day"))
@@ -6684,9 +6706,10 @@ def test_croston_matches_python_replay(spark, sf_dir):
         if len(pts) < 2:
             assert typ not in rows
             continue
-        z = pts[1][1]
+        # classic Croston init: z = FIRST demand size, p = first interval
+        z = pts[0][1]
         p = float((pts[1][0] - pts[0][0]).days)
-        for i in range(2, len(pts)):
+        for i in range(1, len(pts)):
             q = float((pts[i][0] - pts[i - 1][0]).days)
             z = z + _CROSTON_ALPHA * (pts[i][1] - z)
             p = p + _CROSTON_ALPHA * (q - p)
