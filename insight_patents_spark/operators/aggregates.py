@@ -3593,3 +3593,277 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("r_squared"),
     )
+
+
+_Z975 = 1.959963985  # z_{0.975}, pre-rounded 9dp literal
+
+
+@query(
+    "agg_delta_ratio_ci",
+    # Delta-method CI for a RATIO metric per experiment arm (revenue
+    # per view — the metric class where naive per-user averaging is
+    # wrong because users contribute unequal denominators): R =
+    # sum(X)/sum(Y) over users, var(R) ~= (vx - 2R cxy + R^2 vy)
+    # / (n my^2); user-level moments are exact int64/decimal sums,
+    # R and the variance are fixed-order compositions, one sqrt, 9dp.
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('t:' || CAST(user_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) % 2 AS treated,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END), 0)
+               AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+               AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT treated,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM u WHERE 1 GROUP BY treated),
+    v AS (
+      SELECT treated, n,
+             CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+             CAST(sy AS DOUBLE) / n AS my,
+             CAST(n * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS vx,
+             CAST(n * syy - sy * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS vy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS cxy
+      FROM g),
+    se AS (
+      SELECT treated, n, r, my,
+             SQRT((vx - 2 * r * cxy + r * r * vy) / (n * my * my)) AS s
+      FROM v)
+    SELECT treated, n AS n_users,
+           CAST(ROUND(r / 100.0, 9) AS DOUBLE) AS ratio,
+           CAST(ROUND(s / 100.0, 9) AS DOUBLE) AS se,
+           CAST(ROUND((r - {_Z975} * s) / 100.0, 9) AS DOUBLE) AS ci_lo,
+           CAST(ROUND((r + {_Z975} * s) / 100.0, 9) AS DOUBLE) AS ci_hi
+    FROM se
+    """,
+)
+def agg_delta_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a ratio-of-sums metric
+    (revenue per view) per experiment arm — the estimator class where
+    per-user averaging is biased (users carry unequal denominators)
+    and the bootstrap is overkill: var(sum X/sum Y) comes from the
+    user-level moment matrix via the first-order Taylor expansion.
+    Completes the experimentation suite for RATIO metrics (agg_cuped
+    covers means; most production metrics — CTR, revenue/session,
+    cost/click — are ratios).
+
+    Determinism: user moments are exact int64/decimal sums (cross
+    products pass 2^63 at scale — HUGEINT/decimal accumulators); R,
+    the variance polynomial, and the CI are fixed-order double
+    compositions with one sqrt, 9dp; z is a pre-rounded literal.
+
+    Scale shape: one user-level hash agg + one 2-row arm agg. The
+    whole CI costs one corpus scan at any size."""
+    e = load(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    u = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("t:"), F.col("user_id").cast("string"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("treated"),
+        "x",
+        "y",
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    g = u.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    v = g.select(
+        "treated",
+        "n",
+        (F.col("sx").cast("double") / F.col("sy").cast("double")).alias("r"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (nd * (F.col("n") - 1))
+        ).alias("vx"),
+        (
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            / (nd * (F.col("n") - 1))
+        ).alias("vy"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (nd * (F.col("n") - 1))
+        ).alias("cxy"),
+    )
+    s = F.sqrt(
+        (
+            F.col("vx")
+            - 2 * F.col("r") * F.col("cxy")
+            + F.col("r") * F.col("r") * F.col("vy")
+        )
+        / (F.col("n") * F.col("my") * F.col("my"))
+    )
+    return v.select(
+        "treated",
+        F.col("n").alias("n_users"),
+        F.round(F.col("r") / 100.0, 9).cast("double").alias("ratio"),
+        F.round(s / 100.0, 9).cast("double").alias("se"),
+        F.round((F.col("r") - _Z975 * s) / 100.0, 9)
+        .cast("double")
+        .alias("ci_lo"),
+        F.round((F.col("r") + _Z975 * s) / 100.0, 9)
+        .cast("double")
+        .alias("ci_hi"),
+    )
+
+
+@query(
+    "agg_mann_whitney",
+    # Mann-Whitney U (two-sample rank test, view vs purchase values)
+    # WITHOUT ranking the corpus: collapse both samples to the distinct
+    # cents grid, midranks come from cumulative counts (2*R1 =
+    # sum cnt1*(2*c_below + cnt + 1) stays EXACT int64), the
+    # tie-corrected variance is a fixed-order rational of exact integer
+    # sums, and z is one division after one sqrt, 9dp.
+    oracle="""
+    WITH s AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    grid AS (
+      SELECT c,
+             CAST(SUM(is1) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS ct
+      FROM s GROUP BY c),
+    cum AS (
+      SELECT c, c1, ct,
+             COALESCE(SUM(ct) OVER (ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below,
+             SUM(c1) OVER () AS n1,
+             SUM(ct) OVER () AS nn,
+             SUM(ct * ct * ct - ct) OVER () AS tie3
+      FROM grid),
+    agg AS (
+      SELECT MAX(n1) AS n1, MAX(nn) - MAX(n1) AS n2, MAX(nn) AS nn,
+             MAX(tie3) AS tie3,
+             CAST(SUM(c1 * (2 * below + ct + 1)) AS BIGINT) AS r1x2
+      FROM cum)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(ROUND((n1 * n2 + n1 * (n1 + 1) / 2.0 - r1x2 / 2.0), 4)
+             AS DOUBLE) AS u_stat,
+           CAST(ROUND(
+             (n1 * n2 + n1 * (n1 + 1) / 2.0 - r1x2 / 2.0 - n1 * n2 / 2.0)
+             / SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * ((nn + 1) - CAST(tie3 AS DOUBLE)
+                       / (CAST(nn AS DOUBLE) * (nn - 1)))), 9) AS DOUBLE)
+             AS z_score
+    FROM agg
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test between the view and purchase value
+    distributions — the nonparametric location test beside
+    agg_ab_ttest (means) and agg_ks_test (shape): U detects stochastic
+    dominance without normality assumptions, the default when metric
+    distributions are skewed (they always are).
+
+    Computed the scale-correct way: both samples collapse to ONE
+    distinct-cents grid (hash agg), midranks fall out of cumulative
+    counts on the grid — doubled rank sums stay EXACT int64
+    (2*R1 = sum cnt1*(2*below + ct + 1)) — and the tie-corrected
+    normal approximation is a fixed-order rational of exact integer
+    sums with one sqrt, 9dp. The corpus is never globally ranked (the
+    scipy per-row路径 dies at 10^9 rows; this is the agg_ks_test grid
+    posture applied to rank statistics)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = e.select(
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is1"),
+    )
+    grid = s.groupBy("c").agg(
+        F.sum("is1").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+    )
+    w_below = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        "c",
+        "c1",
+        "ct",
+        F.coalesce(F.sum("ct").over(w_below), F.lit(0)).alias("below"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("ct").over(w_all).alias("nn"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .over(w_all)
+        .alias("tie3"),
+    )
+    agg = cum.agg(
+        F.max("n1").alias("n1"),
+        (F.max("nn") - F.max("n1")).alias("n2"),
+        F.max("nn").alias("nn"),
+        F.max("tie3").alias("tie3"),
+        F.sum(F.col("c1") * (2 * F.col("below") + F.col("ct") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+    )
+    u = (
+        F.col("n1") * F.col("n2")
+        + F.col("n1") * (F.col("n1") + 1) / 2.0
+        - F.col("r1x2") / 2.0
+    )
+    var = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("nn") + 1)
+            - F.col("tie3").cast("double")
+            / (F.col("nn").cast("double") * (F.col("nn") - 1))
+        )
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(u, 4).cast("double").alias("u_stat"),
+        F.round(
+            (u - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(var), 9
+        )
+        .cast("double")
+        .alias("z_score"),
+    )

@@ -2231,3 +2231,79 @@ def graph_path_count_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(f"n_paths_{r}") for r, c in enumerate(cols, start=1)],
         total.cast("bigint").alias("n_paths_total"),
     )
+
+
+@query(
+    "graph_powerlaw_fit",
+    # Power-law exponent MLE for the degree distribution (Clauset-
+    # Shalizi-Newman continuous approximation at dmin = 1):
+    # alpha = 1 + n / sum ln(2d). The log runs once per DISTINCT
+    # degree on the tiny degree-distribution grid (cnt * round(ln,9)
+    # nano-quantized -> exact int64 window sum), so the fit is
+    # order-independent and grid-sized after one degree agg.
+    oracle=_EDGES_CTE + """
+    , deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges
+              GROUP BY src),
+    grid AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY d),
+    q AS (
+      SELECT d, cnt,
+             cnt * CAST(ROUND(ROUND(LN(2.0 * d), 9) * 1e9, 0) AS BIGINT)
+               AS qln,
+             SUM(cnt) OVER () AS n
+      FROM grid),
+    a AS (
+      SELECT MAX(n) AS n, CAST(SUM(qln) AS BIGINT) AS sq,
+             CAST(SUM(d * cnt) AS BIGINT) AS sum_deg
+      FROM q)
+    SELECT CAST(n AS BIGINT) AS n_nodes,
+           CAST(ROUND(CAST(sum_deg AS DOUBLE) / n, 9) AS DOUBLE)
+             AS mean_degree,
+           CAST(ROUND(1.0 + n / (sq / 1e9), 9) AS DOUBLE) AS alpha
+    FROM a
+    """,
+)
+def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the degree distribution (the Clauset-
+    Shalizi-Newman MLE, continuous approximation at dmin = 1:
+    alpha = 1 + n/sum ln(d/(dmin - 1/2))) — the one-number scale-free
+    diagnostic next to graph_assortativity and graph_clustering_coef
+    (citation graphs are the canonical power-law family; alpha drives
+    every skew-handling decision the engine makes for them).
+
+    Scale shape: degrees come from one hash agg over the shared edge
+    cache; the log runs once per DISTINCT degree on the degree-
+    distribution grid (bounded by max degree, tiny), each grid cell
+    contributes cnt * round(ln(2d), 9) in exact nano units, and the
+    fold is an order-independent integer sum. A 10^12-edge graph pays
+    one degree agg; the fit itself is grid-sized."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    grid = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    q = grid.select(
+        "d",
+        "cnt",
+        (
+            F.col("cnt")
+            * F.round(F.round(F.log(2.0 * F.col("d")), 9) * F.lit(1e9), 0).cast(
+                "long"
+            )
+        ).alias("qln"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    a = q.agg(
+        F.max("n").alias("n"),
+        F.sum("qln").cast("bigint").alias("sq"),
+        F.sum(F.col("d") * F.col("cnt")).cast("bigint").alias("sum_deg"),
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n_nodes"),
+        F.round(F.col("sum_deg").cast("double") / F.col("n"), 9)
+        .cast("double")
+        .alias("mean_degree"),
+        F.round(1.0 + F.col("n") / (F.col("sq") / F.lit(1e9)), 9)
+        .cast("double")
+        .alias("alpha"),
+    )

@@ -116,9 +116,12 @@ _SHOWCASE_50 = (
     # text_winnowing (packing widened 2^24 -> 2^31: pure headroom, the
     # selected fingerprints are identical at gate doc sizes), and
     # text_jaccard_tokens (two strategy probes merged into one agg:
-    # plan-only, values unchanged). All four carry dedicated tests and
-    # passed this round's full local check; they re-enter the r9
-    # rotation.
+    # plan-only, values unchanged); later also dedup_minhash_pairs
+    # (oracle-side CTE refactor only — the Spark side is untouched) and
+    # text_ngrams/text_bigram_lm (short-doc crash guards; gate-SF
+    # values identical to their r6-driver-checked hashes). All carry
+    # dedicated tests and passed this round's full local check; they
+    # re-enter the r9 rotation.
     # NEW in late r8 (second wave)
     "agg_bootstrap_ci", "agg_winsorize", "win_bollinger",
     "ml_brier_decomp", "ml_shap_linear", "dedup_lines",
@@ -127,7 +130,8 @@ _SHOWCASE_50 = (
     "text_tokenizer_apply", "ml_tree_inference", "graph_path_count_dag",
     "agg_power_mde", "seq_attribution_shapley", "win_vwap",
     "agg_price_elasticity", "dq_fd_discovery", "ml_threshold_opt",
-    "vec_mrr_eval",
+    "vec_mrr_eval", "agg_delta_ratio_ci", "agg_mann_whitney",
+    "graph_powerlaw_fit",
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
@@ -144,9 +148,8 @@ _SHOWCASE_50 = (
     "graph_betweenness", "dedup_eval",
     "dedup_ngram_jaccard", "vec_centroid", "vec_knn_label",
     "vec_kmeans", "vec_residual_pq", "vec_pca_top2",
-    # late-r8 short-doc guard fixes + the pairs-CTE oracle refactor
-    "text_ngrams", "text_bigram_lm", "text_decontaminate",
-    "text_fingerprint", "dedup_minhash_pairs",
+    # late-r8 short-doc guard fixes (remaining two)
+    "text_decontaminate", "text_fingerprint",
 )
 
 

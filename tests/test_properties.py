@@ -7200,3 +7200,122 @@ def test_mrr_bounded_by_recall(spark, sf_dir):
         assert r.mrr in mrr
     hit_rate = sum(1 for r in rows if r.found_rank > 0) / len(rows)
     assert rows[0].mrr <= hit_rate + 1e-9
+
+
+def test_delta_ratio_ci_matches_python_replay(spark, sf_dir):
+    """agg_delta_ratio_ci vs an exact Python replay of the user moment
+    matrix and the delta-method variance; CI brackets the ratio."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import (
+        _Z975,
+        agg_delta_ratio_ci,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    xy = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r.event_type == "purchase":
+            xy[r.user_id][0] += int(round(r.value * 100))
+        elif r.event_type == "view":
+            xy[r.user_id][1] += 1
+        else:
+            xy[r.user_id]  # user exists with zero x/y
+    rows = {r.treated: r for r in agg_delta_ratio_ci(spark, sf_dir).collect()}
+    groups = defaultdict(list)
+    for u, (x, y) in xy.items():
+        t = int(hashlib.md5(f"t:{u}".encode()).hexdigest()[:2], 16) % 2
+        groups[t].append((x, y))
+    for t, pts in groups.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        r_ = float(sx) / float(sy)
+        my = float(sy) / n
+        vx = float(n * sxx - sx * sx) / (float(n) * (n - 1))
+        vy = float(n * syy - sy * sy) / (float(n) * (n - 1))
+        cxy = float(n * sxy - sx * sy) / (float(n) * (n - 1))
+        se = math.sqrt((vx - 2 * r_ * cxy + r_ * r_ * vy) / (n * my * my))
+        row = rows[t]
+        assert row.n_users == n
+        assert abs(row.ratio - round(r_ / 100.0, 9)) <= 2e-9
+        assert abs(row.se - round(se / 100.0, 9)) <= 2e-9
+        assert abs(row.ci_lo - round((r_ - _Z975 * se) / 100.0, 9)) <= 2e-9
+        assert row.ci_lo <= row.ratio <= row.ci_hi
+
+
+def test_mann_whitney_matches_scipy_convention(spark, sf_dir):
+    """agg_mann_whitney vs a Python midrank replay (U and the
+    tie-corrected z), mirroring the textbook formulas directly."""
+    import math
+    from collections import Counter
+
+    from insight_patents_spark.operators.aggregates import agg_mann_whitney
+    from insight_patents_spark.sources.tables import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    c1 = Counter()
+    ct = Counter()
+    for r in ev:
+        c = int(round(r.value * 100))
+        ct[c] += 1
+        if r.event_type == "view":
+            c1[c] += 1
+    n1 = sum(c1.values())
+    nn = sum(ct.values())
+    n2 = nn - n1
+    below = 0
+    r1x2 = 0
+    tie3 = 0
+    for v in sorted(ct):
+        t = ct[v]
+        r1x2 += c1[v] * (2 * below + t + 1)
+        tie3 += t * t * t - t
+        below += t
+    u = n1 * n2 + n1 * (n1 + 1) / 2.0 - r1x2 / 2.0
+    var = n1 * n2 / 12.0 * ((nn + 1) - tie3 / (float(nn) * (nn - 1)))
+    row = agg_mann_whitney(spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.u_stat - round(u, 4)) <= 1e-4
+    assert abs(row.z_score - round((u - n1 * n2 / 2.0) / math.sqrt(var), 9)) <= 2e-9
+
+
+def test_powerlaw_fit_matches_python_mle(spark, sf_dir):
+    """graph_powerlaw_fit vs a Python replay of the CSN estimator on
+    the collected degree sequence; alpha must exceed 1."""
+    import math
+    from collections import Counter
+
+    from insight_patents_spark.operators.graph import (
+        _edges,
+        graph_powerlaw_fit,
+    )
+
+    deg = Counter()
+    for r in _edges(spark, sf_dir).select("src").collect():
+        deg[r.src] += 1
+    grid = Counter(deg.values())
+    n = sum(grid.values())
+    sq = sum(
+        cnt * round(round(math.log(2.0 * d), 9) * 1e9) for d, cnt in grid.items()
+    )
+    row = graph_powerlaw_fit(spark, sf_dir).collect()[0]
+    assert row.n_nodes == n
+    assert abs(row.alpha - round(1.0 + n / (sq / 1e9), 9)) <= 2e-9
+    assert row.alpha > 1.0
+    assert abs(
+        row.mean_degree - round(sum(deg.values()) / float(n), 9)
+    ) <= 2e-9
