@@ -2307,3 +2307,84 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("alpha"),
     )
+
+
+_RICHCLUB_KS = (2, 5, 10)
+
+
+def _richclub_oracle() -> str:
+    per_k = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM deg WHERE d > {k}) AS n_rich,
+           (SELECT COUNT(*) FROM e2
+            WHERE sd > {k} AND dd > {k} AND src < dst) AS e_rich"""
+        for k in _RICHCLUB_KS
+    )
+    return _EDGES_CTE + f"""
+    , deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges
+              GROUP BY src),
+    e2 AS (
+      SELECT e.src, e.dst, ds.d AS sd, dd.d AS dd
+      FROM edges e JOIN deg ds ON e.src = ds.src
+                   JOIN deg dd ON e.dst = dd.src),
+    pk AS ({per_k})
+    SELECT k, CAST(n_rich AS BIGINT) AS n_rich,
+           CAST(e_rich AS BIGINT) AS e_rich,
+           CAST(CASE WHEN n_rich >= 2
+                THEN ROUND(2.0 * e_rich / (n_rich * (n_rich - 1.0)), 9)
+                ELSE 0.0 END AS DOUBLE) AS phi
+    FROM pk
+    """
+
+
+@query("graph_richclub", oracle=_richclub_oracle())
+def graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) — do high-degree nodes link to
+    each other more than chance? (The elite-interconnection diagnostic
+    beside graph_assortativity's global degree correlation; in
+    citation graphs a strong rich club marks the canonical-papers
+    core.) phi(k) = 2*E_k / (N_k*(N_k-1)) over the subgraph of nodes
+    with degree > k, evaluated at k in {2, 5, 10}.
+
+    Scale shape: ONE degree agg over the shared edge cache, degrees
+    joined back onto edges (two hash joins on node id), then each k is
+    a pure counting filter — no subgraph materializes, no quadratic
+    step; the undirected edge count uses the src < dst half. Exact
+    integer counts, one division per k, 9dp."""
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e2 = (
+        edges.join(
+            deg.select(F.col("src").alias("s"), F.col("d").alias("sd")),
+            edges.src == F.col("s"),
+        )
+        .join(
+            deg.select(F.col("src").alias("t"), F.col("d").alias("dd")),
+            edges.dst == F.col("t"),
+        )
+        .select("src", "dst", "sd", "dd")
+    )
+    parts = []
+    for k in _RICHCLUB_KS:
+        n_rich = deg.filter(F.col("d") > k).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rich")
+        )
+        e_rich = e2.filter(
+            (F.col("sd") > k) & (F.col("dd") > k) & (F.col("src") < F.col("dst"))
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("e_rich"))
+        parts.append(
+            n_rich.crossJoin(e_rich).select(
+                F.lit(k).cast("bigint").alias("k"), "n_rich", "e_rich"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    phi = F.when(
+        F.col("n_rich") >= 2,
+        F.round(
+            2.0 * F.col("e_rich") / (F.col("n_rich") * (F.col("n_rich") - 1.0)),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select("k", "n_rich", "e_rich", phi.cast("double").alias("phi"))

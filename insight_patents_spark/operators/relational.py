@@ -2111,3 +2111,74 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "sample_balanced_classes",
+    # Class-balanced downsampling to the minority class (the training-
+    # set rebalancer before classifier fitting): per-lang keep rate =
+    # min_class_count/class_count, applied as an EXACT integer
+    # threshold test on a 48-bit md5 uniform — u*count < min_count
+    # cross-multiplied to u48*count < min_count*2^48, pure int64 —
+    # deterministic, no RNG, stable under resharding; the tiny class-
+    # count table broadcasts back.
+    oracle="""
+    WITH cls AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY lang),
+    mn AS (SELECT MIN(n) AS m FROM cls),
+    keep AS (
+      SELECT d.doc_id, d.lang, cls.n, mn.m,
+             CAST(('0x' || substr(md5('bal:' || CAST(d.doc_id AS VARCHAR)), 1, 12))
+                  AS BIGINT) AS u48
+      FROM documents d JOIN cls ON d.lang = cls.lang CROSS JOIN mn)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MAX(n) AS BIGINT) AS n_class,
+           CAST(MAX(m) AS BIGINT) AS n_minority
+    FROM keep
+    WHERE CAST(u48 AS HUGEINT) * n < CAST(m AS HUGEINT) * 281474976710656
+    GROUP BY lang
+    """,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — equalize per-language document
+    counts to (approximately) the minority class before classifier
+    training (the imbalance fix that beats class weights when the
+    majority class is redundant anyway, which web corpora always are):
+    keep rate per class = min_count/count, decided per doc by an EXACT
+    integer comparison u48*count < min_count*2^48 on a 48-bit md5
+    uniform — no float probability, no RNG state, identical keep set
+    at any parallelism and in both engines.
+
+    Scale shape: one tiny class-count agg broadcasts back into the
+    scan (boundary-broadcast posture); the filter is in-row; one
+    count agg reports. Expected kept per class = min_count +-
+    binomial noise; exact-count variants (rank windows) cost a sort —
+    documented trade, this is the streaming-friendly form."""
+    d = load(spark, sf_dir, "documents")
+    cls = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mn = cls.agg(F.min("n").alias("m"))
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keep = (
+        d.join(F.broadcast(cls), "lang")
+        .crossJoin(F.broadcast(mn))
+        .withColumn("u48", u48)
+        # decimal compare: u48*n and m*2^48 pass int64 once classes
+        # reach ~3e4 docs (2^48 * n overflow); HUGEINT on the oracle side
+        .filter(
+            F.col("u48").cast("decimal(38,0)") * F.col("n")
+            < F.col("m").cast("decimal(38,0)") * F.lit(2**48)
+        )
+    )
+    return keep.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("n").cast("bigint").alias("n_class"),
+        F.max("m").cast("bigint").alias("n_minority"),
+    )

@@ -118,10 +118,13 @@ _SHOWCASE_50 = (
     # text_jaccard_tokens (two strategy probes merged into one agg:
     # plan-only, values unchanged); later also dedup_minhash_pairs
     # (oracle-side CTE refactor only — the Spark side is untouched) and
-    # text_ngrams/text_bigram_lm (short-doc crash guards; gate-SF
-    # values identical to their r6-driver-checked hashes). All carry
-    # dedicated tests and passed this round's full local check; they
-    # re-enter the r9 rotation.
+    # the four short-doc crash guards text_ngrams/text_bigram_lm/
+    # text_decontaminate/text_fingerprint (gate-SF values identical to
+    # their earlier driver-checked hashes). All carry dedicated tests
+    # and passed this round's full local check; they re-enter the r9
+    # rotation. The changed entries still in the prefix are exactly the
+    # value-moving ones (quantized graph/vec folds) plus the two logic
+    # rewrites (dedup_eval, dedup_ngram_jaccard).
     # NEW in late r8 (second wave)
     "agg_bootstrap_ci", "agg_winsorize", "win_bollinger",
     "ml_brier_decomp", "ml_shap_linear", "dedup_lines",
@@ -131,7 +134,7 @@ _SHOWCASE_50 = (
     "agg_power_mde", "seq_attribution_shapley", "win_vwap",
     "agg_price_elasticity", "dq_fd_discovery", "ml_threshold_opt",
     "vec_mrr_eval", "agg_delta_ratio_ci", "agg_mann_whitney",
-    "graph_powerlaw_fit",
+    "graph_powerlaw_fit", "sample_balanced_classes", "graph_richclub",
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
@@ -148,8 +151,6 @@ _SHOWCASE_50 = (
     "graph_betweenness", "dedup_eval",
     "dedup_ngram_jaccard", "vec_centroid", "vec_knn_label",
     "vec_kmeans", "vec_residual_pq", "vec_pca_top2",
-    # late-r8 short-doc guard fixes (remaining two)
-    "text_decontaminate", "text_fingerprint",
 )
 
 

@@ -7319,3 +7319,61 @@ def test_powerlaw_fit_matches_python_mle(spark, sf_dir):
     assert abs(
         row.mean_degree - round(sum(deg.values()) / float(n), 9)
     ) <= 2e-9
+
+
+def test_balanced_classes_near_minority(spark, sf_dir):
+    """sample_balanced_classes: the minority class keeps everything
+    (rate = 1 is an always-true integer test), every class's kept count
+    is <= its size, and each kept count sits within a 5-sigma binomial
+    band around the minority size."""
+    from insight_patents_spark.operators.relational import (
+        sample_balanced_classes,
+    )
+
+    rows = sample_balanced_classes(spark, sf_dir).collect()
+    assert rows
+    m = rows[0].n_minority
+    for r in rows:
+        assert r.n_minority == m
+        assert 0 <= r.n_kept <= r.n_class
+        if r.n_class == m:
+            assert r.n_kept == m  # rate 1: u48*n < n*2^48 always true
+        else:
+            p = m / r.n_class
+            sigma = (r.n_class * p * (1 - p)) ** 0.5
+            assert abs(r.n_kept - m) <= 5 * sigma + 1, r
+
+
+def test_richclub_matches_python_count(spark, sf_dir):
+    """graph_richclub vs a Python recount of rich nodes/edges at each
+    k; phi within [0, 1]; monotone n_rich as k grows."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.graph import (
+        _RICHCLUB_KS,
+        _edges,
+        graph_richclub,
+    )
+
+    es = [(r.src, r.dst) for r in _edges(spark, sf_dir).select("src", "dst").collect()]
+    deg = Counter()
+    for s, _ in es:
+        deg[s] += 1
+    rows = {r.k: r for r in graph_richclub(spark, sf_dir).collect()}
+    assert set(rows) == set(_RICHCLUB_KS)
+    prev_rich = None
+    for k in sorted(_RICHCLUB_KS):
+        n_rich = sum(1 for d in deg.values() if d > k)
+        e_rich = sum(
+            1 for s, t in es if s < t and deg[s] > k and deg[t] > k
+        )
+        r = rows[k]
+        assert (r.n_rich, r.e_rich) == (n_rich, e_rich), k
+        if n_rich >= 2:
+            assert abs(
+                r.phi - round(2.0 * e_rich / (n_rich * (n_rich - 1.0)), 9)
+            ) <= 2e-9
+            assert 0.0 <= r.phi <= 1.0
+        if prev_rich is not None:
+            assert n_rich <= prev_rich
+        prev_rich = n_rich
