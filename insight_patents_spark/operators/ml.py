@@ -2138,3 +2138,311 @@ def ml_threshold_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fbeta").cast("double").alias("fbeta"),
         )
     )
+
+
+@query(
+    "ml_fairness_eo",
+    # Equalized-odds audit per corpus source: TPR and FPR of the
+    # deployed integer decision (the ml_group_parity cut: 4z+100n > 0)
+    # against the lang='en' label, per group, plus each group's gap to
+    # the overall rates and the max gap repeated (the EO distance).
+    # Every rate is ONE division of exact int64 cell counts, 9dp;
+    # groups with a degenerate class emit NULL rates in BOTH engines.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+               % {_LR_BUCKETS} AS bucket
+      FROM tok),
+    c AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM b
+          GROUP BY doc_id, bucket),
+    w AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(cnt * (CAST(('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 4))
+                                  AS BIGINT) % 101 - 50)) AS BIGINT) AS z_centi
+      FROM c GROUP BY doc_id),
+    dec AS (
+      SELECT w.doc_id, d.source,
+             (4 * z_centi + 100 * n_tokens) > 0 AS kept,
+             (d.lang = 'en') AS pos
+      FROM w JOIN documents d ON w.doc_id = d.doc_id),
+    g AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN pos AND kept THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pos AND NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(SUM(CASE WHEN NOT pos AND kept THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN NOT pos AND NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM dec GROUP BY source),
+    o AS (
+      SELECT SUM(tp) AS tp, SUM(fn) AS fn, SUM(fp) AS fp, SUM(tn) AS tn
+      FROM g),
+    r AS (
+      SELECT g.source, g.tp, g.fn, g.fp, g.tn,
+             ROUND(g.tp * 1.0 / NULLIF(g.tp + g.fn, 0), 9) AS tpr,
+             ROUND(g.fp * 1.0 / NULLIF(g.fp + g.tn, 0), 9) AS fpr,
+             ROUND(o.tp * 1.0 / NULLIF(o.tp + o.fn, 0), 9) AS tpr_all,
+             ROUND(o.fp * 1.0 / NULLIF(o.fp + o.tn, 0), 9) AS fpr_all
+      FROM g CROSS JOIN o)
+    SELECT source, tp, fn, fp, tn,
+           CAST(tpr AS DOUBLE) AS tpr, CAST(fpr AS DOUBLE) AS fpr,
+           CAST(ROUND(ABS(tpr - tpr_all), 9) AS DOUBLE) AS tpr_gap,
+           CAST(ROUND(ABS(fpr - fpr_all), 9) AS DOUBLE) AS fpr_gap,
+           CAST(MAX(ROUND(GREATEST(ABS(tpr - tpr_all), ABS(fpr - fpr_all)), 9))
+                OVER () AS DOUBLE) AS eo_distance
+    FROM r
+    """,
+)
+def ml_fairness_eo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalized-odds audit of the curation classifier — the
+    error-rate-parity criterion beside ml_group_parity's demographic
+    parity (a filter can keep equal fractions per source yet
+    systematically mis-keep one source's negatives; EO catches that):
+    per-source TPR/FPR of the deployed integer decision vs the overall
+    rates, gaps per group, and the max gap (EO distance) repeated as
+    the headline.
+
+    Determinism: cell counts are exact int64, every rate ONE division
+    (NULLIF-guarded for degenerate classes identically in both
+    engines), gaps compose 9dp-rounded values. Scale shape: the
+    stateless inference chain + one |sources|x4 cell agg + a
+    cross-joined 1-row overall frame — auditing 10^9 decisions costs
+    one corpus scan."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _LR_BUCKETS
+    )
+    w_centi = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 101
+        - 50
+    )
+    c = (
+        tok.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cnt") * w_centi).cast("bigint").alias("z_centi"),
+    )
+    dec = w.join(d.select("doc_id", "source", "lang"), "doc_id").select(
+        "source",
+        ((4 * F.col("z_centi") + 100 * F.col("n_tokens")) > 0).alias("kept"),
+        (F.col("lang") == "en").alias("pos"),
+    )
+    g = dec.groupBy("source").agg(
+        F.sum(F.when(F.col("pos") & F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("pos") & ~F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when(~F.col("pos") & F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(~F.col("pos") & ~F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    o = g.agg(
+        F.sum("tp").alias("otp"),
+        F.sum("fn").alias("ofn"),
+        F.sum("fp").alias("ofp"),
+        F.sum("tn").alias("otn"),
+    )
+    r = g.crossJoin(F.broadcast(o)).select(
+        "source",
+        "tp",
+        "fn",
+        "fp",
+        "tn",
+        F.round(
+            F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 9
+        ).alias("tpr"),
+        F.round(
+            F.col("fp") / F.nullif(F.col("fp") + F.col("tn"), F.lit(0)), 9
+        ).alias("fpr"),
+        F.round(
+            F.col("otp") / F.nullif(F.col("otp") + F.col("ofn"), F.lit(0)), 9
+        ).alias("tpr_all"),
+        F.round(
+            F.col("ofp") / F.nullif(F.col("ofp") + F.col("otn"), F.lit(0)), 9
+        ).alias("fpr_all"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return r.select(
+        "source",
+        "tp",
+        "fn",
+        "fp",
+        "tn",
+        F.col("tpr").cast("double").alias("tpr"),
+        F.col("fpr").cast("double").alias("fpr"),
+        F.round(F.abs(F.col("tpr") - F.col("tpr_all")), 9)
+        .cast("double")
+        .alias("tpr_gap"),
+        F.round(F.abs(F.col("fpr") - F.col("fpr_all")), 9)
+        .cast("double")
+        .alias("fpr_gap"),
+        F.max(
+            F.round(
+                F.greatest(
+                    F.abs(F.col("tpr") - F.col("tpr_all")),
+                    F.abs(F.col("fpr") - F.col("fpr_all")),
+                ),
+                9,
+            )
+        )
+        .over(w_all)
+        .cast("double")
+        .alias("eo_distance"),
+    )
+
+
+@query(
+    "ml_calibration_isotonic",
+    # Isotonic calibration (PAV fit) on the <=101-bin score grid via
+    # the EXACT max-min characterization: iso(i) = max_{j<=i}
+    # min_{k>=i} (P_k - P_{j-1})/(N_k - N_{j-1}) — no sequential
+    # pooling loop, no driver state; every candidate ratio is one
+    # division of exact int64 cumulative counts, min/max run over
+    # identical double sets in both engines, 9dp at the end. The
+    # pair/triple work is grid-sized (<=101^2 rows), corpus-free.
+    oracle="""
+    WITH per_doc AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(100.0 * COUNT(DISTINCT t.token) / COUNT(*))
+                  AS BIGINT) AS bin,
+             (MIN(d.lang) = 'en') AS pos
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      GROUP BY d.doc_id),
+    cells AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM per_doc GROUP BY bin),
+    cum AS (
+      SELECT bin, n, n_pos,
+             ROW_NUMBER() OVER (ORDER BY bin) AS i,
+             SUM(n) OVER (ORDER BY bin) AS nc,
+             SUM(n_pos) OVER (ORDER BY bin) AS pc
+      FROM cells),
+    jt AS (SELECT i AS j, COALESCE(LAG(nc) OVER (ORDER BY i), 0) AS nj1,
+                  COALESCE(LAG(pc) OVER (ORDER BY i), 0) AS pj1
+           FROM cum),
+    r AS (
+      SELECT jt.j, k.i AS k,
+             (k.pc - jt.pj1) * 1.0 / (k.nc - jt.nj1) AS ratio
+      FROM jt JOIN cum k ON k.i >= jt.j),
+    mm AS (
+      SELECT j, k AS i,
+             MIN(ratio) OVER (PARTITION BY j ORDER BY k DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minr
+      FROM r),
+    iso AS (
+      SELECT mm.i, MAX(mm.minr) AS iso_raw
+      FROM mm WHERE mm.j <= mm.i GROUP BY mm.i)
+    SELECT c.bin, c.n, c.n_pos,
+           CAST(ROUND(c.n_pos * 1.0 / c.n, 9) AS DOUBLE) AS raw_rate,
+           CAST(ROUND(iso.iso_raw, 9) AS DOUBLE) AS iso_rate
+    FROM cum c JOIN iso ON c.i = iso.i
+    """,
+)
+def ml_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration — the FIX stage after
+    ml_calibration_bins/ml_ece diagnose miscalibration (the
+    nonparametric recalibrator production stacks reach for before
+    temperature scaling, because it needs no model form): fit the
+    monotone-nondecreasing rate curve over the score bins that
+    minimizes squared error. Instead of the sequential
+    pool-adjacent-violators loop (driver state, order-dependent), this
+    uses PAV's EXACT closed-form characterization iso(i) = max_{j<=i}
+    min_{k>=i} mean(y, bins j..k) — pure dataflow: one grid-sized
+    pair expansion (<=101^2 rows), one running-min window per j, one
+    max agg per bin.
+
+    Determinism: every candidate mean is ONE division of exact int64
+    cumulative counts (identical doubles in both engines), min/max
+    select among identical values, 9dp at the end. Scale shape: the
+    corpus collapses to the bin grid in one hash agg; everything after
+    is corpus-size-free."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(_tokens()).alias("token"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.floor(100.0 * F.count_distinct(F.col("token")) / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("bin"),
+        (F.min("lang") == "en").alias("pos"),
+    )
+    cells = per_doc.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias(
+            "n_pos"
+        ),
+    )
+    w_ord = Window.orderBy("bin")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cells.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("n").over(w_cum).alias("nc"),
+        F.sum("n_pos").over(w_cum).alias("pc"),
+    ).localCheckpoint()
+    jt = cum.select(
+        F.col("i").alias("j"),
+        F.coalesce(F.lag("nc").over(Window.orderBy("i")), F.lit(0)).alias(
+            "nj1"
+        ),
+        F.coalesce(F.lag("pc").over(Window.orderBy("i")), F.lit(0)).alias(
+            "pj1"
+        ),
+    )
+    k = cum.select(
+        F.col("i").alias("k"), F.col("nc").alias("nck"), F.col("pc").alias("pck")
+    )
+    r = jt.join(k, F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        ((F.col("pck") - F.col("pj1")) / (F.col("nck") - F.col("nj1"))).alias(
+            "ratio"
+        ),
+    )
+    w_minr = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mm = r.select(
+        "j", F.col("k").alias("i"), F.min("ratio").over(w_minr).alias("minr")
+    )
+    iso = (
+        mm.filter(F.col("j") <= F.col("i"))
+        .groupBy("i")
+        .agg(F.max("minr").alias("iso_raw"))
+    )
+    return cum.join(iso, "i").select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n"), 9).cast("double").alias(
+            "raw_rate"
+        ),
+        F.round(F.col("iso_raw"), 9).cast("double").alias("iso_rate"),
+    )

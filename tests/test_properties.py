@@ -7377,3 +7377,74 @@ def test_richclub_matches_python_count(spark, sf_dir):
         if prev_rich is not None:
             assert n_rich <= prev_rich
         prev_rich = n_rich
+
+
+def test_fairness_eo_rates_reconstruct(spark, sf_dir):
+    """ml_fairness_eo: cells partition the corpus, rates reconstruct
+    from cells, gaps are vs the pooled rates, and eo_distance is the
+    max of all per-group gaps."""
+    from insight_patents_spark.operators.ml import ml_fairness_eo
+    from insight_patents_spark.sources.tables import load
+
+    rows = ml_fairness_eo(spark, sf_dir).collect()
+    assert rows
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.tp + r.fn + r.fp + r.tn for r in rows) == n_docs
+    otp = sum(r.tp for r in rows)
+    ofn = sum(r.fn for r in rows)
+    ofp = sum(r.fp for r in rows)
+    otn = sum(r.tn for r in rows)
+    tpr_all = round(otp / (otp + ofn), 9)
+    fpr_all = round(ofp / (ofp + otn), 9)
+    gaps = []
+    for r in rows:
+        if r.tp + r.fn > 0:
+            assert r.tpr == round(r.tp / (r.tp + r.fn), 9)
+            assert r.tpr_gap == round(abs(r.tpr - tpr_all), 9)
+        if r.fp + r.tn > 0:
+            assert r.fpr == round(r.fp / (r.fp + r.tn), 9)
+            assert r.fpr_gap == round(abs(r.fpr - fpr_all), 9)
+        gaps.append(round(max(abs(r.tpr - tpr_all), abs(r.fpr - fpr_all)), 9))
+    assert {r.eo_distance for r in rows} == {max(gaps)}
+
+
+def test_isotonic_is_pav_fit(spark, sf_dir):
+    """ml_calibration_isotonic vs a classic sequential PAV replay on
+    the same bin grid (the max-min characterization must equal the
+    pooling algorithm's output), plus monotonicity and the
+    weighted-mean preservation property."""
+    from insight_patents_spark.operators.ml import ml_calibration_isotonic
+
+    rows = sorted(
+        ml_calibration_isotonic(spark, sf_dir).collect(), key=lambda r: r.bin
+    )
+    assert rows
+    # sequential PAV on (n, n_pos) pools
+    pools = []  # [sum_pos, sum_n]
+    for r in rows:
+        pools.append([r.n_pos, r.n])
+        while len(pools) >= 2 and (
+            pools[-2][0] * pools[-1][1] >= pools[-1][0] * pools[-2][1]
+        ):
+            b = pools.pop()
+            pools[-1][0] += b[0]
+            pools[-1][1] += b[1]
+    # expand pools back to bins
+    expanded = []
+    it = iter(rows)
+    for p, n in pools:
+        acc = 0
+        while acc < n:
+            r = next(it)
+            acc += r.n
+            expanded.append(p / n)
+        assert acc == n
+    prev = -1.0
+    for r, want in zip(rows, expanded):
+        assert abs(r.iso_rate - round(want, 9)) <= 2e-9, (r.bin, r.iso_rate, want)
+        assert r.iso_rate >= prev - 1e-12
+        prev = r.iso_rate
+    total_pos = sum(r.n_pos for r in rows)
+    total_n = sum(r.n for r in rows)
+    fitted_mass = sum(r.iso_rate * r.n for r in rows)
+    assert abs(fitted_mass - total_pos) <= 1e-3 * total_n
