@@ -3803,8 +3803,12 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2*R1 = sum cnt1*(2*below + ct + 1)) — and the tie-corrected
     normal approximation is a fixed-order rational of exact integer
     sums with one sqrt, 9dp. The corpus is never globally ranked (the
-    scipy per-row路径 dies at 10^9 rows; this is the agg_ks_test grid
-    posture applied to rank statistics)."""
+    scipy per-row path dies at 10^9 rows; this is the agg_ks_test grid
+    posture applied to rank statistics). The grid windows run on ONE
+    partition sized by the distinct-cents DOMAIN (~2e6 cells worst
+    case, KBs per cell) — at a wider value domain, range-partition the
+    grid and prefix-offset the cumulative counts (the documented
+    distributed-sweep swap, same as agg_ks_test)."""
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
@@ -3867,3 +3871,105 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z_score"),
     )
+
+
+# (name, exact-integer expression) — the lineitem measure set for the
+# covariance matrix; units: qty integer, price cents, discount/tax
+# basis points. One agg computes all first/second/cross moments.
+_COV_VARS = (
+    ("quantity", "CAST(ROUND(l_quantity, 0) AS BIGINT)"),
+    ("price", "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"),
+    ("discount", "CAST(ROUND(l_discount * 10000, 0) AS BIGINT)"),
+    ("tax", "CAST(ROUND(l_tax * 10000, 0) AS BIGINT)"),
+)
+
+
+def _cov_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CAST({e} AS HUGEINT)) AS HUGEINT) AS s_{n}"
+        for n, e in _COV_VARS
+    )
+    crosses = ", ".join(
+        f"CAST(SUM(CAST({ea} AS HUGEINT) * ({eb})) AS HUGEINT) AS s_{na}_{nb}"
+        for i, (na, ea) in enumerate(_COV_VARS)
+        for nb, eb in _COV_VARS[i:]
+    )
+    pair_rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{na}' AS var_a, '{nb}' AS var_b,
+           ROUND(CAST(n * s_{na}_{nb} - s_{na} * s_{nb} AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 4) AS cov,
+           ROUND((CAST(n * s_{na}_{nb} - s_{na} * s_{nb} AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1)))
+                 / SQRT((CAST(n * s_{na}_{na} - s_{na} * s_{na} AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (n - 1)))
+                        * (CAST(n * s_{nb}_{nb} - s_{nb} * s_{nb} AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n - 1)))), 9) AS corr
+    FROM g"""
+        for i, (na, _) in enumerate(_COV_VARS)
+        for nb, _2 in _COV_VARS[i:]
+    )
+    return f"""
+    WITH g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}, {crosses}
+      FROM lineitem)
+    SELECT var_a, var_b, CAST(cov AS DOUBLE) AS cov,
+           CAST(corr AS DOUBLE) AS corr
+    FROM ({pair_rows})
+    """
+
+
+@query("agg_covariance_matrix", oracle=_cov_oracle())
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise covariance/correlation matrix over the lineitem
+    measure set (quantity, price, discount, tax) — the ANALYZE-style
+    statistics block a cost-based optimizer or feature-selection pass
+    reads, computed in ONE corpus scan: a single aggregate carries all
+    4 first moments and 10 second/cross moments as exact
+    decimal/HUGEINT integer sums (cents/basis-point units; the cross
+    products pass 2^63 at warehouse scale), and the 10 matrix cells
+    unfold from that one row — never one pass per pair.
+
+    Determinism: every moment is an exact integer; cov and corr are
+    fixed-order double compositions with one sqrt per cell (cov 4dp —
+    large mixed units; corr 9dp, dimensionless). Scale shape: one
+    map-side-combinable agg; the matrix itself is 10 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for nm, ex in _COV_VARS:
+        aggs.append(
+            F.sum(F.expr(ex).cast("decimal(38,0)")).alias(f"s_{nm}")
+        )
+    for i, (na, ea) in enumerate(_COV_VARS):
+        for nb, eb in _COV_VARS[i:]:
+            aggs.append(
+                F.sum(
+                    F.expr(ea).cast("decimal(38,0)") * F.expr(eb)
+                ).alias(f"s_{na}_{nb}")
+            )
+    g = li.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def cov(a, b):
+        return (
+            F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ).cast("double") / (nd * (F.col("n") - 1))
+
+    parts = []
+    for i, (na, _) in enumerate(_COV_VARS):
+        for nb, _2 in _COV_VARS[i:]:
+            parts.append(
+                g.select(
+                    F.lit(na).alias("var_a"),
+                    F.lit(nb).alias("var_b"),
+                    F.round(cov(na, nb), 4).cast("double").alias("cov"),
+                    F.round(
+                        cov(na, nb) / F.sqrt(cov(na, na) * cov(nb, nb)), 9
+                    )
+                    .cast("double")
+                    .alias("corr"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1494,3 +1494,91 @@ def geo_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_points"),
     )
     return clusters.unionByName(noise)
+
+
+_ASOF_TOL_US = 3600 * 1_000_000  # 1-hour staleness tolerance
+
+
+@query(
+    "join_asof_tolerance",
+    # Tolerance-bounded as-of join (pandas merge_asof's `tolerance=`,
+    # QuestDB/kdb ASOF ... WITHIN): the latest same-user click
+    # at-or-before each purchase counts ONLY if it is at most 1 hour
+    # stale; older matches null out. Gap arithmetic is exact integer
+    # epoch-microseconds (the constant session-tz shift cancels in the
+    # difference); the match decision is a pure integer comparison.
+    oracle=f"""
+    WITH m AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             c.event_id AS prior_click_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT purchase_id, user_id,
+           (prior_click_id IS NOT NULL AND gap_us <= {_ASOF_TOL_US})
+             AS matched,
+           CASE WHEN gap_us <= {_ASOF_TOL_US} THEN prior_click_id END
+             AS prior_click_id,
+           CASE WHEN gap_us <= {_ASOF_TOL_US} THEN gap_us // 1000000 END
+             AS gap_seconds
+    FROM m WHERE rn = 1 OR rn IS NULL
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance — pandas merge_asof's
+    `tolerance=` / kdb's windowed asof, the variant production
+    attribution actually runs (a click from last month should NOT get
+    credit for today's purchase): the latest same-user click
+    at-or-before each purchase matches only within 1 hour; staler
+    matches null out but the purchase row survives (LEFT semantics,
+    every purchase auditable).
+
+    Built on the same union-sort asof kernel as join_asof (one
+    user_id shuffle, O(n log n), no per-user quadratic range join);
+    the tolerance is ONE exact integer microsecond comparison applied
+    after the carry — the gap is a difference of epoch-us values, so
+    the session-tz constant cancels and both engines compare identical
+    integers."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    us = "unix_micros(CAST({} AS TIMESTAMP))"
+    tagged = clicks.select(
+        "user_id", "ts", "event_id", F.lit(0).alias("tag")
+    ).unionByName(
+        purchases.select("user_id", "ts", "event_id", F.lit(1).alias("tag"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "prior_click_id",
+        F.last(
+            F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w),
+    ).withColumn(
+        "prior_click_us",
+        F.last(
+            F.when(F.col("tag") == 0, F.expr(us.format("ts"))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    gap = F.expr(us.format("ts")) - F.col("prior_click_us")
+    within = F.col("prior_click_id").isNotNull() & (gap <= _ASOF_TOL_US)
+    return carried.filter(F.col("tag") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        within.alias("matched"),
+        F.when(within, F.col("prior_click_id")).alias("prior_click_id"),
+        F.when(within, F.expr(f"({us.format('ts')} - prior_click_us) div 1000000"))
+        .alias("gap_seconds"),
+    )

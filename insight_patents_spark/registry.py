@@ -136,10 +136,11 @@ _SHOWCASE_50 = (
     "vec_mrr_eval", "agg_delta_ratio_ci", "agg_mann_whitney",
     "graph_powerlaw_fit", "sample_balanced_classes", "graph_richclub",
     "ml_fairness_eo",
-    # ml_calibration_isotonic is the ONE new query that does not fit:
-    # the 50 slots hold every value-moving changed query + 40 new ones;
-    # it registers first after the prefix (position 51) and leads the
-    # r9 gate. Its oracle + Python PAV replay test carry it until then.
+    # Three late new queries do not fit: the 50 slots hold every
+    # value-moving changed query + 40 new ones; ml_calibration_isotonic,
+    # join_asof_tolerance, and agg_covariance_matrix register first
+    # after the prefix (positions 51-53, _POST_PREFIX_HEAD) and lead
+    # the r9 gate. Oracle + Python-replay tests carry them until then.
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
@@ -162,7 +163,11 @@ _SHOWCASE_50 = (
 )
 
 # Registered immediately after the prefix (r9-gate head):
-_POST_PREFIX_HEAD = ("ml_calibration_isotonic",)
+_POST_PREFIX_HEAD = (
+    "ml_calibration_isotonic",
+    "join_asof_tolerance",
+    "agg_covariance_matrix",
+)
 
 
 def load_all() -> dict[str, QuerySpec]:

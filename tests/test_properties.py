@@ -7448,3 +7448,82 @@ def test_isotonic_is_pav_fit(spark, sf_dir):
     total_n = sum(r.n for r in rows)
     fitted_mass = sum(r.iso_rate * r.n for r in rows)
     assert abs(fitted_mass - total_pos) <= 1e-3 * total_n
+
+
+def test_asof_tolerance_matches_bruteforce(spark, sf_dir):
+    """join_asof_tolerance vs brute force over collected events: the
+    latest click at-or-before each purchase matches iff within the
+    tolerance; unmatched purchases survive with NULLs."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.joins import (
+        _ASOF_TOL_US,
+        join_asof_tolerance,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    clicks = defaultdict(list)
+    purchases = []
+    for r in ev:
+        if r.event_type == "click":
+            clicks[r.user_id].append((r.ts, r.event_id))
+        elif r.event_type == "purchase":
+            purchases.append(r)
+    rows = {r.purchase_id: r for r in join_asof_tolerance(spark, sf_dir).collect()}
+    assert len(rows) == len(purchases)
+    for p in purchases:
+        prior = [(t, i) for (t, i) in clicks[p.user_id] if t <= p.ts]
+        row = rows[p.event_id]
+        if not prior:
+            assert not row.matched and row.prior_click_id is None
+            continue
+        t, i = max(prior)
+        gap_us = int((p.ts - t).total_seconds() * 1_000_000)
+        if gap_us <= _ASOF_TOL_US:
+            assert row.matched and row.prior_click_id == i
+            assert row.gap_seconds == gap_us // 1_000_000
+        else:
+            assert not row.matched and row.prior_click_id is None
+
+
+def test_covariance_matrix_matches_numpy(spark, sf_dir):
+    """agg_covariance_matrix vs a NumPy replay of the sample
+    covariance/correlation on the exact integer unit columns;
+    diagonal corr = 1."""
+    import numpy as np
+
+    from insight_patents_spark.operators.aggregates import (
+        _COV_VARS,
+        agg_covariance_matrix,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    cols = {
+        "quantity": np.array([int(round(r.l_quantity)) for r in li], dtype=np.int64),
+        "price": np.array(
+            [int(round(r.l_extendedprice * 100)) for r in li], dtype=np.int64
+        ),
+        "discount": np.array(
+            [int(round(r.l_discount * 10000)) for r in li], dtype=np.int64
+        ),
+        "tax": np.array([int(round(r.l_tax * 10000)) for r in li], dtype=np.int64),
+    }
+    rows = {(r.var_a, r.var_b): r for r in agg_covariance_matrix(spark, sf_dir).collect()}
+    names = [n for n, _ in _COV_VARS]
+    assert len(rows) == 10
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            c = np.cov(cols[a], cols[b], ddof=1)[0, 1]
+            r = rows[(a, b)]
+            assert abs(r.cov - c) <= max(1e-4, abs(c) * 1e-9), (a, b)
+            if a == b:
+                assert abs(r.corr - 1.0) <= 1e-9
+            else:
+                cr = c / (np.std(cols[a], ddof=1) * np.std(cols[b], ddof=1))
+                assert abs(r.corr - cr) <= 1e-6, (a, b)
