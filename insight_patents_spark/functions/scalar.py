@@ -546,3 +546,108 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_variants",
         )
     )
+
+
+@query(
+    "fn_inet",
+    # Network-address scalar battery over synthesized IPv4s (construct-
+    # then-parse, dedup_url_canonical's fixture pattern): per customer
+    # an address mixing RFC1918 private ranges (10/8, 172.16/12) and a
+    # public block; parse octets back from the dotted string, pack to
+    # the 32-bit integer form, derive the /24 prefix by integer div,
+    # flag private ranges by pure integer comparisons — every value an
+    # exact integer or deterministic string in both engines.
+    oracle="""
+    WITH ip AS (
+      SELECT c_custkey,
+             (CASE c_custkey % 3 WHEN 0 THEN '10.' || CAST(c_custkey % 256 AS VARCHAR)
+                   WHEN 1 THEN '172.' || CAST(16 + c_custkey % 16 AS VARCHAR)
+                   ELSE '203.' || CAST(c_custkey % 113 AS VARCHAR) END)
+             || '.' || CAST((c_custkey // 7) % 256 AS VARCHAR)
+             || '.' || CAST((c_custkey // 11) % 256 AS VARCHAR) AS addr
+      FROM customer),
+    p AS (
+      SELECT c_custkey, addr,
+             CAST(string_split(addr, '.')[1] AS BIGINT) AS o1,
+             CAST(string_split(addr, '.')[2] AS BIGINT) AS o2,
+             CAST(string_split(addr, '.')[3] AS BIGINT) AS o3,
+             CAST(string_split(addr, '.')[4] AS BIGINT) AS o4
+      FROM ip)
+    SELECT c_custkey, addr,
+           o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+           CAST((o1 * 16777216 + o2 * 65536 + o3 * 256 + o4) // 256
+             AS BIGINT) AS prefix24,
+           CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+             || CAST(o3 AS VARCHAR) || '.0/24' AS cidr24,
+           (o1 = 10 OR (o1 = 172 AND o2 >= 16 AND o2 <= 31)
+            OR (o1 = 192 AND o2 = 168)) AS is_private
+    FROM p
+    """,
+)
+def fn_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network-address functions — parse/pack/classify IPv4 (the
+    scalar family behind clickstream geo/abuse pipelines: octet
+    extraction, 32-bit packing, CIDR /24 bucketing for subnet rollups,
+    RFC1918 private-range classification). Addresses are synthesized
+    deterministically per customer across private and public ranges
+    (construct-then-parse), then every derived value is recomputed
+    from the STRING form — parsing is the thing under test.
+
+    All zero-shuffle in-row string/integer work at scan speed; the
+    /24 integer prefix is the canonical subnet aggregation key at
+    10^12 flows (group by prefix24, never by dotted string)."""
+    c = load(spark, sf_dir, "customer")
+    addr = F.concat(
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("10."), (F.col("c_custkey") % 256).cast("string")),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(
+                F.lit("172."), (16 + F.col("c_custkey") % 16).cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("203."), (F.col("c_custkey") % 113).cast("string"))
+        ),
+        F.lit("."),
+        (F.expr("c_custkey div 7") % 256).cast("string"),
+        F.lit("."),
+        (F.expr("c_custkey div 11") % 256).cast("string"),
+    )
+    p = c.select("c_custkey", addr.alias("addr")).select(
+        "c_custkey",
+        "addr",
+        F.split(F.col("addr"), r"\.")[0].cast("bigint").alias("o1"),
+        F.split(F.col("addr"), r"\.")[1].cast("bigint").alias("o2"),
+        F.split(F.col("addr"), r"\.")[2].cast("bigint").alias("o3"),
+        F.split(F.col("addr"), r"\.")[3].cast("bigint").alias("o4"),
+    )
+    ip_num = (
+        F.col("o1") * 16777216
+        + F.col("o2") * 65536
+        + F.col("o3") * 256
+        + F.col("o4")
+    )
+    return p.select(
+        "c_custkey",
+        "addr",
+        ip_num.alias("ip_num"),
+        F.expr(
+            "CAST((o1 * 16777216 + o2 * 65536 + o3 * 256 + o4) div 256 AS BIGINT)"
+        ).alias("prefix24"),
+        F.concat(
+            F.col("o1").cast("string"),
+            F.lit("."),
+            F.col("o2").cast("string"),
+            F.lit("."),
+            F.col("o3").cast("string"),
+            F.lit(".0/24"),
+        ).alias("cidr24"),
+        (
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & (F.col("o2") >= 16) & (F.col("o2") <= 31))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168))
+        ).alias("is_private"),
+    )

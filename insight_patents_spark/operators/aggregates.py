@@ -3973,3 +3973,94 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "agg_lorenz_points",
+    # Lorenz curve coordinates per market segment (the curve behind
+    # agg_gini's scalar): customers ranked by revenue, bucketed into
+    # deciles by PURE INTEGER rank arithmetic ((rk-1)*10) div n, per-
+    # decile revenue share and cumulative share as exact int64 cents
+    # ratios, one division each, 9dp.
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey),
+    r AS (
+      SELECT seg, c,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY c, o_custkey) AS rk,
+             COUNT(*) OVER (PARTITION BY seg) AS n,
+             SUM(c) OVER (PARTITION BY seg) AS s
+      FROM cust),
+    d AS (
+      SELECT seg, ((rk - 1) * 10) // n AS decile,
+             CAST(SUM(c) AS BIGINT) AS dc,
+             CAST(COUNT(*) AS BIGINT) AS dn,
+             MAX(s) AS s
+      FROM r GROUP BY seg, ((rk - 1) * 10) // n)
+    SELECT seg AS c_mktsegment, CAST(decile AS BIGINT) AS decile,
+           dn AS n_customers,
+           CAST(ROUND(dc * 1.0 / s, 9) AS DOUBLE) AS share,
+           CAST(ROUND(SUM(dc) OVER (PARTITION BY seg ORDER BY decile)
+                      * 1.0 / s, 9) AS DOUBLE) AS cum_share
+    FROM d
+    """,
+)
+def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve coordinates — the distribution curve agg_gini's
+    scalar summarizes (plotting cum share of revenue vs cum share of
+    customers; the bowed-away-from-diagonal picture every inequality
+    report shows): customers ranked ascending by revenue within
+    segment, decile = ((rank-1)*10) div n (pure integer — no float
+    bucketing edge cases), per-decile and cumulative revenue shares
+    as exact int64 cents ratios.
+
+    Scale shape: one customer-level hash agg, one rank window per
+    segment (the exact-order-statistic cost, agg_winsorize posture —
+    swap for agg_quantile_sketch decile cuts at 10^9 customers,
+    documented), one <=10-row-per-segment agg + cumulative window on
+    the decile grid."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+    wrk = Window.partitionBy("seg").orderBy("c", "o_custkey")
+    wseg = Window.partitionBy("seg")
+    r = cust.select(
+        "seg",
+        "c",
+        F.row_number().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+        F.sum("c").over(wseg).alias("s"),
+    )
+    d = (
+        r.withColumn("decile", F.expr("((rk - 1) * 10) div n"))
+        .groupBy("seg", "decile")
+        .agg(
+            F.sum("c").cast("bigint").alias("dc"),
+            F.count(F.lit(1)).cast("bigint").alias("dn"),
+            F.max("s").alias("s"),
+        )
+    )
+    wcum = Window.partitionBy("seg").orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        F.col("seg").alias("c_mktsegment"),
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("dn").alias("n_customers"),
+        F.round(F.col("dc") / F.col("s"), 9).cast("double").alias("share"),
+        F.round(F.sum("dc").over(wcum) / F.col("s"), 9)
+        .cast("double")
+        .alias("cum_share"),
+    )

@@ -2054,3 +2054,89 @@ def seq_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share"),
         )
     )
+
+
+# Cumulative business days BEFORE each Monday-indexed weekday
+# (Mon=0 ... Sun=6): [0,1,2,3,4,5,5]. 1970-01-01 was a Thursday, so
+# monday_index(d) = (epoch_days + 3) % 7 — pure integer in both engines.
+_BD_CUM = (0, 1, 2, 3, 4, 5, 5)
+
+
+def _bd_case(col: str) -> str:
+    whens = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(_BD_CUM))
+    return f"CASE ({col} + 3) % 7 {whens} END"
+
+
+@query(
+    "time_business_days",
+    # Closed-form business-day arithmetic (no calendar table, no
+    # per-day explode): bd_index(d) = 5*((days+3)//7) + cum[(days+3)%7]
+    # counts business days from the epoch week; the lead time between
+    # order and ship dates is one subtraction of two exact integers.
+    # Distribution per order priority + the priority's mean lead.
+    oracle=f"""
+    WITH j AS (
+      SELECT o.o_orderpriority AS pri,
+             CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS d1,
+             CAST(l.l_shipdate AS DATE) - DATE '1970-01-01' AS d2
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    bd AS (
+      SELECT pri,
+             (5 * ((d2 + 3) // 7) + {_bd_case("d2")})
+             - (5 * ((d1 + 3) // 7) + {_bd_case("d1")}) AS bdays
+      FROM j)
+    SELECT pri AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(bdays) AS BIGINT) AS min_bd,
+           CAST(MAX(bdays) AS BIGINT) AS max_bd,
+           CAST(ROUND(SUM(bdays) * 1.0 / COUNT(*), 9) AS DOUBLE)
+             AS mean_bd
+    FROM bd GROUP BY pri
+    """,
+)
+def time_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day lead time between order and ship dates per
+    priority — weekday-only day counting WITHOUT a calendar dimension
+    or per-day explode: bd_index(d) = 5*weeks + cum_weekday via the
+    closed-form epoch-week decomposition ((epoch_days+3) div 7 /
+    (epoch_days+3) mod 7 — 1970-01-01 anchors Thursday), so the count
+    between any two dates is ONE subtraction of exact integers. The
+    time_calendar_dim route joins a generated dim instead; this form
+    is join-free and holiday-free (production adds a broadcast holiday
+    set as a second subtraction term — documented). The difference is
+    ANTISYMMETRIC — bd(a,b) = -bd(b,a) exactly — which this synthetic
+    fixture exercises (ship dates precede order dates for some lines);
+    numpy's busday_count uses a (end,begin] convention on reversed
+    ranges and differs there by design.
+
+    Scale shape: fact-to-fact equi-join on orderkey (the one shuffle),
+    then pure in-row integer arithmetic + one hash agg; exact integer
+    min/max/sum with one 9dp division."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("d1"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("d2"),
+    )
+
+    def bdi(col: str) -> F.Column:
+        e = F.expr(f"({col} + 3) % 7")
+        out = F.lit(_BD_CUM[6])
+        for i, v in enumerate(_BD_CUM[:6]):
+            out = F.when(e == i, v).otherwise(out)
+        return F.expr(f"5 * (({col} + 3) div 7)") + out
+
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "pri", (bdi("d2") - bdi("d1")).alias("bdays")
+    )
+    return j.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min("bdays").cast("bigint").alias("min_bd"),
+        F.max("bdays").cast("bigint").alias("max_bd"),
+        F.round(F.sum("bdays") / F.count(F.lit(1)), 9)
+        .cast("double")
+        .alias("mean_bd"),
+    ).withColumnRenamed("pri", "o_orderpriority")

@@ -103,7 +103,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # The late-r8 second wave (the 22 NEW late-wave queries below) displaced the
+    # The late-r8 second wave (28 NEW queries below + 6 more in
+    # _POST_PREFIX_HEAD) displaced the
     # whole remaining backlog block (fn_array/fn_explode/fn_map/fn_json/
     # fn_hash/fn_bitwise/fn_variant/set_union_distinct/sample_priority/
     # agg_bitmap_distinct/dedup_embed_cosine/vec_ann_lsh/vec_pq_codes/
@@ -136,11 +137,11 @@ _SHOWCASE_50 = (
     "vec_mrr_eval", "agg_delta_ratio_ci", "agg_mann_whitney",
     "graph_powerlaw_fit", "sample_balanced_classes", "graph_richclub",
     "ml_fairness_eo",
-    # Three late new queries do not fit: the 50 slots hold every
-    # value-moving changed query + 40 new ones; ml_calibration_isotonic,
-    # join_asof_tolerance, and agg_covariance_matrix register first
-    # after the prefix (positions 51-53, _POST_PREFIX_HEAD) and lead
-    # the r9 gate. Oracle + Python-replay tests carry them until then.
+    # The last six new queries do not fit: the 50 slots hold every
+    # value-moving changed query + 40 new ones; the _POST_PREFIX_HEAD
+    # block registers them right after the prefix (positions 51-56) to
+    # lead the r9 gate. Oracle + Python-replay tests carry them until
+    # then.
     # NEW in r8
     "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
     "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
@@ -167,6 +168,9 @@ _POST_PREFIX_HEAD = (
     "ml_calibration_isotonic",
     "join_asof_tolerance",
     "agg_covariance_matrix",
+    "agg_lorenz_points",
+    "fn_inet",
+    "time_business_days",
 )
 
 

@@ -7527,3 +7527,93 @@ def test_covariance_matrix_matches_numpy(spark, sf_dir):
             else:
                 cr = c / (np.std(cols[a], ddof=1) * np.std(cols[b], ddof=1))
                 assert abs(r.corr - cr) <= 1e-6, (a, b)
+
+
+def test_lorenz_points_properties(spark, sf_dir):
+    """agg_lorenz_points: cumulative shares are monotone, reach 1.0 at
+    the last decile, per-decile shares are nondecreasing across
+    deciles (customers are sorted ascending), and decile sizes differ
+    by at most 1 from n/10."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import agg_lorenz_points
+
+    rows = agg_lorenz_points(spark, sf_dir).collect()
+    by_seg = defaultdict(list)
+    for r in rows:
+        by_seg[r.c_mktsegment].append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r.decile)
+        assert [r.decile for r in rs] == list(range(len(rs)))
+        assert abs(rs[-1].cum_share - 1.0) <= 2e-9
+        prev_cum, prev_share = -1.0, -1.0
+        n = sum(r.n_customers for r in rs)
+        for r in rs:
+            assert r.cum_share >= prev_cum
+            prev_cum = r.cum_share
+            assert r.share >= prev_share - 1e-9, (seg, r)
+            prev_share = r.share
+            assert abs(r.n_customers - n / 10) <= 1 + n % 10
+
+
+def test_inet_matches_python_parse(spark, sf_dir):
+    """fn_inet vs a Python re-parse of every synthesized address."""
+    from insight_patents_spark.functions.scalar import fn_inet
+
+    rows = fn_inet(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        o = [int(x) for x in r.addr.split(".")]
+        num = o[0] * 2**24 + o[1] * 2**16 + o[2] * 256 + o[3]
+        assert r.ip_num == num
+        assert r.prefix24 == num // 256
+        assert r.cidr24 == f"{o[0]}.{o[1]}.{o[2]}.0/24"
+        want_priv = (
+            o[0] == 10
+            or (o[0] == 172 and 16 <= o[1] <= 31)
+            or (o[0] == 192 and o[1] == 168)
+        )
+        assert r.is_private == want_priv
+        assert all(0 <= x <= 255 for x in o)
+
+
+def test_business_days_matches_numpy(spark, sf_dir):
+    """time_business_days vs numpy busday_count on the joined
+    order/ship date pairs (same weekday-only convention)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from insight_patents_spark.operators.sequences import time_business_days
+    from insight_patents_spark.sources.tables import load
+
+    o = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate.date())
+        for r in load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .collect()
+    }
+    agg = defaultdict(list)
+    for r in (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        pri, d1 = o[r.l_orderkey]
+        d2 = r.l_shipdate.date()
+        # antisymmetric convention: bd(d1, d2) = -bd(d2, d1) exactly.
+        # numpy's reversed-range count uses (end, begin] instead, so
+        # negative ranges replay via the forward count negated.
+        if d2 >= d1:
+            bd = int(np.busday_count(d1, d2))
+        else:
+            bd = -int(np.busday_count(d2, d1))
+        agg[pri].append(bd)
+    rows = {r.o_orderpriority: r for r in time_business_days(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for pri, bds in agg.items():
+        r = rows[pri]
+        assert r.n_lines == len(bds)
+        assert r.min_bd == min(bds)
+        assert r.max_bd == max(bds)
+        assert abs(r.mean_bd - round(sum(bds) / len(bds), 9)) <= 2e-9
