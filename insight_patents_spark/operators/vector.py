@@ -2425,3 +2425,173 @@ def vec_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mrr"),
     )
+
+
+@query(
+    "vec_cluster_purity",
+    # External clustering evaluation (purity + NMI) of the
+    # deterministic seed-centroid assignment (vec_kmeans' init step)
+    # against the ground-truth label column: the contingency grid
+    # (cluster x label) is one hash agg; purity = sum of per-cluster
+    # majority counts / N (pure integer until one division); NMI's MI
+    # and entropies are per-cell 9dp ln terms nano-quantized into
+    # order-independent integer sums (the agg_mutual_info posture),
+    # normalized by sqrt(Hc*Hl).
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cluster_id, v AS cv FROM e WHERE vec_id % 64 = 0),
+    a1 AS (
+      SELECT vec_id, label, cluster_id FROM (
+        SELECT e.vec_id, e.label, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                 ROUND(list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+                       + list_dot_product(c.cv, c.cv), 9), c.cluster_id) AS rn
+        FROM e CROSS JOIN c0 c
+      ) WHERE rn = 1),
+    grid AS (
+      SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a1 GROUP BY cluster_id, label),
+    tot AS (
+      SELECT cluster_id, label, n,
+             SUM(n) OVER (PARTITION BY cluster_id) AS nc,
+             SUM(n) OVER (PARTITION BY label) AS nl,
+             SUM(n) OVER () AS nn
+      FROM grid),
+    terms AS (
+      SELECT cluster_id, label, n, nc, nl, nn,
+             CAST(ROUND(ROUND((n * 1.0 / nn)
+                   * LN((CAST(n AS DOUBLE) * nn) / (CAST(nc AS DOUBLE) * nl)), 9)
+                   * 1e9, 0) AS BIGINT) AS qmi
+      FROM tot),
+    hc AS (
+      SELECT CAST(ROUND(ROUND(-(nc * 1.0 / nn) * LN(nc * 1.0 / nn), 9) * 1e9, 0)
+               AS BIGINT) AS qh
+      FROM (SELECT DISTINCT cluster_id, nc, nn FROM tot)),
+    hl AS (
+      SELECT CAST(ROUND(ROUND(-(nl * 1.0 / nn) * LN(nl * 1.0 / nn), 9) * 1e9, 0)
+               AS BIGINT) AS qh
+      FROM (SELECT DISTINCT label, nl, nn FROM tot)),
+    pur AS (
+      SELECT SUM(mx) AS pnum, MAX(nn) AS nn FROM (
+        SELECT cluster_id, MAX(nn) AS nn, MAX(n) AS mx
+        FROM tot GROUP BY cluster_id)),
+    mi AS (SELECT SUM(qmi) AS smi FROM terms)
+    SELECT CAST(p.nn AS BIGINT) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM c0) AS BIGINT) AS n_clusters,
+           CAST(ROUND(p.pnum * 1.0 / p.nn, 9) AS DOUBLE) AS purity,
+           CAST(ROUND((mi.smi / 1e9)
+                / SQRT(((SELECT SUM(qh) FROM hc) / 1e9)
+                       * ((SELECT SUM(qh) FROM hl) / 1e9)), 9) AS DOUBLE)
+             AS nmi
+    FROM pur p CROSS JOIN mi
+    """,
+)
+def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering evaluation — purity and normalized mutual
+    information of the deterministic seed-centroid assignment against
+    the ground-truth labels (the metric pair every clustering paper
+    reports; purity rewards homogeneous clusters, NMI additionally
+    punishes shattering them): assignment is ONE broadcast-centroid
+    argmin pass (vec_kmeans' init geometry — the k x 64 centroid table
+    broadcasts, vectors never shuffle), the contingency grid is one
+    hash agg, and both metrics are grid-sized arithmetic.
+
+    Determinism: purity's numerator is a pure integer sum of
+    per-cluster majority counts; MI/entropy terms are 9dp-rounded per
+    cell then nano-quantized into order-independent integer sums (the
+    agg_mutual_info posture), one sqrt at the end."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    c0 = e.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
+    )
+    d2 = F.round(
+        _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv"), 9
+    )
+    w = Window.partitionBy("vec_id").orderBy(d2, "cluster_id")
+    a1 = (
+        e.crossJoin(F.broadcast(c0))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cluster_id")
+    )
+    grid = a1.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wc = Window.partitionBy("cluster_id")
+    wl = Window.partitionBy("label")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = grid.select(
+        "cluster_id",
+        "label",
+        "n",
+        F.sum("n").over(wc).alias("nc"),
+        F.sum("n").over(wl).alias("nl"),
+        F.sum("n").over(w_all).alias("nn"),
+    ).localCheckpoint()
+    qmi = F.round(
+        F.round(
+            (F.col("n") / F.col("nn"))
+            * F.log(
+                (F.col("n").cast("double") * F.col("nn"))
+                / (F.col("nc").cast("double") * F.col("nl"))
+            ),
+            9,
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    smi = tot.agg(F.sum(qmi).alias("smi"))
+    qh = lambda colname: F.round(  # noqa: E731
+        F.round(
+            -(F.col(colname) / F.col("nn"))
+            * F.log(F.col(colname) / F.col("nn")),
+            9,
+        )
+        * F.lit(1e9),
+        0,
+    ).cast("long")
+    hc = (
+        tot.select("cluster_id", "nc", "nn")
+        .distinct()
+        .agg(F.sum(qh("nc")).alias("sh"))
+    )
+    hl = (
+        tot.select("label", "nl", "nn")
+        .distinct()
+        .agg(F.sum(qh("nl")).alias("sh"))
+    )
+    pur = (
+        tot.groupBy("cluster_id")
+        .agg(F.max("nn").alias("nn"), F.max("n").alias("mx"))
+        .agg(F.sum("mx").alias("pnum"), F.max("nn").alias("nn"))
+    )
+    k = c0.agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    return (
+        pur.crossJoin(F.broadcast(smi))
+        .crossJoin(F.broadcast(hc.select(F.col("sh").alias("shc"))))
+        .crossJoin(F.broadcast(hl.select(F.col("sh").alias("shl"))))
+        .crossJoin(F.broadcast(k))
+        .select(
+            F.col("nn").cast("bigint").alias("n_vectors"),
+            "n_clusters",
+            F.round(F.col("pnum") / F.col("nn"), 9)
+            .cast("double")
+            .alias("purity"),
+            F.round(
+                (F.col("smi") / F.lit(1e9))
+                / F.sqrt(
+                    (F.col("shc") / F.lit(1e9)) * (F.col("shl") / F.lit(1e9))
+                ),
+                9,
+            )
+            .cast("double")
+            .alias("nmi"),
+        )
+    )

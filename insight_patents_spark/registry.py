@@ -137,9 +137,9 @@ _SHOWCASE_50 = (
     "vec_mrr_eval", "agg_delta_ratio_ci", "agg_mann_whitney",
     "graph_powerlaw_fit", "sample_balanced_classes", "graph_richclub",
     "ml_fairness_eo",
-    # The last six new queries do not fit: the 50 slots hold every
+    # The last seven new queries do not fit: the 50 slots hold every
     # value-moving changed query + 40 new ones; the _POST_PREFIX_HEAD
-    # block registers them right after the prefix (positions 51-56) to
+    # block registers them right after the prefix (positions 51-57) to
     # lead the r9 gate. Oracle + Python-replay tests carry them until
     # then.
     # NEW in r8
@@ -171,6 +171,7 @@ _POST_PREFIX_HEAD = (
     "agg_lorenz_points",
     "fn_inet",
     "time_business_days",
+    "vec_cluster_purity",
 )
 
 

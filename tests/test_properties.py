@@ -7617,3 +7617,51 @@ def test_business_days_matches_numpy(spark, sf_dir):
         assert r.min_bd == min(bds)
         assert r.max_bd == max(bds)
         assert abs(r.mean_bd - round(sum(bds) / len(bds), 9)) <= 2e-9
+
+
+def test_cluster_purity_matches_numpy(spark, sf_dir):
+    """vec_cluster_purity vs a NumPy replay: argmin assignment to the
+    seed centroids (same rounded-distance, min-cluster tie-break),
+    then purity and NMI from the contingency table."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from insight_patents_spark.operators.vector import vec_cluster_purity
+    from insight_patents_spark.sources.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in rows}
+    seeds = sorted(i for i in vecs if i % 64 == 0)
+    cmat = np.stack([vecs[i][0] for i in seeds])
+    grid = Counter()
+    for vid, (v, lab) in vecs.items():
+        d2 = np.round(
+            (v @ v) - 2 * (cmat @ v) + np.einsum("ij,ij->i", cmat, cmat), 9
+        )
+        best = min(zip(d2, seeds))[1]
+        grid[(best, lab)] += 1
+    nn = sum(grid.values())
+    nc = Counter()
+    nl = Counter()
+    for (c, l), n in grid.items():
+        nc[c] += n
+        nl[l] += n
+    purity = sum(
+        max(n for (c2, _), n in grid.items() if c2 == c) for c in nc
+    ) / nn
+    smi = sum(
+        round(round((n / nn) * math.log((n * nn) / (nc[c] * nl[l])), 9) * 1e9)
+        for (c, l), n in grid.items()
+    )
+    shc = sum(round(round(-(v / nn) * math.log(v / nn), 9) * 1e9) for v in nc.values())
+    shl = sum(round(round(-(v / nn) * math.log(v / nn), 9) * 1e9) for v in nl.values())
+    nmi = (smi / 1e9) / math.sqrt((shc / 1e9) * (shl / 1e9))
+    r = vec_cluster_purity(spark, sf_dir).collect()[0]
+    assert r.n_vectors == nn and r.n_clusters == len(seeds)
+    assert abs(r.purity - round(purity, 9)) <= 2e-9
+    assert abs(r.nmi - round(nmi, 9)) <= 2e-9
+    assert 0.0 <= r.purity <= 1.0 and 0.0 <= r.nmi <= 1.0 + 1e-9
