@@ -1995,7 +1995,9 @@ def seq_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
             "WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END)"
         ), F.lit(0)).alias("mask"),
-    )
+    ).localCheckpoint()  # the lattice references this 4x (cm/nn via
+    # coal twice + totals); without pinning, every reference re-runs
+    # the whole corpus chain (plan-gate finding, late r8)
     nn = um.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     cm = um.groupBy("mask").agg(
         F.sum(F.when(F.col("conv"), 1).otherwise(0))

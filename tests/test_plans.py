@@ -1585,3 +1585,86 @@ def test_pipeline_e2e_plan_shape(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "lineitem" not in plan
+
+
+def test_tree_inference_is_zero_exchange_projection(spark, sf_dir):
+    # Compiled model serving must stay a narrow codegen map: one pruned
+    # scan, zero Exchange, no UDF/Python nodes anywhere.
+    from insight_patents_spark.operators.ml import ml_tree_inference
+
+    plan = formatted_plan(ml_tree_inference(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_dedup_lines_shuffles_digests_not_text(spark, sf_dir):
+    # The line-dedup shuffle keys must be md5 digests: the keeper agg
+    # groups by the 32-char hash, and no Exchange partitions on a raw
+    # line/text column.
+    from insight_patents_spark.operators.text import dedup_lines
+
+    plan = formatted_plan(dedup_lines(spark, sf_dir))
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-zA-Z0-9_#]+)", plan):
+        key = m.group(1)
+        assert key.startswith(("lh", "doc_id")), f"unexpected shuffle key {key}"
+
+
+def test_experimentation_suite_is_single_pass(spark, sf_dir):
+    # Every experimentation estimator reads its fact exactly once and
+    # collapses to grid cells before any further op — one events scan,
+    # no window before the first aggregate, no cartesian.
+    from insight_patents_spark.operators.aggregates import (
+        agg_causal_did,
+        agg_delta_ratio_ci,
+        agg_power_mde,
+    )
+
+    for fn in (agg_causal_did, agg_delta_ratio_ci, agg_power_mde):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert plan.count("events.parquet") == 1, fn
+        assert "CartesianProduct" not in plan
+        idx_aggs = [
+            m.start()
+            for m in re.finditer(r"^\(\d+\) (Hash|Sort|Object.*)Aggregate", plan, re.M)
+        ]
+        idx_wins = [m.start() for m in re.finditer(r"^\(\d+\) Window$", plan, re.M)]
+        assert idx_aggs, fn
+        if idx_wins:
+            assert min(idx_aggs) < min(idx_wins), fn
+
+
+def test_shapley_lattice_is_broadcast_only_after_user_agg(spark, sf_dir):
+    # All coalition work must ride broadcast joins on the 16-row mask
+    # grid: exactly one events scan, and every join on the lattice side
+    # is a BroadcastHashJoin or BroadcastNestedLoop over <=16-row inputs.
+    from insight_patents_spark.operators.sequences import (
+        seq_attribution_shapley,
+    )
+
+    plan = formatted_plan(seq_attribution_shapley(spark, sf_dir))
+    # the user-mask table localCheckpoints, so the corpus chain appears
+    # ZERO times in the lattice plan (ExistingRDD feeds everything)
+    assert plan.count("events.parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_kalman_croston_are_single_shuffle_folds(spark, sf_dir):
+    # The in-row recursion family: one wide Exchange builds the sorted
+    # per-key array; the recursion itself adds NO plan operators.
+    from insight_patents_spark.operators.sequences import time_croston
+    from insight_patents_spark.operators.windows import win_kalman_1d
+
+    plan_k = formatted_plan(win_kalman_1d(spark, sf_dir))
+    # at most the ONE user_id exchange (AQE may hide it pre-execution
+    # on single-split input); the recursion adds no operators either way
+    assert plan_k.count("Exchange hashpartitioning") <= 1
+    assert "Window" not in plan_k.split("Aggregate")[0]
+    assert "aggregate(" in plan_k  # the in-row fold expression
+    plan_c = formatted_plan(time_croston(spark, sf_dir))
+    assert "aggregate(" in plan_c
+    assert "CartesianProduct" not in plan_c
