@@ -4064,3 +4064,78 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cum_share"),
     )
+
+
+@query(
+    "agg_ab_srm_check",
+    # Sample-ratio-mismatch guardrail (the first check every experiment
+    # readout runs — a biased assignment invalidates everything
+    # downstream): observed arm counts vs the expected 50/50 split,
+    # 1-dof chi-square = (n0-n1)^2/(n0+n1) in EXACT integer form until
+    # one division, flag at the 3.841 (p=0.05) critical literal.
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substr(md5('t:' || CAST(user_id AS VARCHAR)), 1, 2))
+                  AS BIGINT) % 2 AS treated
+      FROM events),
+    g AS (
+      SELECT CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0
+      FROM u)
+    SELECT n0 AS n_control, n1 AS n_treated,
+           CAST(ROUND((n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1), 9) AS DOUBLE)
+             AS chi2,
+           ((n0 - n1) * (n0 - n1) * 1.0 / (n0 + n1)) > 3.841 AS srm_detected
+    FROM g
+    """,
+)
+def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the guardrail every experiment
+    platform runs BEFORE any readout (Microsoft/Booking both report SRM
+    in ~6% of experiments; a mismatched split means assignment is
+    broken and every downstream estimate is invalid): the md5-parity
+    assignment's observed arm counts vs the designed 50/50, 1-dof
+    chi-square (n0-n1)^2/(n0+n1) in exact integer form until ONE
+    division, flagged against the pre-rounded p=0.05 critical value.
+
+    Scale shape: one distinct-user agg + a 2-cell reduction — the
+    cheapest query in the experimentation suite and the first one to
+    run. The decision comparison uses the unrounded double of exact
+    ints against a literal — identical in both engines."""
+    e = load(spark, sf_dir, "events")
+    u = e.select("user_id").distinct().select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("t:"), F.col("user_id").cast("string"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        ).alias("treated")
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+    )
+    chi2 = (
+        (F.col("n0") - F.col("n1"))
+        * (F.col("n0") - F.col("n1"))
+        / (F.col("n0") + F.col("n1"))
+    )
+    return g.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treated"),
+        F.round(chi2, 9).cast("double").alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )

@@ -2388,3 +2388,103 @@ def graph_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.lit(0.0))
     return out.select("k", "n_rich", "e_rich", phi.cast("double").alias("phi"))
+
+
+def _edge_churn_oracle() -> str:
+    # Two co-purchase edge sets built from the order-parity halves of
+    # the SAME pair pipeline (src < dst canonical form), FULL OUTER on
+    # the edge key -> added/removed/stable masses.
+    return _EDGES_CTE + """
+    , half AS (
+      SELECT l.l_partkey AS pk, l.l_orderkey AS ok,
+             l.l_orderkey % 2 AS h
+      FROM lineitem l),
+    pairs2 AS (
+      SELECT a.h, a.pk AS src, b.pk AS dst
+      FROM half a JOIN half b
+        ON a.ok = b.ok AND a.h = b.h AND a.pk < b.pk
+      GROUP BY a.h, a.pk, b.pk),
+    ea AS (SELECT src, dst FROM pairs2 WHERE h = 0),
+    eb AS (SELECT src, dst FROM pairs2 WHERE h = 1),
+    fo AS (
+      SELECT COALESCE(ea.src, eb.src) AS src,
+             COALESCE(ea.dst, eb.dst) AS dst,
+             ea.src IS NOT NULL AS in_a, eb.src IS NOT NULL AS in_b
+      FROM ea FULL OUTER JOIN eb
+        ON ea.src = eb.src AND ea.dst = eb.dst)
+    SELECT
+      CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_stable,
+      CAST(SUM(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_removed,
+      CAST(SUM(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_added,
+      CAST(ROUND(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 9) AS DOUBLE) AS jaccard_stability
+    FROM fo
+    """
+
+
+@query("graph_edge_churn", oracle=_edge_churn_oracle())
+def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diff / edge churn between two snapshots — the monitoring
+    primitive for any periodically rebuilt graph (citation graphs grow;
+    an anomalous added/removed edge mass is the first sign of an
+    ingest regression): co-purchase edge sets built from the two
+    order-parity halves (deterministic snapshot surrogates), FULL
+    OUTER joined on the canonical (src < dst) edge key, reporting
+    stable/removed/added masses and Jaccard stability.
+
+    Scale shape: each half is the standard pair build (self-join
+    within order, canonical direction, distinct), the diff is ONE
+    equi-join on the edge key — never an edge-list cross product;
+    counts are exact integers with one 9dp ratio. At 10^12 edges the
+    FULL OUTER shuffles both sets once on the same key."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_orderkey") % 2).alias("h"),
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .select("a.h", F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ea = pairs.filter(F.col("h") == 0).select("src", "dst")
+    eb = pairs.filter(F.col("h") == 1).select(
+        F.col("src").alias("src_b"), F.col("dst").alias("dst_b")
+    )
+    fo = ea.join(
+        eb,
+        (F.col("src") == F.col("src_b")) & (F.col("dst") == F.col("dst_b")),
+        "full_outer",
+    ).select(
+        F.col("src").isNotNull().alias("in_a"),
+        F.col("src_b").isNotNull().alias("in_b"),
+    )
+    return fo.agg(
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stable"),
+        F.sum(F.when(F.col("in_a") & ~F.col("in_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("in_b") & ~F.col("in_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.round(
+            F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            9,
+        )
+        .cast("double")
+        .alias("jaccard_stability"),
+    )

@@ -2209,3 +2209,88 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("anchored_vwap"),
     )
+
+
+@query(
+    "win_ulcer_index",
+    # Ulcer index per event_type over the daily cumulative-revenue
+    # curve: percentage drawdown from the running peak (win_drawdown's
+    # per-day companion), squared, mean-quantized, one sqrt. The
+    # drawdown ratio divides two exact int64 running sums; each squared
+    # percentage is 9dp-rounded then nano-quantized so the mean is an
+    # order-independent integer sum.
+    oracle="""
+    WITH grid AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    c0 AS (
+      SELECT event_type, day,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM grid),
+    c AS (
+      SELECT event_type, day, cum,
+             MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM c0),
+    dd AS (
+      SELECT event_type,
+             CAST(ROUND(ROUND(100.0 * (peak - cum) / peak, 9)
+                        * ROUND(100.0 * (peak - cum) / peak, 9) * 1e9, 0)
+               AS BIGINT) AS q
+      FROM c)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(ROUND(SQRT(SUM(q) / (COUNT(*) * 1e9)), 9) AS DOUBLE)
+             AS ulcer_index
+    FROM dd GROUP BY event_type
+    """,
+)
+def win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index per event_type — the downside-risk metric that
+    penalizes DEPTH x DURATION of drawdowns (win_drawdown reports the
+    worst single dip; the ulcer index is the RMS of the whole
+    percentage-drawdown curve, the denominator of the Martin ratio):
+    UI = sqrt(mean(dd_pct^2)) over the daily cumulative-revenue series.
+
+    Determinism: cum and peak are exact int64 running sums sharing one
+    per-type day sort; each percentage drawdown is one division of
+    exact ints, 9dp; the squares are nano-quantized so the mean is an
+    order-independent integer sum; one sqrt at the end. Scale shape:
+    the win_rsi grid posture — one hash agg, two stacked windows on
+    one sort, one final agg."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    grid = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = grid.select(
+        "event_type",
+        "day",
+        F.sum("x").over(w).alias("cum"),
+    ).select(
+        "event_type",
+        "day",
+        "cum",
+        F.max("cum").over(w).alias("peak"),
+    )
+    ddp = F.round(100.0 * (F.col("peak") - F.col("cum")) / F.col("peak"), 9)
+    q = F.round(ddp * ddp * F.lit(1e9), 0).cast("long")
+    return (
+        c.select("event_type", q.alias("q"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sqrt(F.sum("q") / (F.count(F.lit(1)) * F.lit(1e9))), 9
+            )
+            .cast("double")
+            .alias("ulcer_index"),
+        )
+    )

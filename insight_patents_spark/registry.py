@@ -137,9 +137,9 @@ _SHOWCASE_50 = (
     "vec_mrr_eval", "agg_delta_ratio_ci", "agg_mann_whitney",
     "graph_powerlaw_fit", "sample_balanced_classes", "graph_richclub",
     "ml_fairness_eo",
-    # The last seven new queries do not fit: the 50 slots hold every
+    # The last ten new queries do not fit: the 50 slots hold every
     # value-moving changed query + 40 new ones; the _POST_PREFIX_HEAD
-    # block registers them right after the prefix (positions 51-57) to
+    # block registers them right after the prefix (positions 51-60) to
     # lead the r9 gate. Oracle + Python-replay tests carry them until
     # then.
     # NEW in r8
@@ -172,6 +172,9 @@ _POST_PREFIX_HEAD = (
     "fn_inet",
     "time_business_days",
     "vec_cluster_purity",
+    "graph_edge_churn",
+    "win_ulcer_index",
+    "agg_ab_srm_check",
 )
 
 

@@ -7665,3 +7665,94 @@ def test_cluster_purity_matches_numpy(spark, sf_dir):
     assert abs(r.purity - round(purity, 9)) <= 2e-9
     assert abs(r.nmi - round(nmi, 9)) <= 2e-9
     assert 0.0 <= r.purity <= 1.0 and 0.0 <= r.nmi <= 1.0 + 1e-9
+
+
+def test_edge_churn_matches_python_sets(spark, sf_dir):
+    """graph_edge_churn vs Python set algebra on the two parity-half
+    co-purchase edge sets."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.graph import graph_edge_churn
+    from insight_patents_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    orders = defaultdict(set)
+    for r in li:
+        orders[r.l_orderkey].add(r.l_partkey)
+    halves = {0: set(), 1: set()}
+    for ok, parts in orders.items():
+        h = ok % 2
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                halves[h].add((a, b))
+    stable = halves[0] & halves[1]
+    removed = halves[0] - halves[1]
+    added = halves[1] - halves[0]
+    r = graph_edge_churn(spark, sf_dir).collect()[0]
+    assert (r.n_stable, r.n_removed, r.n_added) == (
+        len(stable),
+        len(removed),
+        len(added),
+    )
+    union = len(stable) + len(removed) + len(added)
+    assert abs(r.jaccard_stability - round(len(stable) / union, 9)) <= 2e-9
+
+
+def test_ulcer_index_matches_python_replay(spark, sf_dir):
+    """win_ulcer_index vs a sequential Python replay of the cumulative
+    curve, running peak, and quantized RMS drawdown."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.windows import win_ulcer_index
+    from insight_patents_spark.sources.tables import load
+
+    grid = defaultdict(dict)
+    for g in (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.expr("CAST(ROUND(value*100,0) AS BIGINT)")).alias("x"))
+        .collect()
+    ):
+        grid[g.event_type][g.day] = g.x
+    rows = {r.event_type: r for r in win_ulcer_index(spark, sf_dir).collect()}
+    for typ, days in grid.items():
+        cum = peak = 0
+        qsum = 0
+        n = 0
+        for d in sorted(days):
+            cum += days[d]
+            peak = max(peak, cum)
+            ddp = round(100.0 * (peak - cum) / peak, 9)
+            qsum += round(ddp * ddp * 1e9)
+            n += 1
+        r = rows[typ]
+        assert r.n_days == n
+        assert abs(r.ulcer_index - round((qsum / (n * 1e9)) ** 0.5, 9)) <= 2e-9
+
+
+def test_srm_check_counts_users(spark, sf_dir):
+    """agg_ab_srm_check: arm counts partition distinct users; chi2
+    reconstructs; the md5 split is healthy on this fixture (no SRM)."""
+    import hashlib
+
+    from insight_patents_spark.operators.aggregates import agg_ab_srm_check
+    from insight_patents_spark.sources.tables import load
+
+    users = {
+        r.user_id
+        for r in load(spark, sf_dir, "events").select("user_id").collect()
+    }
+    n1 = sum(
+        1
+        for u in users
+        if int(hashlib.md5(f"t:{u}".encode()).hexdigest()[:2], 16) % 2 == 1
+    )
+    n0 = len(users) - n1
+    r = agg_ab_srm_check(spark, sf_dir).collect()[0]
+    assert (r.n_control, r.n_treated) == (n0, n1)
+    assert abs(r.chi2 - round((n0 - n1) ** 2 / (n0 + n1), 9)) <= 2e-9
+    assert r.srm_detected == (((n0 - n1) ** 2 / (n0 + n1)) > 3.841)
+    assert not r.srm_detected  # md5 parity is a healthy split here
