@@ -4139,3 +4139,74 @@ def agg_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 9).cast("double").alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+_TRIPLE_MINSUP = 2  # minimum order support (max observed support at the gate SF is 2)
+
+
+@query(
+    "agg_basket_triples",
+    # Frequent 3-itemset mining over order baskets: baskets are
+    # BOUNDED (~7 lines/order), so candidate triples expand IN-ROW
+    # (C(7,3) = 35 max per order — explicit, no Apriori join chain),
+    # then ONE hash agg counts support and the minsup filter prunes.
+    # The oracle states the same semantics as the obvious 3-way
+    # self-join. Pure integer counts.
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    t AS (
+      SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+                   JOIN items c ON a.ok = c.ok AND b.pk < c.pk
+      GROUP BY a.pk, b.pk, c.pk)
+    SELECT p1, p2, p3, support
+    FROM t WHERE support >= {_TRIPLE_MINSUP}
+    """,
+)
+def agg_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining — the next Apriori rung above
+    graph_assoc_rules' pair rules (triple co-occurrence is where
+    bundle/recommendation signals live that pairwise lift cannot see):
+    every order's distinct item set expands to its C(k,3) sorted
+    triples IN-ROW, one hash agg counts order support, minsup prunes.
+
+    The scale argument is the basket bound: retail baskets are small
+    (<=7 lines here, rarely >100 anywhere), so the in-row expansion is
+    O(k^3) per order with tiny k — explicit and bounded, no pair/triple
+    join chain, no Apriori candidate generation needed. For unbounded
+    'baskets' (sessions with 10^4 events) the Apriori prune on
+    frequent pairs IS required — documented, graph_assoc_rules owns
+    the pair stage it would build on. Shuffle = |distinct triples|
+    after map-side combine."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_list("pk")).alias("ps"))
+        .filter(F.size("ps") >= 3)
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                """
+        flatten(flatten(
+          transform(sequence(0, size(ps) - 3), i ->
+            transform(sequence(i + 1, size(ps) - 2), j ->
+              transform(sequence(j + 1, size(ps) - 1), k ->
+                struct(ps[i] AS p1, ps[j] AS p2, ps[k] AS p3))))))
+        """
+            )
+        ).alias("t")
+    )
+    return (
+        triples.groupBy(
+            F.col("t.p1").alias("p1"),
+            F.col("t.p2").alias("p2"),
+            F.col("t.p3").alias("p3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= _TRIPLE_MINSUP)
+    )

@@ -2446,3 +2446,148 @@ def ml_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("iso_raw"), 9).cast("double").alias("iso_rate"),
     )
+
+
+_PERM_SHIFT = 17  # deterministic permutation: doc_id -> (doc_id + 17) % N
+
+
+@query(
+    "ml_permutation_importance",
+    # Model-agnostic permutation importance for the compiled tree
+    # ensemble: baseline keep-accuracy vs the lang='en' label, then
+    # each feature column is permuted by the DETERMINISTIC cyclic
+    # shift doc_id -> (doc_id + 17) % N (a true permutation, identical
+    # in both engines, no RNG) and the ensemble re-scores; importance
+    # = accuracy drop. All decisions are exact integer comparisons;
+    # accuracies are single divisions of exact counts, 9dp.
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST({_TREE_FEATS_SQL[0]} AS BIGINT) AS f0,
+             CAST({_TREE_FEATS_SQL[1]} AS BIGINT) AS f1,
+             CAST({_TREE_FEATS_SQL[2]} AS BIGINT) AS f2,
+             (lang = 'en') AS pos
+      FROM documents),
+    nn AS (SELECT COUNT(*) AS n, MIN(doc_id) AS mn FROM f),
+    perm AS (
+      SELECT a.doc_id, a.f0, a.f1, a.f2, a.pos,
+             b.f0 AS g0, b.f1 AS g1, b.f2 AS g2
+      FROM f a CROSS JOIN nn
+      JOIN f b ON b.doc_id = ((a.doc_id - nn.mn + {_PERM_SHIFT})
+                              % nn.n) + nn.mn),
+    sc AS (
+      SELECT pos,
+             ({" + ".join(f"({_tree_case(k, ('f0','f1','f2'))})" for k in range(4))}) > 0 AS keep0,
+             ({" + ".join(f"({_tree_case(k, ('g0','f1','f2'))})" for k in range(4))}) > 0 AS keep_p0,
+             ({" + ".join(f"({_tree_case(k, ('f0','g1','f2'))})" for k in range(4))}) > 0 AS keep_p1,
+             ({" + ".join(f"({_tree_case(k, ('f0','f1','g2'))})" for k in range(4))}) > 0 AS keep_p2
+      FROM perm),
+    acc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN keep0 = pos THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+             CAST(SUM(CASE WHEN keep_p0 = pos THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN keep_p1 = pos THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+             CAST(SUM(CASE WHEN keep_p2 = pos THEN 1 ELSE 0 END) AS BIGINT) AS a3
+      FROM sc)
+    SELECT feature,
+           CAST(ROUND(base * 1.0 / n, 9) AS DOUBLE) AS baseline_acc,
+           CAST(ROUND(permuted * 1.0 / n, 9) AS DOUBLE) AS permuted_acc,
+           CAST(ROUND(base * 1.0 / n - permuted * 1.0 / n, 9) AS DOUBLE)
+             AS importance
+    FROM (
+      SELECT 'n_tokens' AS feature, a0 AS base, a1 AS permuted, n FROM acc
+      UNION ALL
+      SELECT 'n_chars', a0, a2, n FROM acc
+      UNION ALL
+      SELECT 'n_distinct', a0, a3, n FROM acc)
+    """,
+)
+def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation feature importance — the MODEL-AGNOSTIC
+    explainability method beside ml_shap_linear's closed form (works
+    for any scorer, here the compiled tree ensemble): permute one
+    feature column, re-score, and report the keep-accuracy drop. The
+    permutation is the deterministic cyclic shift doc_id ->
+    (doc_id + 17) mod N — a true permutation with no RNG state,
+    identical in both engines and at any parallelism (production uses
+    k shifts and averages; one suffices for the exhibit).
+
+    Scale shape: features compute once (one scan), the permuted
+    partner arrives via ONE equi-join on the shifted id (hash join on
+    doc_id — no sort, no broadcast of the corpus), all four scorings
+    are CASE chains in the SAME projection, and the accuracy table is
+    a 1-row agg unfolded to 3 feature rows. Exact integer decisions;
+    three divisions, 9dp."""
+    d = load(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        F.expr(_TREE_FEATS[0]).cast("bigint").alias("f0"),
+        F.expr(_TREE_FEATS[1]).cast("bigint").alias("f1"),
+        F.expr(_TREE_FEATS[2]).cast("bigint").alias("f2"),
+        (F.col("lang") == "en").alias("pos"),
+    ).localCheckpoint()
+    nn = f.agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("mn")
+    )
+    a = f.crossJoin(F.broadcast(nn))
+    b = f.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("f0").alias("g0"),
+        F.col("f1").alias("g1"),
+        F.col("f2").alias("g2"),
+    )
+    perm = a.join(
+        b,
+        F.col("b_id")
+        == ((F.col("doc_id") - F.col("mn") + _PERM_SHIFT) % F.col("n"))
+        + F.col("mn"),
+    )
+
+    def keep(feats):
+        expr = " + ".join(f"({_tree_case(k, feats)})" for k in range(4))
+        return F.expr(f"({expr}) > 0")
+
+    sc = perm.select(
+        "pos",
+        keep(("f0", "f1", "f2")).alias("keep0"),
+        keep(("g0", "f1", "f2")).alias("kp0"),
+        keep(("f0", "g1", "f2")).alias("kp1"),
+        keep(("f0", "f1", "g2")).alias("kp2"),
+    )
+    acc = sc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("keep0") == F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a0"),
+        F.sum(F.when(F.col("kp0") == F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a1"),
+        F.sum(F.when(F.col("kp1") == F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a2"),
+        F.sum(F.when(F.col("kp2") == F.col("pos"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a3"),
+    )
+    parts = []
+    for feat, col in (("n_tokens", "a1"), ("n_chars", "a2"), ("n_distinct", "a3")):
+        parts.append(
+            acc.select(
+                F.lit(feat).alias("feature"),
+                F.round(F.col("a0") / F.col("n"), 9)
+                .cast("double")
+                .alias("baseline_acc"),
+                F.round(F.col(col) / F.col("n"), 9)
+                .cast("double")
+                .alias("permuted_acc"),
+                F.round(
+                    F.col("a0") / F.col("n") - F.col(col) / F.col("n"), 9
+                )
+                .cast("double")
+                .alias("importance"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

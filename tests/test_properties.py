@@ -7756,3 +7756,93 @@ def test_srm_check_counts_users(spark, sf_dir):
     assert abs(r.chi2 - round((n0 - n1) ** 2 / (n0 + n1), 9)) <= 2e-9
     assert r.srm_detected == (((n0 - n1) ** 2 / (n0 + n1)) > 3.841)
     assert not r.srm_detected  # md5 parity is a healthy split here
+
+
+def test_basket_triples_matches_python_combinations(spark, sf_dir):
+    """agg_basket_triples vs itertools.combinations over the collected
+    baskets (exact supports, minsup filter)."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from insight_patents_spark.operators.aggregates import (
+        _TRIPLE_MINSUP,
+        agg_basket_triples,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    baskets = defaultdict(set)
+    for r in (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        baskets[r.l_orderkey].add(r.l_partkey)
+    support = Counter()
+    for ps in baskets.values():
+        for t in combinations(sorted(ps), 3):
+            support[t] += 1
+    want = {t: c for t, c in support.items() if c >= _TRIPLE_MINSUP}
+    got = {
+        (r.p1, r.p2, r.p3): r.support
+        for r in agg_basket_triples(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_permutation_importance_matches_python(spark, sf_dir):
+    """ml_permutation_importance vs a Python replay of the cyclic
+    shift and the tree walks; the identity permutation invariant:
+    baseline accuracy is shared across the three rows."""
+    from insight_patents_spark.operators.ml import (
+        _PERM_SHIFT,
+        _TREES,
+        ml_permutation_importance,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    docs = sorted(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "lang").collect(),
+        key=lambda r: r.doc_id,
+    )
+    ids = [r.doc_id for r in docs]
+    mn, n = min(ids), len(ids)
+    feats = {}
+    pos = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        feats[r.doc_id] = (len(toks), len(r.text), len(set(toks)))
+        pos[r.doc_id] = r.lang == "en"
+
+    def score(fv):
+        total = 0
+        for t in _TREES:
+            (f0, t0), (f1, t1), (f2, t2) = t["nodes"]
+            if fv[f0] <= t0:
+                leaf = t["leaves"][0] if fv[f1] <= t1 else t["leaves"][1]
+            else:
+                leaf = t["leaves"][2] if fv[f2] <= t2 else t["leaves"][3]
+            total += leaf
+        return total > 0
+
+    accs = [0, 0, 0, 0]
+    for did in ids:
+        pid = ((did - mn + _PERM_SHIFT) % n) + mn
+        fv, gv = feats[did], feats[pid]
+        variants = (
+            fv,
+            (gv[0], fv[1], fv[2]),
+            (fv[0], gv[1], fv[2]),
+            (fv[0], fv[1], gv[2]),
+        )
+        for i, v in enumerate(variants):
+            if score(v) == pos[did]:
+                accs[i] += 1
+    rows = {r.feature: r for r in ml_permutation_importance(spark, sf_dir).collect()}
+    base = round(accs[0] / n, 9)
+    for feat, idx in (("n_tokens", 1), ("n_chars", 2), ("n_distinct", 3)):
+        r = rows[feat]
+        assert abs(r.baseline_acc - base) <= 2e-9
+        assert abs(r.permuted_acc - round(accs[idx] / n, 9)) <= 2e-9
+        assert abs(
+            r.importance - round(accs[0] / n - accs[idx] / n, 9)
+        ) <= 2e-9
