@@ -2182,3 +2182,156 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_class"),
         F.max("m").cast("bigint").alias("n_minority"),
     )
+
+
+# Declared data contract for the events table: (column, type, nullable,
+# lo, hi). Range rows with NULL bounds check presence/type only. The
+# contract is the fixture; CHECKING it is the operator.
+_CONTRACT_EVENTS = (
+    ("event_id", "bigint", False, 0, None),
+    ("ts", "timestamp", False, None, None),
+    ("user_id", "bigint", False, 0, None),
+    ("event_type", "string", False, None, None),
+    ("value", "double", False, 0.0, 100000.0),
+    ("props", "string", True, None, None),
+)
+
+
+@query(
+    "dq_schema_contract",
+    # Data-contract check (the CI-for-data stage before any pipeline
+    # consumes a table): per declared column — does it exist, does the
+    # physical type match, are there nulls where the contract forbids
+    # them, do values sit inside the declared range. Schema facts are
+    # plan-time constants (each engine introspects its own catalog —
+    # Spark's StructType here, DuckDB's information_schema in the
+    # oracle, normalized to a shared type vocabulary); null/range
+    # violations are exact integer counts from ONE scan.
+    oracle="""
+    WITH obs AS (
+      SELECT LOWER(column_name) AS col,
+             CASE WHEN LOWER(column_type) LIKE '%int%' THEN 'bigint'
+                  WHEN LOWER(column_type) IN ('double', 'float8') THEN 'double'
+                  WHEN LOWER(column_type) LIKE 'timestamp%' THEN 'timestamp'
+                  ELSE 'string' END AS typ
+      FROM (DESCRIBE SELECT * FROM events)),
+    decl AS (
+      SELECT * FROM (VALUES
+        ('event_id', 'bigint', FALSE), ('ts', 'timestamp', FALSE),
+        ('user_id', 'bigint', FALSE), ('event_type', 'string', FALSE),
+        ('value', 'double', FALSE), ('props', 'string', TRUE))
+        AS t(col, typ, nullable)),
+    nulls AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event_id,
+        CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+        CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_user_id,
+        CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_event_type,
+        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
+        CAST(SUM(CASE WHEN event_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_event_id,
+        CAST(SUM(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_user_id,
+        CAST(SUM(CASE WHEN value < 0.0 OR value > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS r_value
+      FROM events)
+    SELECT d.col AS column_name, d.typ AS declared_type,
+           COALESCE(o.typ, '<missing>') AS observed_type,
+           (o.col IS NOT NULL AND o.typ = d.typ) AS type_ok,
+           CAST(CASE d.col WHEN 'event_id' THEN n.n_event_id
+                WHEN 'ts' THEN n.n_ts WHEN 'user_id' THEN n.n_user_id
+                WHEN 'event_type' THEN n.n_event_type
+                WHEN 'value' THEN n.n_value ELSE 0 END AS BIGINT)
+             AS n_null_violations,
+           CAST(CASE d.col WHEN 'event_id' THEN n.r_event_id
+                WHEN 'user_id' THEN n.r_user_id
+                WHEN 'value' THEN n.r_value ELSE 0 END AS BIGINT)
+             AS n_range_violations,
+           ((o.col IS NOT NULL AND o.typ = d.typ)
+            AND (d.nullable OR CASE d.col WHEN 'event_id' THEN n.n_event_id
+                 WHEN 'ts' THEN n.n_ts WHEN 'user_id' THEN n.n_user_id
+                 WHEN 'event_type' THEN n.n_event_type
+                 WHEN 'value' THEN n.n_value ELSE 0 END = 0)
+            AND CASE d.col WHEN 'event_id' THEN n.r_event_id
+                WHEN 'user_id' THEN n.r_user_id
+                WHEN 'value' THEN n.r_value ELSE 0 END = 0) AS contract_ok
+    FROM decl d LEFT JOIN obs o ON d.col = o.col CROSS JOIN nulls n
+    """,
+)
+def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract enforcement — the CI-for-data check every
+    producer/consumer boundary needs (dbt tests / Great Expectations
+    suites compile to exactly this): per declared column, verify
+    existence, physical type, nullability, and value range in ONE
+    table scan. Schema facts come from each engine's OWN catalog
+    introspection (Spark's StructType at plan time; DuckDB's DESCRIBE
+    in the oracle) normalized to a shared type vocabulary — so a
+    silently widened or dropped column fails the contract in both
+    engines identically, which is the point.
+
+    Scale shape: type/existence checks are plan-time constants; the
+    null/range counts are one map-side-combinable agg over the scan —
+    contract checking at 10^12 rows costs one pass, and partition-
+    incremental deployments run it per new partition."""
+    e = load(spark, sf_dir, "events")
+    obs = {
+        f.name.lower(): (
+            "bigint"
+            if f.dataType.simpleString() in ("bigint", "int", "long")
+            else "double"
+            if f.dataType.simpleString() == "double"
+            else "timestamp"
+            if f.dataType.simpleString().startswith("timestamp")
+            else "string"
+        )
+        for f in e.schema.fields
+    }
+    nulls = e.agg(
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{c}")
+            for c, _t, _n, _lo, _hi in _CONTRACT_EVENTS
+            if c != "props"
+        ],
+        F.sum(F.when(F.col("event_id") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("r_event_id"),
+        F.sum(F.when(F.col("user_id") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("r_user_id"),
+        F.sum(
+            F.when((F.col("value") < 0.0) | (F.col("value") > 100000.0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r_value"),
+    )
+    parts = []
+    for col, typ, nullable, _lo, _hi in _CONTRACT_EVENTS:
+        otyp = obs.get(col, "<missing>")
+        type_ok = otyp == typ
+        nullcol = (
+            F.col(f"n_{col}") if col != "props" else F.lit(0).cast("bigint")
+        )
+        rangecol = (
+            F.col(f"r_{col}")
+            if col in ("event_id", "user_id", "value")
+            else F.lit(0).cast("bigint")
+        )
+        parts.append(
+            nulls.select(
+                F.lit(col).alias("column_name"),
+                F.lit(typ).alias("declared_type"),
+                F.lit(otyp).alias("observed_type"),
+                F.lit(type_ok).alias("type_ok"),
+                nullcol.alias("n_null_violations"),
+                rangecol.alias("n_range_violations"),
+                (
+                    F.lit(type_ok)
+                    & (F.lit(nullable) | (nullcol == 0))
+                    & (rangecol == 0)
+                ).alias("contract_ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
