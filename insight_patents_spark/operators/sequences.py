@@ -2142,3 +2142,201 @@ def time_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_bd"),
     ).withColumnRenamed("pri", "o_orderpriority")
+
+
+_PACF_K = 7  # matches time_acf's lag range
+
+
+def _pacf_oracle() -> str:
+    # Unrolled Durbin-Levinson over the per-type acf vector r[1..7]
+    # (exact-moment Pearson, 9dp — identical to time_acf). Every phi
+    # coefficient rounds 9dp per step in BOTH engines, and every inner
+    # sum is an ascending-j left-to-right fold, so the recursions track
+    # each other step for step.
+    sql = f"""
+    WITH grid AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    lags AS (SELECT unnest(range(1, {_PACF_K + 1})) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.cents AS x, b.cents AS y
+      FROM grid a CROSS JOIN lags l
+      JOIN grid b ON b.event_type = a.event_type
+                 AND b.day = a.day + CAST(l.lag AS INT)),
+    m AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY event_type, lag),
+    acf AS (
+      SELECT event_type, lag,
+             CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN ROUND((n * sxy - sx * sy) /
+                  SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+                       CAST(n * syy - sy * sy AS DOUBLE)), 9)
+             ELSE 0.0 END AS r
+      FROM m),
+    rv AS (
+      SELECT event_type,
+             list_transform(list_sort(list({{'l': lag, 'r': r}})),
+                            s -> s.r) AS r
+      FROM acf GROUP BY event_type
+      HAVING COUNT(*) = {_PACF_K}),
+    p1 AS (SELECT event_type, r, [ROUND(r[1], 9)] AS phi FROM rv)"""
+    for k in range(2, _PACF_K + 1):
+        sql += f"""
+    , p{k} AS (
+      SELECT event_type, r,
+             list_append(
+               list_transform(range(1, {k}), j ->
+                 ROUND(phi[CAST(j AS INT)]
+                       - ROUND((r[{k}] - list_sum(list_transform(range(1, {k}),
+                             i -> phi[CAST(i AS INT)] * r[{k} - CAST(i AS INT)])))
+                          / (1.0 - list_sum(list_transform(range(1, {k}),
+                             i -> phi[CAST(i AS INT)] * r[CAST(i AS INT)]))), 9)
+                         * phi[{k} - CAST(j AS INT)], 9)),
+               ROUND((r[{k}] - list_sum(list_transform(range(1, {k}),
+                     i -> phi[CAST(i AS INT)] * r[{k} - CAST(i AS INT)])))
+                  / (1.0 - list_sum(list_transform(range(1, {k}),
+                     i -> phi[CAST(i AS INT)] * r[CAST(i AS INT)]))), 9)) AS phi
+      FROM p{k - 1})"""
+    pacf_cols = ",\n           ".join(
+        f"p{k}.phi[{k}]" for k in range(1, _PACF_K + 1)
+    )
+    joins = " ".join(
+        f"JOIN p{k} ON p{k}.event_type = p1.event_type"
+        for k in range(2, _PACF_K + 1)
+    )
+    return sql + f"""
+    , wide AS (
+      SELECT p1.event_type, [{pacf_cols}] AS pacf
+      FROM p1 {joins})
+    SELECT event_type, CAST(u.i AS BIGINT) AS lag,
+           CAST(pacf[CAST(u.i AS INT)] AS DOUBLE) AS pacf
+    FROM wide, unnest(range(1, {_PACF_K + 1})) AS u(i)
+    """
+
+
+@query("time_pacf", oracle=_pacf_oracle())
+def time_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function at lags 1..7 — time_acf's
+    Box-Jenkins companion (the ACF/PACF pair is how AR/MA model orders
+    are read off; PACF cuts off at the AR order): Durbin-Levinson
+    recursion over each type's acf vector, with every coefficient
+    9dp-rounded per step and every inner product an ascending-index
+    left-to-right fold — both engines execute the identical rounded
+    sequence (the recursive-fold determinism argument with per-step
+    re-rounding).
+
+    Scale shape: the acf vector comes from the same grid moments as
+    time_acf (one fact shuffle, grid-sized joins); the entire
+    recursion is ONE in-row fold over a 7-element array per type —
+    nothing after the moment agg scales with data."""
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    grid = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    lagtab = spark.range(1, _PACF_K + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = grid.alias("a")
+    b = grid.select(
+        F.col("event_type").alias("bt"),
+        F.col("day").alias("bday"),
+        F.col("cents").alias("y"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lagtab))
+        .join(
+            b,
+            (F.col("bt") == F.col("a.event_type"))
+            & (F.col("bday") == F.expr("date_add(a.day, lag)")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            F.col("a.cents").alias("x"),
+            "y",
+        )
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    racf = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    rv = (
+        m.select("event_type", "lag", racf.alias("r"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("nlags"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(lag, r))), s -> s.r)"
+            ).alias("r"),
+        )
+        .filter(F.col("nlags") == _PACF_K)
+    )
+    # Durbin-Levinson expressions are generated (balanced by
+    # construction): dots are ascending-i left-to-right folds, the new
+    # coefficient and every updated phi entry round 9dp per step.
+    def _dot(vec_idx: str) -> str:
+        return (
+            "aggregate(sequence(1, k - 1), 0D, (acc, i) -> "
+            f"acc + element_at(phi, i) * element_at(r, {vec_idx}))"
+        )
+
+    a_expr = (
+        f"round((element_at(r, k) - {_dot('k - i')})"
+        f" / (1.0 - {_dot('i')}), 9)"
+    )
+    step = (
+        "(phi, k) -> concat("
+        f"transform(phi, (p, j0) -> round(p - {a_expr}"
+        " * element_at(phi, k - 1 - j0), 9)), "
+        f"array({a_expr}))"
+    )
+
+    def _fold(upper: str) -> str:
+        return (
+            f"aggregate(sequence(2, {upper}), "
+            "array(round(element_at(r, 1), 9)), "
+            f"{step})"
+        )
+
+    # pacf(kk) = phi_kk,kk: re-run the bounded fold up to each kk and
+    # take the last element (kk <= 7, in-row). kk = 1 must NOT enter
+    # the fold: Spark's sequence(2, 1) is DESCENDING [2, 1] (the r8
+    # short-doc gotcha class) — it is the base case directly.
+    pacf_k = (
+        f"transform(sequence(1, {_PACF_K}), kk -> "
+        "IF(kk = 1, round(element_at(r, 1), 9), "
+        f"element_at({_fold('kk')}, kk)))"
+    )
+    out = rv.select(
+        "event_type", F.expr(pacf_k).alias("pacf")
+    ).select(
+        "event_type",
+        F.posexplode("pacf").alias("pos", "pacf"),
+    )
+    return out.select(
+        "event_type",
+        (F.col("pos") + 1).cast("bigint").alias("lag"),
+        F.col("pacf").cast("double").alias("pacf"),
+    )

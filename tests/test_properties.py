@@ -7868,3 +7868,43 @@ def test_schema_contract_all_ok_and_counts(spark, sf_dir):
         assert r.n_null_violations == 0
         assert r.n_range_violations == 0
         assert r.contract_ok
+
+
+def test_pacf_matches_python_durbin_levinson(spark, sf_dir):
+    """time_pacf vs a Python Durbin-Levinson replay on the acf values
+    time_acf reports (same per-step 9dp rounding); lag-1 PACF equals
+    lag-1 ACF by definition."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.sequences import _PACF_K, time_pacf
+    from insight_patents_spark.operators.sequences import time_acf
+
+    acf = defaultdict(dict)
+    for r in time_acf(spark, sf_dir).collect():
+        acf[r.event_type][r.lag] = r.acf
+    rows = defaultdict(dict)
+    for r in time_pacf(spark, sf_dir).collect():
+        rows[r.event_type][r.lag] = r.pacf
+    for typ, rmap in acf.items():
+        if len(rmap) < _PACF_K:
+            assert typ not in rows
+            continue
+        rv = [rmap[k] for k in range(1, _PACF_K + 1)]
+        phi = [round(rv[0], 9)]
+        want = {1: round(rv[0], 9)}
+        for k in range(2, _PACF_K + 1):
+            num = rv[k - 1] - sum(
+                phi[i - 1] * rv[k - i - 1] for i in range(1, k)
+            )
+            den = 1.0 - sum(phi[i - 1] * rv[i - 1] for i in range(1, k))
+            a = round(num / den, 9)
+            phi = [
+                round(p - a * phi[k - 1 - (j0 + 1)], 9)
+                for j0, p in enumerate(phi)
+            ] + [a]
+            want[k] = a
+        got = rows[typ]
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) <= 2e-9, (typ, k, got[k], want[k])
+        assert got[1] == round(rv[0], 9)
