@@ -103,7 +103,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # The late-r8 second wave (28 NEW queries below + 6 more in
+    # The late-r8 second wave (28 NEW queries below + 14 more in
     # _POST_PREFIX_HEAD) displaced the
     # whole remaining backlog block (fn_array/fn_explode/fn_map/fn_json/
     # fn_hash/fn_bitwise/fn_variant/set_union_distinct/sample_priority/
