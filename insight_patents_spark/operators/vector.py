@@ -2595,3 +2595,101 @@ def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nmi"),
         )
     )
+
+
+def _pq_recon_oracle() -> str:
+    def d(s, c):
+        return (
+            f"list_aggregate(list_transform(range(1, 17), i -> "
+            f"(e.v[{s} * 16 + i] - c{c}.v[{s} * 16 + i]) ^ 2), 'sum')"
+        )
+
+    qs = ", ".join(
+        f"CAST(SUM(CAST(ROUND(ROUND(LEAST({d(s, 2 * s + 1)}, {d(s, 2 * s + 2)}), 9)"
+        f" * 1e9, 0) AS BIGINT)) AS BIGINT) AS q{s}"
+        for s in range(4)
+    )
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({s} AS BIGINT) AS subspace, n, q{s} AS q FROM g"
+        for s in range(4)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id BETWEEN 1 AND 8),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {qs}
+      FROM e
+      {" ".join(f"CROSS JOIN (SELECT v FROM cb WHERE vec_id = {c}) c{c}" for c in range(1, 9))}
+    ),
+    u AS ({rows})
+    SELECT subspace, n AS n_vectors,
+           CAST(ROUND(q / (n * 1e9), 9) AS DOUBLE) AS mse,
+           CAST(ROUND(SUM(q) OVER () / (n * 1e9), 9) AS DOUBLE) AS total_mse
+    FROM u
+    """
+
+
+@query("vec_pq_recon_error", oracle=_pq_recon_oracle())
+def vec_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-error audit — the DISTORTION leg of the index
+    quality triad (vec_ann_recall: did we find it; vec_mrr_eval: how
+    high it ranked; this: how much geometry the compression destroyed
+    — the quantity FAISS reports as imbalance/quantization error and
+    the dial for k and subspace count): per 16-dim subspace, the mean
+    squared distance between each vector and its chosen centroid
+    (= min over the 2 codewords), plus the summed total.
+
+    Determinism: distances are the SAME statically unrolled
+    left-to-right double sums vec_pq_codes encodes with; the chosen
+    distance rounds 9dp then nano-quantizes, so both the per-subspace
+    and total means are order-independent integer sums with one
+    division each. Scale shape: the codebook rides as literals, the
+    scan is zero-shuffle narrow work, ONE 4-sum aggregate — the audit
+    costs one pass at any corpus size."""
+    cb = _pq_codebook(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+
+    def dist(c: list[float], s: int) -> F.Column:
+        total = F.lit(0.0)
+        for i in range(16):
+            dd = F.element_at("embedding", s * 16 + i + 1).cast(
+                "double"
+            ) - F.lit(c[s * 16 + i])
+            total = total + dd * dd
+        return total
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for s in range(4):
+        md = F.round(F.least(dist(cb[2 * s], s), dist(cb[2 * s + 1], s)), 9)
+        aggs.append(
+            F.sum(F.round(md * F.lit(1e9), 0).cast("long"))
+            .cast("bigint")
+            .alias(f"q{s}")
+        )
+    g = e.agg(*aggs)
+    parts = []
+    for s in range(4):
+        parts.append(
+            g.select(
+                F.lit(s).cast("bigint").alias("subspace"),
+                F.col("n").alias("n_vectors"),
+                F.col(f"q{s}").alias("q"),
+                (
+                    F.col("q0") + F.col("q1") + F.col("q2") + F.col("q3")
+                ).alias("qt"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "subspace",
+        "n_vectors",
+        F.round(F.col("q") / (F.col("n_vectors") * F.lit(1e9)), 9)
+        .cast("double")
+        .alias("mse"),
+        F.round(F.col("qt") / (F.col("n_vectors") * F.lit(1e9)), 9)
+        .cast("double")
+        .alias("total_mse"),
+    )

@@ -7908,3 +7908,43 @@ def test_pacf_matches_python_durbin_levinson(spark, sf_dir):
         for k in want:
             assert abs(got[k] - want[k]) <= 2e-9, (typ, k, got[k], want[k])
         assert got[1] == round(rv[0], 9)
+
+
+def test_pq_recon_error_matches_numpy(spark, sf_dir):
+    """vec_pq_recon_error vs a NumPy replay of the per-subspace min
+    squared distance to the two codewords (same rounding/quantization);
+    total equals the sum of subspace MSEs."""
+    import numpy as np
+
+    from insight_patents_spark.operators.vector import vec_pq_recon_error
+    from insight_patents_spark.sources.tables import load
+
+    rows = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    cb = [vecs[i] for i in range(1, 9)]
+    n = len(vecs)
+    qsums = [0, 0, 0, 0]
+    for v in vecs.values():
+        for s in range(4):
+            sl = slice(s * 16, s * 16 + 16)
+            # mirror the engines' left-to-right unrolled sum exactly
+            d0 = 0.0
+            d1 = 0.0
+            for i in range(16):
+                x0 = v[s * 16 + i] - cb[2 * s][s * 16 + i]
+                x1 = v[s * 16 + i] - cb[2 * s + 1][s * 16 + i]
+                d0 += x0 * x0
+                d1 += x1 * x1
+            qsums[s] += round(round(min(d0, d1), 9) * 1e9)
+    got = {r.subspace: r for r in vec_pq_recon_error(spark, sf_dir).collect()}
+    total = sum(qsums)
+    for s in range(4):
+        r = got[s]
+        assert r.n_vectors == n
+        assert abs(r.mse - round(qsums[s] / (n * 1e9), 9)) <= 2e-9
+        assert abs(r.total_mse - round(total / (n * 1e9), 9)) <= 2e-9
+    assert abs(
+        got[0].total_mse - round(sum(got[s].mse for s in range(4)), 9)
+    ) <= 5e-9
