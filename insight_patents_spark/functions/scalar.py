@@ -651,3 +651,130 @@ def fn_inet(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("o1") == 192) & (F.col("o2") == 168))
         ).alias("is_private"),
     )
+
+
+@query(
+    "fn_checksum_luhn",
+    # Luhn check-digit battery (payments/IMEI/loyalty-card validation):
+    # a 12-digit account number is synthesized per customer, its Luhn
+    # check digit computed by the doubling rule (pure integer digit
+    # work, ascending-position fold in both engines), appended, and the
+    # full 13-digit number re-VALIDATED from the string form — with a
+    # deliberately corrupted variant (last payload digit +1 mod 10)
+    # that must fail. Construct-then-parse; everything exact integers.
+    oracle="""
+    WITH acct AS (
+      SELECT c_custkey,
+             lpad(CAST(400000000000 + c_custkey * 37 + (c_custkey * c_custkey) % 89
+                  AS VARCHAR), 12, '0') AS payload
+      FROM customer),
+    s AS (
+      SELECT c_custkey, payload,
+             list_sum(list_transform(range(1, 13), i ->
+               CASE WHEN (12 - i) % 2 = 0
+                    THEN CASE WHEN 2 * CAST(substr(payload, CAST(i AS INT), 1) AS BIGINT) > 9
+                              THEN 2 * CAST(substr(payload, CAST(i AS INT), 1) AS BIGINT) - 9
+                              ELSE 2 * CAST(substr(payload, CAST(i AS INT), 1) AS BIGINT) END
+                    ELSE CAST(substr(payload, CAST(i AS INT), 1) AS BIGINT) END))
+               AS luhn_sum
+      FROM acct),
+    f AS (
+      SELECT c_custkey, payload,
+             CAST((10 - (luhn_sum % 10)) % 10 AS BIGINT) AS check_digit
+      FROM s),
+    v AS (
+      SELECT c_custkey,
+             payload || CAST(check_digit AS VARCHAR) AS account_number,
+             check_digit,
+             substr(payload, 1, 11)
+               || CAST((CAST(substr(payload, 12, 1) AS BIGINT) + 1) % 10 AS VARCHAR)
+               || CAST(check_digit AS VARCHAR) AS corrupted
+      FROM f),
+    val AS (
+      SELECT c_custkey, account_number, check_digit, corrupted,
+             list_sum(list_transform(range(1, 14), i ->
+               CASE WHEN (13 - i) % 2 = 1
+                    THEN CASE WHEN 2 * CAST(substr(account_number, CAST(i AS INT), 1) AS BIGINT) > 9
+                              THEN 2 * CAST(substr(account_number, CAST(i AS INT), 1) AS BIGINT) - 9
+                              ELSE 2 * CAST(substr(account_number, CAST(i AS INT), 1) AS BIGINT) END
+                    ELSE CAST(substr(account_number, CAST(i AS INT), 1) AS BIGINT) END))
+               % 10 AS mod_ok,
+             list_sum(list_transform(range(1, 14), i ->
+               CASE WHEN (13 - i) % 2 = 1
+                    THEN CASE WHEN 2 * CAST(substr(corrupted, CAST(i AS INT), 1) AS BIGINT) > 9
+                              THEN 2 * CAST(substr(corrupted, CAST(i AS INT), 1) AS BIGINT) - 9
+                              ELSE 2 * CAST(substr(corrupted, CAST(i AS INT), 1) AS BIGINT) END
+                    ELSE CAST(substr(corrupted, CAST(i AS INT), 1) AS BIGINT) END))
+               % 10 AS mod_bad
+      FROM v)
+    SELECT c_custkey, account_number, check_digit,
+           mod_ok = 0 AS valid,
+           mod_bad = 0 AS corrupted_valid
+    FROM val
+    """,
+)
+def fn_checksum_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum battery — generate AND validate the check digit
+    the payments world runs on (cards, IMEIs, loyalty numbers): a
+    synthesized 12-digit payload per customer gets its Luhn digit via
+    the double-every-second-from-the-right rule, the 13-digit result
+    re-validates from the STRING form (mod-10 == 0), and a
+    single-digit corruption must fail validation (Luhn detects all
+    single-digit errors by construction — asserted per row).
+
+    Pure in-row integer digit arithmetic at scan speed in both engines
+    (ascending-position folds over substrings); zero shuffle, zero
+    UDFs. The corrupted twin makes the operator self-auditing: a
+    broken doubling rule cannot return corrupted_valid = false for
+    every row AND valid = true for every row simultaneously."""
+    c = load(spark, sf_dir, "customer")
+    payload = F.lpad(
+        (
+            F.lit(400000000000)
+            + F.col("c_custkey") * 37
+            + (F.col("c_custkey") * F.col("c_custkey")) % 89
+        ).cast("string"),
+        12,
+        "0",
+    )
+
+    def luhn_sum(col: str, length: int) -> str:
+        # double digits at even distance-from-right parity
+        par = 0 if length % 2 == 0 else 1
+        return (
+            f"aggregate(sequence(1, {length}), 0L, (acc, i) -> acc + "
+            f"CASE WHEN ({length} - i) % 2 = {par} THEN "
+            f"IF(2 * CAST(substring({col}, i, 1) AS BIGINT) > 9, "
+            f"2 * CAST(substring({col}, i, 1) AS BIGINT) - 9, "
+            f"2 * CAST(substring({col}, i, 1) AS BIGINT)) "
+            f"ELSE CAST(substring({col}, i, 1) AS BIGINT) END)"
+        )
+
+    acct = c.select("c_custkey", payload.alias("payload"))
+    f12 = acct.withColumn(
+        "check_digit",
+        F.expr(f"CAST((10 - ({luhn_sum('payload', 12)} % 10)) % 10 AS BIGINT)"),
+    )
+    v = f12.select(
+        "c_custkey",
+        F.concat(F.col("payload"), F.col("check_digit").cast("string")).alias(
+            "account_number"
+        ),
+        "check_digit",
+        F.concat(
+            F.substring("payload", 1, 11),
+            ((F.substring("payload", 12, 1).cast("bigint") + 1) % 10).cast(
+                "string"
+            ),
+            F.col("check_digit").cast("string"),
+        ).alias("corrupted"),
+    )
+    return v.select(
+        "c_custkey",
+        "account_number",
+        "check_digit",
+        F.expr(f"({luhn_sum('account_number', 13)} % 10) = 0").alias("valid"),
+        F.expr(f"({luhn_sum('corrupted', 13)} % 10) = 0").alias(
+            "corrupted_valid"
+        ),
+    )

@@ -2335,3 +2335,85 @@ def dq_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Fixed-width layout for the synthesized customer export:
+# custkey 10 chars zero-padded | name 18 left-padded-with-spaces |
+# nation 3 zero-padded | acctbal 12 (cents, zero-padded, sign as
+# leading 0/1 flag digit) | segment 10 space-right-padded.
+_FW_SPEC = (("custkey", 1, 10), ("name", 11, 18), ("nation", 29, 3),
+            ("balflag", 32, 1), ("balcents", 33, 11), ("segment", 44, 10))
+
+
+@query(
+    "scan_text_fixed_width",
+    # Fixed-width (COBOL-copybook-style) ingest: rows serialize to a
+    # 53-char record via deterministic padding, then EVERYTHING is
+    # re-parsed from the record by declared (offset, length) substrings
+    # — the parse is the thing under test (construct-then-parse, the
+    # scan_text_parse pattern). Trailing-space/zero-pad round trips,
+    # sign-flag decoding, and integer cents are verified per row.
+    oracle="""
+    WITH rec AS (
+      SELECT c_custkey,
+             lpad(CAST(c_custkey AS VARCHAR), 10, '0')
+             || rpad(c_name, 18, ' ')
+             || lpad(CAST(c_nationkey AS VARCHAR), 3, '0')
+             || (CASE WHEN c_acctbal < 0 THEN '1' ELSE '0' END)
+             || lpad(CAST(CAST(round(abs(c_acctbal) * 100, 0) AS BIGINT)
+                     AS VARCHAR), 11, '0')
+             || rpad(c_mktsegment, 10, ' ') AS line
+      FROM customer)
+    SELECT CAST(substr(line, 1, 10) AS BIGINT) AS custkey,
+           rtrim(substr(line, 11, 18)) AS name,
+           CAST(substr(line, 29, 3) AS BIGINT) AS nation,
+           CAST(ROUND((CASE WHEN substr(line, 32, 1) = '1' THEN -1 ELSE 1 END)
+             * CAST(substr(line, 33, 11) AS BIGINT) / 100.0, 2) AS DOUBLE)
+             AS acctbal,
+           rtrim(substr(line, 44, 10)) AS segment,
+           length(line) AS record_len
+    FROM rec
+    """,
+)
+def scan_text_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width record ingest — the COBOL-copybook/mainframe-export
+    format every enterprise migration still meets (no delimiters; the
+    layout IS the schema): records serialize with deterministic
+    padding (zero-pad numerics, space-pad strings, an explicit sign
+    flag digit — negatives cannot zero-pad through lpad), then every
+    field re-parses from the 53-char line by declared (offset, length)
+    substrings. The parse is what's under test; round-tripping pins
+    padding, trimming, sign decoding, and integer cents.
+
+    Scale shape: pure zero-shuffle in-row string work at scan speed —
+    at 10^12 records this IS the mapper of a mainframe offload, and
+    the declared-offset substring plan is whole-stage-codegen'd."""
+    c = load(spark, sf_dir, "customer")
+    line = F.concat(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+        F.rpad(F.col("c_name"), 18, " "),
+        F.lpad(F.col("c_nationkey").cast("string"), 3, "0"),
+        F.when(F.col("c_acctbal") < 0, "1").otherwise("0"),
+        F.lpad(
+            F.expr("CAST(ROUND(abs(c_acctbal) * 100, 0) AS BIGINT)").cast(
+                "string"
+            ),
+            11,
+            "0",
+        ),
+        F.rpad(F.col("c_mktsegment"), 10, " "),
+    )
+    rec = c.select(line.alias("line"))
+    sign = F.when(F.substring("line", 32, 1) == "1", -1).otherwise(1)
+    return rec.select(
+        F.substring("line", 1, 10).cast("bigint").alias("custkey"),
+        F.rtrim(F.substring("line", 11, 18)).alias("name"),
+        F.substring("line", 29, 3).cast("bigint").alias("nation"),
+        F.round(
+            sign * F.substring("line", 33, 11).cast("bigint") / 100.0, 2
+        )
+        .cast("double")
+        .alias("acctbal"),
+        F.rtrim(F.substring("line", 44, 10)).alias("segment"),
+        F.length("line").cast("int").alias("record_len"),
+    )

@@ -7948,3 +7948,50 @@ def test_pq_recon_error_matches_numpy(spark, sf_dir):
     assert abs(
         got[0].total_mse - round(sum(got[s].mse for s in range(4)), 9)
     ) <= 5e-9
+
+
+def test_fixed_width_roundtrip(spark, sf_dir):
+    """scan_text_fixed_width: every parsed field round-trips the source
+    customer row exactly (including negative balances via the sign
+    flag), and every record is exactly 53 chars."""
+    from insight_patents_spark.operators.relational import (
+        scan_text_fixed_width,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    src = {
+        r.c_custkey: r
+        for r in load(spark, sf_dir, "customer").collect()
+    }
+    rows = scan_text_fixed_width(spark, sf_dir).collect()
+    assert len(rows) == len(src)
+    for r in rows:
+        s = src[r.custkey]
+        assert r.name == s.c_name
+        assert r.nation == s.c_nationkey
+        assert abs(r.acctbal - round(s.c_acctbal, 2)) <= 0.005
+        assert r.segment == s.c_mktsegment
+        assert r.record_len == 53
+
+
+def test_luhn_self_validates_and_rejects_corruption(spark, sf_dir):
+    """fn_checksum_luhn: every generated number validates, every
+    single-digit corruption fails, and the check digit matches a
+    textbook Python Luhn."""
+    from insight_patents_spark.functions.scalar import fn_checksum_luhn
+
+    rows = fn_checksum_luhn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.valid, r
+        assert not r.corrupted_valid, r
+        payload = r.account_number[:-1]
+        digits = [int(d) for d in payload][::-1]
+        total = 0
+        for i, d in enumerate(digits):
+            if i % 2 == 0:  # rightmost payload digit doubles
+                d2 = 2 * d
+                total += d2 - 9 if d2 > 9 else d2
+            else:
+                total += d
+        assert r.check_digit == (10 - total % 10) % 10, r
