@@ -1668,3 +1668,40 @@ def test_kalman_croston_are_single_shuffle_folds(spark, sf_dir):
     plan_c = formatted_plan(time_croston(spark, sf_dir))
     assert "aggregate(" in plan_c
     assert "CartesianProduct" not in plan_c
+
+
+def test_cluster_purity_broadcasts_centroids(spark, sf_dir):
+    # assignment must be a broadcast-centroid argmin: the embeddings
+    # table never hash-partitions for the distance pass, and no
+    # cartesian appears (the cross join is broadcast-nested-loop over
+    # the tiny centroid side).
+    from insight_patents_spark.operators.vector import vec_cluster_purity
+
+    plan = formatted_plan(vec_cluster_purity(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_fixed_width_is_zero_exchange_projection(spark, sf_dir):
+    # copybook parse must stay a narrow zero-shuffle projection.
+    from insight_patents_spark.operators.relational import (
+        scan_text_fixed_width,
+    )
+
+    plan = formatted_plan(scan_text_fixed_width(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_permutation_importance_single_partner_join(spark, sf_dir):
+    # exactly ONE join brings the permuted partner; the four scorings
+    # are CASE chains in projections (no extra scans of documents
+    # beyond the checkpointed feature frame).
+    from insight_patents_spark.operators.ml import ml_permutation_importance
+
+    plan = formatted_plan(ml_permutation_importance(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the feature frame is checkpointed -> ExistingRDD, raw scans gone
+    assert plan.count("documents.parquet") == 0
+    assert "ExistingRDD" in plan
