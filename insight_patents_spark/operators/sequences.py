@@ -2340,3 +2340,91 @@ def time_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("bigint").alias("lag"),
         F.col("pacf").cast("double").alias("pacf"),
     )
+
+
+@query(
+    "seq_repeat_purchase_latency",
+    # Repeat-purchase latency — first->second purchase per user (the
+    # growth metric funnel_time_to_convert's FIRST-conversion latency
+    # misses): rank purchases per user, keep ranks 1-2, pivot to one
+    # row per user, gap in exact integer epoch-seconds. Repeat rate is
+    # an exact count ratio; latency percentiles are quantile_cont
+    # twins on the exact gap values (4dp, the agg_percentile
+    # contract).
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'),
+    u AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN epoch_us(ts) END) AS t1,
+             MAX(CASE WHEN rn = 2 THEN epoch_us(ts) END) AS t2
+      FROM p WHERE rn <= 2 GROUP BY user_id),
+    g AS (
+      SELECT user_id, (t2 - t1) // 1000000 AS gap_s FROM u
+      WHERE t2 IS NOT NULL)
+    SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_buyers,
+           CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_repeat,
+           CAST(ROUND((SELECT COUNT(*) FROM g) * 1.0
+                      / (SELECT COUNT(*) FROM u), 9) AS DOUBLE)
+             AS repeat_rate,
+           CAST(ROUND(quantile_cont(gap_s / 86400.0, 0.5), 4) AS DOUBLE)
+             AS median_days,
+           CAST(ROUND(quantile_cont(gap_s / 86400.0, 0.9), 4) AS DOUBLE)
+             AS p90_days
+    FROM g
+    """,
+)
+def seq_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase latency — how long first-time buyers take to
+    buy AGAIN (the retention/growth metric beside
+    funnel_time_to_convert's acquisition latency and agg_new_returning's
+    counts; repeat rate and median-days-to-repeat drive every LTV
+    model): purchases rank per user on one (user_id) window, ranks 1-2
+    pivot to a single row, the gap is exact integer epoch-seconds
+    (the constant session-tz shift cancels in the difference), and the
+    latency distribution reports exact-percentile days (4dp,
+    quantile_cont twins — the agg_percentile contract).
+
+    Scale shape: one user_id shuffle for the rank window over
+    purchases only (a small filtered slice of the fact), a per-user
+    pivot agg, and a global percentile over the repeat cohort —
+    |repeat buyers| rows. Swap percentile_approx at 10^9 buyers
+    (documented, agg_percentile posture)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    us = F.expr(_TS_US)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        "user_id", us.alias("us"), F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 2)
+    u = p.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("us"))).alias("t1"),
+        F.max(F.when(F.col("rn") == 2, F.col("us"))).alias("t2"),
+    )
+    u = u.localCheckpoint()  # feeds both the cohort counts and the gaps
+    g = u.filter(F.col("t2").isNotNull()).select(
+        F.expr("(t2 - t1) div 1000000").alias("gap_s")
+    )
+    nb = u.agg(F.count(F.lit(1)).cast("bigint").alias("n_buyers"))
+    stats = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_repeat"),
+        F.round(F.percentile(F.col("gap_s") / 86400.0, F.lit(0.5)), 4)
+        .cast("double")
+        .alias("median_days"),
+        F.round(F.percentile(F.col("gap_s") / 86400.0, F.lit(0.9)), 4)
+        .cast("double")
+        .alias("p90_days"),
+    )
+    return nb.crossJoin(F.broadcast(stats)).select(
+        "n_buyers",
+        "n_repeat",
+        F.round(F.col("n_repeat") / F.col("n_buyers"), 9)
+        .cast("double")
+        .alias("repeat_rate"),
+        "median_days",
+        "p90_days",
+    )

@@ -137,9 +137,9 @@ _SHOWCASE_50 = (
     "vec_mrr_eval", "agg_delta_ratio_ci", "agg_mann_whitney",
     "graph_powerlaw_fit", "sample_balanced_classes", "graph_richclub",
     "ml_fairness_eo",
-    # The last seventeen new queries do not fit: the 50 slots hold every
+    # The last eighteen new queries do not fit: the 50 slots hold every
     # value-moving changed query + 40 new ones; the _POST_PREFIX_HEAD
-    # block registers them right after the prefix (positions 51-67) to
+    # block registers them right after the prefix (positions 51-68) to
     # lead the r9 gate. Oracle + Python-replay tests carry them until
     # then.
     # NEW in r8
@@ -182,6 +182,7 @@ _POST_PREFIX_HEAD = (
     "vec_pq_recon_error",
     "scan_text_fixed_width",
     "fn_checksum_luhn",
+    "seq_repeat_purchase_latency",
 )
 
 

@@ -7995,3 +7995,44 @@ def test_luhn_self_validates_and_rejects_corruption(spark, sf_dir):
             else:
                 total += d
         assert r.check_digit == (10 - total % 10) % 10, r
+
+
+def test_repeat_latency_matches_python(spark, sf_dir):
+    """seq_repeat_purchase_latency vs a Python replay of the per-user
+    first/second purchase pivot and the repeat-rate arithmetic."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.sequences import (
+        seq_repeat_purchase_latency,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    buys = defaultdict(list)
+    for r in (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    ):
+        buys[r.user_id].append((r.ts, r.event_id))
+    gaps = []
+    for pts in buys.values():
+        pts.sort()
+        if len(pts) >= 2:
+            gaps.append(
+                int((pts[1][0] - pts[0][0]).total_seconds() * 1e6) // 10**6
+            )
+    r = seq_repeat_purchase_latency(spark, sf_dir).collect()[0]
+    assert r.n_buyers == len(buys)
+    assert r.n_repeat == len(gaps)
+    assert abs(r.repeat_rate - round(len(gaps) / len(buys), 9)) <= 2e-9
+    days = sorted(g / 86400.0 for g in gaps)
+
+    def q(p):
+        i = (len(days) - 1) * p
+        lo, hi = int(i), min(int(i) + 1, len(days) - 1)
+        return days[lo] + (i - lo) * (days[hi] - days[lo])
+
+    assert abs(r.median_days - round(q(0.5), 4)) <= 1e-3
+    assert abs(r.p90_days - round(q(0.9), 4)) <= 1e-3
+    assert 0.0 < r.repeat_rate <= 1.0
