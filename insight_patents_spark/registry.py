@@ -100,89 +100,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          text_fingerprint) + dedup_minhash_pairs (pairs-CTE oracle
 #          refactor). The never-checked ops left for r9 are listed in
 #          STATE.md.
+#   r9:    50 of the 95 never-checked after r8 (complement of the union
+#          of CORRECTNESS_r01-r08 keys, recomputed this round): the 18
+#          _POST_PREFIX_HEAD entries that were positioned to lead this
+#          gate (new-in-r8, never externally checked), then the 18-op
+#          block the r8 late wave displaced (fn_* battery + the vec/dedup
+#          ANN family), then 14 more cross-family backlog entries. The
+#          45 never-checked that remain close the ledger in r10 (listed
+#          in STATE.md). New-in-r9 queries register in _POST_PREFIX_HEAD
+#          (positions 51+) to lead the r10 gate, carried by their
+#          dedicated oracle/replay tests until then — the r8 pattern.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # The late-r8 second wave (28 NEW queries below + 14 more in
-    # _POST_PREFIX_HEAD) displaced the
-    # whole remaining backlog block (fn_array/fn_explode/fn_map/fn_json/
-    # fn_hash/fn_bitwise/fn_variant/set_union_distinct/sample_priority/
-    # agg_bitmap_distinct/dedup_embed_cosine/vec_ann_lsh/vec_pq_codes/
-    # vec_rerank_stub/dedup_semantic/vec_matryoshka/vec_cell_refine/
-    # vec_pca_project) back into the r9 backlog — new code outranks
-    # backlog for the external gate — plus the two changed-in-r8
-    # entries whose diffs are provably behavior-neutral at the gate SF:
-    # geo_cluster_cells (bare assert -> raise, no semantic change),
-    # agg_chi_square (overflow CASE dead below N=46340; sf0.01 N≈2500),
-    # text_winnowing (packing widened 2^24 -> 2^31: pure headroom, the
-    # selected fingerprints are identical at gate doc sizes), and
-    # text_jaccard_tokens (two strategy probes merged into one agg:
-    # plan-only, values unchanged); later also dedup_minhash_pairs
-    # (oracle-side CTE refactor only — the Spark side is untouched) and
-    # the four short-doc crash guards text_ngrams/text_bigram_lm/
-    # text_decontaminate/text_fingerprint (gate-SF values identical to
-    # their earlier driver-checked hashes). All carry dedicated tests
-    # and passed this round's full local check; they re-enter the r9
-    # rotation. The changed entries still in the prefix are exactly the
-    # value-moving ones (quantized graph/vec folds) plus the two logic
-    # rewrites (dedup_eval, dedup_ngram_jaccard).
-    # NEW in late r8 (second wave)
-    "agg_bootstrap_ci", "agg_winsorize", "win_bollinger",
-    "ml_brier_decomp", "ml_shap_linear", "dedup_lines",
-    "agg_theil_index", "time_croston", "time_sma_crossover",
-    "win_kalman_1d", "agg_causal_did", "agg_cuped",
-    "text_tokenizer_apply", "ml_tree_inference", "graph_path_count_dag",
-    "agg_power_mde", "seq_attribution_shapley", "win_vwap",
-    "agg_price_elasticity", "dq_fd_discovery", "ml_threshold_opt",
-    "vec_mrr_eval", "agg_delta_ratio_ci", "agg_mann_whitney",
-    "graph_powerlaw_fit", "sample_balanced_classes", "graph_richclub",
-    "ml_fairness_eo",
-    # The last eighteen new queries do not fit: the 50 slots hold every
-    # value-moving changed query + 40 new ones; the _POST_PREFIX_HEAD
-    # block registers them right after the prefix (positions 51-68) to
-    # lead the r9 gate. Oracle + Python-replay tests carry them until
-    # then.
-    # NEW in r8
-    "pipeline_patents_e2e", "join_skew_aqe", "graph_ktruss",
-    "win_skyline_3d", "win_sliding_hll", "vec_cell_kmeans",
-    "dedup_url_canonical", "ml_group_parity", "text_boilerplate_flag",
-    "text_bpe_train", "graph_hyperball",
-    "dedup_cluster_cc",
-    # changed-in-r8 queries LAST in the prefix: still inside the
-    # driver's 50-query gate (external evidence for the diff), but run
-    # on a warmed session. dedup_eval pays the minhash signature-cache
-    # first-touch here. The vec_* entries changed because the shared
-    # centroid/PCA mean moved from the sorted fold to the quantized
-    # integer sum (values moved ≤ 1e-9, hashes re-verified).
-    # (dedup_eval moved to the r9 backlog late in the round: its r8
-    # diff merged two strategy probes into one agg — plan-only, values
-    # unchanged, covered by its dedicated tests.)
-    "graph_pagerank", "graph_pagerank_personalized", "graph_hits",
-    "graph_betweenness",
-    "dedup_ngram_jaccard", "vec_centroid", "vec_knn_label",
-    "vec_kmeans", "vec_residual_pq", "vec_pca_top2",
+    # --- the r9 gate: 50 never-driver-checked operators ---
+    # First the 18 queries r8 positioned as _POST_PREFIX_HEAD (new in
+    # r8, never externally gated — they lead as promised):
+    "ml_calibration_isotonic", "join_asof_tolerance",
+    "agg_covariance_matrix", "agg_lorenz_points", "fn_inet",
+    "time_business_days", "vec_cluster_purity", "graph_edge_churn",
+    "win_ulcer_index", "agg_ab_srm_check", "agg_basket_triples",
+    "ml_permutation_importance", "dq_schema_contract", "time_pacf",
+    "vec_pq_recon_error", "scan_text_fixed_width", "fn_checksum_luhn",
+    "seq_repeat_purchase_latency",
+    # Then the 18-op block the r8 late wave displaced (owed the gate
+    # since r8): the fn_* battery + the ANN/dedup vector family.
+    "fn_array", "fn_explode", "fn_map", "fn_json", "fn_hash",
+    "fn_bitwise", "fn_variant", "set_union_distinct", "sample_priority",
+    "agg_bitmap_distinct", "dedup_embed_cosine", "vec_ann_lsh",
+    "vec_pq_codes", "vec_rerank_stub", "dedup_semantic",
+    "vec_matryoshka", "vec_cell_refine", "vec_pca_project",
+    # Then 14 more cross-family never-checked backlog entries (UDF
+    # ladder, multimodal, graph, sequences, windows, text):
+    "udf_python_scalar", "udaf_pandas_agg", "udf_python_arrow",
+    "mm_decode_stub", "mm_phash_dedup", "graph_shortest_path",
+    "graph_label_prop", "graph_closeness", "seq_topk_paths",
+    "time_acf", "win_streaks", "agg_survival_km",
+    "text_clean_normalize", "agg_survival_curve",
 )
 
-# Registered immediately after the prefix (r9-gate head):
+# Registered immediately after the prefix (r10-gate head): new-in-r9
+# queries go here as they land (the r8 pattern — new code leads the
+# NEXT gate, carried by dedicated oracle/replay tests until then).
 _POST_PREFIX_HEAD = (
-    "ml_calibration_isotonic",
-    "join_asof_tolerance",
-    "agg_covariance_matrix",
-    "agg_lorenz_points",
-    "fn_inet",
-    "time_business_days",
-    "vec_cluster_purity",
-    "graph_edge_churn",
-    "win_ulcer_index",
-    "agg_ab_srm_check",
-    "agg_basket_triples",
-    "ml_permutation_importance",
-    "dq_schema_contract",
-    "time_pacf",
-    "vec_pq_recon_error",
-    "scan_text_fixed_width",
-    "fn_checksum_luhn",
-    "seq_repeat_purchase_latency",
 )
 
 
