@@ -84,6 +84,12 @@ def main() -> None:
         _execute(specs["graph_build"].fn(spark, sf_dir))
         _execute(specs["dedup_minhash"].fn(spark, sf_dir))
         _execute(specs["stream_tumbling"].fn(spark, sf_dir))
+        # r9: the verified-pair table (signatures -> LSH -> Jaccard
+        # verify) and the contraction-fixpoint cluster labels joined the
+        # shared caches — both feed dedup_cluster_cc AND
+        # pipeline_llm_curation_e2e, so their one-time builds are
+        # charged here like the signature cache they extend.
+        _execute(specs["dedup_cluster_cc"].fn(spark, sf_dir))
         timings["_cache_warm"] = round(time.time() - t0, 3)
     for name in names:
         t0 = time.time()

@@ -33,6 +33,19 @@ from ..registry import query
 from ..sources.tables import load
 from .graph import MIN_SUPPORT, PAGERANK_ITERS, RANK_SCALE, pagerank_loop, pagerank_rounds_sql
 from .relational import _roundtrip_dir
+from .text import (
+    _DUP_CC_ROUNDS,
+    _MINHASH_PAIRS_CTE,
+    _STOP_SQL,
+    PACK_BUDGET,
+    STOPWORDS,
+    clean_sql,
+    clean_text_expr,
+    dedup_cluster_cc,
+    dup_cc_chain_sql,
+    sh_parts,
+    text_decontaminate,
+)
 
 _TOPK_PER_CLASS = 3
 
@@ -151,4 +164,277 @@ def pipeline_patents_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6. sink + read-back: the verified frame is the persisted artifact
     sink_dir = _roundtrip_dir(sf_dir, "patent_scores_parquet")
     ranked.write.mode("overwrite").parquet(sink_dir)
+    return spark.read.parquet(sink_dir)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_llm_curation_e2e — the LLM-data-curation counterpart of the
+# patents flagship: one corpus scan in, packed training batches out.
+# ---------------------------------------------------------------------------
+
+# Gate thresholds, all applied as EXACT integer predicates (no float
+# compare can tie-break differently across engines):
+#   quality_score >= 0.48  <=>  250*dist + 3*LEAST(n,50)*n + 100*stop >= 240*n
+#     (text_quality's 0.5*ttr + 0.3*min(n/50,1) + 0.2*stop_ratio, cleared
+#      of denominators: multiply by 500*n)
+#   dup_token_frac <= 0.68  <=>  25*dist >= 8*n        (ttr >= 0.32)
+#   top_2gram_frac <= 0.10  <=>  10*top2 <= n - 1
+# Probed at sf0.001/0.01/0.1: each cut bites (2-15% of docs) and the
+# combined gate keeps a healthy majority at every SF.
+_LLM_MIN_TOKENS = 5
+
+
+def _llm_curation_oracle() -> str:
+    # The full curation chain in SQL: near-dup drop list (the EXACT
+    # dedup_minhash_pairs + dedup_cluster_cc CTE chain, shared strings),
+    # decontamination drop list (text_decontaminate's gram overlap),
+    # then clean -> integer quality/repetition gate -> exact-dup keeper
+    # window -> drops -> class balance (u48 integer threshold,
+    # sample_balanced_classes' construction) -> 512-token pack window.
+    return f"""
+    {_MINHASH_PAIRS_CTE}{dup_cc_chain_sql()}
+    , nd_drop AS (
+      SELECT node AS doc_id FROM l{_DUP_CC_ROUNDS} WHERE node <> lbl),
+    grams_c AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+                                           i -> array_to_string(toks[i:i+3], ' '))) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    bench_c AS (SELECT DISTINCT g FROM grams_c WHERE doc_id % 100 = 0),
+    contam AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT DISTINCT doc_id, g FROM grams_c WHERE doc_id % 100 <> 0) t
+      JOIN bench_c b ON t.g = b.g),
+    cl AS (
+      SELECT doc_id, lang, {clean_sql()} AS ct FROM documents),
+    t AS (
+      SELECT doc_id, lang, ct, string_split(ct, ' ') AS toks FROM cl
+      WHERE len(string_split(ct, ' ')) >= {_LLM_MIN_TOKENS}),
+    f AS (
+      SELECT doc_id, lang, ct,
+             len(toks) AS n,
+             len(list_distinct(toks)) AS dist,
+             len(list_filter(toks, tk -> tk IN ({_STOP_SQL}))) AS nstop,
+             list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bg
+      FROM t),
+    g2 AS (
+      SELECT doc_id, lang, ct, n FROM (
+        SELECT *, list_max(list_transform(list_distinct(bg),
+                     b -> len(list_filter(bg, x -> x = b)))) AS top2
+        FROM f)
+      WHERE 250*dist + 3*LEAST(n, 50)*n + 100*nstop >= 240*n
+        AND 25*dist >= 8*n
+        AND 10*top2 <= n - 1),
+    k AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY md5(ct)) AS keeper FROM g2),
+    surv AS (
+      SELECT doc_id, lang, CAST(n AS BIGINT) AS n_tokens FROM k
+      WHERE doc_id = keeper
+        AND doc_id % 100 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM nd_drop)
+        AND doc_id NOT IN (SELECT doc_id FROM contam)),
+    cls AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS cn FROM surv GROUP BY lang),
+    mn AS (SELECT MIN(cn) AS m FROM cls),
+    bal AS (
+      SELECT s.doc_id, s.lang, s.n_tokens
+      FROM surv s JOIN cls ON s.lang = cls.lang CROSS JOIN mn
+      WHERE CAST(CAST(('0x' || substr(md5('llmbal:' || CAST(s.doc_id AS VARCHAR)), 1, 12))
+                 AS BIGINT) AS HUGEINT) * cn
+            < CAST(m AS HUGEINT) * 281474976710656),
+    p AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS off
+      FROM bal)
+    SELECT doc_id, lang, n_tokens,
+           CAST(off // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(off % {PACK_BUDGET} AS BIGINT) AS bin_offset
+    FROM p
+    """
+
+
+def _llm_curation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1–2a: the single-scan per-document QC-feature pass (clean
+    + every gate feature in-row), split out so the plan gate can assert
+    the corpus is scanned exactly once here."""
+    # the feature pass: ONE documents scan, all features in-row. The
+    # repartition escapes the single input split the tiny test parquet
+    # arrives as (text_repetition's posture) — at real scale the scan
+    # already has thousands of splits and this node disappears.
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", clean_text_expr().alias("ct"))
+        .repartition(sh_parts(spark))
+    )
+    t = base.withColumn("toks", F.split("ct", " ")).filter(
+        F.size("toks") >= _LLM_MIN_TOKENS
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size("toks")
+    dist = F.size(F.array_distinct("toks"))
+    nstop = F.size(F.filter("toks", lambda tk: F.array_contains(stop_arr, tk)))
+    # per-doc top-bigram count IN-ROW: sort the bigram array once, then
+    # a single linear fold tracks the longest equal run — O(n log n)
+    # per doc, one level of lambda (HOFs evaluate interpreted, so the
+    # naive distinct×filter form is quadratic in doc length AND pays
+    # ~10k interpreted evals/doc; this fold pays ~2n). The unbounded-doc
+    # form is text_repetition's two-shuffle agg.
+    bg = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat_ws(' ', toks[i], toks[i+1]))"
+    )
+    top2 = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "ct",
+        n.alias("n"),
+        dist.alias("dist"),
+        nstop.alias("nstop"),
+        top2.alias("top2"),
+    )
+
+
+def _llm_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 2b–4: integer quality/repetition gate → exact-dup keeper →
+    drop-list anti-joins, over the MATERIALIZED feature table. The
+    checkpoint is the "compute the QC-feature table once, then
+    threshold it" step every curation pipeline has — and load-bearing
+    for cost: predicate pushdown otherwise substitutes the interpreted
+    top-bigram fold into EACH gate conjunct below the projection
+    (measured 3.6 s -> 16 s at sf0.1 from recomputing top2/dist/nstop
+    four times). The two drop lists arrive as checkpointed side tables
+    (at 100 TB the LSH-dedup and decontamination gram passes are their
+    OWN jobs whose compact outputs anti-join into the curation pass —
+    exactly this posture)."""
+    # side jobs: near-dup clusters (LSH pairs -> CC, the registered
+    # dedup_cluster_cc verbatim) and eval-overlap decontamination
+    # (text_decontaminate verbatim); both collapse to doc_id drop lists
+    nd_drop = (
+        dedup_cluster_cc(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    contam = (
+        text_decontaminate(spark, sf_dir).select("doc_id").localCheckpoint()
+    )
+    feats = _llm_curation_features(spark, sf_dir).localCheckpoint()
+    gated = feats.filter(
+        (250 * F.col("dist") + 3 * F.least(F.col("n"), F.lit(50)) * F.col("n")
+         + 100 * F.col("nstop") >= 240 * F.col("n"))
+        & (25 * F.col("dist") >= 8 * F.col("n"))
+        & (10 * F.col("top2") <= F.col("n") - 1)
+    )
+    # exact dedup on the CLEANED text: one shuffle keyed by the 32-byte
+    # digest (never the text itself), min-doc_id keeper via window
+    keeper = F.min("doc_id").over(
+        Window.partitionBy(F.md5(F.col("ct")))
+    )
+    exact = gated.withColumn("keeper", keeper).filter(
+        F.col("doc_id") == F.col("keeper")
+    )
+    return (
+        exact.filter(F.col("doc_id") % 100 != 0)  # drop the benchmark slice
+        .join(nd_drop, "doc_id", "left_anti")
+        .join(contam, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.col("n").cast("bigint").alias("n_tokens"))
+    )
+
+
+def _llm_curation_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 5–6: class balance + sequence packing over the MATERIALIZED
+    curated corpus (the checkpoint is the 'write the curated corpus,
+    then compute balancing stats over it' step every real pipeline has
+    — the survivor set is consumed twice: once for the per-class
+    counts, once as the balance input)."""
+    surv = _llm_curation_survivors(spark, sf_dir).localCheckpoint()
+    cls = surv.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cn")
+    )
+    mn = cls.agg(F.min("cn").alias("m"))
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("llmbal:"), F.col("doc_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bal = (
+        surv.join(F.broadcast(cls), "lang")
+        .crossJoin(F.broadcast(mn))
+        .withColumn("u48", u48)
+        .filter(
+            F.col("u48").cast("decimal(38,0)") * F.col("cn")
+            < F.col("m").cast("decimal(38,0)") * F.lit(2**48)
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = bal.withColumn(
+        "off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return off.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"off div {PACK_BUDGET}").cast("bigint").alias("bin_id"),
+        (F.col("off") % PACK_BUDGET).cast("bigint").alias("bin_offset"),
+    )
+
+
+@query("pipeline_llm_curation_e2e", oracle=_llm_curation_oracle())
+def pipeline_llm_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data-curation flagship — the north-star pipeline
+    (BASELINE.json: dedup + text analysis at 100 TB) as ONE registered,
+    oracle-checked artifact: one corpus scan in, packed training
+    batches out.
+
+    Stages, each the registered operator's logic (shared code/SQL where
+    the stage is heavy): (1) clean/normalize (text_clean_normalize's
+    expression, shared helper); (2) quality + repetition gate
+    (text_quality's score and text_repetition's dup/top-bigram features
+    as EXACT integer predicates — see the threshold derivation above);
+    (3) exact dedup on cleaned text (digest-keyed keeper window) AND
+    near-dup cluster drop (dedup_minhash_pairs -> dedup_cluster_cc
+    VERBATIM — the registered function feeds the drop list, its oracle
+    CTE chain feeds this oracle); (4) benchmark decontamination
+    (text_decontaminate verbatim + dropping the benchmark slice
+    itself); (5) class-balanced downsampling to the minority language
+    (sample_balanced_classes' exact u48 integer-threshold construction);
+    (6) 512-token sequence packing (text_doc_pack's window); (7) parquet
+    sink whose READ-BACK is the verified frame.
+
+    Scale shape: the per-document pass scans the corpus ONCE (plan-
+    gated) with every feature in-row; the only wide ops are the digest-
+    keyed keeper window, two anti-joins against compact checkpointed
+    drop lists (their own jobs at 100 TB), the tiny class-count
+    broadcast, and the per-lang pack window (packing shards per
+    language partition — no global sequential dependency)."""
+    packed = _llm_curation_packed(spark, sf_dir)
+    sink_dir = _roundtrip_dir(sf_dir, "llm_curated_parquet")
+    packed.write.mode("overwrite").parquet(sink_dir)
     return spark.read.parquet(sink_dir)

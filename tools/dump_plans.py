@@ -118,6 +118,12 @@ SHOWCASE = [
     ("win_kalman_1d", "whole Kalman recursion inside ONE aggregate() fold "
      "per user row: a single user_id Exchange builds the sorted array; "
      "no per-step operators in the plan at all"),
+    ("pipeline_llm_curation_e2e", "the LLM-curation flagship: the QC "
+     "feature pass is ONE documents scan with every gate feature "
+     "in-row (no join/agg/window/Python — plan-gated); downstream, the "
+     "checkpointed feature table gates, the md5-digest keeper window "
+     "dedups, drop lists anti-join, class counts broadcast, and the "
+     "per-lang pack window bins — documents never re-enters"),
 ]
 
 
@@ -137,7 +143,20 @@ def main() -> None:
         "",
     ]
     for name, why in SHOWCASE:
-        if name == "pipeline_patents_e2e":
+        if name == "pipeline_llm_curation_e2e":
+            # same read-back caveat as pipeline_patents_e2e: dump the
+            # single-scan feature pass AND the downstream packed chain
+            from insight_patents_spark.operators.pipeline import (
+                _llm_curation_features,
+                _llm_curation_packed,
+            )
+
+            plan = (
+                formatted_plan(_llm_curation_features(spark, args.sf))
+                + "\n-- downstream (gate->dedup->balance->pack) --\n"
+                + formatted_plan(_llm_curation_packed(spark, args.sf))
+            )
+        elif name == "pipeline_patents_e2e":
             # the registered query returns the sink READ-BACK; the
             # dataflow worth reviewing is the pre-sink chain
             from insight_patents_spark.operators.pipeline import _e2e_presink
