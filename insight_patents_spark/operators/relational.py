@@ -15,8 +15,11 @@ re-read with partition pruning (checked via .explain in tests/plans).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,7 +30,17 @@ from ..sources.tables import load
 
 # Stable temp root for format round-trips; content is derived purely from
 # the driver testdata at the given sf_dir, keyed by sf so runs don't collide.
-_TMP = os.path.join(tempfile.gettempdir(), "ips_roundtrip")
+# The roundtrip scratch is per-PROCESS (fresh uuid suffix at module
+# import, removed at exit): two concurrent suites sharing one scratch
+# tree collide — embedded Derby allows exactly ONE JVM to boot a
+# database directory (db.lck), and a sink written by process A while
+# process B reads it doubles B's row counts (the VERDICT r8 JDBC
+# finding, generalized). Every roundtrip op writes before it reads
+# within one call, so values are path-independent by construction.
+_TMP = os.path.join(
+    tempfile.gettempdir(), f"ips_roundtrip_{uuid.uuid4().hex[:12]}"
+)
+atexit.register(shutil.rmtree, _TMP, ignore_errors=True)
 
 
 def _roundtrip_dir(sf_dir: str, kind: str) -> str:

@@ -21,8 +21,11 @@ Mechanics:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,8 +37,15 @@ from ..sources.tables import load
 # checkpoint location is a deployment knob (HDFS/S3 on a cluster); locally
 # prefer tmpfs — state-store + commit-log fsyncs dominate AvailableNow
 # wall time on small data when the checkpoint sits on disk.
+# Per-PROCESS (uuid suffix, removed at exit): concurrent suites sharing
+# one scratch tree race — _run_available_now rmtree's the checkpoint it
+# is about to use, and two first-writers can overwrite the events copy
+# mid-read (the r9 scratch-isolation fix, same as relational._TMP).
 _SCRATCH_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-_STREAM_TMP = os.path.join(_SCRATCH_ROOT, "ips_stream")
+_STREAM_TMP = os.path.join(
+    _SCRATCH_ROOT, f"ips_stream_{uuid.uuid4().hex[:12]}"
+)
+atexit.register(shutil.rmtree, _STREAM_TMP, ignore_errors=True)
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:

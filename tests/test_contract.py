@@ -129,3 +129,28 @@ def test_no_bare_assert_guards_driver_collects():
         f"bare assert guarding a driver collect (stripped under -O; "
         f"raise instead): {offenders}"
     )
+
+
+def test_scratch_dirs_are_per_process():
+    """Concurrent suites must not share scratch trees (the r8 Derby
+    db.lck collision, generalized): the roundtrip and streaming scratch
+    paths carry a per-process uuid, so a second interpreter lands in a
+    different tree."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from insight_patents_spark.operators.relational import _TMP; "
+        "from insight_patents_spark.streaming.queries import _STREAM_TMP; "
+        "print(_TMP); print(_STREAM_TMP)"
+    ) % str(REPO)
+    a = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True
+    ).stdout.splitlines()
+    b = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True
+    ).stdout.splitlines()
+    assert len(a) == 2 and len(b) == 2
+    assert a[0] != b[0], "roundtrip scratch shared across processes"
+    assert a[1] != b[1], "streaming scratch shared across processes"
