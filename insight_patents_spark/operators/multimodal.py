@@ -279,7 +279,9 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equi-join on (band, value) — never all-pairs; candidates
     dedup once, verification is two bitops per pair. Degenerate bands
     (e.g. all-zero from uniform payloads) are the hot-key risk — at
-    corpus scale cap band-bucket width or add a band-salt, same posture
+    corpus scale the band join switches to text.salted_band_pairs
+    (exercised + gated on an adversarial all-one-band fixture,
+    tests/test_properties.py::test_salted_band_pairs_*), same posture
     as the LSH families."""
     import hashlib  # noqa: F401  (parity with module header)
 

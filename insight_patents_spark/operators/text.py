@@ -758,6 +758,48 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_band_pairs(
+    bands: DataFrame, n_salts: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Skew-salted band self-pairing — the documented mitigation for
+    DEGENERATE LSH/phash bands (a band key shared by a huge doc
+    population: boilerplate signatures, all-zero phash bands). The
+    plain band self-join maps every such pair onto ONE reducer
+    (O(|bucket|²) rows on one task); here the join key is widened to
+    (band_id, band_key, salt(partner)): the left side replicates once
+    per salt tag, the right side carries its own deterministic salt,
+    so pair (a, b) with a.doc_id < b.doc_id is emitted EXACTLY once —
+    on the reducer owning tag = salt(b) — and a degenerate bucket's
+    pair fan-out spreads over n_salts reducers (per-task output
+    |bucket|²/S, per-task input |bucket| + |bucket|/S, linear).
+
+    The pair SET is identical to the unsalted join by construction
+    (property-gated on an adversarial all-one-band fixture;
+    tests/test_properties.py::test_salted_band_pairs_*). The normal
+    corpora the registered queries gate on have no degenerate bands
+    (max bucket occupancy is small — measured), so they keep the plain
+    join; at 100 TB the band-size count that picks the path is one
+    cheap agg over the band table (SCALE.md §4)."""
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts)).cast("int")
+    right = bands.withColumn("salt", salt).alias("b")
+    left = bands.withColumn(
+        "tag", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).alias("a")
+    pair = left.join(
+        right.hint("shuffle_hash"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.tag") == F.col("b.salt"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return pair.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
+        *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
+    )
+
+
 @query(
     "text_minhash_containment",
     oracle=f"""

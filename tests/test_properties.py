@@ -8082,3 +8082,96 @@ def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
     counts = {lang: len(rs) for lang, rs in by_lang.items()}
     m = min(counts.values())
     assert max(counts.values()) <= max(3 * m, m + 12), counts
+
+
+def _degenerate_band_fixture(spark, n=240):
+    """Adversarial LSH/phash skew fixture: EVERY doc collides in one
+    band (one band key owns the whole corpus) — the worst case the
+    plain band self-join maps onto a single reducer."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("band_id"),
+            F.lit("deadbeefdeadbeef").alias("band_key"),
+            F.pmod(F.col("id") * 2654435761, F.lit(997)).alias("payload"),
+        )
+    )
+
+
+def test_salted_band_pairs_equals_plain_join(spark):
+    """The salted pair set must be EXACTLY the plain band self-join's
+    (every unordered colliding pair once) on the degenerate fixture —
+    for both the minhash band shape and a phash-shaped 64-bit band."""
+    from pyspark.sql import functions as F
+
+    from insight_patents_spark.operators.text import salted_band_pairs
+
+    n = 240
+    bands = _degenerate_band_fixture(spark, n).localCheckpoint()
+    got = {
+        (r.doc_a, r.doc_b, r.a_payload, r.b_payload)
+        for r in salted_band_pairs(bands, 8, carry=("payload",)).collect()
+    }
+    pay = {r.doc_id: r.payload for r in bands.collect()}
+    want = {
+        (a, b, pay[a], pay[b]) for a in range(n) for b in range(a + 1, n)
+    }
+    assert got == want
+    # phash-shaped bands: 64-bit integer band values, all colliding
+    ph = bands.select(
+        "doc_id", "band_id", F.lit(0).cast("bigint").alias("band_key")
+    ).localCheckpoint()
+    got_ph = {
+        (r.doc_a, r.doc_b) for r in salted_band_pairs(ph, 4).collect()
+    }
+    assert got_ph == {(a, b) for a in range(n) for b in range(a + 1, n)}
+
+
+def test_salted_band_pairs_bounds_per_task_fanout(spark):
+    """On the all-one-band fixture the salted join must spread the
+    quadratic pair fan-out across reducers: no single task may emit
+    more than ~1/S of the pairs (the plain join puts 100% on one)."""
+    from pyspark.sql import functions as F
+
+    from insight_patents_spark.operators.text import salted_band_pairs
+
+    n, s = 240, 8
+    bands = _degenerate_band_fixture(spark, n).localCheckpoint()
+    # AQE's partition coalescing re-merges the (tiny) salted reducers at
+    # toy scale — exactly the partitions that stay huge and separate on
+    # a real degenerate band. Observe the pre-coalesce spread.
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        pairs = salted_band_pairs(bands, s)
+        per_task = (
+            pairs.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev
+        )
+    total = n * (n - 1) // 2
+    assert sum(r["count"] for r in per_task) == total
+    # salts are hash-uniform: the largest task stays near total/S (and
+    # far below the unsalted single-task total)
+    assert max(r["count"] for r in per_task) <= int(total / s * 1.6)
+    assert len(per_task) >= s // 2
+    # and the salt is IN the shuffle key: the join's exchanges partition
+    # on (band, tag/salt), so a degenerate band_key cannot own a reducer
+    from insight_patents_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(salted_band_pairs(bands, s))
+    ex = [
+        m.group(0)
+        for m in __import__("re").finditer(
+            r"hashpartitioning\([^)]*\)", plan
+        )
+    ]
+    assert ex and all(("tag" in e) or ("salt" in e) for e in ex), ex
+    assert "ShuffledHashJoin" in plan
