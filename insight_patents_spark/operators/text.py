@@ -758,6 +758,221 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_mix_epochs",
+    # Temperature-scaled domain-mixture scheduling (the multilingual /
+    # domain-sampling rule, T=2): target weight w_s ∝ p_s^(1/2). The
+    # total cancels: w_s = sqrt(tokens_s) / Σ_r sqrt(tokens_r), and the
+    # per-domain EPOCHS (up/down-sampling repeat factor for one pass of
+    # the target mixture) = w_s · total / tokens_s. The Σ sqrt fold runs
+    # in source-sorted order on both engines (bounded: |domains| rows),
+    # sqrt/division are IEEE-identical, outputs round 9dp.
+    oracle="""
+    WITH g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+             list_aggregate(list(sqrt(CAST(n_tokens AS DOUBLE))
+                                 ORDER BY source), 'sum') AS ssum
+      FROM g)
+    SELECT g.source, g.n_docs, g.n_tokens,
+           CAST(ROUND(CAST(g.n_tokens AS DOUBLE) / t.total, 9) AS DOUBLE)
+             AS token_share,
+           CAST(ROUND(sqrt(CAST(g.n_tokens AS DOUBLE)) / t.ssum, 9)
+                AS DOUBLE) AS target_weight,
+           CAST(ROUND(sqrt(CAST(g.n_tokens AS DOUBLE)) / t.ssum * t.total
+                      / g.n_tokens, 9) AS DOUBLE) AS epochs,
+           sqrt(CAST(g.n_tokens AS DOUBLE)) / t.ssum * t.total
+             / g.n_tokens > 1.0 AS upsampled
+    FROM g CROSS JOIN t
+    """,
+)
+def text_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture scheduling: turn observed per-domain token mass
+    into temperature-scaled sampling weights (T=2: w ∝ share^(1/2) —
+    the standard rule that up-weights small domains without letting
+    them dominate) and the per-domain EPOCH factor a data loader
+    repeats each domain by to realize the mixture in one pass. The
+    last planning step of a curation pipeline: pipeline_llm_curation
+    ends with balanced packed batches; this op emits the cross-domain
+    schedule.
+
+    Scale shape: ONE scan collapses to |domains| rows; the Σ sqrt
+    normalizer is a bounded source-sorted fold on that tiny grid
+    (order-canonical — the vec_centroid contract); everything after the
+    first agg is grid-sized."""
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(_tokens())).cast("bigint").alias("n_tokens"),
+        )
+    )
+    t = g.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "n_tokens"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_tokens"].cast("double")),
+        ).alias("ssum"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("ssum")
+    epochs = w * F.col("total") / F.col("n_tokens")
+    return g.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("total"), 9).alias(
+            "token_share"
+        ),
+        F.round(w, 9).alias("target_weight"),
+        F.round(epochs, 9).alias("epochs"),
+        (epochs > 1.0).alias("upsampled"),
+    )
+
+
+_WMH_SEEDS = MINHASH_SEEDS[:8]  # 2 bands x 4 rows
+_WMH_SEEDS_SQL = ", ".join(f"('{s}', {i})" for i, s in enumerate(_WMH_SEEDS))
+_WMH_THRESH = 0.6
+
+
+@query(
+    "dedup_minhash_weighted",
+    # Weighted-Jaccard near-dup pairs. Integer token weights (tf) turn
+    # weighted Jaccard into PLAIN Jaccard over copy-replicated element
+    # sets: J_w(A,B) = sum_t min(a_t,b_t) / sum_t max(a_t,b_t) equals
+    # |rep(A) n rep(B)| / |rep(A) u rep(B)| where rep(X) = {t#i : 1 <=
+    # i <= x_t} — shared copies ARE the min, the union IS the max. So
+    # the whole unweighted MinHash-LSH machinery applies verbatim to
+    # the element stream, and the verification is an exact set
+    # intersection (exact weighted Jaccard, not an estimate).
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    el AS (
+      SELECT doc_id, token || '#' || CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id, token ORDER BY pos) AS VARCHAR) AS elem
+      FROM tok),
+    seeds(seed, sid) AS (VALUES {_WMH_SEEDS_SQL}),
+    sig AS (
+      SELECT e.doc_id, s.sid, MIN(md5(s.seed || ':' || e.elem)) AS mh
+      FROM el e CROSS JOIN seeds s GROUP BY e.doc_id, s.sid),
+    bands AS (
+      SELECT doc_id, sid // 4 AS band_id,
+             md5(string_agg(mh, '|' ORDER BY sid)) AS bk
+      FROM sig GROUP BY doc_id, sid // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id),
+    docs AS (
+      SELECT doc_id, list(elem) AS els, COUNT(*) AS n
+      FROM el GROUP BY doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(da.els, db.els)) AS DOUBLE)
+             / (da.n + db.n - len(list_intersect(da.els, db.els)))
+             AS wjaccard
+    FROM cand c
+    JOIN docs da ON c.doc_a = da.doc_id
+    JOIN docs db ON c.doc_b = db.doc_id
+    WHERE CAST(len(list_intersect(da.els, db.els)) AS DOUBLE)
+          / (da.n + db.n - len(list_intersect(da.els, db.els)))
+          >= {_WMH_THRESH}
+    """,
+)
+def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted MinHash near-duplicate pairs — the dedup modality where
+    token FREQUENCY matters (unweighted Jaccard treats a word said once
+    and fifty times identically; weighted Jaccard is what separates
+    'same template, different filler mass' long-form pages). Integer tf
+    weights reduce weighted Jaccard to plain Jaccard over
+    copy-replicated elements (token#occurrence), so the standard
+    banding s-curve and an EXACT set-intersection verification both
+    apply unchanged — no ICWS sampling machinery needed for integer
+    weights.
+
+    Scale shape (the dedup_minhash_pairs contract): the element stream
+    is one explode + one per-(doc,token) window; signatures collapse in
+    ONE hash agg (8 md5s per element row — the element-vocab broadcast
+    variant of _doc_sig_mask applies when element re-use across docs is
+    high); 2x4 banding buckets candidates via equi-join (never
+    all-pairs, salted_band_pairs above for degenerate bands); each pair
+    is emitted once from its first colliding band; verification runs on
+    carried element arrays only — the corpus is never re-joined."""
+    tok = (
+        load(spark, sf_dir, "documents")
+        .repartition(sh_parts(spark))
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+    )
+    w = Window.partitionBy("doc_id", "token").orderBy("pos")
+    el = tok.select(
+        "doc_id",
+        F.concat(
+            F.col("token"),
+            F.lit("#"),
+            F.row_number().over(w).cast("string"),
+        ).alias("elem"),
+    )
+    hashed = el.select(
+        "doc_id",
+        "elem",
+        *[
+            F.md5(F.concat(F.lit(s), F.lit(":"), F.col("elem"))).alias(f"h{i}")
+            for i, s in enumerate(_WMH_SEEDS)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(len(_WMH_SEEDS))],
+        F.sort_array(F.collect_list("elem")).alias("els"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n_bands = len(_WMH_SEEDS) // 4
+    bands = sig.select(
+        "doc_id",
+        "els",
+        "n",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * 4 + r}") for r in range(4)]
+                )
+            ).alias(f"k{b}")
+            for b in range(n_bands)
+        ],
+    ).select(
+        "*",
+        F.posexplode(F.array(*[f"k{b}" for b in range(n_bands)])).alias(
+            "band_id", "band_key"
+        ),
+    )
+    pair = bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    dup_earlier = (F.col("a.band_id") > 0) & (F.col("a.k0") == F.col("b.k0"))
+    inter = F.size(F.array_intersect(F.col("a.els"), F.col("b.els")))
+    wj = inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
+    return (
+        pair.filter(~dup_earlier)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            wj.alias("wjaccard"),
+        )
+        .filter(F.col("wjaccard") >= _WMH_THRESH)
+    )
+
+
 def salted_band_pairs(
     bands: DataFrame, n_salts: int, carry: tuple[str, ...] = ()
 ) -> DataFrame:

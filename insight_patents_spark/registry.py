@@ -149,6 +149,8 @@ _SHOWCASE_50 = (
 # dedicated oracle/replay tests until then).
 _POST_PREFIX_HEAD = (
     "agg_survival_curve",
+    "dedup_minhash_weighted",
+    "text_mix_epochs",
 )
 
 

@@ -8175,3 +8175,53 @@ def test_salted_band_pairs_bounds_per_task_fanout(spark):
     ]
     assert ex and all(("tag" in e) or ("salt" in e) for e in ex), ex
     assert "ShuffledHashJoin" in plan
+
+
+def test_dedup_minhash_weighted_replays_exact_weighted_jaccard(spark, sf_dir):
+    """Every returned pair's wjaccard must equal the Counter-based
+    weighted Jaccard (sum min tf / sum max tf) recomputed from raw
+    text, and the threshold must hold."""
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import (
+        _WMH_THRESH,
+        dedup_minhash_weighted,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    pairs = dedup_minhash_weighted(spark, sf_dir).collect()
+    assert pairs, "weighted dedup found no pairs"
+    texts = {
+        r.doc_id: Counter(r.text.split(" "))
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    for r in pairs:
+        a, b = texts[r.doc_a], texts[r.doc_b]
+        inter = sum(min(a[t], b[t]) for t in a.keys() & b.keys())
+        union = sum((a | b).values())
+        want = inter / union
+        assert abs(r.wjaccard - want) < 1e-12, (r.doc_a, r.doc_b)
+        assert r.wjaccard >= _WMH_THRESH
+        assert r.doc_a < r.doc_b
+    # no duplicate emissions (first-colliding-band dedup)
+    keys = [(r.doc_a, r.doc_b) for r in pairs]
+    assert len(keys) == len(set(keys))
+
+
+def test_text_mix_epochs_is_valid_schedule(spark, sf_dir):
+    """Mixture invariants: weights sum to 1, epochs realize exactly the
+    target mixture (epochs_s * tokens_s / total == w_s), temperature
+    T=2 up-weights below-average domains and down-weights above-average
+    ones (epoch ordering is inverse to token mass)."""
+    from insight_patents_spark.operators.text import text_mix_epochs
+
+    rows = text_mix_epochs(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    assert abs(sum(r.target_weight for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert abs(r.epochs * r.n_tokens / total - r.target_weight) < 1e-6
+        assert r.upsampled == (r.epochs > 1.0)
+    by_mass = sorted(rows, key=lambda r: r.n_tokens)
+    ep = [r.epochs for r in by_mass]
+    assert all(a >= b - 1e-12 for a, b in zip(ep, ep[1:])), "not inverse to mass"
