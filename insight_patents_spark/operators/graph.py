@@ -2488,3 +2488,137 @@ def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("jaccard_stability"),
     )
+
+
+_SW_SEED_PRED = _CLOSENESS_SEED_PRED  # reuse the closeness seed sample
+_SW_DEPTH = _CLOSENESS_DEPTH
+
+
+def _smallworld_oracle() -> str:
+    # Sampled-BFS unroll (the _closeness_oracle pattern) + integer
+    # triangle/triad counts; every double below is derived from exact
+    # integers through IDENTICAL expressions in both engines.
+    sql = _EDGES_CTE + f"""
+    , tri AS (
+      SELECT p1.pa AS a, p1.pb AS b, p2.pb AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p1.pb = p2.pa
+      JOIN pairs p3 ON p3.pa = p1.pa AND p3.pb = p2.pb),
+    t3 AS (SELECT CAST(3 * COUNT(*) AS BIGINT) AS tri3 FROM tri),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(degree * (degree - 1)) AS BIGINT) AS triads2,
+                  CAST(SUM(degree) AS BIGINT) AS degsum
+           FROM deg),
+    c0 AS (SELECT DISTINCT src AS seed, src AS node, 0 AS dist
+           FROM edges WHERE {_SW_SEED_PRED})"""
+    for r in range(1, _SW_DEPTH + 1):
+        sql += f"""
+    , c{r} AS MATERIALIZED (
+      SELECT seed, node, MIN(dist) AS dist FROM (
+        SELECT seed, node, dist FROM c{r - 1}
+        UNION ALL
+        SELECT c.seed, e.dst AS node, c.dist + 1 AS dist
+        FROM c{r - 1} c JOIN edges e ON c.node = e.src
+      ) GROUP BY seed, node)"""
+    return sql + f"""
+    , l AS (SELECT CAST(SUM(dist) AS BIGINT) AS sd,
+                   CAST(COUNT(*) AS BIGINT) AS np
+            FROM c{_SW_DEPTH} WHERE dist > 0)
+    SELECT nn.n AS n_nodes,
+           CAST(nn.degsum // 2 AS BIGINT) AS n_edges,
+           CAST(ROUND(2.0 * t3.tri3 / nn.triads2, 9) AS DOUBLE)
+             AS transitivity,
+           CAST(ROUND(CAST(l.sd AS DOUBLE) / l.np, 9) AS DOUBLE)
+             AS l_sample,
+           CAST(ROUND(CAST(nn.degsum AS DOUBLE) / nn.n / nn.n, 9)
+                AS DOUBLE) AS c_rand,
+           CAST(ROUND(ln(CAST(nn.n AS DOUBLE))
+                      / ln(CAST(nn.degsum AS DOUBLE) / nn.n), 9)
+                AS DOUBLE) AS l_rand,
+           CAST(ROUND((2.0 * t3.tri3 / nn.triads2
+                         / (CAST(nn.degsum AS DOUBLE) / nn.n / nn.n))
+                      / ((CAST(l.sd AS DOUBLE) / l.np)
+                         / (ln(CAST(nn.n AS DOUBLE))
+                            / ln(CAST(nn.degsum AS DOUBLE) / nn.n))), 9)
+                AS DOUBLE) AS sigma
+    FROM nn CROSS JOIN t3 CROSS JOIN l"""
+
+
+@query("graph_smallworld_sigma", oracle=_smallworld_oracle())
+def graph_smallworld_sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-world coefficient sigma = (C/C_rand) / (L/L_rand)
+    (Humphries & Gurney 2008, public): a graph is small-world when it
+    clusters like a lattice (C >> C_rand = <k>/n) but routes like a
+    random graph (L ~ L_rand = ln n / ln <k>). sigma > 1 is the
+    standard one-number small-world verdict — the co-purchase graph's
+    topology summary next to graph_assortativity / graph_powerlaw_fit.
+
+    Exactness: C is the GLOBAL transitivity 3T/triads — a ratio of two
+    exact integers (T from the ordered triangle enumeration over the
+    cached pair table, triads from the degree table), so no per-node
+    double averaging exists anywhere; L is the sampled-BFS mean
+    distance (the graph_closeness seed sample and depth — Sum(dist) and
+    count are exact ints). Every double is derived from those integers
+    through identical expressions in both engines.
+
+    Scale shape: reuses the cached canonical pair/edge tables (built
+    once per session, the graph-snapshot pattern); the triangle join is
+    the ordered enumeration (never a 3-way self-join of the directed
+    table); BFS state is |seeds| x reach with a min-agg per round; the
+    final combine is three 1-row broadcasts."""
+    pairs = _pairs(spark, sf_dir)
+    edges = _edges(spark, sf_dir).select("src", "dst")
+    p1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    p2 = pairs.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    p3 = pairs.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tri3 = (
+        p1.join(p2, F.col("b") == F.col("b2"))
+        .join(p3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg((3 * F.count(F.lit(1))).cast("bigint").alias("tri3"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    nn = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("degree") * (F.col("degree") - 1))
+        .cast("bigint")
+        .alias("triads2"),
+        F.sum("degree").cast("bigint").alias("degsum"),
+    )
+    dist = (
+        edges.filter(F.expr(_SW_SEED_PRED))
+        .select(F.col("src").alias("seed"), F.col("src").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(_SW_DEPTH):
+        expanded = dist.join(edges, dist.node == edges.src).select(
+            "seed", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    l_ = dist.filter(F.col("dist") > 0).agg(
+        F.sum("dist").cast("bigint").alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    avg_k = F.col("degsum").cast("double") / F.col("n")
+    c = 2.0 * F.col("tri3") / F.col("triads2")
+    c_rand = avg_k / F.col("n")
+    l_sample = F.col("sd").cast("double") / F.col("np")
+    l_rand = F.log(F.col("n").cast("double")) / F.log(avg_k)
+    return (
+        nn.crossJoin(F.broadcast(tri3))
+        .crossJoin(F.broadcast(l_))
+        .select(
+            F.col("n").alias("n_nodes"),
+            F.expr("degsum div 2").cast("bigint").alias("n_edges"),
+            F.round(c, 9).alias("transitivity"),
+            F.round(l_sample, 9).alias("l_sample"),
+            F.round(c_rand, 9).alias("c_rand"),
+            F.round(l_rand, 9).alias("l_rand"),
+            F.round((c / c_rand) / (l_sample / l_rand), 9).alias("sigma"),
+        )
+    )

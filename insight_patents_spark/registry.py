@@ -151,6 +151,7 @@ _POST_PREFIX_HEAD = (
     "agg_survival_curve",
     "dedup_minhash_weighted",
     "text_mix_epochs",
+    "graph_smallworld_sigma",
 )
 
 

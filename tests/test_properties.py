@@ -8225,3 +8225,35 @@ def test_text_mix_epochs_is_valid_schedule(spark, sf_dir):
     by_mass = sorted(rows, key=lambda r: r.n_tokens)
     ep = [r.epochs for r in by_mass]
     assert all(a >= b - 1e-12 for a, b in zip(ep, ep[1:])), "not inverse to mass"
+
+
+def test_smallworld_sigma_replays_from_components(spark, sf_dir):
+    """sigma must replay exactly from the already-verified component
+    operators: transitivity from graph_triangles + degrees, L from the
+    closeness BFS sample shape, and the combined ratio."""
+    import math
+
+    from insight_patents_spark.operators.graph import (
+        _edges,
+        graph_smallworld_sigma,
+        graph_triangles,
+    )
+
+    r = graph_smallworld_sigma(spark, sf_dir).collect()[0]
+    tri3 = sum(
+        x.n_triangles for x in graph_triangles(spark, sf_dir).collect()
+    )
+    deg = {}
+    for e in _edges(spark, sf_dir).select("src", "dst").collect():
+        deg[e.src] = deg.get(e.src, 0) + 1
+    n = len(deg)
+    triads2 = sum(d * (d - 1) for d in deg.values())
+    degsum = sum(deg.values())
+    assert r.n_nodes == n and r.n_edges == degsum // 2
+    assert abs(r.transitivity - round(2.0 * tri3 / triads2, 9)) < 1e-12
+    avg_k = degsum / n
+    assert abs(r.c_rand - round(avg_k / n, 9)) < 1e-12
+    assert abs(r.l_rand - round(math.log(n) / math.log(avg_k), 9)) < 1e-9
+    want_sigma = (r.transitivity / r.c_rand) / (r.l_sample / r.l_rand)
+    assert abs(r.sigma - want_sigma) < 1e-6
+    assert 0 < r.transitivity <= 1 and r.l_sample >= 1.0
