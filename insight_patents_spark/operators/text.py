@@ -929,11 +929,14 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, s in enumerate(_WMH_SEEDS)
         ],
     )
+    # materialize signatures+elements ONCE: the band self-join below
+    # would otherwise rebuild the scan->window->agg chain on BOTH sides
+    # (the _SIG_CACHE lesson from the unweighted family)
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(len(_WMH_SEEDS))],
         F.sort_array(F.collect_list("elem")).alias("els"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint()
     n_bands = len(_WMH_SEEDS) // 4
     bands = sig.select(
         "doc_id",
