@@ -118,6 +118,10 @@ SHOWCASE = [
     ("win_kalman_1d", "whole Kalman recursion inside ONE aggregate() fold "
      "per user row: a single user_id Exchange builds the sorted array; "
      "no per-step operators in the plan at all"),
+    ("dedup_minhash_weighted", "weighted-Jaccard dedup: band self-join "
+     "consumes the checkpointed signature table on BOTH sides "
+     "(ExistingRDD), verification is an in-plan array_intersect on "
+     "carried element arrays — the corpus never re-enters"),
     ("pipeline_llm_curation_e2e", "the LLM-curation flagship: the QC "
      "feature pass is ONE documents scan with every gate feature "
      "in-row (no join/agg/window/Python — plan-gated); downstream, the "
