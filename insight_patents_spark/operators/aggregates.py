@@ -4210,3 +4210,114 @@ def agg_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .filter(F.col("support") >= _TRIPLE_MINSUP)
     )
+
+
+_APRIORI_SUP = 3  # support threshold for L2 and L3 (customer baskets)
+
+
+@query(
+    "agg_apriori_triples",
+    # Classic distributed Apriori over UNBOUNDED baskets — the scale
+    # counterpart of agg_basket_triples (whose in-row C(n,3) expansion
+    # is only viable for bounded ~7-line order baskets): customer
+    # baskets here reach 105 distinct items (C(105,3) ≈ 187k triples
+    # per basket — in-row expansion is exactly what Apriori's candidate
+    # pruning exists to avoid). Chain: L2 pairs (support >= 3) ->
+    # C3 = L2 join L2 on shared first item -> subset-prune C3 against
+    # L2 on (b, c) (the Apriori monotonicity step — kills 94% of
+    # candidates at sf0.01) -> support counted by a candidate-driven
+    # 3-way equi-join against the basket-item table (never expanding
+    # triples) -> keep support >= 3. Pure integer counts.
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT o.o_custkey AS bk, l.l_partkey AS item
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    l2 AS (
+      SELECT a.item AS x, b.item AS y
+      FROM items a JOIN items b ON a.bk = b.bk AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_APRIORI_SUP}),
+    c3 AS (
+      SELECT p.x AS a, p.y AS b, q.y AS c
+      FROM l2 p JOIN l2 q ON p.x = q.x AND p.y < q.y),
+    c3p AS (
+      SELECT c3.a, c3.b, c3.c
+      FROM c3 JOIN l2 ON c3.b = l2.x AND c3.c = l2.y)
+    SELECT c.a AS item_a, c.b AS item_b, c.c AS item_c,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM c3p c
+    JOIN items ia ON ia.item = c.a
+    JOIN items ib ON ib.bk = ia.bk AND ib.item = c.b
+    JOIN items ic ON ic.bk = ia.bk AND ic.item = c.c
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_APRIORI_SUP}
+    """,
+)
+def agg_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets via the Apriori candidate-prune chain over
+    customer baskets (up to 105 distinct items each).
+
+    Scale shape: the basket-item table materializes ONCE and feeds
+    every stage; L2 comes from an in-row pair expansion per basket
+    (C(n,2) is still tractable where C(n,3) is not) + one minsup hash
+    agg, and localCheckpoints because THREE downstream stages consume
+    it (two sides of candidate generation + the subset prune); C3
+    candidates never exist as basket expansions — they are generated
+    from L2 join L2 (shared first item) and immediately pruned by the
+    monotonicity property (every 2-subset must be frequent: one more
+    equi-join against L2); final support counting is candidate-driven
+    (3 equi-joins against the item table, group, filter) so the work
+    is O(|candidates| x avg basket hits), independent of C(n,3)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    items = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("bk"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # L2: in-row pair expansion per basket (bounded C(n,2)), minsup agg
+    baskets = items.groupBy("bk").agg(
+        F.sort_array(F.collect_list("item")).alias("arr")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("arr"),
+            lambda x, i: F.transform(
+                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    l2 = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _APRIORI_SUP)
+        .select("x", "y")
+        .localCheckpoint()  # consumed by three downstream stages
+    )
+    # C3 candidates from L2 join L2 (shared first item), then the
+    # Apriori subset prune: (b, c) must itself be frequent
+    p = l2.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    q = l2.select(F.col("x").alias("a2"), F.col("y").alias("c"))
+    c3 = p.join(q, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c"))).select(
+        "a", "b", "c"
+    )
+    prune = l2.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    c3p = c3.join(prune, ["b", "c"], "left_semi")
+    # candidate-driven support count: 3 equi-joins against the item
+    # table (no triple expansion anywhere)
+    ia = items.select("bk", F.col("item").alias("a"))
+    ib = items.select(F.col("bk").alias("bk2"), F.col("item").alias("b2"))
+    ic = items.select(F.col("bk").alias("bk3"), F.col("item").alias("c2"))
+    return (
+        c3p.join(ia, "a")
+        .join(ib, (F.col("bk") == F.col("bk2")) & (F.col("b") == F.col("b2")))
+        .join(ic, (F.col("bk") == F.col("bk3")) & (F.col("c") == F.col("c2")))
+        .groupBy(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("c").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= _APRIORI_SUP)
+    )

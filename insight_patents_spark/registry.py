@@ -152,6 +152,7 @@ _POST_PREFIX_HEAD = (
     "dedup_minhash_weighted",
     "text_mix_epochs",
     "graph_smallworld_sigma",
+    "agg_apriori_triples",
 )
 
 

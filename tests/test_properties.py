@@ -8257,3 +8257,39 @@ def test_smallworld_sigma_replays_from_components(spark, sf_dir):
     want_sigma = (r.transitivity / r.c_rand) / (r.l_sample / r.l_rand)
     assert abs(r.sigma - want_sigma) < 1e-6
     assert 0 < r.transitivity <= 1 and r.l_sample >= 1.0
+
+
+def test_apriori_triples_match_bruteforce(spark, sf_dir):
+    """Apriori output must equal the brute-force frequent-3-itemset
+    enumeration over customer baskets (small at test SF), including
+    exact support counts — the candidate pruning must be lossless."""
+    from itertools import combinations
+
+    from insight_patents_spark.operators.aggregates import (
+        _APRIORI_SUP,
+        agg_apriori_triples,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in rows:
+        baskets.setdefault(r.o_custkey, set()).add(r.l_partkey)
+    support: dict = {}
+    for items in baskets.values():
+        for t in combinations(sorted(items), 3):
+            support[t] = support.get(t, 0) + 1
+    want = {t: s for t, s in support.items() if s >= _APRIORI_SUP}
+    got = {
+        (r.item_a, r.item_b, r.item_c): r.support
+        for r in agg_apriori_triples(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert got, "no frequent triples at test SF"
