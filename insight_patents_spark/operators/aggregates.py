@@ -4256,10 +4256,10 @@ def agg_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer baskets (up to 105 distinct items each).
 
     Scale shape: the basket-item table materializes ONCE and feeds
-    every stage; L2 comes from an in-row pair expansion per basket
-    (C(n,2) is still tractable where C(n,3) is not) + one minsup hash
-    agg, and localCheckpoints because THREE downstream stages consume
-    it (two sides of candidate generation + the subset prune); C3
+    every stage; L2 comes from one basket-keyed self-join + minsup
+    hash agg (C(n,2) work is still tractable where C(n,3) is not) and
+    localCheckpoints because THREE downstream stages consume it (two
+    sides of candidate generation + the subset prune); C3
     candidates never exist as basket expansions — they are generated
     from L2 join L2 (shared first item) and immediately pruned by the
     monotonicity property (every 2-subset must be frequent: one more
@@ -4274,22 +4274,17 @@ def agg_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    # L2: in-row pair expansion per basket (bounded C(n,2)), minsup agg
-    baskets = items.groupBy("bk").agg(
-        F.sort_array(F.collect_list("item")).alias("arr")
-    )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("arr"),
-            lambda x, i: F.transform(
-                F.slice(F.col("arr"), i + 2, F.size(F.col("arr"))),
-                lambda y: F.struct(x.alias("x"), y.alias("y")),
-            ),
-        )
-    )
+    # L2: basket-keyed self-join + minsup agg. At 40+ items/basket the
+    # codegen'd hash join beats the in-row HOF pair expansion 2x
+    # (interpreted lambda structs; measured 7.5 s -> 3.9 s at sf0.1) —
+    # the OPPOSITE of the bounded 7-line order baskets where graph._pairs'
+    # in-row form wins. Both shuffle the item table by basket once.
+    b2 = items.select(F.col("bk").alias("bk2"), F.col("item").alias("item2"))
     l2 = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        items.join(
+            b2, (F.col("bk") == F.col("bk2")) & (F.col("item") < F.col("item2"))
+        )
+        .groupBy(F.col("item").alias("x"), F.col("item2").alias("y"))
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _APRIORI_SUP)
         .select("x", "y")
