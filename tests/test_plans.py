@@ -1757,3 +1757,22 @@ def test_weighted_minhash_band_join_reads_materialized_signatures(spark, sf_dir)
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "array_intersect" in plan
+
+
+def test_apriori_chain_shape(spark, sf_dir):
+    # The Apriori chain must show: candidate generation + subset prune
+    # as joins over the CHECKPOINTED L2 (ExistingRDD), a semi-join for
+    # the monotonicity prune, candidate-driven support counting via
+    # equi-joins — and NO in-row triple expansion (no Generate node
+    # producing 3-structs) and no cartesian anywhere.
+    from insight_patents_spark.operators.aggregates import (
+        agg_apriori_triples,
+    )
+
+    plan = formatted_plan(agg_apriori_triples(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    # support counting never expands triples in-row: the only Generate
+    # nodes allowed would be pair-level, and the final plan has none
+    assert "Generate explode" not in plan
