@@ -99,6 +99,10 @@ SF01_GUARDS = (
     "geo_cluster_cells", "seq_attribution_markov", "agg_bootstrap_ci",
     "pipeline_patents_e2e", "graph_pagerank", "text_bpe_train",
     "win_skyline_3d", "agg_mann_whitney", "pipeline_llm_curation_e2e",
+    # new in r9 (each individually verified at sf0.1 when it landed;
+    # in the preset so every future sweep re-covers them)
+    "dedup_minhash_weighted", "agg_apriori_triples", "text_mix_epochs",
+    "graph_smallworld_sigma",
 )
 
 
