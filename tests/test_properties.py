@@ -8293,3 +8293,50 @@ def test_apriori_triples_match_bruteforce(spark, sf_dir):
     }
     assert got == want
     assert got, "no frequent triples at test SF"
+
+
+def test_price_elasticity_matches_python_replay(spark, sf_dir):
+    """agg_price_elasticity vs an exact Python replay: per-row 9dp logs
+    -> nano-quantized integer moments -> the fixed-order beta / r2
+    composition (float casts FIRST, mirroring CAST(... AS DOUBLE))."""
+    import math
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import (
+        agg_price_elasticity,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    ).collect()
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand"
+        ).collect()
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n sa sb sab saa sbb
+    for r in li:
+        q = int(round(r.l_quantity, 0))
+        if q < 1:
+            continue
+        cents = int(round(r.l_extendedprice * 100, 0))
+        a = round(math.log(cents / (100.0 * q)), 9)
+        b = round(math.log(float(q)), 9)
+        g = agg[brand[r.l_partkey]]
+        g[0] += 1
+        g[1] += int(round(a * 1e9, 0))
+        g[2] += int(round(b * 1e9, 0))
+        g[3] += int(round(a * b * 1e9, 0))
+        g[4] += int(round(a * a * 1e9, 0))
+        g[5] += int(round(b * b * 1e9, 0))
+    rows = agg_price_elasticity(spark, sf_dir).collect()
+    assert {r.brand for r in rows} == set(agg)
+    for r in rows:
+        n, sa, sb, sab, saa, sbb = agg[r.brand]
+        assert r.n_lines == n
+        beta = float(n * sab - sa * sb) / float(n * saa - sa * sa)
+        r2 = beta * (float(n * sab - sa * sb) / float(n * sbb - sb * sb))
+        assert abs(r.elasticity - round(beta, 9)) <= 2e-9, r.brand
+        assert abs(r.r_squared - round(r2, 9)) <= 2e-9, r.brand
