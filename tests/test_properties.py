@@ -8340,3 +8340,70 @@ def test_price_elasticity_matches_python_replay(spark, sf_dir):
         r2 = beta * (float(n * sab - sa * sb) / float(n * sbb - sb * sb))
         assert abs(r.elasticity - round(beta, 9)) <= 2e-9, r.brand
         assert abs(r.r_squared - round(r2, 9)) <= 2e-9, r.brand
+
+
+def test_bootstrap_ci_matches_python_replay(spark, sf_dir):
+    """agg_bootstrap_ci vs a full Python replay: md5 inverse-CDF
+    Poisson weights per (event, replicate), exact integer weighted
+    replicate means (9dp), linear-interp percentiles (4dp) — the
+    bracketing invariant alone could not catch a wrong weight table or
+    a transposed percentile."""
+    import hashlib
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import (
+        _BOOT_B,
+        _BOOT_CAP,
+        _BOOT_CDF,
+        agg_bootstrap_ci,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    acc = defaultdict(lambda: [0, 0])  # (type, b) -> [sum w*c, sum w]
+    pt = defaultdict(lambda: [0, 0])  # type -> [sum c, n]
+    for r in ev:
+        c = int(round(r.value * 100, 0))
+        pt[r.event_type][0] += c
+        pt[r.event_type][1] += 1
+        for b in range(_BOOT_B):
+            u = (
+                int(
+                    hashlib.md5(f"bs:{r.event_id}:{b}".encode()).hexdigest()[:12],
+                    16,
+                )
+                / 281474976710656.0
+            )
+            w = _BOOT_CAP
+            for cut, k in _BOOT_CDF:
+                if u < cut:
+                    w = k
+                    break
+            g = acc[(r.event_type, b)]
+            g[0] += w * c
+            g[1] += w
+    means = defaultdict(list)
+    for (typ, b), (swc, sw) in acc.items():
+        if sw > 0:
+            means[typ].append(round(float(swc) / (100.0 * sw), 9))
+
+    def pct(vals, p):
+        vals = sorted(vals)
+        i = (len(vals) - 1) * p
+        lo, hi = int(i), min(int(i) + 1, len(vals) - 1)
+        return vals[lo] + (i - lo) * (vals[hi] - vals[lo])
+
+    rows = agg_bootstrap_ci(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(means)
+    for r in rows:
+        ms = means[r.event_type]
+        assert r.n_replicates == len(ms)
+        assert r.n_events == pt[r.event_type][1]
+        want_mean = round(
+            float(pt[r.event_type][0]) / (100.0 * pt[r.event_type][1]), 9
+        )
+        assert abs(r.mean_value - want_mean) <= 2e-9
+        assert abs(r.ci_lo - round(pct(ms, 0.025), 4)) <= 1e-3, r.event_type
+        assert abs(r.ci_hi - round(pct(ms, 0.975), 4)) <= 1e-3, r.event_type
