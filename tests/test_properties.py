@@ -8407,3 +8407,40 @@ def test_bootstrap_ci_matches_python_replay(spark, sf_dir):
         assert abs(r.mean_value - want_mean) <= 2e-9
         assert abs(r.ci_lo - round(pct(ms, 0.025), 4)) <= 1e-3, r.event_type
         assert abs(r.ci_hi - round(pct(ms, 0.975), 4)) <= 1e-3, r.event_type
+
+
+def test_winsorize_matches_python_replay(spark, sf_dir):
+    """agg_winsorize vs an exact Python replay: k-th order statistics
+    of int64 cents, clamped/trimmed integer sums, one division each —
+    the inside-cuts invariant alone could not catch an off-by-one cut
+    rank or a swapped winsor/trim column."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import agg_winsorize
+    from insight_patents_spark.sources.tables import load
+
+    by_pri = defaultdict(list)
+    for r in load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        by_pri[r.o_orderpriority].append(int(round(r.o_totalprice * 100, 0)))
+    rows = agg_winsorize(spark, sf_dir).collect()
+    assert {r.o_orderpriority for r in rows} == set(by_pri)
+    for r in rows:
+        cs = sorted(by_pri[r.o_orderpriority])
+        n = len(cs)
+        assert r.n_orders == n
+        lo_c, hi_c = cs[n // 10], cs[n - n // 10 - 1]  # ranks n//10+1, n-n//10
+        assert r.lo_cut == lo_c / 100.0 and r.hi_cut == hi_c / 100.0
+        assert abs(
+            r.mean_raw - round(float(sum(cs)) / (100.0 * n), 9)
+        ) <= 2e-9
+        wins = sum(min(max(c, lo_c), hi_c) for c in cs)
+        assert abs(
+            r.mean_winsor - round(float(wins) / (100.0 * n), 9)
+        ) <= 2e-9
+        trim = sum(cs[n // 10 : n - n // 10])
+        n_t = n - 2 * (n // 10)
+        assert abs(
+            r.mean_trimmed - round(float(trim) / (100.0 * n_t), 9)
+        ) <= 2e-9
