@@ -8444,3 +8444,58 @@ def test_winsorize_matches_python_replay(spark, sf_dir):
         assert abs(
             r.mean_trimmed - round(float(trim) / (100.0 * n_t), 9)
         ) <= 2e-9
+
+
+def test_lorenz_points_match_python_replay(spark, sf_dir):
+    """agg_lorenz_points vs an exact Python replay: per-customer cent
+    totals, ascending rank, decile = ((rk-1)*10)//n, per-decile and
+    cumulative shares — the monotonicity invariants alone could not
+    catch a wrong decile boundary."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import agg_lorenz_points
+    from insight_patents_spark.sources.tables import load
+
+    seg_of = {
+        r.c_custkey: r.c_mktsegment
+        for r in load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ).collect()
+    }
+    cust = defaultdict(int)
+    for r in load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect():
+        cust[r.o_custkey] += int(round(r.o_totalprice * 100, 0))
+    by_seg = defaultdict(list)
+    for ck, c in cust.items():
+        by_seg[seg_of[ck]].append((c, ck))
+    want = {}
+    for seg, vals in by_seg.items():
+        vals.sort()
+        n = len(vals)
+        s = sum(c for c, _ in vals)
+        dec = defaultdict(lambda: [0, 0])
+        for rk0, (c, _) in enumerate(vals):
+            d = (rk0 * 10) // n
+            dec[d][0] += c
+            dec[d][1] += 1
+        cum = 0
+        for d in sorted(dec):
+            dc, dn = dec[d]
+            cum += dc
+            want[(seg, d)] = (
+                dn,
+                round(float(dc) / s, 9),
+                round(float(cum) / s, 9),
+            )
+    rows = agg_lorenz_points(spark, sf_dir).collect()
+    got = {
+        (r.c_mktsegment, r.decile): (r.n_customers, r.share, r.cum_share)
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) <= 2e-9, k
+        assert abs(got[k][2] - want[k][2]) <= 2e-9, k
