@@ -8499,3 +8499,65 @@ def test_lorenz_points_match_python_replay(spark, sf_dir):
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) <= 2e-9, k
         assert abs(got[k][2] - want[k][2]) <= 2e-9, k
+
+
+def test_gini_matches_python_replay(spark, sf_dir):
+    """agg_gini vs the exact rank-formula replay on integer cents
+    (Sum rn*c is tie-order invariant: equal values make any permutation
+    of consecutive ranks yield the same sum)."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import agg_gini
+    from insight_patents_spark.sources.tables import load
+
+    by_type = defaultdict(list)
+    for r in load(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        by_type[r.event_type].append(int(round(r.value * 100, 0)))
+    rows = agg_gini(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        cs = sorted(by_type[r.event_type])
+        n, tot = len(cs), sum(cs)
+        rsum = sum((i + 1) * c for i, c in enumerate(cs))
+        want = round((2.0 * rsum - (n + 1) * tot) / (n * tot), 9)
+        assert r.n == n and abs(r.gini - want) <= 2e-9, r.event_type
+
+
+def test_benford_matches_python_replay(spark, sf_dir):
+    """agg_benford vs an exact replay: first digit of the int64 cents,
+    per-digit fractions, the 9dp-rounded Benford expectation, and the
+    digit-ordered chi-square fold."""
+    import math
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import agg_benford
+    from insight_patents_spark.sources.tables import load
+
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in load(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        if r.value >= 0.01:
+            d = int(str(int(round(r.value * 100, 0)))[0])
+            counts[r.event_type][d] += 1
+    rows = agg_benford(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        seen.add((r.event_type, r.digit))
+        total = sum(counts[r.event_type].values())
+        n = counts[r.event_type][r.digit]
+        assert r.n == n, (r.event_type, r.digit)
+        assert abs(r.observed_frac - round(float(n) / total, 9)) <= 2e-9
+        exp = round(math.log10(1.0 + 1.0 / r.digit), 9)
+        assert r.expected == exp
+        chi = 0.0
+        for d in sorted(counts[r.event_type]):
+            e = round(math.log10(1.0 + 1.0 / d), 9)
+            nd = counts[r.event_type][d]
+            chi += (nd - total * e) ** 2 / (total * e)
+        assert abs(r.chi_square - round(chi, 9)) <= 1e-6, r.event_type
+    assert seen == {
+        (t, d) for t, ds in counts.items() for d in ds
+    }
