@@ -8561,3 +8561,39 @@ def test_benford_matches_python_replay(spark, sf_dir):
     assert seen == {
         (t, d) for t, ds in counts.items() for d in ds
     }
+
+
+def test_mutual_info_matches_python_replay(spark, sf_dir):
+    """agg_mutual_info vs an exact replay: (type, hour) contingency
+    grid from raw events, margins, 9dp-rounded PMI per cell, and the
+    (x, y)-ordered MI fold."""
+    import math
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.aggregates import agg_mutual_info
+    from insight_patents_spark.sources.tables import load
+
+    cells = defaultdict(int)
+    for r in load(spark, sf_dir, "events").select("event_type", "ts").collect():
+        cells[(r.event_type, r.ts.hour)] += 1
+    nx = defaultdict(int)
+    ny = defaultdict(int)
+    nt = 0
+    for (x, y), n in cells.items():
+        nx[x] += n
+        ny[y] += n
+        nt += n
+    pmi = {
+        k: round(math.log((n * 1.0 * nt) / (nx[k[0]] * 1.0 * ny[k[1]])), 9)
+        for k, n in cells.items()
+    }
+    mi = round(
+        sum(cells[k] * 1.0 / nt * pmi[k] for k in sorted(cells)), 9
+    )
+    rows = agg_mutual_info(spark, sf_dir).collect()
+    assert {(r.event_type, r.hour) for r in rows} == set(cells)
+    for r in rows:
+        k = (r.event_type, r.hour)
+        assert r.n == cells[k]
+        assert abs(r.pmi - pmi[k]) <= 2e-9, k
+        assert abs(r.mi_total - mi) <= 1e-8
