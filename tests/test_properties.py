@@ -8597,3 +8597,72 @@ def test_mutual_info_matches_python_replay(spark, sf_dir):
         assert r.n == cells[k]
         assert abs(r.pmi - pmi[k]) <= 2e-9, k
         assert abs(r.mi_total - mi) <= 1e-8
+
+
+def test_rsi_matches_python_replay(spark, sf_dir):
+    """win_rsi vs an exact replay: daily cent grid, int64 deltas,
+    14-day frame sums of gains/losses, RSI = 100 - 100/(1+sg/sl) with
+    the sl=0 -> 100 pin."""
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.windows import _RSI_PERIOD, win_rsi
+    from insight_patents_spark.sources.tables import load
+
+    grid = defaultdict(dict)
+    for g in (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.expr("CAST(ROUND(value*100,0) AS BIGINT)")).alias("c"))
+        .collect()
+    ):
+        grid[g.event_type][str(g.day)] = g.c
+    want = {}
+    for typ, days in grid.items():
+        ds = sorted(days)
+        deltas = [days[b] - days[a] for a, b in zip(ds, ds[1:])]
+        for i in range(_RSI_PERIOD - 1, len(deltas)):
+            frame = deltas[i - (_RSI_PERIOD - 1) : i + 1]
+            sg = sum(d for d in frame if d > 0)
+            sl = sum(-d for d in frame if d < 0)
+            rsi = (
+                100.0
+                if sl == 0
+                else round(100.0 - 100.0 / (1.0 + float(sg) / sl), 9)
+            )
+            want[(typ, ds[i + 1])] = rsi
+    rows = win_rsi(spark, sf_dir).collect()
+    got = {(r.event_type, r.day): r.rsi for r in rows}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) <= 2e-9, k
+
+
+def test_zipf_fit_matches_python_replay(spark, sf_dir):
+    """text_zipf_fit vs an exact replay: (freq DESC, token ASC) ranks,
+    9dp logs, rank-ordered OLS moment folds, one slope expression."""
+    import math
+    from collections import defaultdict
+
+    from insight_patents_spark.operators.text import text_zipf_fit
+    from insight_patents_spark.sources.tables import load
+
+    freq = defaultdict(lambda: defaultdict(int))
+    for r in load(spark, sf_dir, "documents").select("lang", "text").collect():
+        for t in r.text.split(" "):
+            freq[r.lang][t] += 1
+    rows = text_zipf_fit(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(freq)
+    for r in rows:
+        ranked = sorted(freq[r.lang].items(), key=lambda kv: (-kv[1], kv[0]))
+        n = len(ranked)
+        assert r.n_vocab == n
+        sx = sy = sxy = sxx = 0.0
+        for i, (_, f) in enumerate(ranked):
+            x = round(math.log(i + 1), 9)
+            y = round(math.log(f), 9)
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+        want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+        assert abs(r.zipf_slope - want) <= 1e-8, r.lang
