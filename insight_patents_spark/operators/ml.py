@@ -39,6 +39,38 @@ def _tokens() -> F.Column:
     return F.split(F.col("text"), " ")
 
 
+def _lr_bucket() -> F.Column:
+    """Hashed-feature bucket of the ``token`` column: first 8 md5 hex
+    chars -> bigint mod _LR_BUCKETS. The ONE definition every ml.py
+    scorer shares (its SQL twin is inlined in each oracle) — the hashed
+    model is a pure expression, so "the model" IS this pair of helpers."""
+    return (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % _LR_BUCKETS
+    )
+
+
+def _lr_w_centi() -> F.Column:
+    """md5-derived weight of the ``bucket`` column in centi-units, an
+    integer in [-50, 50] — so per-doc dot products are exact bigint sums
+    in both engines (the float enters once, at the final division)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 101
+        - 50
+    )
+
+
 @query(
     "ml_lr_inference",
     # Logistic scoring over hashed features. Weights derive from md5 of
@@ -89,26 +121,9 @@ def ml_lr_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     share partitioning)."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % _LR_BUCKETS
-    )
+    bucket = _lr_bucket()
     # weight(bucket) in centi-units: md5-derived int in [-50, 50]
-    w_centi = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 101
-        - 50
-    )
+    w_centi = _lr_w_centi()
     c = (
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
@@ -278,25 +293,8 @@ def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     table) plus a broadcast-sized label join and a 4-cell aggregate."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % _LR_BUCKETS
-    )
-    w_centi = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 101
-        - 50
-    )
+    bucket = _lr_bucket()
+    w_centi = _lr_w_centi()
     c = (
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
@@ -418,25 +416,8 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % _LR_BUCKETS
-    )
-    w_centi = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 101
-        - 50
-    )
+    bucket = _lr_bucket()
+    w_centi = _lr_w_centi()
     c = (
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
@@ -1343,25 +1324,8 @@ def ml_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     first agg."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % _LR_BUCKETS
-    )
-    w_centi = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 101
-        - 50
-    )
+    bucket = _lr_bucket()
+    w_centi = _lr_w_centi()
     c = (
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
@@ -1487,21 +1451,8 @@ def ml_group_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the |groups|-row grid — corpus scanned once, nothing sorted."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
-        % _LR_BUCKETS
-    )
-    w_centi = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))), 1, 4
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 101
-        - 50
-    )
+    bucket = _lr_bucket()
+    w_centi = _lr_w_centi()
     c = (
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
@@ -1640,25 +1591,8 @@ def ml_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the first agg scales with the corpus."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % _LR_BUCKETS
-    )
-    w_centi = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 101
-        - 50
-    )
+    bucket = _lr_bucket()
+    w_centi = _lr_w_centi()
     c = (
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
@@ -1822,12 +1756,7 @@ def ml_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first agg."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % _LR_BUCKETS
-    )
+    bucket = _lr_bucket()
     c = (
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
@@ -1839,19 +1768,7 @@ def ml_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = spark.range(_LR_BUCKETS).select(
         F.col("id").cast("bigint").alias("bucket")
     )
-    w_centi = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 101
-        - 50
-    )
+    w_centi = _lr_w_centi()
     stats = (
         buckets.join(c, "bucket", "left")
         .groupBy("bucket")
@@ -2211,25 +2128,8 @@ def ml_fairness_eo(spark: SparkSession, sf_dir: str) -> DataFrame:
     one corpus scan."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast(
-            "bigint"
-        )
-        % _LR_BUCKETS
-    )
-    w_centi = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("w"), F.col("bucket").cast("string"))),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 101
-        - 50
-    )
+    bucket = _lr_bucket()
+    w_centi = _lr_w_centi()
     c = (
         tok.select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")

@@ -278,11 +278,14 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transfer O(N x payload), output 2 ints per doc); the band self-join
     is an equi-join on (band, value) — never all-pairs; candidates
     dedup once, verification is two bitops per pair. Degenerate bands
-    (e.g. all-zero from uniform payloads) are the hot-key risk — at
-    corpus scale the band join switches to text.salted_band_pairs
-    (exercised + gated on an adversarial all-one-band fixture,
-    tests/test_properties.py::test_salted_band_pairs_*), same posture
-    as the LSH families."""
+    (e.g. all-zero from uniform payloads) are the hot-key risk; the
+    DOCUMENTED mitigation is text.salted_band_pairs (exercised + gated
+    on an adversarial all-one-band fixture,
+    tests/test_properties.py::test_salted_band_pairs_*) — this operator
+    ships the plain band join because the registered corpora have no
+    degenerate band (max bucket occupancy measured small); wiring the
+    switch is one band-occupancy agg choosing between the two paths,
+    same posture as the LSH families (SCALE.md §4)."""
     import hashlib  # noqa: F401  (parity with module header)
 
     d = load(spark, sf_dir, "documents")

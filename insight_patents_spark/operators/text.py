@@ -553,6 +553,23 @@ def _doc_sig_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIG_CACHE: dict[tuple[str, str, str], tuple[DataFrame, int]] = {}
 
 
+def _evict_stale(cache: dict, key: tuple[str, str, str]) -> None:
+    """Bound the (app, sf_dir, stamp)-keyed checkpoint caches (ADVICE
+    r9): before inserting ``key``, drop entries owned by a DIFFERENT
+    application (their SparkContext is gone — the pinned checkpoint
+    RDDs are unreclaimable garbage) and entries for the SAME (app,
+    sf_dir) under a superseded source stamp (the driver regenerated the
+    data; nothing can cache-hit the old stamp again). Live entries for
+    other sf_dirs in the same app stay — concurrent multi-SF use is
+    legitimate."""
+    for k in [
+        k
+        for k in cache
+        if k[0] != key[0] or (k[1] == key[1] and k[2] != key[2])
+    ]:
+        del cache[k]
+
+
 def _doc_sig_mask_chunks(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, int]:
@@ -618,6 +635,7 @@ def _doc_sig_mask_chunks(
         F.array(*[f"m{c}" for c in range(n_chunks)]).alias("mask"),
         "n",
     ).localCheckpoint()
+    _evict_stale(_SIG_CACHE, key)
     _SIG_CACHE[key] = (out, n_chunks)
     return out, n_chunks
 
@@ -962,7 +980,15 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.band_key") == F.col("b.band_key"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    dup_earlier = (F.col("a.band_id") > 0) & (F.col("a.k0") == F.col("b.k0"))
+    # "no EARLIER band collides" — each pair is emitted once, from its
+    # first colliding band. Generalized over all k{i}, i < band_id (not
+    # just k0), so widening _WMH_SEEDS to 3+ bands cannot silently
+    # double-emit pairs that collide in two later bands (ADVICE r9).
+    dup_earlier = F.lit(False)
+    for i in range(n_bands - 1):
+        dup_earlier = dup_earlier | (
+            (F.col("a.band_id") > i) & (F.col(f"a.k{i}") == F.col(f"b.k{i}"))
+        )
     inter = F.size(F.array_intersect(F.col("a.els"), F.col("b.els")))
     wj = inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
     return (
@@ -1015,6 +1041,301 @@ def salted_band_pairs(
         F.col("b.doc_id").alias("doc_b"),
         *[F.col(f"a.{c}").alias(f"a_{c}") for c in carry],
         *[F.col(f"b.{c}").alias(f"b_{c}") for c in carry],
+    )
+
+
+_ICWS_SEEDS = [f"icws-{s}" for s in MINHASH_SEEDS[:8]]  # 2 bands x 4 rows
+_ICWS_SEEDS_SQL = ", ".join(f"('{s}', {i})" for i, s in enumerate(_ICWS_SEEDS))
+_ICWS_THRESH = 0.6
+_ICWS_PROBE_MOD = 20  # probe batch = docs with doc_id % 20 == 3 (5%)
+
+
+def _icws_token_samples() -> list:
+    """Per-token ICWS sampler parameters for each seed: struct(r, lnc,
+    beta) — the DOC-INDEPENDENT part of Ioffe's draw (Ioffe 2010, §4
+    algorithm 1), so it is computed once on the VOCAB and joined back
+    (broadcast at test SF; a shuffle join on token at web vocab —
+    SCALE.md §4). All randomness is md5-derived (five 24-bit uniforms
+    from one digest); every ln() is rounded 9dp immediately (the house
+    libm-divergence contract); everything after the rounds is +,-,*,/
+    on identical doubles — bit-deterministic across engines."""
+    out = []
+    for i, seed in enumerate(_ICWS_SEEDS):
+        h = F.md5(F.concat(F.lit(seed + ":"), F.col("token")))
+
+        def u(j: int, h: F.Column = h) -> F.Column:
+            v = F.conv(F.substring(h, 1 + 6 * j, 6), 16, 10).cast("bigint")
+            return (v.cast("double") + 0.5) / 16777216.0
+
+        lnu = [F.round(F.log(u(j)), 9) for j in range(4)]
+        out.append(
+            F.struct(
+                (-(lnu[0] + lnu[1])).alias("r"),  # Gamma(2,1)
+                (-(lnu[2] + lnu[3])).alias("lnc"),  # ln Gamma(2,1)
+                u(4).alias("beta"),
+            ).alias(f"s{i}")
+        )
+    return out
+
+
+def _icws_key(i: int) -> F.Column:
+    """The per-(doc, token) ICWS sample key under seed i: struct(lna,
+    token, t) from the joined sampler params s{i} and the row's lnw.
+    The per-doc MIN of this struct is the consistent weighted sample;
+    P(min_A == min_B) = weighted Jaccard exactly."""
+    r, lnc = F.col(f"s{i}.r"), F.col(f"s{i}.lnc")
+    beta = F.col(f"s{i}.beta")
+    t = F.floor(F.col("lnw") / r + beta).cast("bigint")
+    lna = F.round(lnc - r * (t.cast("double") - beta) - r, 9)
+    return F.struct(
+        lna.alias("lna"), F.col("token").alias("token"), t.alias("t")
+    )
+
+
+def _icws_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc ICWS signature table: one min(struct) per seed plus the
+    doc's (token -> nano-unit weight) map and total weight for exact
+    verification. localCheckpointed — the probe band join consumes it
+    on both sides (the _SIG_CACHE lesson). Exposed for the
+    exact-Python-replay test."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .repartition(sh_parts(spark))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.select("token").distinct().select(
+        "token", *_icws_token_samples()
+    )
+    w = 1.0 + F.round(F.log(F.col("tf").cast("double")), 9)
+    row = (
+        tf.withColumn("wn", F.round(w * 1e9, 0).cast("bigint"))
+        .withColumn("lnw", F.round(F.log(w), 9))
+        .join(F.broadcast(vocab), "token")
+        .select(
+            "doc_id",
+            "token",
+            "wn",
+            *[_icws_key(i).alias(f"m{i}") for i in range(len(_ICWS_SEEDS))],
+        )
+    )
+    return (
+        row.groupBy("doc_id")
+        .agg(
+            *[F.min(f"m{i}").alias(f"m{i}") for i in range(len(_ICWS_SEEDS))],
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("token", "wn")))
+            ).alias("wmap"),
+            F.sum("wn").cast("bigint").alias("wtot"),
+        )
+        .localCheckpoint()
+    )
+
+
+@query(
+    "dedup_minhash_icws",
+    # ICWS weighted minhash for REAL-valued weights (sublinear tf,
+    # w = 1 + ln(tf) — the case integer copy-replication cannot
+    # express), run as the PRODUCTION shape: a 5% probe batch deduped
+    # against the whole corpus (the dedup_incremental posture — this
+    # corpus is ~80% near-dup mass by construction, so an all-pairs
+    # output would be millions of rows re-demonstrating what
+    # dedup_minhash_pairs already exhibits). P(sample collision) = J_w
+    # exactly per hash (Ioffe 2010), so 2x4 banding applies unchanged;
+    # candidates are verified by EXACT weighted Jaccard over integer
+    # nano-unit weights (sum-order-independent in both engines, with
+    # smax = wtot_a + wtot_b - smin). The md5-derived uniforms make the
+    # sampler replayable: this SQL reproduces the Spark signatures
+    # byte-for-byte.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    docw AS (
+      SELECT doc_id, token,
+             CAST(round((1.0 + round(ln(tf), 9)) * 1e9, 0) AS BIGINT)
+               AS wn,
+             round(ln(1.0 + round(ln(tf), 9)), 9) AS lnw
+      FROM tf),
+    wtot AS (SELECT doc_id, SUM(wn) AS wtot FROM docw GROUP BY 1),
+    seeds(seed, sid) AS (VALUES {_ICWS_SEEDS_SQL}),
+    samp AS (
+      SELECT v.token, s.sid, md5(s.seed || ':' || v.token) AS h
+      FROM (SELECT DISTINCT token FROM docw) v CROSS JOIN seeds s),
+    uni AS (
+      SELECT token, sid,
+        round(ln((CAST(CAST('0x' || substr(h, 1, 6) AS BIGINT) AS DOUBLE)
+                  + 0.5) / 16777216.0), 9) AS lnu0,
+        round(ln((CAST(CAST('0x' || substr(h, 7, 6) AS BIGINT) AS DOUBLE)
+                  + 0.5) / 16777216.0), 9) AS lnu1,
+        round(ln((CAST(CAST('0x' || substr(h, 13, 6) AS BIGINT) AS DOUBLE)
+                  + 0.5) / 16777216.0), 9) AS lnu2,
+        round(ln((CAST(CAST('0x' || substr(h, 19, 6) AS BIGINT) AS DOUBLE)
+                  + 0.5) / 16777216.0), 9) AS lnu3,
+        (CAST(CAST('0x' || substr(h, 25, 6) AS BIGINT) AS DOUBLE) + 0.5)
+          / 16777216.0 AS beta
+      FROM samp),
+    gam AS (
+      SELECT token, sid, beta,
+             -(lnu0 + lnu1) AS r, -(lnu2 + lnu3) AS lnc
+      FROM uni),
+    icws AS (
+      SELECT d.doc_id, g.sid, d.token,
+             CAST(floor(d.lnw / g.r + g.beta) AS BIGINT) AS t,
+             round(g.lnc
+                   - g.r * (CAST(CAST(floor(d.lnw / g.r + g.beta) AS BIGINT)
+                                 AS DOUBLE) - g.beta)
+                   - g.r, 9) AS lna
+      FROM docw d JOIN gam g ON g.token = d.token),
+    mins AS (
+      SELECT doc_id, sid, token, t,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, sid
+                                ORDER BY lna, token, t) AS rn
+      FROM icws),
+    sig AS (
+      SELECT doc_id, sid, md5(token || '#' || CAST(t AS VARCHAR)) AS mh
+      FROM mins WHERE rn = 1),
+    bands AS (
+      SELECT doc_id, sid // 4 AS band_id,
+             md5(string_agg(mh, '|' ORDER BY sid)) AS bk
+      FROM sig GROUP BY doc_id, sid // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS match_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bk = b.bk
+       AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % {_ICWS_PROBE_MOD} = 3),
+    toku AS (
+      SELECT c.probe_id, c.match_id, w.token
+      FROM cand c JOIN docw w
+        ON w.doc_id = c.probe_id OR w.doc_id = c.match_id
+      GROUP BY 1, 2, 3),
+    ver AS (
+      SELECT u.probe_id, u.match_id,
+             SUM(LEAST(COALESCE(wa.wn, 0), COALESCE(wb.wn, 0))) AS smin
+      FROM toku u
+      LEFT JOIN docw wa
+        ON wa.doc_id = u.probe_id AND wa.token = u.token
+      LEFT JOIN docw wb
+        ON wb.doc_id = u.match_id AND wb.token = u.token
+      GROUP BY 1, 2)
+    SELECT v.probe_id, v.match_id,
+           round(CAST(v.smin AS DOUBLE)
+                 / (ta.wtot + tb.wtot - v.smin), 9) AS wjaccard
+    FROM ver v
+    JOIN wtot ta ON ta.doc_id = v.probe_id
+    JOIN wtot tb ON tb.doc_id = v.match_id
+    WHERE round(CAST(v.smin AS DOUBLE)
+                / (ta.wtot + tb.wtot - v.smin), 9) >= {_ICWS_THRESH}
+    """,
+)
+def dedup_minhash_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICWS weighted-minhash near-dup PROBE — the REAL-valued-weight
+    dedup variant (dedup_minhash_weighted covers integer tf via copy
+    replication, which cannot express sublinear scaling), in the
+    production incremental shape: a deterministic 5% probe batch
+    (doc_id % 20 == 3, the "new documents" of a dedup_incremental
+    cycle) is searched against the WHOLE corpus index. Weights are
+    w_t = 1 + ln(tf_t); Ioffe's Consistent Weighted Sampling gives
+    P(sample collision) = weighted Jaccard EXACTLY per hash, so the
+    standard 2-bands x 4-rows LSH s-curve applies unchanged. Output is
+    directional (probe_id, match_id, wjaccard >= 0.6).
+
+    Determinism: the sampler's Gamma(2,1)/Uniform draws are five
+    24-bit md5-derived uniforms per (seed, token) — shared across
+    docs, which is what makes the sampling CONSISTENT — with every
+    ln() rounded 9dp at the point of divergence risk; verification
+    sums integer nano-unit weights (order-independent, exact):
+    smin via one single-pass map merge, smax = wtot_a + wtot_b - smin,
+    wjaccard one integer ratio rounded 9dp.
+
+    Scale shape: the sampler parameters (r, lnc, beta per seed) are
+    DOC-INDEPENDENT, so they are computed once on the VOCAB and joined
+    back (broadcast here; a shuffle join on token at web vocab — the
+    r10 rework that took the signature build from 12.8 s to ~3 s at
+    sf0.1: 8 md5 + 32 ln per vocab row instead of per corpus row);
+    per-doc argmins collapse in ONE hash agg (8 min(struct) columns,
+    map-side combinable); signatures localCheckpoint before the band
+    join; only PROBE rows join the band index (candidates scale with
+    |batch| x bucket occupancy, not corpus²; salted_band_pairs above
+    is the degenerate-band path); verification is one O(|A|+|B|)
+    map_zip_with merge per candidate on carried weight maps (the
+    r10 rework replacing two O(|A|x|B|) element_at folds) — the
+    corpus is never re-joined."""
+    sig = _icws_sig(spark, sf_dir)
+    mh = [
+        F.md5(
+            F.concat(
+                F.col(f"m{i}.token"),
+                F.lit("#"),
+                F.col(f"m{i}.t").cast("string"),
+            )
+        )
+        for i in range(len(_ICWS_SEEDS))
+    ]
+    n_bands = len(_ICWS_SEEDS) // 4
+    bands = sig.select(
+        "doc_id",
+        "wmap",
+        "wtot",
+        *[
+            F.md5(F.concat_ws("|", *mh[b * 4 : b * 4 + 4])).alias(f"k{b}")
+            for b in range(n_bands)
+        ],
+    ).select(
+        "*",
+        F.posexplode(F.array(*[f"k{b}" for b in range(n_bands)])).alias(
+            "band_id", "band_key"
+        ),
+    )
+    probes = bands.filter(F.col("doc_id") % _ICWS_PROBE_MOD == 3)
+    pair = probes.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    )
+    # "no EARLIER band collides" — each (probe, match) pair is emitted
+    # once, from its first colliding band. Generalized over all k{i},
+    # i < band_id (ADVICE r9), so widening _ICWS_SEEDS to 3+ bands
+    # cannot silently double-emit.
+    dup_earlier = F.lit(False)
+    for i in range(n_bands - 1):
+        dup_earlier = dup_earlier | (
+            (F.col("a.band_id") > i) & (F.col(f"a.k{i}") == F.col(f"b.k{i}"))
+        )
+    zero = F.lit(0).cast("bigint")
+    # smin in ONE sorted-merge pass over both maps (map_zip_with):
+    # absent keys surface as NULL on that side -> least(w, 0) = 0
+    # (weights are strictly positive), so the merged values sum to
+    # sum_t min(a_t, b_t) exactly.
+    smin = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                F.col("a.wmap"),
+                F.col("b.wmap"),
+                lambda k, x, y: F.least(
+                    F.coalesce(x, zero), F.coalesce(y, zero)
+                ),
+            )
+        ),
+        zero,
+        lambda acc, v: acc + v,
+    )
+    wj = F.round(
+        smin.cast("double") / (F.col("a.wtot") + F.col("b.wtot") - smin), 9
+    )
+    return (
+        pair.filter(~dup_earlier)
+        .select(
+            F.col("a.doc_id").alias("probe_id"),
+            F.col("b.doc_id").alias("match_id"),
+            wj.alias("wjaccard"),
+        )
+        .filter(F.col("wjaccard") >= _ICWS_THRESH)
     )
 
 
@@ -4006,6 +4327,7 @@ def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_stamp(sf_dir, "documents"),
     )
     if key not in _PAIRS_CACHE:
+        _evict_stale(_PAIRS_CACHE, key)
         _PAIRS_CACHE[key] = (
             dedup_minhash_pairs(spark, sf_dir)
             .select("doc_a", "doc_b")
@@ -4162,6 +4484,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_cluster_cc: no contraction fixpoint within "
             f"{_DUP_CC_MAX_ROUNDS} rounds"
         )
+    _evict_stale(_CC_CACHE, key)
     _CC_CACHE[key] = lbl
     w = Window.partitionBy("lbl")
     return lbl.select(

@@ -105,54 +105,75 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #          _POST_PREFIX_HEAD entries that were positioned to lead this
 #          gate (new-in-r8, never externally checked), then the 18-op
 #          block the r8 late wave displaced (fn_* battery + the vec/dedup
-#          ANN family), then 14 more cross-family backlog entries. The
-#          45 never-checked that remain close the ledger in r10 (listed
-#          in STATE.md). New-in-r9 queries register in _POST_PREFIX_HEAD
-#          (positions 51+) to lead the r10 gate, carried by their
-#          dedicated oracle/replay tests until then — the r8 pattern.
+#          ANN family), then 14 more cross-family backlog entries.
+#          New-in-r9 queries registered in _POST_PREFIX_HEAD — see git
+#          history for the full r9 list.
+#   r10:   the set below CLOSES THE LEDGER: exactly the 50 operators with
+#          no green row in any CORRECTNESS_r01–r09 record (recomputed this
+#          round as registry − union of record keys; matches STATE.md's
+#          r10 rotation list and the r9 judge's independent complement).
+#          After CORRECTNESS_r10 lands, every registered query has been
+#          driver-hash-checked at least once.
+#
+# ROTATION POLICY AFTER r10 (the steady state, per r8 verdict #7): the
+# prefix no longer chases never-checked backlog — there is none. Each
+# round it holds (a) every query whose CODE changed that round, placed
+# LAST so new code runs on a warm session, then (b) queries whose latest
+# driver record is stale or FAIL (oldest record first — r11 leads with
+# the four stale r1 FAILs: scan_xml, join_interval, agg_approx_distinct,
+# agg_collect, which pass today per the r9 judge's vanilla run but whose
+# newest driver row predates it), then (c) a random refresh drawn from
+# the least-recently-checked tail to fill 50 slots.
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # --- the r9 gate: 50 never-driver-checked operators ---
-    # First the 18 queries r8 positioned as _POST_PREFIX_HEAD (new in
-    # r8, never externally gated — they lead as promised):
-    "ml_calibration_isotonic", "join_asof_tolerance",
-    "agg_covariance_matrix", "agg_lorenz_points", "fn_inet",
-    "time_business_days", "vec_cluster_purity", "graph_edge_churn",
-    "win_ulcer_index", "agg_ab_srm_check", "agg_basket_triples",
-    "ml_permutation_importance", "dq_schema_contract", "time_pacf",
-    "vec_pq_recon_error", "scan_text_fixed_width", "fn_checksum_luhn",
-    "seq_repeat_purchase_latency",
-    # Then the 18-op block the r8 late wave displaced (owed the gate
-    # since r8): the fn_* battery + the ANN/dedup vector family.
-    "fn_array", "fn_explode", "fn_map", "fn_json", "fn_hash",
-    "fn_bitwise", "fn_variant", "set_union_distinct", "sample_priority",
-    "agg_bitmap_distinct", "dedup_embed_cosine", "vec_ann_lsh",
-    "vec_pq_codes", "vec_rerank_stub", "dedup_semantic",
-    "vec_matryoshka", "vec_cell_refine", "vec_pca_project",
-    # Then 13 more cross-family never-checked backlog entries (UDF
-    # ladder, multimodal, graph, sequences, windows, text):
-    "udf_python_scalar", "udaf_pandas_agg", "udf_python_arrow",
-    "mm_decode_stub", "mm_phash_dedup", "graph_shortest_path",
-    "graph_label_prop", "graph_closeness", "seq_topk_paths",
-    "time_acf", "win_streaks", "agg_survival_km",
-    "text_clean_normalize",
-    # NEW in r9, LAST in the prefix (new code runs the gate on a warm
-    # session — the changed-queries rule): the LLM-curation flagship.
-    # It displaced agg_survival_curve into _POST_PREFIX_HEAD.
-    "pipeline_llm_curation_e2e",
+    # --- the r10 gate: the FINAL 50 never-driver-checked operators ---
+    # The four new-in-r9 ops that _POST_PREFIX_HEAD positioned to lead
+    # this gate (code unchanged in r10, so they keep their slots):
+    "agg_survival_curve", "text_mix_epochs", "graph_smallworld_sigma",
+    "agg_apriori_triples",
+    # The cross-family backlog (aggregates / windows / set / fn):
+    "join_shuffle_hash", "geo_point_in_polygon", "agg_hll_intersect",
+    "time_downsample_lttb", "agg_ab_ttest", "agg_iqr_outliers",
+    "agg_new_returning", "agg_cohort_ltv", "agg_histogram_equidepth",
+    "agg_mutual_info", "agg_anova_f", "agg_mad_outliers",
+    "win_cume_nth", "win_anomaly_zscore", "win_rolling_corr",
+    "win_drawdown", "win_skyline_2d", "set_except", "fn_interval",
+    "fn_url",
+    # The text / dedup backlog:
+    "text_lang_route", "text_lexicon_score", "text_levenshtein",
+    "dedup_incremental", "text_context_chunk", "text_bpe_pairs",
+    "dedup_substring", "text_repetition", "text_perplexity_proxy",
+    "text_cdc_chunk", "text_keyword_topk", "dedup_bloom_prefilter",
+    "text_bigram_lm", "text_hashing_trick", "text_domain_mix",
+    "text_zipf_fit",
+    # Graph / time / funnel / sequence backlog:
+    "graph_sssp_weighted", "graph_assoc_rules", "graph_random_walks",
+    "graph_assortativity", "time_seasonal_index",
+    "funnel_time_to_convert", "agg_attribution", "agg_time_decay",
+    "seq_markov_stationary",
+    # LAST (changed-in-r10 code runs the gate on a warm session — the
+    # r6 rule): the band-dedup predicate generalization (ADVICE r9 #1,
+    # behavior-neutral at the shipped 2-band config).
+    "dedup_minhash_weighted",
 )
 
-# Registered immediately after the prefix (r10-gate head): the one
-# backlog entry the r9 flagship displaced, then new-in-r9 queries as
-# they land (the r8 pattern — new code leads the NEXT gate, carried by
-# dedicated oracle/replay tests until then).
+# Registered immediately after the prefix (r11-gate head): new-in-r10
+# queries and r10-changed queries, which lead the NEXT gate alongside
+# the four stale r1-FAIL re-checks (see the rotation policy above).
+# The 8 ml_* entries changed in r10 (the long-deferred _lr_bucket /
+# _lr_w_centi consolidation — value-neutral, re-verified at sf0.01).
 _POST_PREFIX_HEAD = (
-    "agg_survival_curve",
-    "dedup_minhash_weighted",
-    "text_mix_epochs",
-    "graph_smallworld_sigma",
-    "agg_apriori_triples",
+    "dedup_minhash_icws",
+    "vec_ann_nsw",
+    "ml_lr_inference",
+    "ml_confusion_matrix",
+    "ml_calibration_bins",
+    "ml_ece",
+    "ml_group_parity",
+    "ml_brier_decomp",
+    "ml_shap_linear",
+    "ml_fairness_eo",
 )
 
 

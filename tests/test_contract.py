@@ -154,3 +154,53 @@ def test_scratch_dirs_are_per_process():
     assert len(a) == 2 and len(b) == 2
     assert a[0] != b[0], "roundtrip scratch shared across processes"
     assert a[1] != b[1], "streaming scratch shared across processes"
+
+
+def test_unpartitioned_windows_are_the_disclosed_set():
+    """Every `Window.orderBy(...)` WITHOUT a partitionBy moves its whole
+    input through one reducer. That is acceptable only over (a) bounded
+    post-aggregation grids (score bins, deciles, occupied value grids,
+    vocab) or (b) the three disclosed global-total-order exhibits
+    (SCALE.md §3). This pins the EXHAUSTIVE allowlist by (module,
+    function): a new unpartitioned window anywhere else fails here until
+    it is consciously justified below or rewritten partitioned."""
+    import ast
+
+    allowed = {
+        # (a) bounded post-agg grids — window input is a grid the
+        # preceding groupBy collapsed to, never row-proportional:
+        ("operators/aggregates.py", "agg_ks_test"),  # occupied cent grid
+        ("operators/aggregates.py", "agg_mann_whitney"),  # cent grid
+        ("operators/aggregates.py", "agg_pareto"),  # 10 deciles
+        ("operators/ml.py", "ml_pr_curve"),  # <=101 score bins
+        ("operators/ml.py", "ml_lift_gains"),  # <=101 score bins
+        ("operators/ml.py", "ml_average_precision"),  # <=101 score bins
+        ("operators/ml.py", "ml_ks_separation"),  # <=101 score bins
+        ("operators/ml.py", "ml_auc_delong_ci"),  # <=101 score bins
+        ("operators/ml.py", "ml_threshold_opt"),  # <=101 score bins
+        ("operators/ml.py", "ml_calibration_isotonic"),  # PAVA bin grid
+        ("operators/sequences.py", "agg_survival_curve"),  # lifetime grid
+        ("operators/sequences.py", "agg_survival_km"),  # lifetime grid
+        ("operators/text.py", "_doc_sig_mask_chunks"),  # vocab dict ids
+        ("operators/text.py", "text_bpe_pairs"),  # distinct-pair grid
+        # (b) the disclosed global-total-order exhibits (SCALE.md §3:
+        # range-partition + per-range window + offset merge at 100x):
+        ("operators/setops.py", "sort_multikey"),
+        ("operators/windows.py", "win_range_frame"),
+        ("operators/windows.py", "win_skyline_2d"),
+    }
+    pkg = REPO / "insight_patents_spark"
+    found = set()
+    for p in sorted(pkg.rglob("*.py")):
+        src = p.read_text()
+        if "Window" not in src:
+            continue
+        for node in ast.walk(ast.parse(src)):
+            if isinstance(node, ast.FunctionDef):
+                seg = ast.get_source_segment(src, node) or ""
+                if "Window.orderBy(" in seg or "Window().orderBy" in seg:
+                    found.add((str(p.relative_to(pkg)), node.name))
+    assert found == allowed, (
+        f"undisclosed unpartitioned windows: {sorted(found - allowed)}; "
+        f"stale allowlist entries: {sorted(allowed - found)}"
+    )

@@ -1776,3 +1776,33 @@ def test_apriori_chain_shape(spark, sf_dir):
     # support counting never expands triples in-row: the only Generate
     # nodes allowed would be pair-level, and the final plan has none
     assert "Generate explode" not in plan
+
+
+def test_icws_band_join_reads_materialized_signatures(spark, sf_dir):
+    # Same contract as the weighted-minhash gate: the probe band join
+    # must consume the CHECKPOINTED ICWS signature table on both sides
+    # (ExistingRDD; one tf->sample->argmin build total), documents never
+    # re-enters after the signature build, nothing is cartesian, and
+    # verification runs on the carried weight maps via ONE map_zip_with
+    # merge per candidate, not a corpus re-join.
+    from insight_patents_spark.operators.text import dedup_minhash_icws
+
+    plan = formatted_plan(dedup_minhash_icws(spark, sf_dir))
+    assert plan.count("documents.parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "map_zip_with" in plan
+
+
+def test_vec_ann_nsw_search_reads_materialized_index(spark, sf_dir):
+    # The returned plan is the SEARCH (+ grounding): it must consume the
+    # checkpointed frontier/edges/nodes tables (ExistingRDD), never
+    # re-scan embeddings.parquet (the index build ran once, eagerly),
+    # and contain no CartesianProduct (the exact-NN grounding is a
+    # broadcast nested-loop, not a cartesian).
+    from insight_patents_spark.operators.vector import vec_ann_nsw
+
+    plan = formatted_plan(vec_ann_nsw(spark, sf_dir))
+    assert plan.count("embeddings.parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

@@ -8666,3 +8666,183 @@ def test_zipf_fit_matches_python_replay(spark, sf_dir):
             sxx += x * x
         want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
         assert abs(r.zipf_slope - want) <= 1e-8, r.lang
+
+
+def _icws_py_sample(seed: str, token: str, lnw: float):
+    """Pure-Python twin of text._icws_min_struct: one ICWS key
+    (lna, token, t) from the md5-derived uniforms, every ln rounded
+    9dp HALF_UP like Spark's F.round."""
+    import hashlib
+    import math
+
+    h = hashlib.md5(f"{seed}:{token}".encode()).hexdigest()
+
+    def u(j):
+        return (int(h[6 * j : 6 * j + 6], 16) + 0.5) / 16777216.0
+
+    lnu = [_rhu(math.log(u(j)), 9) for j in range(4)]
+    r = -(lnu[0] + lnu[1])
+    lnc = -(lnu[2] + lnu[3])
+    beta = u(4)
+    t = math.floor(lnw / r + beta)
+    lna = _rhu(lnc - r * (t - beta) - r, 9)
+    return (lna, token, t)
+
+
+def test_dedup_minhash_icws_sampler_matches_python_replay(spark, sf_dir):
+    """The per-doc ICWS argmins (the signature the bands are built
+    from) must equal a pure-Python replay of Ioffe's sampler — md5
+    uniforms, Gamma(2,1) via two exponentials, 9dp-rounded
+    transcendentals, (lna, token, t) argmin — and the carried weight
+    map/total must be the exact nano-unit sublinear-tf weights."""
+    import math
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import _ICWS_SEEDS, _icws_sig
+    from insight_patents_spark.sources.tables import load
+
+    sig = {r.doc_id: r for r in _icws_sig(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert set(sig) == {r.doc_id for r in docs}
+    for r in docs:
+        tf = Counter(r.text.split(" "))
+        lnw = {
+            tok: _rhu(math.log(1.0 + _rhu(math.log(c), 9)), 9)
+            for tok, c in tf.items()
+        }
+        got = sig[r.doc_id]
+        want_wn = {
+            tok: int(_rhu((1.0 + _rhu(math.log(c), 9)) * 1e9, 0))
+            for tok, c in tf.items()
+        }
+        assert dict(got.wmap) == want_wn, r.doc_id
+        assert got.wtot == sum(want_wn.values()), r.doc_id
+        for i, seed in enumerate(_ICWS_SEEDS):
+            want = min(_icws_py_sample(seed, tok, lnw[tok]) for tok in tf)
+            m = got[f"m{i}"]
+            assert (m.lna, m.token, m.t) == want, (r.doc_id, seed)
+
+
+def test_dedup_minhash_icws_replays_exact_weighted_jaccard(spark, sf_dir):
+    """Every returned (probe, match) row's wjaccard must equal the
+    real-valued weighted Jaccard (sum min / sum max of nano-unit
+    sublinear-tf weights) recomputed from raw text; the probe side is
+    the deterministic 5% batch; threshold + once-per-pair emission."""
+    import math
+    from collections import Counter
+
+    from insight_patents_spark.operators.text import (
+        _ICWS_PROBE_MOD,
+        _ICWS_THRESH,
+        dedup_minhash_icws,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    pairs = dedup_minhash_icws(spark, sf_dir).collect()
+    assert pairs, "ICWS probe found no matches"
+    wn = {}
+    for r in load(spark, sf_dir, "documents").collect():
+        tf = Counter(r.text.split(" "))
+        wn[r.doc_id] = {
+            t: int(_rhu((1.0 + _rhu(math.log(c), 9)) * 1e9, 0))
+            for t, c in tf.items()
+        }
+    for r in pairs:
+        assert r.probe_id % _ICWS_PROBE_MOD == 3
+        assert r.probe_id != r.match_id
+        a, b = wn[r.probe_id], wn[r.match_id]
+        smin = sum(min(a.get(t, 0), b.get(t, 0)) for t in a.keys() | b.keys())
+        smax = sum(max(a.get(t, 0), b.get(t, 0)) for t in a.keys() | b.keys())
+        assert r.wjaccard == _rhu(smin / smax, 9), (r.probe_id, r.match_id)
+        assert r.wjaccard >= _ICWS_THRESH
+    keys = [(r.probe_id, r.match_id) for r in pairs]
+    assert len(keys) == len(set(keys))
+
+
+def test_icws_collision_probability_is_weighted_jaccard():
+    """The ICWS guarantee P(sample_A == sample_B) = J_w(A, B), checked
+    statistically in pure Python with 400 independent seeds on a
+    fixed weighted-set pair (no Spark): the observed collision rate
+    must sit within 4 sigma of the exact weighted Jaccard. This is the
+    estimator-correctness check the banding s-curve rests on."""
+    import math
+
+    a = {"alpha": 3.0, "beta": 1.0, "gamma": 0.5, "delta": 2.0}
+    b = {"alpha": 1.5, "beta": 1.0, "epsilon": 1.0, "delta": 4.0}
+    jw = sum(min(a.get(t, 0), b.get(t, 0)) for t in a.keys() | b.keys()) / sum(
+        max(a.get(t, 0), b.get(t, 0)) for t in a.keys() | b.keys()
+    )
+    n = 400
+    hits = 0
+    for i in range(n):
+        seed = f"icws-prop-{i}"
+        sa = min(
+            _icws_py_sample(seed, t, _rhu(math.log(w), 9))
+            for t, w in a.items()
+        )
+        sb = min(
+            _icws_py_sample(seed, t, _rhu(math.log(w), 9))
+            for t, w in b.items()
+        )
+        hits += (sa[1], sa[2]) == (sb[1], sb[2])
+    sigma = math.sqrt(jw * (1 - jw) / n)
+    assert abs(hits / n - jw) < 4 * sigma, (hits / n, jw)
+
+
+def test_evict_stale_cache_policy():
+    """The checkpoint-cache evictor (ADVICE r9): dead-application
+    entries and superseded same-sf stamps are dropped; live entries for
+    OTHER sf_dirs in the same app survive."""
+    from insight_patents_spark.operators.text import _evict_stale
+
+    cache = {
+        ("dead-app", "sfA", "s1"): 1,
+        ("live-app", "sfA", "s0"): 2,  # superseded stamp
+        ("live-app", "sfB", "s9"): 3,  # other sf_dir, still live
+    }
+    _evict_stale(cache, ("live-app", "sfA", "s1"))
+    assert cache == {("live-app", "sfB", "s9"): 3}
+
+
+def test_vec_ann_nsw_grounding_matches_python_replay(spark, sf_dir):
+    """The graph-ANN exhibit's grounding columns must replay exactly:
+    exact_id/exact_sim from a pure-Python sequential-fold brute force
+    (the _dot order), ann_sim <= exact_sim, found_exact consistent, and
+    the beam search must actually find the exact NN for most queries
+    (the exhibit's reason to exist)."""
+    from insight_patents_spark.operators.vector import (
+        _NSW_QMOD,
+        vec_ann_nsw,
+    )
+    from insight_patents_spark.sources.tables import load
+
+    rows = vec_ann_nsw(spark, sf_dir).collect()
+    assert rows, "no queries"
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    assert {r.query_id for r in rows} == {
+        v for v in emb if v % _NSW_QMOD == 7
+    }
+
+    def dot9(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return _rhu(acc, 9)
+
+    for r in rows:
+        q = emb[r.query_id]
+        want = min(
+            (-dot9(q, v), cand)
+            for cand, v in emb.items()
+            if cand != r.query_id
+        )
+        assert (r.exact_id, r.exact_sim) == (want[1], -want[0]), r.query_id
+        assert r.ann_id in emb and r.ann_id != r.query_id
+        assert r.ann_sim == dot9(q, emb[r.ann_id])
+        assert r.ann_sim <= r.exact_sim
+        assert r.found_exact == (r.ann_id == r.exact_id)
+    hit = sum(r.found_exact for r in rows)
+    assert hit / len(rows) >= 0.5, f"beam-search recall collapsed: {hit}/{len(rows)}"
