@@ -103,6 +103,11 @@ SF01_GUARDS = (
     # in the preset so every future sweep re-covers them)
     "dedup_minhash_weighted", "agg_apriori_triples", "text_mix_epochs",
     "graph_smallworld_sigma",
+    # new in r10: the ICWS probe batch (map-merge verify, probe-side
+    # candidate bound) and the graph-ANN beam search (hop unroll,
+    # MATERIALIZED oracle CTEs) both have behavior that only shows at
+    # bench-scale bucket occupancy / graph size
+    "dedup_minhash_icws", "vec_ann_nsw",
 )
 
 

@@ -128,6 +128,15 @@ SHOWCASE = [
      "checkpointed feature table gates, the md5-digest keeper window "
      "dedups, drop lists anti-join, class counts broadcast, and the "
      "per-lang pack window bins — documents never re-enters"),
+    ("dedup_minhash_icws", "real-weight (ICWS) probe dedup: only the 5% "
+     "probe slice joins the band index; verification is ONE in-plan "
+     "map_zip_with merge per candidate over carried weight maps "
+     "(ExistingRDD signature table on both sides — no corpus re-join, "
+     "no per-key map scans)"),
+    ("vec_ann_nsw", "graph-ANN beam search: the returned plan is the "
+     "LAST hop + grounding over checkpointed frontier/edges/nodes "
+     "(ExistingRDD) — embeddings.parquet absent; exact-NN grounding is "
+     "a BroadcastNestedLoopJoin, never CartesianProduct"),
 ]
 
 
