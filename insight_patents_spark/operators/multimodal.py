@@ -222,6 +222,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_PIXELS = 60  # 60-bit fingerprint (bit 63 avoided: signed int64)
 _PHASH_BANDS = 4  # 4 x 15-bit multi-index bands
 _PHASH_MAX_HD = 8
+# Band-bucket occupancy above which the self-join switches to the
+# skew-salted path: a bucket of b docs puts b² candidate rows on ONE
+# reducer; 2048² ≈ 4M rows/task is the tolerable ceiling. The salted
+# join's pair set is provably identical (salted_band_pairs contract).
+_PHASH_SALT_OCCUPANCY = 2048
+_PHASH_SALTS = 8
 
 
 @query(
@@ -279,13 +285,17 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equi-join on (band, value) — never all-pairs; candidates
     dedup once, verification is two bitops per pair. Degenerate bands
     (e.g. all-zero from uniform payloads) are the hot-key risk; the
-    DOCUMENTED mitigation is text.salted_band_pairs (exercised + gated
-    on an adversarial all-one-band fixture,
-    tests/test_properties.py::test_salted_band_pairs_*) — this operator
-    ships the plain band join because the registered corpora have no
-    degenerate band (max bucket occupancy measured small); wiring the
-    switch is one band-occupancy agg choosing between the two paths,
-    same posture as the LSH families (SCALE.md §4)."""
+    path selection is WIRED (r10): one cheap occupancy agg over the
+    band table (a scalar fetch, like the vocab-size stats job) picks
+    the plain equi-join below _PHASH_SALT_OCCUPANCY and
+    text.salted_band_pairs above it — pair set provably identical
+    (tests: the adversarial all-one-band fixture gates the salted
+    kernel, and test_phash_salted_path_equals_plain forces this
+    operator down the salted path and asserts set equality on the real
+    corpus). The registered corpora stay on the plain join (max bucket
+    occupancy measured far below the cap). The fingerprint table is
+    checkpointed, so the Arrow pass runs ONCE (not once per join side
+    plus once for the occupancy agg)."""
     import hashlib  # noqa: F401  (parity with module header)
 
     d = load(spark, sf_dir, "documents")
@@ -312,7 +322,9 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    h = payload.mapInPandas(fingerprint, "doc_id long, ph long")
+    h = payload.mapInPandas(
+        fingerprint, "doc_id long, ph long"
+    ).localCheckpoint()
     bands = h.select(
         "doc_id",
         "ph",
@@ -325,19 +337,54 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bv"),
     )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.expr("a.ph ^ b.ph")).cast("int").alias("hamming"),
-        )
-        .distinct()
+    # band-occupancy-driven path selection (SCALE.md §4): one scalar
+    # stats fetch over the band table decides whether any bucket's
+    # quadratic fan-out would concentrate on one reducer.
+    occ = (
+        bands.groupBy("band", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .first()[0]
     )
+    if occ is not None and occ > _PHASH_SALT_OCCUPANCY:
+        from .text import salted_band_pairs
+
+        cand = (
+            salted_band_pairs(
+                bands.select(
+                    "doc_id",
+                    F.col("band").alias("band_id"),
+                    F.col("bv").alias("band_key"),
+                    "ph",
+                ),
+                _PHASH_SALTS,
+                carry=("ph",),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.bit_count(F.expr("a_ph ^ b_ph"))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .distinct()
+        )
+    else:
+        cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.expr("a.ph ^ b.ph"))
+                .cast("int")
+                .alias("hamming"),
+            )
+            .distinct()
+        )
     return cand.filter(F.col("hamming") <= _PHASH_MAX_HD)

@@ -174,6 +174,9 @@ _POST_PREFIX_HEAD = (
     "ml_brier_decomp",
     "ml_shap_linear",
     "ml_fairness_eo",
+    # occupancy-driven salted-band path selection wired in r10 (values
+    # identical on the registered corpora — path-equality test-pinned)
+    "mm_phash_dedup",
 )
 
 

@@ -8846,3 +8846,22 @@ def test_vec_ann_nsw_grounding_matches_python_replay(spark, sf_dir):
         assert r.found_exact == (r.ann_id == r.exact_id)
     hit = sum(r.found_exact for r in rows)
     assert hit / len(rows) >= 0.5, f"beam-search recall collapsed: {hit}/{len(rows)}"
+
+
+def test_phash_salted_path_equals_plain(spark, sf_dir, monkeypatch):
+    """mm_phash_dedup's occupancy-driven path selection (wired r10):
+    forcing the salt cap to 0 routes the REAL corpus through
+    text.salted_band_pairs; the (doc_a, doc_b, hamming) set must be
+    byte-identical to the plain band join's."""
+    import insight_patents_spark.operators.multimodal as mm
+
+    plain = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in mm.mm_phash_dedup(spark, sf_dir).collect()
+    }
+    monkeypatch.setattr(mm, "_PHASH_SALT_OCCUPANCY", 0)
+    salted = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in mm.mm_phash_dedup(spark, sf_dir).collect()
+    }
+    assert plain == salted and plain

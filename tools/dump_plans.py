@@ -75,7 +75,9 @@ SHOWCASE = [
      "are the only wide op; mean/component return via BroadcastExchange; "
      "the vector table is never hash-partitioned by vec_id"),
     ("mm_phash_dedup", "multi-index hamming search: band equi-join (no "
-     "nested loop), Arrow-batched fingerprint pass below it"),
+     "nested loop) over the CHECKPOINTED fingerprint table (the Arrow "
+     "pass runs once — ExistingRDD); occupancy-gated salted path wired "
+     "(plain join on this corpus, cap 2048)"),
     ("win_rsi", "lag + trailing-frame windows share ONE (type, day) sort — "
      "two Window nodes, one Sort, one grid aggregate"),
     ("dedup_ngram_jaccard", "PPJoin prefix filtering: candidates come from "
