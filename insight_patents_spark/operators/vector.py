@@ -853,6 +853,60 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_TABLES = 3
 
 
+def _score_bucket_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket fused candidate+exact-cosine scorer (one Arrow batch per
+    (table, bucket) group; shared by vec_ann_lsh_multi and vec_ann_lsh_cp).
+    Transfer is O(N·L·dim) per-VECTOR rows, never per-pair; within a
+    bucket the M×M cosine matrix accumulates one dimension at a time (64
+    vectorized outer-product adds), which IS the sequential index-order
+    fold of `_dot` and of DuckDB's list_dot_product, so every cosine stays
+    bit-identical to the oracle."""
+    import numpy as np
+
+    m = len(pdf)
+    if m < 2:
+        return pd.DataFrame(
+            {"vec_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+    ids = pdf["vec_id"].to_numpy()
+    v = np.array(pdf["v"].tolist(), dtype=np.float64)  # (M, D)
+    acc = np.zeros((m, m))
+    for j in range(v.shape[1]):  # sequential over dims = _dot's fold
+        acc += np.outer(v[:, j], v[:, j])
+    a = np.repeat(np.arange(m), m)
+    c = np.tile(np.arange(m), m)
+    keep = a != c
+    return pd.DataFrame(
+        {"vec_id": ids[a[keep]],
+         "neighbor_id": ids[c[keep]],
+         "cosine": acc.ravel()[keep]}
+    )
+
+
+def _bucket_pairs_topk(b: DataFrame, k: int = 3) -> DataFrame:
+    """Score every same-(t, bucket) pair exactly, dedup across tables
+    (same pair in several tables scores bit-identically — same fold — so
+    a plain distinct suffices), keep top-k per vector with the rounded-
+    cosine/neighbor_id ordering contract."""
+    pairs = (
+        b.groupBy("t", "bucket")
+        .applyInPandas(
+            _score_bucket_pdf, "vec_id long, neighbor_id long, cosine double"
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("cosine", 9).desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "neighbor_id", "cosine")
+    )
+
+
 def _multi_table_planes(planes_per_table: int) -> list[list[list[float]]]:
     """L independent plane sets for multi-table LSH; weight digits derive
     from md5(f'{t}:{p}:{half}') so DuckDB rebuilds identical tables."""
@@ -945,53 +999,148 @@ def vec_ann_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r5: candidate generation + exact scoring fused into ONE per-bucket
     # Arrow batch (replaces broadcast candidate join + distinct + two
     # vector-lookup joins + per-pair interpreted `_dot` folds — the 7.2 s
-    # r4 hot spot). Transfer is O(N·L·dim) per-VECTOR rows, never
-    # per-pair; within a bucket the M×M cosine matrix accumulates one
-    # dimension at a time (64 vectorized outer-product adds), which IS
-    # the sequential index-order fold of `_dot` and of DuckDB's
-    # list_dot_product, so every cosine stays bit-identical to the
-    # oracle. Work per bucket is O(M²·dim) with M pinned ≈ occupancy by
-    # _derived_planes, so the (t, bucket) exchange — the only shuffle —
-    # stays balanced as the table grows.
-    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    # r4 hot spot); r10 moved the scorer to module scope
+    # (_score_bucket_pdf / _bucket_pairs_topk) so the cross-polytope
+    # table (vec_ann_lsh_cp) shares it. Work per bucket is O(M²·dim)
+    # with M pinned ≈ occupancy by _derived_planes, so the (t, bucket)
+    # exchange — the only shuffle — stays balanced as the table grows.
+    return _bucket_pairs_topk(b, k=3)
 
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {"vec_id": pd.Series(dtype="int64"),
-                 "neighbor_id": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
+
+def _cp_rotations() -> list[list[list[float]]]:
+    """L pseudo-rotation matrices (D×D) for cross-polytope LSH; row j of
+    table t derives from md5(f'cp{t}:{j}:{half}') digit-by-digit exactly
+    as the oracle's strpos(md5(...)) rebuild, so the rotations are part
+    of the cross-engine contract (same derivation idiom as
+    _multi_table_planes, 'cp' prefix keeps the families independent)."""
+    import hashlib
+
+    return [
+        [
+            [
+                "0123456789abcdef".index(d) - 7.5
+                for d in "".join(
+                    hashlib.md5(f"cp{t}:{j}:{h}".encode()).hexdigest()
+                    for h in (0, 1)
+                )[:_DIM]
+            ]
+            for j in range(_DIM)
+        ]
+        for t in range(_N_TABLES)
+    ]
+
+
+def _cp_assign_udf(rot_sets: list[list[list[float]]]):
+    """Cross-polytope bucket assignment, one Arrow/numpy pass for all L
+    rotations: project x through each D×D rotation (the per-coordinate
+    dot accumulates SEQUENTIALLY over the dimension axis — the exact
+    fold order of `_dot` and DuckDB's list_dot_product, so the argmax
+    coordinate and its sign match the oracle bit-for-bit), then hash to
+    the dominant signed axis: bucket = 2·argmax_j |proj_j| + (proj>0).
+    numpy argmax takes the FIRST max, which is the oracle's j-ASC
+    tiebreak (bit-equal |proj| across axes is measure-zero anyway)."""
+    import numpy as np
+
+    mats = [np.array(r, dtype=np.float64) for r in rot_sets]  # (D, D)
+
+    @F.pandas_udf("array<bigint>")
+    def assign(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)  # (n, D)
+        per_table = []
+        for w in mats:
+            # sequential fold over input dims, O(n·D) temp per step (a
+            # (n, D, D) cumsum tensor would be 32 KB/row at D=64)
+            acc = np.zeros((len(x), w.shape[0]))
+            for i in range(w.shape[1]):
+                acc += x[:, i : i + 1] * w[None, :, i]
+            j = np.argmax(np.abs(acc), axis=1)
+            sgn = (acc[np.arange(len(x)), j] > 0).astype(np.int64)
+            per_table.append(2 * j.astype(np.int64) + sgn)
+        return pd.Series(np.stack(per_table, axis=1).tolist())
+
+    return assign
+
+
+@query(
+    "vec_ann_lsh_cp",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    rot AS (
+      SELECT t, j,
+             list_transform(range(1, 65), i ->
+               CAST(strpos('0123456789abcdef',
+                           substr(md5('cp' || CAST(t AS VARCHAR) || ':' || CAST(j AS VARCHAR) || ':'
+                                      || CAST((i-1) // 32 AS VARCHAR)),
+                                  ((i-1) % 32) + 1, 1)) - 8.5 AS DOUBLE)) AS w
+      FROM (SELECT unnest(range(0, {_N_TABLES})) AS t)
+           CROSS JOIN (SELECT unnest(range(0, {_DIM})) AS j)
+    ),
+    proj AS (
+      SELECT e.vec_id, r.t, r.j, list_dot_product(e.v, r.w) AS d
+      FROM e CROSS JOIN rot r
+    ),
+    bkt AS (
+      SELECT vec_id, t,
+             CAST(2 * j + CASE WHEN d > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
+      FROM (
+        SELECT vec_id, t, j, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, t
+                                  ORDER BY abs(d) DESC, j) AS rn
+        FROM proj
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+      FROM bkt a JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket
+                           AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine
+    FROM (
+      SELECT c.vec_id, c.neighbor_id,
+             list_dot_product(ea.v, eb.v) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY ROUND(list_dot_product(ea.v, eb.v), 9) DESC,
+                                         c.neighbor_id) AS rn
+      FROM cand c
+      JOIN e ea ON c.vec_id = ea.vec_id
+      JOIN e eb ON c.neighbor_id = eb.vec_id
+    ) WHERE rn <= 3
+    """,
+)
+def vec_ann_lsh_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via cross-polytope LSH (Andoni et al., NeurIPS 2015 — the
+    FALCONN family), the third hashing family next to the hyperplane
+    tables (vec_ann_lsh/_multi) and the coordinate-sign code
+    (vec_hamming_sign): each of L=3 md5-derived pseudo-rotations maps a
+    vector to its dominant signed axis (2D buckets per table — the
+    vertices of the cross-polytope), candidates collide in ANY table,
+    exact cosine re-ranks top-3 through the shared per-bucket Arrow
+    scorer (_bucket_pairs_topk — transfer O(N·L·dim), work O(M²·dim)
+    per bucket). Cross-polytope buckets cut the angle space finer than
+    single hyperplanes at the same probe cost, which is why FALCONN
+    prefers them for unit vectors; at 100 TB the shape is unchanged —
+    assignment is a narrow zero-shuffle projection, the only exchange
+    is the (t, bucket) groupBy, and bucket occupancy is N/(2D) per
+    table. The rotations are replayed row-by-row in the oracle
+    (strpos(md5)−8.5 digits), projections fold sequentially in both
+    engines, so bucket ids — and therefore the candidate set — match
+    bit-for-bit."""
+
+    def build_buckets() -> DataFrame:
+        src = load(spark, sf_dir, "embeddings")
+        assign = _cp_assign_udf(_cp_rotations())
+        return (
+            src.select("vec_id", F.col("embedding").alias("v"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(
+                "vec_id",
+                "v",
+                F.posexplode(assign("v")).alias("t", "bucket"),
             )
-        ids = pdf["vec_id"].to_numpy()
-        v = np.array(pdf["v"].tolist(), dtype=np.float64)  # (M, D)
-        acc = np.zeros((m, m))
-        for j in range(v.shape[1]):  # sequential over dims = _dot's fold
-            acc += np.outer(v[:, j], v[:, j])
-        a = np.repeat(np.arange(m), m)
-        c = np.tile(np.arange(m), m)
-        keep = a != c
-        return pd.DataFrame(
-            {"vec_id": ids[a[keep]],
-             "neighbor_id": ids[c[keep]],
-             "cosine": acc.ravel()[keep]}
         )
 
-    pairs = (
-        b.groupBy("t", "bucket")
-        .applyInPandas(_score_bucket, "vec_id long, neighbor_id long, cosine double")
-        # same pair colliding in several tables scores bit-identically in
-        # each (same fold), so a plain distinct dedups across tables
-        .distinct()
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round("cosine", 9).desc(), F.col("neighbor_id")
-    )
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("vec_id", "neighbor_id", "cosine")
-    )
+    b = _materialized(spark, sf_dir, "lsh_cp_bucket", build_buckets)
+    return _bucket_pairs_topk(b, k=3)
 
 
 def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:

@@ -177,6 +177,13 @@ _POST_PREFIX_HEAD = (
     # occupancy-driven salted-band path selection wired in r10 (values
     # identical on the registered corpora — path-equality test-pinned)
     "mm_phash_dedup",
+    # late-r10 additions: cross-polytope LSH (third ANN hash family) and
+    # the applyInPandasWithState sessionizer; vec_ann_lsh_multi's scorer
+    # moved to module scope for sharing (plan- and value-neutral, rows
+    # re-verified at sf0.001/0.01/0.1 when the refactor landed)
+    "vec_ann_lsh_cp",
+    "stream_sessionize_state",
+    "vec_ann_lsh_multi",
 )
 
 

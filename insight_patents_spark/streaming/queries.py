@@ -915,3 +915,138 @@ def stream_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value", "max_value",
         )
     )
+
+
+_SESSION_GAP_US = 300_000_000  # 5-minute gap, in epoch micros
+
+
+def _sessionize_update(key, pdfs, state):
+    """Per-user micro-batch sessionizer for stream_sessionize_state
+    (module-level so the multi-batch carry logic is directly testable —
+    the AvailableNow single-batch run never exercises it). state =
+    (start_us, last_us, n, total_micros) of the OPEN session only."""
+    import numpy as np
+    import pandas as pd
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if not len(batch):
+        return
+    batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+    ts = batch["ts_us"].to_numpy(np.int64)
+    # decimal(·,6)-exact accumulation as int64 micro-units (the
+    # stream_stateful_custom recipe, verified element-wise there)
+    vm = np.round(batch["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    s_start = s_last = s_n = s_total = None
+    if state.exists:
+        s_start, s_last, s_n, s_total = state.get
+    new = np.empty(len(ts), dtype=bool)
+    new[0] = s_start is None or (ts[0] - s_last) > _SESSION_GAP_US
+    new[1:] = (ts[1:] - ts[:-1]) > _SESSION_GAP_US
+    bounds = np.flatnonzero(new)
+    if bounds.size == 0 or bounds[0] != 0:
+        # leading chunk continues the carried open session
+        bounds = np.concatenate([np.zeros(1, dtype=np.int64), bounds])
+    counts = np.diff(np.concatenate([bounds, [len(ts)]]))
+    sums = np.add.reduceat(vm, bounds)
+    starts = ts[bounds].copy()
+    if not new[0]:
+        starts[0] = s_start
+        counts[0] += s_n
+        sums[0] += s_total
+    state.update((int(starts[-1]), int(ts[-1]), int(counts[-1]), int(sums[-1])))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "session_start_us": starts.astype("int64"),
+            "n_events": counts.astype("int64"),
+            "session_value": sums / 1e6,
+        }
+    )
+
+
+@query(
+    "stream_sessionize_state",
+    # Oracle = the batch gaps-and-islands rewrite (win_sessionize's
+    # pattern) with the session start exposed as epoch micros — the
+    # stream's final state must equal the batch answer exactly.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sess_no
+    """,
+)
+def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionizer via applyInPandasWithState — the
+    escape hatch for session semantics session_window can't express
+    (stream_session shows the built-in op; THIS operator carries
+    per-session custom aggregates through explicit GroupState, the shape
+    you need for e.g. session-value caps or first/last-event payloads).
+
+    Per user, GroupState holds only the OPEN session (start_us, last_us,
+    n, decimal-exact value total in int64 micro-units). Each micro-batch
+    sessionizes its rows VECTORIZED (sort by (ts_us, event_id), gap>5min
+    flags via diff, per-segment aggregates via add.reduceat — no per-row
+    Python), merges the carried open session into the first segment when
+    the gap allows, emits one snapshot row per touched session, and
+    stores the last segment back. A session's final snapshot is its row
+    with the highest n_events, so the post-stream dedup is one
+    (user_id, session_start_us) groupBy — closed sessions emit exactly
+    once, the still-open tail session emits once per batch it grows in.
+    State is O(1) per user, emissions are O(sessions touched per batch):
+    both bounded at 100 TB. AvailableNow + in-order files make the final
+    state the batch answer (module-header contract); a 24/7 deployment
+    would add a watermark + EventTimeTimeout flush for idle users."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total_micros", T.LongType()),  # exact int64 micro-units
+        ]
+    )
+    s = _read_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "value",
+    )
+    result = s.groupBy("user_id").applyInPandasWithState(
+        _sessionize_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_available_now(result, "ips_stream_sessionize", mode="update")
+    # final snapshot per session = the emission with the highest n_events
+    return out.groupBy("user_id", "session_start_us").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("session_value", "n_events").alias("session_value"),
+    )

@@ -291,10 +291,11 @@ def test_lsh_bucket_table_is_materialized_once(spark, sf_dir):
     (InMemoryTableScan), never re-derive the plane dots."""
     from insight_patents_spark.operators.vector import (
         vec_ann_lsh,
+        vec_ann_lsh_cp,
         vec_ann_lsh_multi,
     )
 
-    for fn in (vec_ann_lsh, vec_ann_lsh_multi):
+    for fn in (vec_ann_lsh, vec_ann_lsh_multi, vec_ann_lsh_cp):
         plan = formatted_plan(fn(spark, sf_dir))
         assert "InMemoryTableScan" in plan, fn.__name__
         # the bucket UDF ran once at materialization time; in the plan it

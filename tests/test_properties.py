@@ -8865,3 +8865,149 @@ def test_phash_salted_path_equals_plain(spark, sf_dir, monkeypatch):
         for r in mm.mm_phash_dedup(spark, sf_dir).collect()
     }
     assert plain == salted and plain
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving _sessionize_update
+    directly (the multi-batch carry path AvailableNow never hits)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_stream_sessionize_update_multibatch_carry_equals_reference():
+    """_sessionize_update across MANY micro-batches (including a batch
+    boundary inside a session, a gap exactly == 5 min — NOT a new
+    session — and a gap of 5 min + 1 µs — a new session) must end at the
+    single-pass reference sessionization after the max-n_events dedup."""
+    import numpy as np
+    import pandas as pd
+
+    from insight_patents_spark.streaming.queries import (
+        _SESSION_GAP_US,
+        _sessionize_update,
+    )
+
+    rng = np.random.default_rng(7)
+    m = 1_000_000
+    # one user's event times: bursts with gaps around the 5-min boundary
+    gaps = [1 * m, 10 * m, 300 * m, 300 * m + 1, 60 * m, 301 * m, 2 * m,
+            1800 * m, 5 * m, 300 * m, 300 * m + 1_000_000]
+    ts = np.cumsum([1_700_000_000 * m] + gaps).astype(np.int64)
+    vals = np.round(rng.uniform(-5, 5, len(ts)), 6)
+    ev = np.arange(len(ts), dtype=np.int64)
+
+    def reference(ts, vals, ev):
+        order = np.lexsort((ev, ts))
+        t, v = ts[order], vals[order]
+        sessions, cur = [], None
+        for i in range(len(t)):
+            vm = int(np.round(v[i] * 1e6))
+            if cur is None or t[i] - cur[1] > _SESSION_GAP_US:
+                if cur is not None:
+                    sessions.append(cur)
+                cur = [int(t[i]), int(t[i]), 1, vm]
+            else:
+                cur[1] = int(t[i])
+                cur[2] += 1
+                cur[3] += vm
+        sessions.append(cur)
+        return {(s[0]): (s[2], s[3] / 1e6) for s in sessions}
+
+    want = reference(ts, vals, ev)
+
+    # split into uneven time-ordered micro-batches, rows shuffled within
+    state = _FakeGroupState()
+    emitted = []
+    cuts = [0, 3, 4, 9, len(ts)]  # boundary mid-session and at a gap
+    for a, b in zip(cuts, cuts[1:]):
+        idx = rng.permutation(np.arange(a, b))
+        pdf = pd.DataFrame(
+            {"user_id": 42, "event_id": ev[idx], "ts_us": ts[idx],
+             "value": vals[idx]}
+        )
+        for out in _sessionize_update((42,), iter([pdf]), state):
+            emitted.append(out)
+    all_rows = pd.concat(emitted, ignore_index=True)
+    # the operator's post-stream dedup: max-n_events row per session
+    final = all_rows.loc[
+        all_rows.groupby("session_start_us")["n_events"].idxmax()
+    ]
+    got = {
+        int(r.session_start_us): (int(r.n_events), float(r.session_value))
+        for r in final.itertuples()
+    }
+    assert got == want
+    # a session emits at most once per batch it is touched in (closed
+    # sessions that never crossed a batch boundary emit exactly once)
+    counts = all_rows["session_start_us"].value_counts()
+    assert (counts <= len(cuts) - 1).all()
+    assert counts.max() > 1  # the carry path was actually exercised
+
+
+def test_cp_bucket_assignment_matches_python_replay_and_is_scale_invariant():
+    """Cross-polytope bucket ids from _cp_assign_udf's numpy kernel must
+    equal an independent per-row Python replay of the md5 rotation +
+    sequential-fold projection + signed-argmax rule, and must be
+    invariant to positive scaling of the vector (the cross-polytope
+    hash depends only on direction)."""
+    import hashlib
+
+    import numpy as np
+
+    from insight_patents_spark.operators.vector import _DIM, _cp_rotations
+
+    rots = _cp_rotations()
+    # independent replay of the rotation derivation
+    for t in (0, 2):
+        for j in (0, 63):
+            digits = "".join(
+                hashlib.md5(f"cp{t}:{j}:{h}".encode()).hexdigest()
+                for h in (0, 1)
+            )[:_DIM]
+            want = ["0123456789abcdef".index(d) - 7.5 for d in digits]
+            assert rots[t][j] == want
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(50, _DIM))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    def assign_kernel(x, rots):
+        out = []
+        for w in [np.array(r) for r in rots]:
+            acc = np.zeros((len(x), w.shape[0]))
+            for i in range(w.shape[1]):
+                acc += x[:, i : i + 1] * w[None, :, i]
+            j = np.argmax(np.abs(acc), axis=1)
+            sgn = (acc[np.arange(len(x)), j] > 0).astype(np.int64)
+            out.append(2 * j.astype(np.int64) + sgn)
+        return np.stack(out, axis=1)
+
+    buckets = assign_kernel(x, rots)
+    # per-row pure-Python replay (sequential fold, first-max tiebreak)
+    for row in (0, 17, 49):
+        for t in range(len(rots)):
+            dots = []
+            for j in range(_DIM):
+                acc = 0.0
+                for i in range(_DIM):
+                    acc += x[row, i] * rots[t][j][i]
+                dots.append(acc)
+            best = max(range(_DIM), key=lambda j: (abs(dots[j]), -j))
+            want = 2 * best + (1 if dots[best] > 0 else 0)
+            assert buckets[row, t] == want
+    # direction-only: positive scaling never moves a bucket
+    assert (assign_kernel(x * 7.25, rots) == buckets).all()
+    # buckets spread across the 2D range (not degenerate)
+    assert len(np.unique(buckets[:, 0])) > 5

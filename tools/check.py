@@ -108,6 +108,10 @@ SF01_GUARDS = (
     # MATERIALIZED oracle CTEs) both have behavior that only shows at
     # bench-scale bucket occupancy / graph size
     "dedup_minhash_icws", "vec_ann_nsw",
+    # late r10: cross-polytope bucket occupancy and the stateful
+    # sessionizer's state-store/segment-merge path are both
+    # scale-sensitive
+    "vec_ann_lsh_cp", "stream_sessionize_state",
 )
 
 
