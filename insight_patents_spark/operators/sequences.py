@@ -2428,3 +2428,153 @@ def seq_repeat_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_days",
         "p90_days",
     )
+
+
+# GSP/PrefixSpan level-3 knobs. Items are compound (event_type × value
+# band ≥50) over a deterministic 1-in-3 event sample so the pattern
+# lattice is genuinely sparse at test scale (raw 5-type sequences are so
+# dense every user supports every triple and the prune would be dead
+# code). minsup = 1/2 of the user universe, applied as the pure-integer
+# predicate support_n * 2 >= n_users in BOTH engines.
+_GSP_VALUE_BAND = 50.0
+_GSP_SAMPLE_MOD = 3
+_GSP_MINSUP_MUL = 2  # support_n * 2 >= n_users  <=>  support >= 50%
+
+
+@query(
+    "seq_gsp_triples",
+    # TRUE ordered-subsequence support (GSP / PrefixSpan level 3):
+    # user supports <a,b,c> iff positions i<j<k exist with those items.
+    # Greedy earliest-extension is EXACT for subsequence existence
+    # (first a, then first b after it, then any c after that), so the
+    # whole level-wise chain runs on first-position grids, never on
+    # materialized subsequences. seq_pair_support's first-occurrence
+    # pairs are the weaker unit step; this is the real thing, with the
+    # antimonotone minsup prune applied between levels (lossless:
+    # support(<a,b,c>) <= support(<a,b>)).
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             event_type || CASE WHEN value >= {_GSP_VALUE_BAND} THEN '+' ELSE '-' END AS item,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events WHERE event_id % {_GSP_SAMPLE_MOD} = 0),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM seq),
+    fp1 AS (
+      SELECT user_id, item AS a, MIN(pos) AS p1 FROM seq GROUP BY 1, 2),
+    l1 AS (
+      SELECT a FROM (SELECT a, COUNT(*) AS c FROM fp1 GROUP BY a)
+      WHERE c * {_GSP_MINSUP_MUL} >= (SELECT n_users FROM u)),
+    fp2 AS (
+      SELECT s.user_id, f.a, s.item AS b, MIN(s.pos) AS p2
+      FROM seq s
+      JOIN (SELECT fp1.* FROM fp1 JOIN l1 USING (a)) f
+        ON s.user_id = f.user_id AND s.pos > f.p1
+      GROUP BY 1, 2, 3),
+    l2 AS (
+      SELECT a, b FROM (SELECT a, b, COUNT(*) AS c FROM fp2 GROUP BY a, b)
+      WHERE c * {_GSP_MINSUP_MUL} >= (SELECT n_users FROM u)),
+    s3 AS (
+      SELECT f.a AS item_a, f.b AS item_b, s.item AS item_c,
+             CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS support_n
+      FROM seq s
+      JOIN (SELECT fp2.* FROM fp2 JOIN l2 USING (a, b)) f
+        ON s.user_id = f.user_id AND s.pos > f.p2
+      GROUP BY 1, 2, 3)
+    SELECT item_a, item_b, item_c, support_n,
+           CAST(ROUND(support_n * 1.0 / u.n_users, 9) AS DOUBLE) AS support
+    FROM s3 CROSS JOIN u
+    WHERE support_n * {_GSP_MINSUP_MUL} >= u.n_users
+    """,
+)
+def seq_gsp_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-3 sequential pattern mining (GSP / PrefixSpan level 3)
+    with TRUE subsequence support and level-wise antimonotone pruning —
+    the ordered sibling of agg_apriori_triples (unordered baskets) and
+    the full-strength successor of seq_pair_support (first-occurrence
+    pairs).
+
+    Scale shape: ONE user-partitioned window numbers each user's
+    (sampled, value-banded) event stream; every later stage runs on
+    first-position GRIDS — fp1 is ≤ |users|·|items| rows, fp2 ≤
+    |users|·|surviving items|² — so per-user join fan-out is bounded by
+    the (pruned) alphabet, never by event volume. The minsup prune
+    between levels is the classic Apriori/GSP candidate cut: items and
+    pairs below 50 % user support never reach the next join (lossless
+    for the ≥ minsup output by antimonotonicity). All supports are
+    exact integers; the one double (support fraction) is a single
+    rounded division, and the minsup predicate itself is pure-integer
+    (support_n·2 ≥ n_users) so both engines prune identically."""
+    return _gsp_triples(load(spark, sf_dir, "events"))
+
+
+def _gsp_triples(events: DataFrame) -> DataFrame:
+    """Core of seq_gsp_triples over any events-shaped frame (user_id,
+    event_type, ts, event_id, value) — split out (the _pair_support
+    pattern) so property tests can replay brute-force subsequence
+    support on adversarial synthetic sequences."""
+    e = events.filter(F.col("event_id") % _GSP_SAMPLE_MOD == 0)
+    item = F.concat(
+        F.col("event_type"),
+        F.when(F.col("value") >= _GSP_VALUE_BAND, F.lit("+")).otherwise(
+            F.lit("-")
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", item.alias("item"), F.row_number().over(w).alias("pos")
+    ).localCheckpoint()  # feeds fp1 + the two extension joins
+    n_users = seq.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    fp1 = (
+        seq.groupBy("user_id", F.col("item").alias("a"))
+        .agg(F.min("pos").alias("p1"))
+        .localCheckpoint()  # feeds the L1 support count + the L2 join
+    )
+    l1 = (
+        fp1.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_users))
+        .filter(F.col("c") * _GSP_MINSUP_MUL >= F.col("n_users"))
+        .select("a")
+    )
+    fp2 = (
+        seq.join(
+            fp1.join(F.broadcast(l1), "a"),  # alphabet-sized prune list
+            "user_id",
+        )
+        .filter(F.col("pos") > F.col("p1"))
+        .groupBy("user_id", "a", F.col("item").alias("b"))
+        .agg(F.min("pos").alias("p2"))
+        .localCheckpoint()  # feeds the L2 support count + the L3 join
+    )
+    l2 = (
+        fp2.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_users))
+        .filter(F.col("c") * _GSP_MINSUP_MUL >= F.col("n_users"))
+        .select("a", "b")
+    )
+    s3 = (
+        seq.join(fp2.join(F.broadcast(l2), ["a", "b"]), "user_id")
+        .filter(F.col("pos") > F.col("p2"))
+        .groupBy(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("item").alias("item_c"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("support_n"))
+    )
+    return (
+        s3.crossJoin(F.broadcast(n_users))
+        .filter(F.col("support_n") * _GSP_MINSUP_MUL >= F.col("n_users"))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "support_n",
+            F.round(F.col("support_n") / F.col("n_users"), 9)
+            .cast("double")
+            .alias("support"),
+        )
+    )

