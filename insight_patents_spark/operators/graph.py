@@ -1327,6 +1327,164 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+_LOUVAIN_CC_ROUNDS = 8  # merge-forest contraction unroll (jumped: 2^8 depth)
+
+
+def _louvain_oracle() -> str:
+    """Unrolled oracle for graph_louvain_move: gain table -> argmax merge
+    edges -> min-label weak components WITH pointer jumping per round
+    (the merge forest is chain-shaped, so plain propagation depth is the
+    chain length; the jump squares resolved depth per round exactly as
+    _cc_loop does) -> graph_modularity's per-community scoring."""
+    sql = _EDGES_CTE + f"""
+    , deg AS MATERIALIZED (
+        SELECT src AS node, CAST(SUM(w) AS BIGINT) AS k FROM edges GROUP BY src)
+    , mm AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM edges)
+    , mv AS MATERIALIZED (
+        SELECT src AS node, dst AS tgt FROM (
+          SELECT e.src, e.dst,
+                 (SELECT m2 FROM mm) * e.w - da.k * db.k AS gain,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.src
+                   ORDER BY (SELECT m2 FROM mm) * e.w - da.k * db.k DESC,
+                            e.dst) AS rn
+          FROM edges e
+          JOIN deg da ON da.node = e.src
+          JOIN deg db ON db.node = e.dst
+        ) WHERE rn = 1 AND gain > 0)
+    , medges AS MATERIALIZED (
+        SELECT node AS src, tgt AS dst FROM mv
+        UNION ALL
+        SELECT tgt AS src, node AS dst FROM mv)
+    , c0 AS (SELECT node, node AS lbl FROM deg)"""
+    sql += '\n    , p1 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c0\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c0 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c1 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p1 x JOIN p1 y ON x.lbl = y.node)\n    , p2 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c1\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c1 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c2 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p2 x JOIN p2 y ON x.lbl = y.node)\n    , p3 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c2\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c2 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c3 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p3 x JOIN p3 y ON x.lbl = y.node)\n    , p4 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c3\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c3 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c4 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p4 x JOIN p4 y ON x.lbl = y.node)\n    , p5 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c4\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c4 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c5 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p5 x JOIN p5 y ON x.lbl = y.node)\n    , p6 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c5\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c5 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c6 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p6 x JOIN p6 y ON x.lbl = y.node)\n    , p7 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c6\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c6 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c7 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p7 x JOIN p7 y ON x.lbl = y.node)\n    , p8 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c7\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c7 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c8 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p8 x JOIN p8 y ON x.lbl = y.node)'
+    sql += f"""
+    , comm AS MATERIALIZED (
+        SELECT c.node, c.lbl AS community, d.k
+        FROM c{_LOUVAIN_CC_ROUNDS} c JOIN deg d ON d.node = c.node)
+    , tot AS (
+        SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(k) AS BIGINT) AS s_c
+        FROM comm GROUP BY community)
+    , win AS (
+        SELECT ca.community, CAST(SUM(e.w) AS BIGINT) AS w_in
+        FROM edges e
+        JOIN comm ca ON e.src = ca.node
+        JOIN comm cb ON e.dst = cb.node
+        WHERE ca.community = cb.community
+        GROUP BY ca.community)
+    SELECT t.community, t.n_nodes, COALESCE(w.w_in, 0) AS w_in, t.s_c,
+           CAST(ROUND((COALESCE(w.w_in, 0) * m.m2 - t.s_c * t.s_c) * 1.0
+                      / (m.m2 * m.m2), 9) AS DOUBLE) AS q_contrib
+    FROM tot t LEFT JOIN win w ON t.community = w.community CROSS JOIN mm m
+    """
+    return sql
+
+
+@query("graph_louvain_move", oracle=_louvain_oracle())
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain level 1, deterministic parallel form: every node computes
+    Newman's move gain for each neighbor ON THE INITIAL SINGLETON
+    PARTITION (dQ x 2m^2 = m2*w_ij - k_i*k_j, pure int64 - both engines
+    rank identically, no float gain), adopts its argmax-gain neighbor
+    (ties -> smallest id, only if gain > 0), and the level's communities
+    are the weak components of the resulting merge forest - the
+    agglomerative contraction step of parallel Louvain (sequential
+    Louvain's visit-order dependence is exactly what this replaces;
+    naive synchronous adoption without the component contraction leaves
+    i<->j swap artifacts). The partition is then scored with
+    graph_modularity's exact per-community arithmetic, so the two
+    operators are directly comparable (LPA partition vs Louvain-merge
+    partition on the same graph).
+
+    Scale shape: the gain table is ONE pass over the cached edge list
+    with two |nodes|-sized degree joins; the argmax is a src-partitioned
+    window; contraction runs _cc_loop's pointer-jumped min-label
+    propagation on the |nodes|-sized merge forest (O(log depth) rounds,
+    checkpoint per round); scoring is graph_modularity's broadcast
+    pattern. Nothing touches the fact table after the shared edge build;
+    w_in*m2 <= (2m)^2 stays well inside int64 at 1000x (the
+    graph_modularity bound)."""
+    return _louvain_level(spark, _edges(spark, sf_dir))
+
+
+def _louvain_level(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Core of graph_louvain_move over any both-direction weighted edge
+    frame (src, dst, w) — split out (the _pair_support pattern) so
+    property tests can hand-verify the gain/merge/contraction chain on
+    constructed graphs (two triangles + a weak bridge, swap pairs)."""
+    deg = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("k"))
+    m2 = e.agg(F.sum("w").cast("bigint").alias("m2"))
+    cand = (
+        e.join(F.broadcast(deg.select(F.col("src").alias("n_a"),
+                                      F.col("k").alias("k_a"))),
+               e.src == F.col("n_a"))
+        .join(F.broadcast(deg.select(F.col("src").alias("n_b"),
+                                     F.col("k").alias("k_b"))),
+              e.dst == F.col("n_b"))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "src", "dst",
+            (F.col("m2") * F.col("w") - F.col("k_a") * F.col("k_b")).alias("gain"),
+        )
+    )
+    wm = Window.partitionBy("src").orderBy(F.col("gain").desc(), F.col("dst"))
+    mv = (
+        cand.withColumn("rn", F.row_number().over(wm))
+        .filter((F.col("rn") == 1) & (F.col("gain") > 0))
+        .select(F.col("src").alias("node"), F.col("dst").alias("tgt"))
+    )
+    medges = mv.select(F.col("node").alias("src"), F.col("tgt").alias("dst")).unionByName(
+        mv.select(F.col("tgt").alias("src"), F.col("node").alias("dst"))
+    )
+    prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        cc = _cc_loop(medges.localCheckpoint())
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+    lab = (
+        deg.select(F.col("src").alias("node"), "k")
+        .join(cc, "node", "left")
+        .select(
+            "node", "k",
+            F.coalesce(F.col("component"), F.col("node")).alias("community"),
+        )
+        .localCheckpoint()  # feeds tot + both w_in endpoint joins
+    )
+    tot = lab.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("k").cast("bigint").alias("s_c"),
+    )
+    ls = lab.select(F.col("node").alias("sn"), F.col("community").alias("sc"))
+    ld = lab.select(F.col("node").alias("dn"), F.col("community").alias("dc"))
+    win = (
+        e.join(F.broadcast(ls), e.src == F.col("sn"))
+        .join(F.broadcast(ld), e.dst == F.col("dn"))
+        .where(F.col("sc") == F.col("dc"))
+        .groupBy(F.col("sc").alias("community"))
+        .agg(F.sum("w").cast("bigint").alias("w_in"))
+    )
+    return (
+        tot.join(F.broadcast(win), "community", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("w_in"), F.lit(0)).cast("bigint").alias("w_in"),
+            "s_c",
+            F.round(
+                (
+                    F.coalesce(F.col("w_in"), F.lit(0)) * F.col("m2")
+                    - F.col("s_c") * F.col("s_c")
+                ).cast("double")
+                / (F.col("m2") * F.col("m2")),
+                9,
+            ).alias("q_contrib"),
+        )
+    )
+
+
 
 @query(
     "graph_clustering_coef",

@@ -186,6 +186,8 @@ _POST_PREFIX_HEAD = (
     "vec_ann_lsh_multi",
     # true-subsequence GSP level-3 mining (late r10)
     "seq_gsp_triples",
+    # Louvain level-1 merge/contraction community detection (late r10)
+    "graph_louvain_move",
 )
 
 

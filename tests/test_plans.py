@@ -1823,3 +1823,19 @@ def test_seq_gsp_triples_runs_on_checkpointed_grids(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the l1/l2 prune-list joins
+
+
+def test_graph_louvain_move_scores_from_checkpointed_labels(spark, sf_dir):
+    # The returned plan is the scoring stage: it must read the
+    # checkpointed label + edge tables (ExistingRDD — the gain pass and
+    # the contraction loop ran eagerly at build time), broadcast the
+    # |nodes|-sized label table into both w_in endpoint joins, and
+    # contain no CartesianProduct (the m2 scalar is a broadcast
+    # nested loop).
+    from insight_patents_spark.operators.graph import graph_louvain_move
+
+    plan = formatted_plan(graph_louvain_move(spark, sf_dir))
+    assert "lineitem.parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

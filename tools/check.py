@@ -115,6 +115,9 @@ SF01_GUARDS = (
     # GSP level-3: the minsup prune ratio shifts with user count — the
     # sf0.1 run exercises prune behavior the sf0.01 grid can't
     "seq_gsp_triples",
+    # Louvain merge-forest contraction: chain depth / component shapes
+    # only emerge at the bench-scale graph
+    "graph_louvain_move",
 )
 
 
