@@ -388,3 +388,110 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
     return cand.filter(F.col("hamming") <= _PHASH_MAX_HD)
+
+
+_XM_DIM = 8  # surrogate cross-modal embedding width (md5 → 8 uint16 lanes)
+_XM_QMOD = 20  # query probe set: text vectors with vec_id % 20 == 3
+
+
+_XM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("iv", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _encode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'image encoder' for mm_crossmodal_topk: with a real
+    model this is where a CLIP vision tower would embed the decoded
+    pixels; the container has neither decoder nor weights, so the
+    surrogate derives an 8-lane embedding from md5 of the payload —
+    lane j = (uint16(md5hex[4j:4j+4]) + 0.5)/65536 − 0.5, every step
+    exact in both engines (power-of-two division, half offsets)."""
+    import hashlib
+
+    def enc(b: bytes) -> list[float]:
+        h = hashlib.md5(b).hexdigest()
+        return [
+            (int(h[4 * j : 4 * j + 4], 16) + 0.5) / 65536.0 - 0.5
+            for j in range(_XM_DIM)
+        ]
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "iv": pdf["payload"].map(enc)}
+        )
+
+
+@query(
+    "mm_crossmodal_topk",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id,
+             list_transform(range(0, {_XM_DIM}), j ->
+               (CAST('0x' || substr(md5(text), j * 4 + 1, 4) AS BIGINT) + 0.5)
+                 / 65536.0 - 0.5) AS iv
+      FROM documents),
+    q AS (
+      SELECT vec_id,
+             list_transform((CAST(embedding AS DOUBLE[]))[1:{_XM_DIM}],
+                            x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id % {_XM_QMOD} = 3)
+    SELECT vec_id, doc_id, score
+    FROM (
+      SELECT q.vec_id, img.doc_id,
+             list_dot_product(q.qv, img.iv) AS score,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND(list_dot_product(q.qv, img.iv), 9) DESC,
+                                         img.doc_id) AS rn
+      FROM q CROSS JOIN img
+    ) WHERE rn <= 3
+    """,
+)
+def mm_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval plumbing (CLIP-style text→image search):
+    the binary payload column runs through an Arrow-batched mapInPandas
+    'vision encoder' (md5-derived surrogate — the gated-model pattern of
+    mm_decode_stub/vec_rerank_stub; swap `_encode_image_batches` for a
+    real tower at deploy time), text queries project to the matching
+    width by matryoshka prefix-slicing their first 8 dims, and retrieval
+    is the vec_mips posture: the probe batch BROADCASTS with its query
+    vectors into one narrow |probes|×N scoring pass over the item
+    partitions — items never shuffle, score is the sequential `_dot`
+    fold (= DuckDB list_dot_product bit-for-bit), top-3 per query by
+    (rounded score, doc_id). At 100 TB the encoder pass is
+    embarrassingly parallel over item partitions and the only exchange
+    is the per-query window on |probes|·3 rows."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    items = d.mapInPandas(_encode_image_batches, schema=_XM_SCHEMA)
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _XM_QMOD == 3)
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(slice(embedding, 1, {_XM_DIM}), x -> CAST(x AS DOUBLE))"
+            ).alias("qv"),
+        )
+    )
+    scored = items.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "doc_id",
+        F.expr(
+            "aggregate(zip_with(qv, iv, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("score", 9).desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "doc_id", "score")
+    )

@@ -188,6 +188,8 @@ _POST_PREFIX_HEAD = (
     "seq_gsp_triples",
     # Louvain level-1 merge/contraction community detection (late r10)
     "graph_louvain_move",
+    # CLIP-style cross-modal retrieval plumbing (late r10)
+    "mm_crossmodal_topk",
 )
 
 

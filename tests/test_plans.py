@@ -1839,3 +1839,18 @@ def test_graph_louvain_move_scores_from_checkpointed_labels(spark, sf_dir):
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_mm_crossmodal_broadcasts_probe_batch(spark, sf_dir):
+    # vec_mips posture: the query batch (with its prefix-sliced vectors)
+    # must broadcast into the item scan — ONE Python stage (the Arrow
+    # encoder) on the item side, no shuffle of items, no CartesianProduct
+    # (the probe fan-out is a broadcast nested loop).
+    from insight_patents_spark.operators.multimodal import mm_crossmodal_topk
+
+    plan = formatted_plan(mm_crossmodal_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one Arrow Python stage: the encoder (match detail headers)
+    import re as _re
+    assert len(_re.findall(r"^\(\d+\) (?:MapInPandas|ArrowEvalPython)", plan, _re.M)) == 1

@@ -9135,3 +9135,34 @@ def test_graph_louvain_move_chain_contracts_and_no_move_is_singleton(spark):
     out = {r.community: r.n_nodes for r in _louvain_level(spark, e).collect()}
     # chain contracts fully: every node's argmax neighbor links it in
     assert out == {1: 5}
+
+
+def test_mm_crossmodal_encoder_matches_python_replay():
+    """mm_crossmodal_topk's surrogate vision encoder must reproduce the
+    oracle's lane derivation exactly: lane j of md5(payload) =
+    (uint16(hex[4j:4j+4]) + 0.5)/65536 − 0.5 — including multi-batch
+    iteration and empty payloads."""
+    import hashlib
+
+    import pandas as pd
+
+    from insight_patents_spark.operators.multimodal import (
+        _XM_DIM,
+        _encode_image_batches,
+    )
+
+    payloads = [b"hello world", b"", b"\x00\xff" * 7, "caf\xe9".encode()]
+    batches = [
+        pd.DataFrame({"doc_id": [0, 1], "payload": payloads[:2]}),
+        pd.DataFrame({"doc_id": [2, 3], "payload": payloads[2:]}),
+    ]
+    out = pd.concat(list(_encode_image_batches(iter(batches))))
+    assert list(out.doc_id) == [0, 1, 2, 3]
+    for did, payload in enumerate(payloads):
+        h = hashlib.md5(payload).hexdigest()
+        want = [
+            (int(h[4 * j : 4 * j + 4], 16) + 0.5) / 65536.0 - 0.5
+            for j in range(_XM_DIM)
+        ]
+        got = out[out.doc_id == did].iv.iloc[0]
+        assert list(got) == want  # exact doubles, no tolerance
