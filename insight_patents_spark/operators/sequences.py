@@ -2459,26 +2459,26 @@ _GSP_MINSUP_MUL = 2  # support_n * 2 >= n_users  <=>  support >= 50%
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
       FROM events WHERE event_id % {_GSP_SAMPLE_MOD} = 0),
     u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM seq),
-    fp1 AS (
-      SELECT user_id, item AS a, MIN(pos) AS p1 FROM seq GROUP BY 1, 2),
+    grid AS (
+      SELECT user_id, item, MIN(pos) AS p1, MAX(pos) AS lp
+      FROM seq GROUP BY 1, 2),
     l1 AS (
-      SELECT a FROM (SELECT a, COUNT(*) AS c FROM fp1 GROUP BY a)
+      SELECT item AS a FROM (SELECT item, COUNT(*) AS c FROM grid GROUP BY item)
       WHERE c * {_GSP_MINSUP_MUL} >= (SELECT n_users FROM u)),
     fp2 AS (
-      SELECT s.user_id, f.a, s.item AS b, MIN(s.pos) AS p2
+      SELECT s.user_id, f.item AS a, s.item AS b, MIN(s.pos) AS p2
       FROM seq s
-      JOIN (SELECT fp1.* FROM fp1 JOIN l1 USING (a)) f
+      JOIN (SELECT grid.* FROM grid JOIN l1 ON grid.item = l1.a) f
         ON s.user_id = f.user_id AND s.pos > f.p1
       GROUP BY 1, 2, 3),
     l2 AS (
       SELECT a, b FROM (SELECT a, b, COUNT(*) AS c FROM fp2 GROUP BY a, b)
       WHERE c * {_GSP_MINSUP_MUL} >= (SELECT n_users FROM u)),
     s3 AS (
-      SELECT f.a AS item_a, f.b AS item_b, s.item AS item_c,
-             CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS support_n
-      FROM seq s
-      JOIN (SELECT fp2.* FROM fp2 JOIN l2 USING (a, b)) f
-        ON s.user_id = f.user_id AND s.pos > f.p2
+      SELECT f.a AS item_a, f.b AS item_b, g.item AS item_c,
+             CAST(COUNT(*) AS BIGINT) AS support_n
+      FROM (SELECT fp2.* FROM fp2 JOIN l2 USING (a, b)) f
+      JOIN grid g ON g.user_id = f.user_id AND g.lp > f.p2
       GROUP BY 1, 2, 3)
     SELECT item_a, item_b, item_c, support_n,
            CAST(ROUND(support_n * 1.0 / u.n_users, 9) AS DOUBLE) AS support
@@ -2495,9 +2495,13 @@ def seq_gsp_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE user-partitioned window numbers each user's
     (sampled, value-banded) event stream; every later stage runs on
-    first-position GRIDS — fp1 is ≤ |users|·|items| rows, fp2 ≤
-    |users|·|surviving items|² — so per-user join fan-out is bounded by
-    the (pruned) alphabet, never by event volume. The minsup prune
+    POSITION GRIDS — the (user × item) min/max-position grid is ≤
+    |users|·|items| rows, fp2 ≤ |users|·|surviving items|² — so
+    per-user join fan-out is bounded by the (pruned) alphabet, never by
+    event volume; the event stream is touched exactly twice (the
+    numbering window and the level-2 greedy extension), and level 3 is
+    a pure grid×grid join (`exists c after p2` ⟺ `last c position >
+    p2`) whose aggregate is a plain count — no distinct. The minsup prune
     between levels is the classic Apriori/GSP candidate cut: items and
     pairs below 50 % user support never reach the next join (lossless
     for the ≥ minsup output by antimonotonicity). All supports are
@@ -2526,13 +2530,17 @@ def _gsp_triples(events: DataFrame) -> DataFrame:
     n_users = seq.agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users")
     )
-    fp1 = (
-        seq.groupBy("user_id", F.col("item").alias("a"))
-        .agg(F.min("pos").alias("p1"))
-        .localCheckpoint()  # feeds the L1 support count + the L2 join
+    # ONE (user x item) grid carries both greedy anchors: p1 (earliest,
+    # seeds the L2 extension) and lp (latest — `exists c after p2` is
+    # exactly `lp(u, c) > p2`, so level 3 never re-joins the event
+    # stream and its aggregate is a plain count, no distinct)
+    grid = (
+        seq.groupBy("user_id", "item")
+        .agg(F.min("pos").alias("p1"), F.max("pos").alias("lp"))
+        .localCheckpoint()  # feeds L1 support + the L2 and L3 joins
     )
     l1 = (
-        fp1.groupBy("a")
+        grid.groupBy(F.col("item").alias("a"))
         .agg(F.count(F.lit(1)).alias("c"))
         .crossJoin(F.broadcast(n_users))
         .filter(F.col("c") * _GSP_MINSUP_MUL >= F.col("n_users"))
@@ -2540,7 +2548,9 @@ def _gsp_triples(events: DataFrame) -> DataFrame:
     )
     fp2 = (
         seq.join(
-            fp1.join(F.broadcast(l1), "a"),  # alphabet-sized prune list
+            grid.select(
+                "user_id", F.col("item").alias("a"), "p1"
+            ).join(F.broadcast(l1), "a"),  # alphabet-sized prune list
             "user_id",
         )
         .filter(F.col("pos") > F.col("p1"))
@@ -2556,14 +2566,18 @@ def _gsp_triples(events: DataFrame) -> DataFrame:
         .select("a", "b")
     )
     s3 = (
-        seq.join(fp2.join(F.broadcast(l2), ["a", "b"]), "user_id")
-        .filter(F.col("pos") > F.col("p2"))
+        fp2.join(F.broadcast(l2), ["a", "b"])
+        .join(
+            grid.select("user_id", F.col("item").alias("item_c"), "lp"),
+            "user_id",
+        )
+        .filter(F.col("lp") > F.col("p2"))
         .groupBy(
             F.col("a").alias("item_a"),
             F.col("b").alias("item_b"),
-            F.col("item").alias("item_c"),
+            "item_c",
         )
-        .agg(F.countDistinct("user_id").cast("bigint").alias("support_n"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support_n"))
     )
     return (
         s3.crossJoin(F.broadcast(n_users))
