@@ -115,12 +115,30 @@ def main() -> None:
     # so the second run measures the same plan, minus the noise.
     remeasured: dict[str, float] = {}
     if not only:
+        # Anchor = the COMMITTED map (git HEAD), not the last run's file:
+        # under sustained directional noise, last-run anchoring lets a
+        # row ratchet upward in just-under-2x steps across back-to-back
+        # runs (each inflated run becomes the next run's baseline — the
+        # geo_knn 4.8 -> 27.6 walk at the r10 close). The committed tree
+        # only advances when a human-reviewed close lands, so intra-close
+        # runs can no longer feed each other. Falls back to the on-disk
+        # file (first run in a fresh repo / no git).
         try:
-            prev = json.loads((REPO / "BENCH_local.json").read_text())[
-                "queries"
-            ]
-        except Exception:  # noqa: BLE001 (first run: no record yet)
-            prev = {}
+            import subprocess
+
+            prev = json.loads(
+                subprocess.run(
+                    ["git", "-C", str(REPO), "show", "HEAD:BENCH_local.json"],
+                    capture_output=True, text=True, check=True,
+                ).stdout
+            )["queries"]
+        except Exception:  # noqa: BLE001
+            try:
+                prev = json.loads((REPO / "BENCH_local.json").read_text())[
+                    "queries"
+                ]
+            except Exception:  # noqa: BLE001 (first run: no record yet)
+                prev = {}
         for name in names:
             p = prev.get(name)
             if not (p and p > 0):

@@ -139,6 +139,19 @@ SHOWCASE = [
      "LAST hop + grounding over checkpointed frontier/edges/nodes "
      "(ExistingRDD) — embeddings.parquet absent; exact-NN grounding is "
      "a BroadcastNestedLoopJoin, never CartesianProduct"),
+    ("graph_louvain_move", "Louvain level-1 scoring stage: checkpointed "
+     "label + edge tables (ExistingRDD — gain pass and contraction loop "
+     "ran eagerly), |nodes|-sized label table broadcast into both w_in "
+     "endpoint joins, m2 scalar a broadcast nested loop — lineitem "
+     "never re-enters"),
+    ("seq_gsp_triples", "GSP level-3 chain: every post-window stage reads "
+     "the checkpointed position grids (ExistingRDD), prune lists arrive "
+     "by BroadcastHashJoin, level 3 is grid×grid with a plain count — "
+     "the event stream appears only under the checkpoints"),
+    ("mm_crossmodal_topk", "cross-modal retrieval: ONE Arrow Python stage "
+     "(the encoder) on the item side, probe batch broadcast "
+     "(BroadcastNestedLoopJoin) — items never shuffle before the "
+     "per-query window"),
 ]
 
 
