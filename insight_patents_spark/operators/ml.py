@@ -2491,3 +2491,115 @@ def ml_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_WOE_BIN_WIDTH = 64  # doc-length bin width (chars) — 48..553 → ~9 bins
+
+
+@query(
+    "ml_woe_iv",
+    # Weight-of-evidence / information-value feature audit: ln of an
+    # exact smoothed odds ratio, rounded 9dp at birth (the
+    # agg_mutual_info recipe); the IV total folds bins in ascending
+    # order — order-canonical, never a partition-order float sum.
+    oracle=f"""
+    WITH cells AS (
+      SELECT length(text) // {_WOE_BIN_WIDTH} AS bin,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS g,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM documents GROUP BY 1),
+    m AS (
+      SELECT bin, g, b,
+             SUM(g) OVER () AS gt, SUM(b) OVER () AS bt
+      FROM cells),
+    terms AS (
+      SELECT bin, g, b,
+             CAST(ROUND(LN(((g + 0.5) * (bt + 1)) / ((b + 0.5) * (gt + 1))), 9)
+               AS DOUBLE) AS woe,
+             CAST(ROUND(((g + 0.5) / (gt + 1) - (b + 0.5) / (bt + 1)) *
+                  CAST(ROUND(LN(((g + 0.5) * (bt + 1)) / ((b + 0.5) * (gt + 1))), 9)
+                    AS DOUBLE), 9) AS DOUBLE) AS iv_term
+      FROM m),
+    tot AS (
+      SELECT CAST(ROUND(list_aggregate(list(iv_term ORDER BY bin), 'sum'), 9)
+               AS DOUBLE) AS iv
+      FROM terms)
+    SELECT t.bin, t.g AS n_good, t.b AS n_bad, t.woe, t.iv_term,
+           tt.iv AS iv_total
+    FROM terms t CROSS JOIN tot tt
+    """,
+)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value of a numeric
+    feature (doc length, width-{64}-char bins) against the lang='en'
+    outcome — the credit-scoring/feature-selection audit every
+    classifier-based curation pipeline runs before trusting a filter
+    feature. WOE_b = ln(smoothed good-share / bad-share) with +0.5
+    Laplace cells (zero-cell-safe, deterministic), IV = Σ_b
+    (good-share − bad-share)·WOE_b.
+
+    Scale shape: ONE documents scan collapses to the ≤16-bin grid
+    (map-side-combinable hash agg); totals, WOE, and the IV fold all
+    run on the grid (unpartitioned rowsBetween windows over ≤16 rows —
+    the bounded-grid posture of agg_mutual_info). ln enters once per
+    bin on an exact smoothed odds ratio, rounded 9dp at birth; the IV
+    total folds bins in ascending order, so it is order-canonical and
+    hash-stable in both engines."""
+    d = load(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            F.expr(f"length(text) div {_WOE_BIN_WIDTH}").alias("bin"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_g"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_g").cast("bigint").alias("g"),
+            F.sum(1 - F.col("is_g")).cast("bigint").alias("b"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = cells.select(
+        "bin",
+        "g",
+        "b",
+        F.sum("g").over(w_all).alias("gt"),
+        F.sum("b").over(w_all).alias("bt"),
+    )
+    woe = F.round(
+        F.log(
+            ((F.col("g") + 0.5) * (F.col("bt") + 1))
+            / ((F.col("b") + 0.5) * (F.col("gt") + 1))
+        ),
+        9,
+    ).cast("double")
+    iv_term = F.round(
+        (
+            (F.col("g") + 0.5) / (F.col("gt") + 1)
+            - (F.col("b") + 0.5) / (F.col("bt") + 1)
+        )
+        * woe,
+        9,
+    ).cast("double")
+    terms = m.select(
+        "bin",
+        F.col("g").alias("n_good"),
+        F.col("b").alias("n_bad"),
+        woe.alias("woe"),
+        iv_term.alias("iv_term"),
+    )
+    iv = F.round(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("bin", "iv_term")).over(w_all)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t["iv_term"],
+        ),
+        9,
+    )
+    return terms.select(
+        "bin", "n_good", "n_bad", "woe", "iv_term",
+        iv.cast("double").alias("iv_total"),
+    )

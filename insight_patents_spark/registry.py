@@ -190,6 +190,8 @@ _POST_PREFIX_HEAD = (
     "graph_louvain_move",
     # CLIP-style cross-modal retrieval plumbing (late r10)
     "mm_crossmodal_topk",
+    # WOE/IV feature audit (late r10)
+    "ml_woe_iv",
 )
 
 

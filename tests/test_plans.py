@@ -1854,3 +1854,15 @@ def test_mm_crossmodal_broadcasts_probe_batch(spark, sf_dir):
     # exactly one Arrow Python stage: the encoder (match detail headers)
     import re as _re
     assert len(_re.findall(r"^\(\d+\) (?:MapInPandas|ArrowEvalPython)", plan, _re.M)) == 1
+
+
+def test_ml_woe_iv_is_grid_only_after_one_scan(spark, sf_dir):
+    # ONE documents scan collapses to the bin grid; every window and the
+    # IV fold run on the grid — no second corpus scan, no join of any
+    # kind, no Python stage.
+    from insight_patents_spark.operators.ml import ml_woe_iv
+
+    plan = formatted_plan(ml_woe_iv(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

@@ -9166,3 +9166,36 @@ def test_mm_crossmodal_encoder_matches_python_replay():
         ]
         got = out[out.doc_id == did].iv.iloc[0]
         assert list(got) == want  # exact doubles, no tolerance
+
+
+def test_ml_woe_iv_matches_decimal_reference(spark, sf_dir):
+    """ml_woe_iv's smoothed WOE/IV must equal an independent pure-Python
+    recomputation from the raw parquet (pandas groupby + math.log),
+    including the Laplace cells and the bin-ascending IV fold."""
+    import math
+
+    import pandas as pd
+
+    from insight_patents_spark.operators.ml import _WOE_BIN_WIDTH, ml_woe_iv
+
+    got = {
+        r.bin: (r.n_good, r.n_bad, r.woe, r.iv_term, r.iv_total)
+        for r in ml_woe_iv(spark, sf_dir).collect()
+    }
+    raw = pd.read_parquet(f"{sf_dir}/documents.parquet")[["text", "lang"]]
+    raw["bin"] = raw.text.str.len() // _WOE_BIN_WIDTH
+    raw["g"] = (raw.lang == "en").astype(int)
+    cells = raw.groupby("bin").agg(g=("g", "sum"), n=("g", "size"))
+    cells["b"] = cells.n - cells.g
+    gt, bt = int(cells.g.sum()), int(cells.b.sum())
+    iv = 0.0
+    rows = {}
+    for bin_, r in cells.sort_index().iterrows():
+        g, b = int(r.g), int(r.b)
+        woe = round(math.log(((g + 0.5) * (bt + 1)) / ((b + 0.5) * (gt + 1))), 9)
+        term = round(((g + 0.5) / (gt + 1) - (b + 0.5) / (bt + 1)) * woe, 9)
+        iv += term
+        rows[bin_] = (g, b, woe, term)
+    iv = round(iv, 9)
+    want = {k: (*v, iv) for k, v in rows.items()}
+    assert got == want and len(got) >= 5
