@@ -3115,3 +3115,109 @@ def vec_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_mse"),
     )
+
+
+_CORESET_M = 50  # coreset size (a parameter; fixed for the oracle)
+
+
+@query(
+    "sample_coreset",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT COUNT(*) AS n FROM e),
+    percell AS (
+      SELECT pos, CAST(SUM(CAST(FLOOR(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+               / 1000000000.0 / COUNT(*) AS m
+      FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e)
+      GROUP BY pos),
+    mu AS (SELECT list(m ORDER BY pos) AS mu FROM percell),
+    d AS (
+      SELECT e.vec_id,
+             CAST(FLOOR(list_aggregate(
+               list_transform(range(1, {_DIM + 1}), i ->
+                 (e.v[i] - m.mu[i]) * (e.v[i] - m.mu[i])), 'sum')
+               * 1000000000.0) AS BIGINT) AS d2n
+      FROM e CROSS JOIN mu m),
+    tot AS (SELECT SUM(d2n) AS tot FROM d),
+    q AS (
+      SELECT d.vec_id,
+             0.5 / (SELECT n FROM n)
+               + 0.5 * (CAST(d.d2n AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS qx
+      FROM d CROSS JOIN tot t),
+    keyed AS (
+      SELECT vec_id,
+             CAST(ROUND(qx, 9) AS DOUBLE) AS q,
+             CAST(ROUND(
+               ROUND(LN((CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)
+                              AS BIGINT) + 0.5) / 16777216.0), 9) / qx,
+               9) AS DOUBLE) AS sample_key,
+             CAST(ROUND(1.0 / ({_CORESET_M} * qx), 9) AS DOUBLE) AS cs_weight
+      FROM q)
+    SELECT vec_id, q, sample_key, cs_weight
+    FROM keyed ORDER BY sample_key DESC, vec_id LIMIT {_CORESET_M}
+    """,
+)
+def sample_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight k-means coreset (Bachem, Lucic & Krause, NeurIPS'18)
+    with importance weights — the sketch a 100 TB pipeline hands to a
+    single-node clustering step: sampling distribution q(x) = ½/N +
+    ½·d(x, μ)²/Σd² (uniform term bounds variance, distance term covers
+    outliers), weighted sample via Efraimidis-Spirakis priorities
+    (rank by ln(u)/q — the monotone form of u^(1/q); u is the md5
+    24-bit uniform of the ICWS recipe, its ln rounded 9dp at birth),
+    coreset weight 1/(m·q) makes downstream cost estimates unbiased.
+
+    Scale shape: the mean is the nano-quantized order-independent
+    element-wise mean (_quantized_mean posture — map-side combinable,
+    O(1) state per dimension; the 64-row per-dim result is collected as
+    bounded metadata like the PQ codebook); distances are one narrow
+    fold pass against the literal μ; Σd² reduces floor-quantized int64
+    units (exact, order-free); the top-m is ORDER BY + LIMIT —
+    TakeOrderedAndProject, a per-partition top-m merge, never a global
+    sort or an unpartitioned window."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    mu_rows = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(_quantized_mean(F.col("x")).alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    if len(mu_rows) != _DIM:  # bounded-metadata guard (loud under -O too)
+        raise RuntimeError(f"expected {_DIM} dims, got {len(mu_rows)}")
+    mu = F.array(*[F.lit(float(r.m)) for r in mu_rows])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"), mu, lambda x, m: (x.cast("double") - m) * (x.cast("double") - m)
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    d = e.select(
+        "vec_id",
+        F.floor(d2 * F.lit(1_000_000_000.0)).cast("long").alias("d2n"),
+    ).localCheckpoint()  # feeds the Σd² reduce AND the keyed pass
+    tot = d.agg(
+        F.sum(F.col("d2n").cast("decimal(38,0)")).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qx = (
+        F.lit(0.5) / F.col("n")
+        + F.lit(0.5) * (F.col("d2n").cast("double") / F.col("tot").cast("double"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        + 0.5
+    ) / F.lit(16777216.0)
+    keyed = d.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        F.round(qx, 9).cast("double").alias("q"),
+        F.round(F.round(F.log(u), 9) / qx, 9).cast("double").alias("sample_key"),
+        F.round(F.lit(1.0) / (_CORESET_M * qx), 9).cast("double").alias("cs_weight"),
+    )
+    return keyed.orderBy(
+        F.col("sample_key").desc(), F.col("vec_id")
+    ).limit(_CORESET_M)

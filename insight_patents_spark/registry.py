@@ -192,6 +192,8 @@ _POST_PREFIX_HEAD = (
     "mm_crossmodal_topk",
     # WOE/IV feature audit (late r10)
     "ml_woe_iv",
+    # lightweight coreset sampling (late r10)
+    "sample_coreset",
 )
 
 

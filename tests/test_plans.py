@@ -1866,3 +1866,18 @@ def test_ml_woe_iv_is_grid_only_after_one_scan(spark, sf_dir):
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sample_coreset_is_take_ordered_over_checkpointed_distances(spark, sf_dir):
+    # The returned plan must be TakeOrderedAndProject (per-partition
+    # top-m merge — no global Sort, no unpartitioned Window) over the
+    # CHECKPOINTED distance table (ExistingRDD on both the Σd² reduce
+    # and the keyed pass; embeddings.parquet absent — the mean pass ran
+    # at build time as bounded metadata).
+    from insight_patents_spark.operators.vector import sample_coreset
+
+    plan = formatted_plan(sample_coreset(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("embeddings.parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan

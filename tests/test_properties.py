@@ -9199,3 +9199,59 @@ def test_ml_woe_iv_matches_decimal_reference(spark, sf_dir):
     iv = round(iv, 9)
     want = {k: (*v, iv) for k, v in rows.items()}
     assert got == want and len(got) >= 5
+
+
+def test_sample_coreset_matches_python_replay(spark, sf_dir):
+    """sample_coreset end-to-end against an independent pure-Python
+    replay from the raw parquet: floor-quantized per-dim mean,
+    SEQUENTIAL (index-order) distance fold, nano-floor Σd², the
+    Efraimidis-Spirakis ln(u)/q key with the md5 24-bit uniform, and
+    the (key DESC, vec_id) top-m cut — every double exact, no
+    tolerance."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from insight_patents_spark.operators.vector import (
+        _CORESET_M,
+        sample_coreset,
+    )
+
+    got = [
+        (r.vec_id, r.q, r.sample_key, r.cs_weight)
+        for r in sample_coreset(spark, sf_dir).collect()
+    ]
+    raw = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vs = np.array(raw.embedding.tolist(), dtype=np.float64)
+    n, dim = vs.shape
+    mu = np.array(
+        [
+            float(np.floor(vs[:, j] * 1e9).astype("int64").sum())
+            / 1e9 / n
+            for j in range(dim)
+        ]
+    )
+    rows = []
+    for vid, x in zip(raw.vec_id, vs):
+        acc = 0.0
+        for j in range(dim):  # sequential fold, = aggregate(zip_with(...))
+            d = x[j] - mu[j]
+            acc += d * d
+        rows.append((int(vid), int(math.floor(acc * 1e9))))
+    tot = sum(d2n for _, d2n in rows)
+    out = []
+    for vid, d2n in rows:
+        qx = 0.5 / n + 0.5 * (float(d2n) / float(tot))
+        u = (int(hashlib.md5(str(vid).encode()).hexdigest()[:6], 16) + 0.5) / 16777216.0
+        out.append(
+            (
+                vid,
+                round(qx, 9),
+                round(round(math.log(u), 9) / qx, 9),
+                round(1.0 / (_CORESET_M * qx), 9),
+            )
+        )
+    out.sort(key=lambda t: (-t[2], t[0]))
+    assert got == out[:_CORESET_M] and len(got) == _CORESET_M
