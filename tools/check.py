@@ -118,6 +118,10 @@ SF01_GUARDS = (
     # Louvain merge-forest contraction: chain depth / component shapes
     # only emerge at the bench-scale graph
     "graph_louvain_move",
+    # latest late-r10 pair (each individually sf0.1-verified when it
+    # landed; CHECK_SF01_r10.json predates them — first full-sweep
+    # coverage lands in the r11 sweep)
+    "ml_woe_iv", "sample_coreset",
 )
 
 
