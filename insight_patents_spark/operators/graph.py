@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
+from ..runtime import register_shared_cache
 from ..sources.tables import load, src_stamp
 
 MIN_SUPPORT = 2
@@ -64,7 +65,9 @@ _EDGES_CTE = f"""
 """
 
 
-_PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = (
+    register_shared_cache({})
+)
 
 
 def _edge_partitions(spark: SparkSession, n_fact_rows: int) -> int:
@@ -126,7 +129,9 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIR_CACHE[key]
 
 
-_EDGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str, str], DataFrame] = (
+    register_shared_cache({})
+)
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,11 +377,24 @@ def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
 
 
-def _cc_loop(edges: DataFrame) -> DataFrame:
+def _cc_loop(
+    edges: DataFrame,
+    max_rounds: int = CC_MAX_ROUNDS,
+    tag: str | None = None,
+) -> DataFrame:
+    """Min-label propagation with per-round pointer jumping.
+
+    ``max_rounds`` bounds the jumped rounds; callers whose ORACLE unrolls
+    fewer rounds than CC_MAX_ROUNDS pass their own bound plus a ``tag``:
+    with a tag set, a run that exhausts the bound WITHOUT reaching
+    fixpoint raises instead of returning unconverged labels (ADVICE r10:
+    otherwise a deeper-than-unroll graph makes the gate fail on the
+    oracle side silently — the engine must be the loud one)."""
+    converged = False
     lbl = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    for round_no in range(1, CC_MAX_ROUNDS + 1):
+    for round_no in range(1, max_rounds + 1):
         propagated = (
             lbl.join(edges, lbl.node == edges.src)
             .select(F.col("dst").alias("node"), "lbl")
@@ -420,8 +438,34 @@ def _cc_loop(edges: DataFrame) -> DataFrame:
             )
             if changed == 0:
                 lbl = jumped
+                converged = True
                 break
         lbl = jumped
+    if tag is not None and not converged:
+        # One plain propagation over the final labels: if it changes
+        # nothing, the bounded run IS the fixpoint (the early-exit just
+        # never fired); otherwise fail loudly — the caller's oracle
+        # unrolls exactly max_rounds jumped rounds and would silently
+        # disagree from here on.
+        still_moving = (
+            lbl.select("node", "lbl")
+            .unionByName(
+                lbl.join(edges, lbl.node == edges.src).select(
+                    F.col("dst").alias("node"), "lbl"
+                )
+            )
+            .groupBy("node")
+            .agg(F.min("lbl").alias("nlbl"))
+            .join(lbl, "node")
+            .filter(F.col("nlbl") != F.col("lbl"))
+            .count()
+        )
+        if still_moving:
+            raise RuntimeError(
+                f"{tag}: label contraction did not converge within "
+                f"{max_rounds} jumped rounds — raise the caller's round "
+                f"constant and its oracle unroll together"
+            )
     return lbl.select("node", F.col("lbl").alias("component"))
 
 
@@ -850,7 +894,9 @@ def _lpa_oracle() -> str:
     return _lpa_cte() + "SELECT node, community FROM lpa"
 
 
-_LPA_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_LPA_CACHE: dict[tuple[str, str, str], DataFrame] = (
+    register_shared_cache({})
+)
 
 
 def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1357,7 +1403,20 @@ def _louvain_oracle() -> str:
         UNION ALL
         SELECT tgt AS src, node AS dst FROM mv)
     , c0 AS (SELECT node, node AS lbl FROM deg)"""
-    sql += '\n    , p1 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c0\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c0 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c1 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p1 x JOIN p1 y ON x.lbl = y.node)\n    , p2 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c1\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c1 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c2 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p2 x JOIN p2 y ON x.lbl = y.node)\n    , p3 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c2\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c2 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c3 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p3 x JOIN p3 y ON x.lbl = y.node)\n    , p4 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c3\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c3 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c4 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p4 x JOIN p4 y ON x.lbl = y.node)\n    , p5 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c4\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c4 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c5 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p5 x JOIN p5 y ON x.lbl = y.node)\n    , p6 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c5\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c5 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c6 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p6 x JOIN p6 y ON x.lbl = y.node)\n    , p7 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c6\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c6 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c7 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p7 x JOIN p7 y ON x.lbl = y.node)\n    , p8 AS MATERIALIZED (\n      SELECT node, MIN(lbl) AS lbl FROM (\n        SELECT node, lbl FROM c7\n        UNION ALL\n        SELECT me.dst AS node, c.lbl FROM c7 c JOIN medges me ON me.src = c.node\n      ) GROUP BY node)\n    , c8 AS MATERIALIZED (\n      SELECT x.node, y.lbl FROM p8 x JOIN p8 y ON x.lbl = y.node)'
+    # Unroll generated from _LOUVAIN_CC_ROUNDS so the oracle's resolved
+    # depth and the engine's convergence bound share ONE constant
+    # (ADVICE r10: a merge-forest chain deeper than a pasted unroll
+    # would make the ORACLE the diverging side).
+    for r in range(1, _LOUVAIN_CC_ROUNDS + 1):
+        sql += f"""
+    , p{r} AS MATERIALIZED (
+      SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM c{r - 1}
+        UNION ALL
+        SELECT me.dst AS node, c.lbl FROM c{r - 1} c JOIN medges me ON me.src = c.node
+      ) GROUP BY node)
+    , c{r} AS MATERIALIZED (
+      SELECT x.node, y.lbl FROM p{r} x JOIN p{r} y ON x.lbl = y.node)"""
     sql += f"""
     , comm AS MATERIALIZED (
         SELECT c.node, c.lbl AS community, d.k
@@ -1440,7 +1499,11 @@ def _louvain_level(spark: SparkSession, e: DataFrame) -> DataFrame:
     prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
-        cc = _cc_loop(medges.localCheckpoint())
+        cc = _cc_loop(
+            medges.localCheckpoint(),
+            max_rounds=_LOUVAIN_CC_ROUNDS,
+            tag="graph_louvain_move",
+        )
     finally:
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
     lab = (

@@ -411,7 +411,9 @@ def _encode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     exact in both engines (power-of-two division, half offsets)."""
     import hashlib
 
-    def enc(b: bytes) -> list[float]:
+    def enc(b: bytes) -> list[float] | None:
+        if b is None:  # defensive: callers filter NULLs, but a swap-in
+            return None  # encoder must not crash the executor on one
         h = hashlib.md5(b).hexdigest()
         return [
             (int(h[4 * j : 4 * j + 4], 16) + 0.5) / 65536.0 - 0.5
@@ -432,7 +434,7 @@ def _encode_image_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
              list_transform(range(0, {_XM_DIM}), j ->
                (CAST('0x' || substr(md5(text), j * 4 + 1, 4) AS BIGINT) + 0.5)
                  / 65536.0 - 0.5) AS iv
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     q AS (
       SELECT vec_id,
              list_transform((CAST(embedding AS DOUBLE[]))[1:{_XM_DIM}],
@@ -463,8 +465,15 @@ def mm_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded score, doc_id). At 100 TB the encoder pass is
     embarrassingly parallel over item partitions and the only exchange
     is the per-query window on |probes|·3 rows."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    d = (
+        load(spark, sf_dir, "documents")
+        # NULL payloads never reach the encoder (ADVICE r10: a real
+        # corpus has them routinely; md5(None) would crash the executor
+        # while the SQL side yields NULL lanes — filter BOTH sides so a
+        # null-text document simply isn't a retrievable item). The
+        # predicate pushes to the parquet scan.
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     )
     items = d.mapInPandas(_encode_image_batches, schema=_XM_SCHEMA)
     q = (

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..runtime import register_shared_cache
 from ..sources.tables import load, src_stamp
 
 # Inline fixtures (FIXTURES.md §5): defined identically in both engines.
@@ -550,7 +551,9 @@ def _doc_sig_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (verified in the r1 physical plan: duplicated subtrees). At cluster
 # scale this is "write signatures to a table, then LSH over the table" —
 # localCheckpoint is the single-node equivalent.
-_SIG_CACHE: dict[tuple[str, str, str], tuple[DataFrame, int]] = {}
+_SIG_CACHE: dict[tuple[str, str, str], tuple[DataFrame, int]] = (
+    register_shared_cache({})
+)
 
 
 def _evict_stale(cache: dict, key: tuple[str, str, str]) -> None:
@@ -4317,7 +4320,9 @@ _DUP_CC_MAX_ROUNDS = 20  # Spark-side loud-fail bound on the contraction loop
 # curation pipeline (and any dedup audit); at 100 TB it is written ONCE
 # as its own table and every consumer reads it — this cache is the
 # single-node equivalent (same contract as _SIG_CACHE above).
-_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = (
+    register_shared_cache({})
+)
 
 
 def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4376,7 +4381,9 @@ def _dup_cc_oracle() -> str:
 # labels. Like the pair table above, the cluster/keeper table is
 # materialized once and consumed by both the registered cluster query
 # and the curation pipeline's drop-list stage.
-_CC_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CC_CACHE: dict[tuple[str, str, str], DataFrame] = (
+    register_shared_cache({})
+)
 
 
 @query("dedup_cluster_cc", oracle=_dup_cc_oracle())

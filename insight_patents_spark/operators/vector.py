@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
+from ..runtime import register_shared_cache
 from ..sources.tables import load
 
 
@@ -55,7 +56,9 @@ def _dot(a: str, b: str) -> F.Column:
 # vec_rerank_stub consume vec_ann_lsh's shortlist without recomputing
 # the whole ANN stage, and lets each LSH bucket table be computed ONCE
 # instead of once per plan branch.
-_VEC_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_VEC_CACHE: dict[tuple[str, str, str], DataFrame] = (
+    register_shared_cache({})
+)
 
 
 def _materialized(

@@ -29,6 +29,7 @@ import duckdb  # noqa: E402
 import pandas as pd  # noqa: E402
 
 from insight_patents_spark import registry  # noqa: E402
+from insight_patents_spark.runtime import release_ephemeral  # noqa: E402
 from insight_patents_spark.session import get_spark  # noqa: E402
 from insight_patents_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
@@ -118,9 +119,9 @@ SF01_GUARDS = (
     # Louvain merge-forest contraction: chain depth / component shapes
     # only emerge at the bench-scale graph
     "graph_louvain_move",
-    # latest late-r10 pair (each individually sf0.1-verified when it
-    # landed; CHECK_SF01_r10.json predates them — first full-sweep
-    # coverage lands in the r11 sweep)
+    # latest late-r10 pair (registered after CHECK_SF01_r10.json ran;
+    # first committed sf0.1 evidence is the r11 sweep —
+    # CHECK_SF01_r11.json)
     "ml_woe_iv", "sample_coreset",
 )
 
@@ -164,6 +165,12 @@ def main() -> int:
             results[name] = {"status": "FAIL",
                              "err": f"spark: {type(e).__name__}"}
             continue
+        finally:
+            # state hygiene for the long gate session (same contract as
+            # bench.py): the result is fully in pandas by now, so the
+            # query's ephemeral localCheckpoints can be released —
+            # shared caches are protected via the runtime registry.
+            release_ephemeral(spark)
         if spec.oracle is None:
             status = "ROWS" if len(sdf) >= 0 else "FAIL"
             n_rows_only += 1
