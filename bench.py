@@ -99,7 +99,9 @@ def main() -> None:
     # finished broadcasts. Both run OUTSIDE the timed window so per-query
     # numbers stay comparable with r1-r10 maps; what changes is that
     # query N no longer runs under the pinned storage of queries 1..N-1.
-    _GC_EVERY = 25
+    # Bisect knobs (attribution experiments only; both default ON):
+    _GC_EVERY = int(os.environ.get("IPS_BENCH_GC_EVERY", "25"))  # 0 = off
+    _RELEASE = os.environ.get("IPS_BENCH_RELEASE", "1") != "0"
     for i, name in enumerate(names):
         t0 = time.time()
         try:
@@ -109,8 +111,9 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# BENCH ERROR {name}: {type(e).__name__}: {str(e)[:200]}",
                   file=sys.stderr)
-        release_ephemeral(spark)
-        if (i + 1) % _GC_EVERY == 0:
+        if _RELEASE:
+            release_ephemeral(spark)
+        if _GC_EVERY and (i + 1) % _GC_EVERY == 0:
             spark.sparkContext._jvm.System.gc()
 
     # Contention stabilization (VERDICT r8 #6, symmetric since r10 per

@@ -412,3 +412,61 @@ def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "udtf_apply_in_arrow",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents,
+           CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS max_bal_cents
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def udtf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow (Spark 4's Arrow-native rung above
+    applyInPandas — the one §2.11 exhibit the surface was missing): each
+    group arrives as ONE pyarrow.Table (no pandas conversion, no object
+    boxing) and the function returns a pyarrow.Table, the right tier
+    when per-group logic is itself Arrow-native (Arrow-backed stats
+    libraries, C++/Rust kernels). Semantics exhibit: per-nation customer
+    rollup in integer cents (pc.round half_towards_infinity matches
+    DuckDB's half-away-from-zero — the udtf_map_in_arrow contract), so
+    every value is an exact int64 in both engines.
+
+    Scale: one hash-partition shuffle on the group key, then
+    embarrassingly parallel per-group Arrow batches; group state is one
+    in-flight table per group (nation-sized groups here; a skewed key
+    at 100 TB takes the salting posture like any groupBy)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rollup(table: "pa.Table") -> "pa.Table":
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(table.column("c_acctbal"), 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        nk = pc.cast(table.column("c_nationkey"), pa.int64())[0].as_py()
+        return pa.table(
+            {
+                "nationkey": pa.array([nk], pa.int64()),
+                "n_cust": pa.array([table.num_rows], pa.int64()),
+                "bal_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "max_bal_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    c = load(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    return c.groupBy("c_nationkey").applyInArrow(
+        rollup,
+        schema=(
+            "nationkey bigint, n_cust bigint, "
+            "bal_cents bigint, max_bal_cents bigint"
+        ),
+    )

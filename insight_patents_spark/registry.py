@@ -127,74 +127,48 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # --- the r10 gate: the FINAL 50 never-driver-checked operators ---
-    # The four new-in-r9 ops that _POST_PREFIX_HEAD positioned to lead
-    # this gate (code unchanged in r10, so they keep their slots):
-    "agg_survival_curve", "text_mix_epochs", "graph_smallworld_sigma",
-    "agg_apriori_triples",
-    # The cross-family backlog (aggregates / windows / set / fn):
-    "join_shuffle_hash", "geo_point_in_polygon", "agg_hll_intersect",
-    "time_downsample_lttb", "agg_ab_ttest", "agg_iqr_outliers",
-    "agg_new_returning", "agg_cohort_ltv", "agg_histogram_equidepth",
-    "agg_mutual_info", "agg_anova_f", "agg_mad_outliers",
-    "win_cume_nth", "win_anomaly_zscore", "win_rolling_corr",
-    "win_drawdown", "win_skyline_2d", "set_except", "fn_interval",
-    "fn_url",
-    # The text / dedup backlog:
-    "text_lang_route", "text_lexicon_score", "text_levenshtein",
-    "dedup_incremental", "text_context_chunk", "text_bpe_pairs",
-    "dedup_substring", "text_repetition", "text_perplexity_proxy",
-    "text_cdc_chunk", "text_keyword_topk", "dedup_bloom_prefilter",
-    "text_bigram_lm", "text_hashing_trick", "text_domain_mix",
-    "text_zipf_fit",
-    # Graph / time / funnel / sequence backlog:
-    "graph_sssp_weighted", "graph_assoc_rules", "graph_random_walks",
-    "graph_assortativity", "time_seasonal_index",
-    "funnel_time_to_convert", "agg_attribution", "agg_time_decay",
-    "seq_markov_stationary",
-    # LAST (changed-in-r10 code runs the gate on a warm session — the
-    # r6 rule): the band-dedup predicate generalization (ADVICE r9 #1,
-    # behavior-neutral at the shipped 2-band config).
-    "dedup_minhash_weighted",
+    # --- the r11 gate (steady-state rotation, r8 verdict #7 policy) ---
+    # (b) stale/FAIL records first: the four whose LATEST driver row is
+    # still the round-1 FAIL (they pass today — re-verified by the r9
+    # AND r10 judges' vanilla runs; this flips the external ledger):
+    "scan_xml", "join_interval", "agg_approx_distinct", "agg_collect",
+    # (c) random refresh from the least-recently-checked tail — the
+    # remaining r1-era records (oldest in the ledger):
+    "agg_bool", "agg_count_distinct", "agg_cube", "agg_filtered",
+    "agg_global", "agg_grouping_sets", "agg_histogram",
+    "agg_multi_distinct", "agg_stats", "agg_unpivot", "join_cross",
+    "join_self_2hop", "sample_stratified", "scan_json", "sink_csv",
+    "sink_orc",
+    # ...topped up from the r4-era tail (next-oldest records):
+    "scan_parquet", "scan_csv", "join_inner_equi", "join_broadcast",
+    "join_semi", "agg_rollup", "funnel_stages", "dedup_exact",
+    # (a) changed/new code LAST so it runs the gate on a warm session
+    # (the r6 rule). First the new-in-r10 set whose only records are the
+    # r10 judge's vanilla run (never driver-checked):
+    "dedup_minhash_icws", "vec_ann_nsw", "vec_ann_lsh_cp",
+    "stream_sessionize_state", "seq_gsp_triples",
+    # then the r10-changed set the r10 gate couldn't include:
+    "ml_lr_inference", "ml_confusion_matrix", "ml_calibration_bins",
+    "ml_ece", "ml_group_parity", "ml_brier_decomp", "ml_shap_linear",
+    "ml_fairness_eo", "mm_phash_dedup", "vec_ann_lsh_multi",
+    "ml_woe_iv", "sample_coreset",
+    # then changed-in-r11: graph_cc (_cc_loop grew max_rounds/tag —
+    # behavior-neutral defaults), graph_louvain_move (generated oracle
+    # unroll + loud convergence guard), mm_crossmodal_topk (NULL-text
+    # filter both sides):
+    "graph_cc", "graph_louvain_move", "mm_crossmodal_topk",
+    # and NEW in r11, last of all: the foreachBatch persistent-store
+    # dedup and the grouped Arrow exhibit:
+    "stream_dedup_store", "udtf_apply_in_arrow",
 )
 
-# Registered immediately after the prefix (r11-gate head): new-in-r10
-# queries and r10-changed queries, which lead the NEXT gate alongside
-# the four stale r1-FAIL re-checks (see the rotation policy above).
-# The 8 ml_* entries changed in r10 (the long-deferred _lr_bucket /
-# _lr_w_centi consolidation — value-neutral, re-verified at sf0.01).
-_POST_PREFIX_HEAD = (
-    "dedup_minhash_icws",
-    "vec_ann_nsw",
-    "ml_lr_inference",
-    "ml_confusion_matrix",
-    "ml_calibration_bins",
-    "ml_ece",
-    "ml_group_parity",
-    "ml_brier_decomp",
-    "ml_shap_linear",
-    "ml_fairness_eo",
-    # occupancy-driven salted-band path selection wired in r10 (values
-    # identical on the registered corpora — path-equality test-pinned)
-    "mm_phash_dedup",
-    # late-r10 additions: cross-polytope LSH (third ANN hash family) and
-    # the applyInPandasWithState sessionizer; vec_ann_lsh_multi's scorer
-    # moved to module scope for sharing (plan- and value-neutral, rows
-    # re-verified at sf0.001/0.01/0.1 when the refactor landed)
-    "vec_ann_lsh_cp",
-    "stream_sessionize_state",
-    "vec_ann_lsh_multi",
-    # true-subsequence GSP level-3 mining (late r10)
-    "seq_gsp_triples",
-    # Louvain level-1 merge/contraction community detection (late r10)
-    "graph_louvain_move",
-    # CLIP-style cross-modal retrieval plumbing (late r10)
-    "mm_crossmodal_topk",
-    # WOE/IV feature audit (late r10)
-    "ml_woe_iv",
-    # lightweight coreset sampling (late r10)
-    "sample_coreset",
-)
+# The r10 gate's 50-name prefix and the r10 _POST_PREFIX_HEAD were
+# retired with the r11 rotation above (git history has both lists;
+# CORRECTNESS_r10.json is 50/50 green on the prefix). _POST_PREFIX_HEAD
+# is empty this round because every changed/new-in-r11 query sits INSIDE
+# the r11 prefix (placed last, warm-session rule) — the r12 rotation
+# rebuilds both from that round's change set.
+_POST_PREFIX_HEAD: tuple[str, ...] = ()
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -1050,3 +1050,143 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("session_value", "n_events").alias("session_value"),
     )
+
+
+def _docs_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize (once per source version) an IN-ORDER multi-file copy
+    of documents for file streaming: file i holds the i-th doc_id range,
+    mtimes ascend with the ranges, so FileStreamSource's
+    modification-time ordering replays the corpus in doc_id order. This
+    is the test-SF stand-in for a real arrival stream (Kafka / object
+    landing zone) — at deploy time the source already exists and this
+    helper disappears; determinism of stream_dedup_store's oracle rests
+    on the in-order arrival it enforces (module-header contract)."""
+    import glob as _glob
+
+    from ..sources.tables import src_stamp
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        _STREAM_TMP, key, f"docs_seq_{src_stamp(sf_dir, 'documents')}"
+    )
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(mx) - int(mn) + 1
+    base_mtime = 1_600_000_000
+    for i in range(n_files):
+        lo = int(mn) + (span * i) // n_files
+        hi = int(mn) + (span * (i + 1)) // n_files
+        tmpd = f"{out}_tmp{i}"
+        (
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmpd)
+        )
+        part = _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"f{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (base_mtime + i, base_mtime + i))
+        shutil.rmtree(tmpd, ignore_errors=True)
+    with open(marker, "w"):
+        pass
+    return out
+
+
+@query(
+    "stream_dedup_store",
+    # Incremental exact dedup against a persistent store must equal the
+    # global batch answer: first-arrival == min doc_id under in-order
+    # replay, so the winner set is one GROUP BY over the whole corpus.
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           md5(substr(lower(trim(text)), 1, 40)) AS sig
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY md5(substr(lower(trim(text)), 1, 40))
+    """,
+)
+def stream_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup against a PERSISTENT signature store
+    — the LLM-pipeline shape §2.10 didn't yet touch (dedup_incremental
+    is its batch twin): documents arrive as micro-batches
+    (maxFilesPerTrigger=1 over the in-order multi-file copy, ≥4 real
+    micro-batches); each batch, inside ``foreachBatch``:
+
+      1. signature = md5 of the normalized 40-char PREFIX per doc (a
+         prefix fingerprint — the whole-text hash is unique on this
+         synthetic corpus, which would make the store a no-op; prefix
+         fingerprints are the crawl-snapshot dedup primitive and give
+         this corpus real cross-batch duplicate signatures). NULL text
+         never signs — both engines would md5-NULL differently through
+         joins;
+      2. in-batch winners: min doc_id per signature (one map-side
+         combinable agg on the batch);
+      3. cross-batch dedup: anti-join the winners against the on-disk
+         signature store (sig is the join key — at 100 TB the store is
+         a Delta/Iceberg table and this step is a MERGE ... WHEN NOT
+         MATCHED INSERT; plain parquet append is the jar-less local
+         equivalent, disclosed in SCALE.md §6);
+      4. append survivors to the store (the batch's commit).
+
+    The store is the ONLY cross-batch state — no Spark state store, so
+    the pattern survives restarts and arbitrarily long streams (state
+    size = distinct corpus signatures, on disk, never in executor
+    memory; contrast stream_dedup, whose dropDuplicates state lives in
+    the state store and needs a watermark to bound). Final result =
+    the store contents; under in-order arrival first-arrival-wins ==
+    global min-doc_id-wins, which is the DuckDB oracle."""
+    from pyspark.sql.utils import AnalysisException
+
+    from ..sources.tables import src_stamp
+
+    src = _docs_stream_dir(spark, sf_dir)
+    key = sf_dir.strip("/").replace("/", "_")
+    store = os.path.join(
+        _STREAM_TMP, key, f"dedup_store_{src_stamp(sf_dir, 'documents')}"
+    )
+    # deterministic reruns in one process: the store is the query's
+    # OUTPUT, not a cache — reset it (and the checkpoint) per run
+    shutil.rmtree(store, ignore_errors=True)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        winners = (
+            batch_df.filter(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.md5(
+                    F.encode(
+                        F.substring(F.lower(F.trim("text")), 1, 40), "UTF-8"
+                    )
+                ).alias("sig"),
+            )
+            .groupBy("sig")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        try:
+            seen = bspark.read.parquet(store).select("sig")
+            winners = winners.join(seen, "sig", "left_anti")
+        except AnalysisException:
+            pass  # first batch: no store yet
+        winners.select("doc_id", "sig").write.mode("append").parquet(store)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", "ips_stream_dedup_store")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store).select("doc_id", "sig")

@@ -1881,3 +1881,15 @@ def test_sample_coreset_is_take_ordered_over_checkpointed_distances(spark, sf_di
     assert plan.count("embeddings.parquet") == 0
     assert "ExistingRDD" in plan
     assert "Window" not in plan
+
+
+def test_udtf_apply_in_arrow_is_one_shuffle_grouped_arrow(spark, sf_dir):
+    # Grouped Arrow map: exactly ONE exchange (hash on the group key),
+    # one Arrow grouped-map python node, and the customer scan pruned
+    # to the two consumed columns.
+    from insight_patents_spark.operators.udf import udtf_apply_in_arrow
+
+    plan = formatted_plan(udtf_apply_in_arrow(spark, sf_dir))
+    assert "FlatMapGroupsInArrow" in plan
+    assert plan.count("Exchange") == 1
+    assert "ReadSchema: struct<c_nationkey:int,c_acctbal:double>" in plan

@@ -9,6 +9,7 @@ disconnected graphs, self-referential labels).
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -9255,3 +9256,213 @@ def test_sample_coreset_matches_python_replay(spark, sf_dir):
         )
     out.sort(key=lambda t: (-t[2], t[0]))
     assert got == out[:_CORESET_M] and len(got) == _CORESET_M
+
+
+def test_stream_sessionize_state_multibatch_real_stream(spark, tmp_path):
+    """VERDICT r10 #4: drive the sessionizer's GroupState carry through
+    Spark's OWN streaming runtime, not a fake state object — a 4-file
+    in-order source with maxFilesPerTrigger=1 forces ≥4 micro-batches,
+    so open sessions cross real state-store boundaries. The final
+    snapshot must equal the batch gaps-and-islands oracle (DuckDB over
+    the same rows), exactly — the registered operator's contract."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import insight_patents_spark.streaming.queries as sq
+    from insight_patents_spark import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    # carry ts as int64 epoch-micros in the files: a pandas->parquet
+    # roundtrip writes ns timestamps, which the engine session (with
+    # nanosAsLong) reads back as bigint nanos — int64 micros is the
+    # unambiguous cross-writer form
+    ev = (
+        sq._events_us(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "value",
+        )
+        .toPandas()
+        .sort_values(["ts_us", "event_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(ev) >= 100
+    # 4 in-order chunks — sessions span chunk boundaries by construction
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    n_files = 4
+    for i, (_, part) in enumerate(
+        ev.groupby(pd.qcut(ev.index, n_files, labels=False))
+    ):
+        p = src / f"f{i}.parquet"
+        part.to_parquet(p, index=False)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))  # mtime order = ts order
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total_micros", T.LongType()),
+        ]
+    )
+    s = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select("user_id", "event_id", "ts_us", "value")
+    )
+    result = s.groupBy("user_id").applyInPandasWithState(
+        sq._sessionize_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    ckpt = tmp_path / "ckpt"
+    # state-store partition count baked into the checkpoint at start —
+    # 4 like the registered operator (64 stores × 4 batches dominate
+    # wall time otherwise; key cardinality here is 15 users)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName("mb_sess_it")
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_batches >= n_files, f"expected >= {n_files} micro-batches, got {n_batches}"
+
+    got = (
+        spark.table("mb_sess_it")
+        .groupBy("user_id", "session_start_us")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("session_value", "n_events").alias("session_value"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(
+        registry.load_all()["stream_sessionize_state"].oracle
+    ).df()
+    key = ["user_id", "session_start_us"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g.user_id.to_numpy() == w.user_id.to_numpy()).all()
+    assert (g.session_start_us.to_numpy() == w.session_start_us.to_numpy()).all()
+    assert (g.n_events.to_numpy() == w.n_events.to_numpy()).all()
+    assert (g.session_value.to_numpy() == w.session_value.to_numpy()).all()
+
+
+def test_docs_stream_source_is_in_order_and_multibatch(spark):
+    """stream_dedup_store's determinism precondition: the multi-file
+    documents copy must replay in doc_id order, one file per
+    micro-batch (maxFilesPerTrigger=1), with strictly ascending
+    non-overlapping doc_id ranges across batches."""
+    import insight_patents_spark.streaming.queries as sq
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = sq._docs_stream_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    seen: list[tuple[int, int, int]] = []
+
+    def record(bdf, bid):
+        r = bdf.agg(
+            F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1))
+        ).first()
+        if r[2]:
+            seen.append((int(r[0]), int(r[1]), int(r[2])))
+
+    ckpt = os.path.join(sq._STREAM_TMP, "ckpt", "test_docs_src_order")
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 4, f"expected >=4 micro-batches, got {seen}"
+    for (lo_a, hi_a, _), (lo_b, hi_b, _) in zip(seen, seen[1:]):
+        assert hi_a < lo_b, f"batches out of doc_id order: {seen}"
+
+
+def test_stream_dedup_store_antijoin_is_exercised(spark, sf_dir):
+    """The persistent-store anti-join must do real work on the test
+    corpus: some prefix-40 signatures must recur ACROSS doc_id chunks
+    (else cross-batch dedup is dead code and the oracle passes
+    trivially), and the store must hold exactly min-doc_id winners."""
+    import duckdb
+
+    from insight_patents_spark.streaming.queries import stream_dedup_store
+
+    con = duckdb.connect()
+    cross_chunk = con.execute(
+        f"""
+        WITH s AS (
+          SELECT doc_id, md5(substr(lower(trim(text)), 1, 40)) sig
+          FROM read_parquet('{sf_dir}/documents.parquet')
+          WHERE text IS NOT NULL),
+        b AS (
+          SELECT sig,
+                 CAST((doc_id - (SELECT MIN(doc_id) FROM s)) * 4
+                      / (SELECT MAX(doc_id) - MIN(doc_id) + 1 FROM s)
+                      AS INT) AS chunk
+          FROM s)
+        SELECT COUNT(*) FROM (
+          SELECT sig FROM b GROUP BY sig HAVING COUNT(DISTINCT chunk) > 1)
+        """
+    ).fetchone()[0]
+    assert cross_chunk > 0, "fixture has no cross-chunk dup signatures"
+
+    got = stream_dedup_store(spark, sf_dir).toPandas()
+    want = con.execute(
+        f"""
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               md5(substr(lower(trim(text)), 1, 40)) AS sig
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE text IS NOT NULL
+        GROUP BY md5(substr(lower(trim(text)), 1, 40))
+        """
+    ).df()
+    assert len(got) == len(want) < len(
+        con.execute(
+            f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).df()
+    )
+    g = sorted(map(tuple, got[["doc_id", "sig"]].itertuples(index=False)))
+    w = sorted(map(tuple, want[["doc_id", "sig"]].itertuples(index=False)))
+    assert g == w
