@@ -1891,5 +1891,5 @@ def test_udtf_apply_in_arrow_is_one_shuffle_grouped_arrow(spark, sf_dir):
 
     plan = formatted_plan(udtf_apply_in_arrow(spark, sf_dir))
     assert "FlatMapGroupsInArrow" in plan
-    assert plan.count("Exchange") == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "ReadSchema: struct<c_nationkey:int,c_acctbal:double>" in plan

@@ -123,6 +123,10 @@ SF01_GUARDS = (
     # first committed sf0.1 evidence is the r11 sweep —
     # CHECK_SF01_r11.json)
     "ml_woe_iv", "sample_coreset",
+    # new in r11: the persistent-store dedup replays 4 real micro-batches
+    # whose store merge/anti-join occupancy only gets interesting at the
+    # 5k-doc/4.8k-signature bench corpus
+    "stream_dedup_store",
 )
 
 
