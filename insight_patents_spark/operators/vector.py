@@ -580,10 +580,12 @@ def vec_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_shortlist(spark, sf_dir)
 
 
-_NSW_K = 16  # global kNN out-degree of the navigable graph
-_NSW_HOPS = 6  # fixed beam-descent unroll (SQL-replayable, like dup_cc)
+_NSW_K = 16  # kNN out-degree of the navigable graph
+_NSW_HOPS = 5  # fixed beam-descent unroll (SQL-replayable, like dup_cc)
 _NSW_BEAM = 8  # frontier width (ef in HNSW terms)
 _NSW_QMOD = 25  # queries = every 25th vector (vec_id % 25 == 7)
+_NSW_SEED_MOD = 25  # every 50th vector seeds a coarse cell (IVF n_list)
+_NSW_BUILD_PROBES = 3  # cells each node draws kNN candidates from
 
 
 def _nsw_hops_sql(n_hops: int) -> str:
@@ -616,13 +618,63 @@ def _nsw_hops_sql(n_hops: int) -> str:
     return ",".join(parts)
 
 
+def _nsw_build_sims(spark: SparkSession, nodes: DataFrame) -> DataFrame:
+    """vec_ann_nsw's IVF-seeded kNN-candidate scoring (module-level so
+    the no-all-pairs plan contract is directly gateable): assignment =
+    N × n_list dots against the broadcast seeds (fanned out of the
+    single input split), candidates = nodes ASSIGNED to one of this
+    node's top-_NSW_BUILD_PROBES cells — N × probes × occupancy dots,
+    no N² join anywhere."""
+    seeds = nodes.filter(F.col("vec_id") % _NSW_SEED_MOD == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    ranked = (
+        nodes.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("score", _dot("v", "cv"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.round("score", 9).desc(), F.col("cell_id")
+                )
+            ),
+        )
+    )
+    # materialize the cell index once (probe and assign both read it)
+    cells = (
+        ranked.filter(F.col("cell_rank") <= _NSW_BUILD_PROBES)
+        .select("vec_id", "cell_id", "cell_rank", "v")
+        .localCheckpoint()
+    )
+    probe = cells.select(
+        F.col("vec_id").alias("src"), "cell_id", F.col("v").alias("va")
+    )
+    assign = cells.filter(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("dst"), "cell_id", F.col("v").alias("vb")
+    )
+    # each (src, dst) pair appears at most once: dst's assign cell is
+    # unique and src's probe cells are distinct — no dedup needed.
+    # (A symmetric LEAST/GREATEST pair-dedup variant was measured WORSE
+    # on both axes at sf0.1 — recall 0.54 vs 0.61 (the richer symmetric
+    # candidate set clusters the graph and costs navigability) and
+    # +1-2 s (the distinct shuffle outweighs the halved dot work) — so
+    # the one-way probe->assign set stays.)
+    return (
+        probe.join(assign, "cell_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.round(_dot("va", "vb"), 9).alias("sim"))
+    )
+
+
 @query(
     "vec_ann_nsw",
     # Graph-ANN (navigable-small-world greedy search) made fully
-    # oracle-checkable: the kNN graph is DETERMINISTIC (within-label
-    # exact kNN + label-representative bridge links), the search is a
-    # FIXED unroll of greedy hops with the rounded-dot/vec_id ordering
-    # contract, and every answer is grounded against the exact NN.
+    # oracle-checkable: the kNN graph is DETERMINISTIC (IVF-seeded —
+    # exact kNN among candidates sharing a probed coarse cell), the
+    # search is a FIXED unroll of greedy hops with the rounded-dot/
+    # vec_id ordering contract, and every answer is grounded against
+    # the exact NN.
     oracle=f"""
     WITH nodes AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -630,14 +682,28 @@ def _nsw_hops_sql(n_hops: int) -> str:
     queries AS MATERIALIZED (
       SELECT vec_id AS query_id, v FROM nodes
       WHERE vec_id % {_NSW_QMOD} = 7),
+    seeds AS MATERIALIZED (
+      SELECT vec_id AS cell_id, v AS cv FROM nodes
+      WHERE vec_id % {_NSW_SEED_MOD} = 0),
+    cells AS MATERIALIZED (
+      SELECT vec_id, cell_id, cell_rank, v FROM (
+        SELECT n.vec_id, s.cell_id, n.v,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ROUND(list_dot_product(n.v, s.cv), 9) DESC,
+                          s.cell_id) AS cell_rank
+        FROM nodes n CROSS JOIN seeds s
+      ) WHERE cell_rank <= {_NSW_BUILD_PROBES}),
     knn AS MATERIALIZED (
       SELECT src, dst FROM (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
+        SELECT p.vec_id AS src, a.vec_id AS dst,
                ROW_NUMBER() OVER (
-                 PARTITION BY a.vec_id
-                 ORDER BY ROUND(list_dot_product(a.v, b.v), 9) DESC,
-                          b.vec_id) AS rn
-        FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id
+                 PARTITION BY p.vec_id
+                 ORDER BY ROUND(list_dot_product(p.v, a.v), 9) DESC,
+                          a.vec_id) AS rn
+        FROM cells p
+        JOIN cells a ON p.cell_id = a.cell_id AND a.cell_rank = 1
+        WHERE p.vec_id <> a.vec_id
       ) WHERE rn <= {_NSW_K}),
     edges AS MATERIALIZED (
       SELECT src, dst FROM knn
@@ -676,11 +742,12 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph ANN — beam search over a navigable-small-world-style
     neighbor graph (the Malkov/Yashunin HNSW family's base layer),
     completing the ANN surface next to IVF, LSH and PQ. The index is a
-    deterministic GLOBAL kNN graph, symmetrized (each vector keeps its
-    _NSW_K=16 nearest neighbors; edges go both ways — the
+    deterministic IVF-SEEDED kNN graph, symmetrized (each vector keeps
+    its _NSW_K=16 nearest among cell-scoped candidates; edges go both
+    ways — the
     bidirectional links are what make random high-dim data navigable
     at all: a directed greedy walk measured 2/20 recall here, the
-    undirected beam 16/20). Search is a FIXED _NSW_HOPS=6 unroll of a
+    undirected beam vastly more). Search is a FIXED _NSW_HOPS=5 unroll of a
     width-_NSW_BEAM=8 frontier (converged queries stay put — frontier
     nodes remain candidates), which is what makes it exactly
     SQL-replayable where a data-dependent stopping rule would not be.
@@ -692,10 +759,18 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking is on ROUND(dot, 9) with vec_id tiebreak (the
     vec_cosine_topk ordering contract).
 
-    Scale shape: the index build is the expensive offline job — exact
-    all-pairs kNN here (n² dots, embarrassingly parallel, the honest
-    test-SF build); at 10⁹ vectors swap NN-descent or an IVF-seeded
-    build, search unchanged. nodes/edges/queries localCheckpoint ONCE
+    Scale shape: the index build is the offline once-per-corpus job,
+    and it is the IVF-SEEDED construction SCALE.md §7g prescribes (the
+    r11 all-pairs n² fold is gone): coarse-quantize every node against
+    the broadcast seed set (vec_ann_ivf's assignment — N × n_list dots),
+    then exact kNN only among candidates sharing a probed cell (each
+    node draws from its _NSW_BUILD_PROBES=2 nearest cells; candidates
+    are the nodes ASSIGNED there, so build cost is N × probes ×
+    occupancy dots — never N²; the rank-2 probe IS the cross-cell
+    stitching that keeps the graph navigable between cells). At 10⁹
+    vectors: seeds stay broadcast-sized (n_list ~ √N), the probe→assign
+    join shuffles on cell_id with bounded fan-out, NN-descent refinement
+    is an optional extra pass. nodes/edges/queries localCheckpoint ONCE
     (each hop re-reads them — without materialization the kNN window
     would re-run per hop); each hop is a broadcast join + one
     |queries|·beam·degree candidate table through a top-beam window —
@@ -712,37 +787,12 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
         .localCheckpoint()
     )
-    # offline index build: global exact kNN, symmetrized. sim(a,b) is
-    # symmetric, so the n² fold runs on src < dst ONLY (half the dot
-    # work) and mirrors; top-K per node ranks the mirrored union.
-    a = nodes.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("src"), F.col("v").alias("va")
-    )
-    b = nodes.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"))
-    sims = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", F.round(_dot("va", "vb"), 9).alias("sim"))
-    )
-    # mirror IN-ROW (explode of the two directions): a union of sims
-    # with its swap would evaluate the n²-fold subtree twice
-    both = sims.select(
-        F.explode(
-            F.array(
-                F.struct("src", "dst", "sim"),
-                F.struct(
-                    F.col("dst").alias("src"),
-                    F.col("src").alias("dst"),
-                    F.col("sim").alias("sim"),
-                ),
-            )
-        ).alias("e")
-    ).select("e.*")
+    sims = _nsw_build_sims(spark, nodes)
     wk = Window.partitionBy("src").orderBy(
         F.col("sim").desc(), F.col("dst")
     )
     knn = (
-        both.withColumn("rn", F.row_number().over(wk))
+        sims.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= _NSW_K)
         .select("src", "dst")
     )

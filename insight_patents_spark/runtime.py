@@ -40,9 +40,19 @@ is the production form of this hook.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_LOG = logging.getLogger(__name__)
+
+
+class PlanScanError(RuntimeError):
+    """A shared-cache DataFrame's plan could not be scanned for its
+    checkpoint RDD ids. Protection must be exact (releasing a live
+    localCheckpoint is unrecoverable), so this aborts the release cycle
+    instead of silently leaving the cache unprotected."""
 
 # (cache_dict, extractor) pairs; extractor(value) yields the DataFrames
 # inside one cache value (values are DataFrames or tuples containing one).
@@ -75,6 +85,10 @@ def _plan_rdd_ids(df: DataFrame) -> set[int]:
     A localCheckpointed DataFrame's analyzed plan is rooted at (or
     contains) LogicalRDD nodes wrapping the pinned RDD; collectLeaves
     finds them at any depth (projections/filters on top included).
+
+    Raises :class:`PlanScanError` if the plan cannot be read — the
+    caller must fail CLOSED (skip releasing), because an unscanned
+    cache value may own checkpoints that a release would destroy.
     """
     ids: set[int] = set()
     try:
@@ -83,13 +97,20 @@ def _plan_rdd_ids(df: DataFrame) -> set[int]:
             leaf = leaves.apply(i)
             if leaf.getClass().getSimpleName() == "LogicalRDD":
                 ids.add(int(leaf.rdd().id()))
-    except Exception:  # noqa: BLE001 — protection is best-effort-wide:
-        pass  # a leaf we can't read just isn't added (nothing released
-        # depends on it being absent; see the conservative gate below).
+    except Exception as exc:  # noqa: BLE001 — fail closed, not open
+        raise PlanScanError(
+            f"cannot scan shared-cache plan for checkpoint ids: {exc!r}"
+        ) from exc
     return ids
 
 
 def protected_rdd_ids() -> set[int]:
+    """Union of checkpoint RDD ids owned by registered shared caches.
+
+    Propagates :class:`PlanScanError` from any unreadable cache value —
+    callers that unpersist must treat that as "protection unknown" and
+    release nothing this cycle.
+    """
     ids: set[int] = set()
     for cache, extract in _SHARED_CACHES:
         for value in list(cache.values()):
@@ -104,8 +125,17 @@ def release_ephemeral(spark: SparkSession) -> list[int]:
     Call ONLY after the current query's result has been fully consumed
     (sink committed / collected): released checkpoints cannot be
     recomputed. Returns the released RDD ids (diagnostics/tests).
+
+    Fails CLOSED: if any shared cache's plan cannot be scanned, the
+    protected set is unknown, so nothing is released this cycle (a
+    leaked checkpoint costs memory; a wrongly released one costs the
+    query — CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND with no recompute path).
     """
-    protected = protected_rdd_ids()
+    try:
+        protected = protected_rdd_ids()
+    except PlanScanError as exc:
+        _LOG.warning("release_ephemeral aborted (fail-closed): %s", exc)
+        return []
     released: list[int] = []
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for k in jmap.keySet().toArray():

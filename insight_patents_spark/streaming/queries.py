@@ -1052,6 +1052,265 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SENTINEL_USER = -1  # watermark punctuation rows; never sessionized
+
+
+def _events_stream_dir_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """IN-ORDER ts-range-split copy of events for the timer sessionizer:
+    file i holds the i-th event-time range with ascending mtimes, so the
+    watermark advances monotonically across micro-batches (the file
+    analogue of per-partition-ordered Kafka). Two trailing SENTINEL
+    files (one far-future row each under ``_SENTINEL_USER``) are the
+    end-of-stream punctuation: the first advances the watermark past
+    every possible open-session timeout, the second triggers the batch
+    in which those timers fire — Spark evaluates event-time timers
+    against the watermark computed at the END of the PREVIOUS batch, so
+    one sentinel alone would advance the clock without ever ticking it."""
+    from ..sources.tables import src_stamp
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        _STREAM_TMP, key, f"events_seq_{src_stamp(sf_dir, 'events')}"
+    )
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)  # partial build from a crash
+    os.makedirs(out, exist_ok=True)
+    ev = _events_us(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    mn, mx = (
+        ev.agg(
+            F.expr("unix_micros(min(ts))"), F.expr("unix_micros(max(ts))")
+        ).first()
+    )
+    span = int(mx) - int(mn) + 1
+    base_mtime = 1_600_000_000
+    for i in range(n_files):
+        lo = int(mn) + (span * i) // n_files
+        hi = int(mn) + (span * (i + 1)) // n_files
+        _write_single_file(
+            ev.filter(
+                (F.expr("unix_micros(ts)") >= lo)
+                & (F.expr("unix_micros(ts)") < hi)
+            ),
+            os.path.join(out, f"f{i:02d}.parquet"),
+            base_mtime + i,
+        )
+    for j in range(2):
+        sentinel_us = int(mx) + (10 + j) * _SESSION_GAP_US
+        _write_single_file(
+            spark.range(1).select(
+                F.lit(_SENTINEL_USER).cast("long").alias("user_id"),
+                F.lit(-1).cast("long").alias("event_id"),
+                F.timestamp_micros(F.lit(sentinel_us)).alias("ts"),
+                F.lit(0.0).alias("value"),
+            ),
+            os.path.join(out, f"s{j:02d}.parquet"),
+            base_mtime + n_files + j,
+        )
+    with open(marker, "w"):
+        pass
+    return out
+
+
+def _sessionize_timer_update(key, pdfs, state):
+    """Per-user TIMER-driven sessionizer (stream_sessionize_timer;
+    module-level for direct testability). Differs from
+    :func:`_sessionize_update` in WHEN sessions leave the operator:
+    sessions are emitted exactly once, at close — by an in-batch gap, by
+    the carried open session failing to merge with the next batch, or by
+    an event-time TIMER firing after the watermark passes the session's
+    idle deadline (last_us + gap). No downstream dedup needed: the
+    output is append-clean."""
+    import numpy as np
+    import pandas as pd
+
+    def _rows(starts, counts, sums):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(starts), dtype="int64"),
+                "session_start_us": pd.Series(starts, dtype="int64"),
+                "n_events": pd.Series(counts, dtype="int64"),
+                "session_value": pd.Series(sums, dtype="float64") / 1e6,
+            }
+        )
+
+    if key[0] == _SENTINEL_USER:
+        for _ in pdfs:  # drain; punctuation rows carry no sessions
+            pass
+        return
+    if state.hasTimedOut:
+        s_start, _s_last, s_n, s_total = state.get
+        state.remove()
+        yield _rows([s_start], [s_n], [s_total])
+        return
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if not len(batch):
+        return
+    batch = batch.sort_values(["ts_us", "event_id"], kind="mergesort")
+    ts = batch["ts_us"].to_numpy(np.int64)
+    vm = np.round(batch["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
+    s_start = s_last = s_n = s_total = None
+    if state.exists:
+        s_start, s_last, s_n, s_total = state.get
+    new = np.empty(len(ts), dtype=bool)
+    new[0] = s_start is None or (ts[0] - s_last) > _SESSION_GAP_US
+    new[1:] = (ts[1:] - ts[:-1]) > _SESSION_GAP_US
+    # the carried open session closes NOW if this batch's first event
+    # does not extend it (its timer may not have fired yet: the
+    # watermark lags behind this user's own event times)
+    carried_closes = s_start is not None and new[0]
+    bounds = np.flatnonzero(new)
+    if bounds.size == 0 or bounds[0] != 0:
+        bounds = np.concatenate([np.zeros(1, dtype=np.int64), bounds])
+    counts = np.diff(np.concatenate([bounds, [len(ts)]]))
+    sums = np.add.reduceat(vm, bounds)
+    starts = ts[bounds].copy()
+    if not new[0] and s_start is not None:
+        starts[0] = s_start
+        counts[0] += s_n
+        sums[0] += s_total
+    state.update((int(starts[-1]), int(ts[-1]), int(counts[-1]), int(sums[-1])))
+    # idle deadline: fires once the watermark passes last event + gap
+    state.setTimeoutTimestamp((int(ts[-1]) + _SESSION_GAP_US) // 1000)
+    out_starts = list(starts[:-1])
+    out_counts = list(counts[:-1])
+    out_sums = list(sums[:-1])
+    if carried_closes:
+        out_starts.insert(0, s_start)
+        out_counts.insert(0, s_n)
+        out_sums.insert(0, s_total)
+    if out_starts:
+        yield _rows(out_starts, out_counts, out_sums)
+
+
+@query(
+    "stream_sessionize_timer",
+    # Emit-at-close must still equal the batch gaps-and-islands answer:
+    # every session closes exactly once (gap, carried-merge failure, or
+    # timer), so the union of emissions is the batch session set.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sess_no
+    """,
+)
+def stream_sessionize_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMER-driven idle-session flush — the emit-at-close twin of
+    stream_sessionize_state (which emits grow-snapshots and dedups after
+    the fact). Sessions leave the operator exactly once, when they
+    CLOSE; idle users are flushed by Spark's own event-time timer
+    machinery (``GroupStateTimeout.EventTimeTimeout`` +
+    ``state.setTimeoutTimestamp(last_event + gap)`` +
+    ``state.hasTimedOut``), not by an end-of-stream scan. This is the
+    shape a 24/7 deployment needs: closed sessions flow downstream with
+    bounded latency (watermark delay + gap) while the state store holds
+    only open sessions.
+
+    GATED like stream_transform_with_state: the Spark-4
+    transformWithStateInPandas form of this operator (a registered
+    ProcessingTime/EventTime timer on a StatefulProcessor) needs the
+    protobuf state-server wire format, absent in this container — the
+    applyInPandasWithState event-time timeout below is the same timer
+    semantics through the stable API, and would be verified by the same
+    oracle.
+
+    Mechanics of determinism (test-SF stand-ins for a real stream):
+    - the source is ts-range-split in-order files
+      (:func:`_events_stream_dir_ordered`), so watermark (delay 0s)
+      advances monotonically and never drops data rows;
+    - if a timer fires at batch start (watermark > last_us + gap), every
+      later event for that user has ts >= the watermark, so the oracle
+      also starts a new session there — timer flushes never split an
+      oracle session;
+    - two far-future sentinel rows close the stream: sentinel 1 drives
+      the watermark past all idle deadlines, sentinel 2 triggers the
+      batch in which those timers fire (timers evaluate against the
+      previous batch's watermark), so AvailableNow termination leaves no
+      session unemitted."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total_micros", T.LongType()),
+        ]
+    )
+    src = _events_stream_dir_ordered(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    s = stream.withWatermark("ts", "0 seconds").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "value",
+        "ts",
+    )
+    result = s.groupBy("user_id").applyInPandasWithState(
+        _sessionize_timer_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return _run_available_now(
+        result, "ips_stream_sessionize_timer", mode="append"
+    )
+
+
+def _write_single_file(df: DataFrame, dst: str, mtime: int) -> None:
+    """Write ``df`` as exactly ONE parquet file at ``dst`` with a pinned
+    mtime — the building block of every in-order file-stream source here
+    (FileStreamSource replays by modification time)."""
+    import glob as _glob
+
+    tmpd = f"{dst}_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+    parts = _glob.glob(os.path.join(tmpd, "part-*.parquet"))
+    if len(parts) != 1:
+        raise RuntimeError(
+            f"in-order stream materialization needs exactly one part file "
+            f"per range, got {len(parts)} in {tmpd} — empty sub-range or "
+            f"multi-part writer breaks the mtime replay contract"
+        )
+    shutil.move(parts[0], dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmpd, ignore_errors=True)
+
+
 def _docs_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Materialize (once per source version) an IN-ORDER multi-file copy
     of documents for file streaming: file i holds the i-th doc_id range,
@@ -1061,8 +1320,6 @@ def _docs_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     landing zone) — at deploy time the source already exists and this
     helper disappears; determinism of stream_dedup_store's oracle rests
     on the in-order arrival it enforces (module-header contract)."""
-    import glob as _glob
-
     from ..sources.tables import src_stamp
 
     key = sf_dir.strip("/").replace("/", "_")
@@ -1072,6 +1329,9 @@ def _docs_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
+    # no marker = never built OR a crash mid-build left a partial dir;
+    # rebuild from clean so stale files can't mix with fresh ones
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
@@ -1080,21 +1340,104 @@ def _docs_stream_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     for i in range(n_files):
         lo = int(mn) + (span * i) // n_files
         hi = int(mn) + (span * (i + 1)) // n_files
-        tmpd = f"{out}_tmp{i}"
-        (
-            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmpd)
+        _write_single_file(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            os.path.join(out, f"f{i:02d}.parquet"),
+            base_mtime + i,
         )
-        part = _glob.glob(os.path.join(tmpd, "part-*.parquet"))[0]
-        dst = os.path.join(out, f"f{i:02d}.parquet")
-        shutil.move(part, dst)
-        os.utime(dst, (base_mtime + i, base_mtime + i))
-        shutil.rmtree(tmpd, ignore_errors=True)
     with open(marker, "w"):
         pass
     return out
+
+
+# stream_dedup_store's signature store: compact once the store exceeds
+# this many data files (4 micro-batches at any SF means compaction fires
+# on the last batch of the standard run, so the pass is exercised by the
+# gate, not only by tests). At 100 TB the store is Delta/Iceberg and this
+# is OPTIMIZE/rewrite_data_files on a schedule.
+_DEDUP_STORE_MAX_FILES = int(os.environ.get("IPS_DEDUP_STORE_MAX_FILES", "3"))
+
+
+def _dedup_store_committed(store: str) -> set[int]:
+    try:
+        with open(os.path.join(store, "_committed")) as fh:
+            return {int(line) for line in fh if line.strip()}
+    except FileNotFoundError:
+        return set()
+
+
+def _dedup_store_merge(
+    batch_df: DataFrame, batch_id: int, store: str,
+    max_files: int = _DEDUP_STORE_MAX_FILES,
+) -> None:
+    """One micro-batch of the persistent-store dedup (module-level so the
+    replay-idempotency and compaction contracts are directly testable).
+
+    Idempotency: a micro-batch appends its winners as ONE file and then
+    records its batch_id in the store's ``_committed`` log; a replayed
+    batch (task/trigger failure then retry) finds its id there and
+    no-ops, so retries cannot double-insert (the MERGE idempotency a
+    Delta store would give via txn versioning — ADVICE r11).
+
+    Compaction: past ``max_files`` data files the store is rewritten as
+    one file (winners are disjoint across batch files, so compaction is
+    a pure concat — read-all, write-one, then drop the inputs; the
+    transactional form at scale is Delta OPTIMIZE)."""
+    import glob as _glob
+
+    # finish a compaction that crashed between writing the compacted
+    # file and dropping its inputs (the intent log lists the inputs;
+    # without this, the store would double-count their rows forever)
+    pending = os.path.join(store, "_compact_pending")
+    if os.path.exists(pending):
+        with open(pending) as fh:
+            for line in fh:
+                if line.strip() and os.path.exists(line.strip()):
+                    os.remove(line.strip())
+        os.remove(pending)
+    if batch_id in _dedup_store_committed(store):
+        return  # replayed micro-batch: its winners are already committed
+    bspark = batch_df.sparkSession
+    winners = (
+        batch_df.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(
+                    F.substring(F.lower(F.trim("text")), 1, 40), "UTF-8"
+                )
+            ).alias("sig"),
+        )
+        .groupBy("sig")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    os.makedirs(store, exist_ok=True)
+    data_files = sorted(_glob.glob(os.path.join(store, "*.parquet")))
+    if data_files:
+        seen = bspark.read.parquet(*data_files).select("sig")
+        winners = winners.join(seen, "sig", "left_anti")
+    _write_single_file(
+        winners.select("doc_id", "sig"),
+        os.path.join(store, f"b{batch_id:06d}.parquet"),
+        1_700_000_000 + batch_id,
+    )
+    # the commit point: replay before this line recomputes (same result),
+    # replay after it no-ops
+    with open(os.path.join(store, "_committed"), "a") as fh:
+        fh.write(f"{batch_id}\n")
+    data_files = sorted(_glob.glob(os.path.join(store, "*.parquet")))
+    if len(data_files) > max_files:
+        compacted = bspark.read.parquet(*data_files).select("doc_id", "sig")
+        _write_single_file(
+            compacted,
+            os.path.join(store, f"c{batch_id:06d}.parquet"),
+            1_700_000_000 + batch_id,
+        )
+        with open(pending, "w") as fh:  # intent log: inputs now stale
+            fh.write("\n".join(data_files) + "\n")
+        for f in data_files:
+            os.remove(f)
+        os.remove(pending)
 
 
 @query(
@@ -1138,9 +1481,12 @@ def stream_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory; contrast stream_dedup, whose dropDuplicates state lives in
     the state store and needs a watermark to bound). Final result =
     the store contents; under in-order arrival first-arrival-wins ==
-    global min-doc_id-wins, which is the DuckDB oracle."""
-    from pyspark.sql.utils import AnalysisException
+    global min-doc_id-wins, which is the DuckDB oracle.
 
+    Batch replays are no-ops (the ``_committed`` log in
+    :func:`_dedup_store_merge`) and the store self-compacts past
+    ``_DEDUP_STORE_MAX_FILES`` data files, so an arbitrarily long stream
+    keeps a bounded file count (tests pin both)."""
     from ..sources.tables import src_stamp
 
     src = _docs_stream_dir(spark, sf_dir)
@@ -1153,26 +1499,7 @@ def stream_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(store, ignore_errors=True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bspark = batch_df.sparkSession
-        winners = (
-            batch_df.filter(F.col("text").isNotNull())
-            .select(
-                "doc_id",
-                F.md5(
-                    F.encode(
-                        F.substring(F.lower(F.trim("text")), 1, 40), "UTF-8"
-                    )
-                ).alias("sig"),
-            )
-            .groupBy("sig")
-            .agg(F.min("doc_id").alias("doc_id"))
-        )
-        try:
-            seen = bspark.read.parquet(store).select("sig")
-            winners = winners.join(seen, "sig", "left_anti")
-        except AnalysisException:
-            pass  # first batch: no store yet
-        winners.select("doc_id", "sig").write.mode("append").parquet(store)
+        _dedup_store_merge(batch_df, batch_id, store)
 
     schema = spark.read.parquet(src).schema
     stream = (

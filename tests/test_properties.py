@@ -9466,3 +9466,355 @@ def test_stream_dedup_store_antijoin_is_exercised(spark, sf_dir):
     g = sorted(map(tuple, got[["doc_id", "sig"]].itertuples(index=False)))
     w = sorted(map(tuple, want[["doc_id", "sig"]].itertuples(index=False)))
     assert g == w
+
+
+class _FakeTimerGroupState(_FakeGroupState):
+    """GroupState stand-in with the EventTimeTimeout surface
+    (_sessionize_timer_update's hasTimedOut / remove /
+    setTimeoutTimestamp contract)."""
+
+    def __init__(self, timed_out=False):
+        super().__init__()
+        self._timed_out = timed_out
+        self.timeout_ms = None
+        self.removed = False
+
+    @property
+    def hasTimedOut(self):
+        return self._timed_out
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = int(ms)
+
+
+def test_stream_sessionize_timer_update_emits_each_session_once():
+    """_sessionize_timer_update across micro-batches: every session is
+    emitted EXACTLY once (in-batch gap close, carried-merge failure, or
+    the timeout path), with the same totals as the single-pass reference
+    — the append-clean contract that distinguishes it from
+    _sessionize_update's snapshot-then-dedup."""
+    import numpy as np
+    import pandas as pd
+
+    from insight_patents_spark.streaming.queries import (
+        _SESSION_GAP_US,
+        _sessionize_timer_update,
+    )
+
+    rng = np.random.default_rng(13)
+    m = 1_000_000
+    gaps = [1 * m, 10 * m, 300 * m, 300 * m + 1, 60 * m, 301 * m, 2 * m,
+            1800 * m, 5 * m, 300 * m, 300 * m + 1_000_000]
+    ts = np.cumsum([1_700_000_000 * m] + gaps).astype(np.int64)
+    vals = np.round(rng.uniform(-5, 5, len(ts)), 6)
+    ev = np.arange(len(ts), dtype=np.int64)
+
+    def reference(ts, vals, ev):
+        order = np.lexsort((ev, ts))
+        t, v = ts[order], vals[order]
+        sessions, cur = [], None
+        for i in range(len(t)):
+            vm = int(np.round(v[i] * 1e6))
+            if cur is None or t[i] - cur[1] > _SESSION_GAP_US:
+                if cur is not None:
+                    sessions.append(cur)
+                cur = [int(t[i]), int(t[i]), 1, vm]
+            else:
+                cur[1] = int(t[i])
+                cur[2] += 1
+                cur[3] += vm
+        sessions.append(cur)
+        return {s[0]: (s[2], s[3] / 1e6) for s in sessions}
+
+    want = reference(ts, vals, ev)
+
+    state = _FakeTimerGroupState()
+    emitted = []
+    cuts = [0, 3, 4, 9, len(ts)]  # boundaries mid-session and at gaps
+    for a, b in zip(cuts, cuts[1:]):
+        idx = rng.permutation(np.arange(a, b))
+        pdf = pd.DataFrame(
+            {"user_id": 42, "event_id": ev[idx], "ts_us": ts[idx],
+             "value": vals[idx]}
+        )
+        emitted.extend(_sessionize_timer_update((42,), iter([pdf]), state))
+    # the stream-end flush: the timer fires for the still-open session
+    timed_out = _FakeTimerGroupState(timed_out=True)
+    timed_out.update(state.get)
+    emitted.extend(_sessionize_timer_update((42,), iter([]), timed_out))
+    assert timed_out.removed
+
+    all_rows = pd.concat(emitted, ignore_index=True)
+    # append-clean: one row per session, no dedup needed
+    assert all_rows["session_start_us"].is_unique
+    got = {
+        int(r.session_start_us): (int(r.n_events), float(r.session_value))
+        for r in all_rows.itertuples()
+    }
+    assert got == want
+
+    # the sentinel key drains without state, output, or timers
+    sent = _FakeTimerGroupState()
+    out = list(
+        _sessionize_timer_update(
+            (-1,), iter([pd.DataFrame({"ts_us": [0], "value": [0.0],
+                                       "event_id": [0], "user_id": [-1]})]),
+            sent,
+        )
+    )
+    assert out == [] and not sent.exists and sent.timeout_ms is None
+
+
+def test_events_stream_source_is_ts_ordered_with_sentinel_tail(spark):
+    """stream_sessionize_timer's determinism preconditions: the ordered
+    events copy replays in strictly ascending non-overlapping ts ranges
+    (watermark monotone under maxFilesPerTrigger=1), and the final two
+    micro-batches are single far-future sentinel rows that (1) push the
+    watermark past every possible idle deadline and (2) tick the timers
+    against it."""
+    import shutil
+
+    import insight_patents_spark.streaming.queries as sq
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = sq._events_stream_dir_ordered(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    seen: list[tuple[int, int, int, int]] = []
+
+    def record(bdf, bid):
+        r = bdf.agg(
+            F.expr("unix_micros(min(ts))"),
+            F.expr("unix_micros(max(ts))"),
+            F.count(F.lit(1)),
+            F.min("user_id"),
+        ).first()
+        if r[2]:
+            seen.append((int(r[0]), int(r[1]), int(r[2]), int(r[3])))
+
+    ckpt = os.path.join(sq._STREAM_TMP, "ckpt", "test_events_src_order")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) >= 6, f"expected >=6 micro-batches, got {len(seen)}"
+    for (lo_a, hi_a, _, _), (lo_b, hi_b, _, _) in zip(seen, seen[1:]):
+        assert hi_a < lo_b, f"batches out of ts order: {seen}"
+    data, tail = seen[:-2], seen[-2:]
+    assert all(u >= 0 for *_, u in data)
+    for _, _, n, u in tail:
+        assert n == 1 and u == sq._SENTINEL_USER
+    max_data_ts = max(hi for _, hi, _, _ in data)
+    assert tail[0][0] > max_data_ts + sq._SESSION_GAP_US
+
+
+def test_stream_sessionize_timer_flushes_idle_user_via_real_timer(
+    spark, tmp_path
+):
+    """Event-time timers must fire through Spark's OWN streaming runtime:
+    a user idle after file 0, a watermark pushed past their deadline by
+    OTHER users' events, NO sentinel tail — the idle user's session can
+    only reach the sink if GroupStateTimeout.EventTimeTimeout +
+    setTimeoutTimestamp + hasTimedOut actually work end-to-end. The
+    still-open final session must NOT appear (emit-at-close semantics)."""
+    import os as _os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import insight_patents_spark.streaming.queries as sq
+
+    m = 1_000_000
+    t0 = 1_700_000_000 * m
+    mins = 60 * m
+    files = [
+        # f0: user 1's only burst + user 2's first event
+        [(1, 0, t0, 1.5), (1, 1, t0 + 60 * m, 1.5), (1, 2, t0 + 120 * m, 1.5),
+         (2, 3, t0 + 100 * m, 2.0)],
+        # f1..f3: user 2 alone, 30 min apart -> each closes the previous
+        [(2, 4, t0 + 30 * mins, 2.0)],
+        [(2, 5, t0 + 60 * mins, 2.0)],
+        [(2, 6, t0 + 90 * mins, 2.0)],
+    ]
+    src = tmp_path / "timer_src"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts_us", "value"]
+        )
+        p = src / f"f{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total_micros", T.LongType()),
+        ]
+    )
+    s = (
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "0 seconds")
+    )
+    result = s.groupBy("user_id").applyInPandasWithState(
+        sq._sessionize_timer_update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    ckpt = tmp_path / "ckpt"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName("timer_sess_it")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    assert n_batches >= len(files)
+
+    got = sorted(
+        (int(r.user_id), int(r.session_start_us), int(r.n_events),
+         float(r.session_value))
+        for r in spark.table("timer_sess_it").collect()
+    )
+    assert got == [
+        (1, t0, 3, 4.5),                 # flushed ONLY by the timer
+        (2, t0 + 100 * m, 1, 2.0),       # carried-merge failure at f1
+        (2, t0 + 30 * mins, 1, 2.0),     # carried-merge failure at f2
+        (2, t0 + 60 * mins, 1, 2.0),     # carried-merge failure at f3
+        # (2, t0 + 90*mins) is still OPEN: emit-at-close means absent
+    ]
+
+
+def test_dedup_store_merge_replay_idempotent_and_bounded_files(
+    spark, tmp_path, duck, sf_dir
+):
+    """stream_dedup_store's store contract across MANY micro-batches:
+    (1) a replayed batch_id is a committed no-op (no double-insert on
+    trigger retry); (2) compaction keeps the file count bounded at any
+    stream length; (3) the final contents equal the batch MIN(doc_id)
+    oracle regardless of compaction/replay interleaving."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import _dedup_store_merge
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = int(mx) - int(mn) + 1
+    n_batches, max_files = 8, 3
+    store = str(tmp_path / "store")
+
+    def files():
+        return sorted(glob.glob(os.path.join(store, "*.parquet")))
+
+    def store_rows():
+        return sorted(
+            map(tuple, spark.read.parquet(store).collect())
+        )
+
+    for i in range(n_batches):
+        lo = int(mn) + (span * i) // n_batches
+        hi = int(mn) + (span * (i + 1)) // n_batches
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        _dedup_store_merge(batch, i, store, max_files=max_files)
+        assert len(files()) <= max_files + 1, (
+            f"store grew past the compaction bound after batch {i}"
+        )
+        if i == 4:  # trigger-retry replay mid-stream: must be a no-op
+            before_files, before_rows = files(), store_rows()
+            _dedup_store_merge(batch, i, store, max_files=max_files)
+            assert files() == before_files
+            assert store_rows() == before_rows
+    # replay of a batch whose file was since COMPACTED AWAY still no-ops
+    first = docs.filter(F.col("doc_id") < int(mn) + span // n_batches)
+    before_rows = store_rows()
+    _dedup_store_merge(first, 0, store, max_files=max_files)
+    assert store_rows() == before_rows
+
+    want = duck.execute(
+        """
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               md5(substr(lower(trim(text)), 1, 40)) AS sig
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY md5(substr(lower(trim(text)), 1, 40))
+        """
+    ).df()
+    got = spark.read.parquet(store).toPandas()
+    assert sorted(map(tuple, got[["doc_id", "sig"]].itertuples(index=False))) \
+        == sorted(map(tuple, want[["doc_id", "sig"]].itertuples(index=False)))
+
+
+def test_dedup_store_compaction_crash_recovery(spark, tmp_path, sf_dir):
+    """A crash between writing the compacted file and dropping its
+    inputs leaves the intent log + stale inputs; the next merge must
+    finish the deletion BEFORE reading the store, or every stale row is
+    double-counted forever."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import _dedup_store_merge
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(mn) + int(mx)) // 2
+    store = str(tmp_path / "store")
+    _dedup_store_merge(docs.filter(F.col("doc_id") <= mid), 0, store)
+    n_clean = spark.read.parquet(store).count()
+    # simulate the crash window: a stale pre-compaction input survives
+    # alongside the compacted data, listed in the intent log
+    data_file = sorted(glob.glob(os.path.join(store, "*.parquet")))[0]
+    stale = os.path.join(store, "b999990.parquet")
+    shutil.copy(data_file, stale)
+    with open(os.path.join(store, "_compact_pending"), "w") as fh:
+        fh.write(stale + "\n")
+    _dedup_store_merge(docs.filter(F.col("doc_id") > mid), 1, store)
+    assert not os.path.exists(stale)
+    assert not os.path.exists(os.path.join(store, "_compact_pending"))
+    # no double-counted rows: winners are unique per signature
+    got = spark.read.parquet(store).toPandas()
+    assert got["sig"].is_unique
+    assert len(got) >= n_clean

@@ -52,16 +52,42 @@ def test_release_protects_shared_cache_and_consumers(spark, sf_dir):
 
 
 def test_release_leaves_sql_cache_alone(spark):
+    pre = _persistent_ids(spark)
     df = spark.range(512).withColumn("y", F.col("id") % 7).persist()
     df.count()
-    before = _persistent_ids(spark)
+    cached_ids = _persistent_ids(spark) - pre
+    assert cached_ids, "persist()+count should register a persistent RDD"
     released = runtime.release_ephemeral(spark)
     # persist()-based blocks are recomputable; the hook must not touch
-    # them (vec_ann_lsh's bucket/shortlist cache contract).
-    assert _persistent_ids(spark) == before - set(released)
-    assert set(released).isdisjoint(before - set(released) | {-1})
+    # them (vec_ann_lsh's bucket/shortlist cache contract): the cached
+    # RDD is neither in the released list nor gone from the registry.
+    assert cached_ids.isdisjoint(released)
+    assert cached_ids <= _persistent_ids(spark)
     assert df.count() == 512
     df.unpersist()
+
+
+def test_release_fails_closed_on_plan_scan_error(spark):
+    # An unscannable shared-cache value means the protected set is
+    # unknown — the hook must release NOTHING that cycle rather than
+    # risk destroying the cache's live checkpoints (ADVICE r11).
+    cp = spark.range(256).localCheckpoint()
+    cp_id = int(
+        cp._jdf.queryExecution().analyzed().collectLeaves().apply(0).rdd().id()
+    )
+    # extract yields a non-DataFrame whose plan scan raises
+    poison = {"bad": object()}
+    runtime.register_shared_cache(poison, extract=lambda v: (v,))
+    try:
+        released = runtime.release_ephemeral(spark)
+        assert released == []
+        assert cp_id in _persistent_ids(spark)
+    finally:
+        runtime._SHARED_CACHES[:] = [
+            (c, e) for c, e in runtime._SHARED_CACHES if c is not poison
+        ]
+    # with the poison gone the same checkpoint is released normally
+    assert cp_id in runtime.release_ephemeral(spark)
 
 
 def test_ephemeral_checkpoints_do_not_accumulate(spark, sf_dir):
