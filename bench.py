@@ -96,10 +96,14 @@ def main() -> None:
     # after each query's sink commits, unpersist its ephemeral
     # localCheckpoints (shared caches protected via the runtime registry)
     # and periodically nudge the JVM GC so ContextCleaner reclaims
-    # finished broadcasts. Both run OUTSIDE the timed window so per-query
-    # numbers stay comparable with r1-r10 maps; what changes is that
-    # query N no longer runs under the pinned storage of queries 1..N-1.
-    # Bisect knobs (attribution experiments only; both default ON):
+    # finished broadcasts. Both run OUTSIDE the timed window, but they
+    # change the steady-state storage/GC conditions EVERY query runs
+    # under — so r11+ maps are a NEW BASELINE, not directly comparable
+    # with r1-r10 maps except one-sidedly (r11+ rows can only be equal
+    # or faster for the same plan; ADVICE r11). Cross-round deltas
+    # should compare r11+ against r11+; to reproduce the old conditions
+    # set IPS_BENCH_RELEASE=0. Bisect knobs (attribution experiments
+    # only; both default ON):
     _GC_EVERY = int(os.environ.get("IPS_BENCH_GC_EVERY", "25"))  # 0 = off
     _RELEASE = os.environ.get("IPS_BENCH_RELEASE", "1") != "0"
     for i, name in enumerate(names):

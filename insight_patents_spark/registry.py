@@ -127,47 +127,42 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # --- the r11 gate (steady-state rotation, r8 verdict #7 policy) ---
-    # (b) stale/FAIL records first: the four whose LATEST driver row is
-    # still the round-1 FAIL (they pass today — re-verified by the r9
-    # AND r10 judges' vanilla runs; this flips the external ledger):
-    "scan_xml", "join_interval", "agg_approx_distinct", "agg_collect",
-    # (c) random refresh from the least-recently-checked tail — the
-    # remaining r1-era records (oldest in the ledger):
-    "agg_bool", "agg_count_distinct", "agg_cube", "agg_filtered",
-    "agg_global", "agg_grouping_sets", "agg_histogram",
-    "agg_multi_distinct", "agg_stats", "agg_unpivot", "join_cross",
-    "join_self_2hop", "sample_stratified", "scan_json", "sink_csv",
-    "sink_orc",
-    # ...topped up from the r4-era tail (next-oldest records):
-    "scan_parquet", "scan_csv", "join_inner_equi", "join_broadcast",
-    "join_semi", "agg_rollup", "funnel_stages", "dedup_exact",
+    # --- the r12 gate (steady-state rotation, r8 verdict #7 policy) ---
+    # (b) stale/FAIL first: NONE — after CORRECTNESS_r11 every query's
+    # latest driver record is green (r11 verdict confirms the union).
+    # (c) refresh from the least-recently-checked tail: the full r4-era
+    # cohort (39 queries whose newest driver record is round 4,
+    # recomputed this round from the CORRECTNESS_r01-r11 union):
+    "agg_groupby", "agg_percentile", "agg_pivot", "agg_sketch_cms",
+    "case_when", "cast_null_fns", "dedup_minhash", "filter_pred",
+    "filter_regex", "graph_build", "join_anti", "join_asof",
+    "join_bucketed", "join_dpp", "join_full_outer", "join_left_outer",
+    "join_skew_salted", "join_theta_range", "mm_struct",
+    "project_compute", "scan_binary_files", "scan_json_permissive",
+    "scan_python_datasource", "scan_text_parse", "sink_compaction",
+    "sink_parquet", "sql_exists_correlated", "sql_lateral_topk",
+    "sql_scalar_subquery", "stream_stateful_custom", "stream_tumbling",
+    "text_doc_pack", "text_tfidf", "time_rollup_hier", "topk_per_group",
+    "udtf_apply_in_pandas", "vec_cosine_topk", "win_rank",
+    "win_sessionize",
+    # ...topped up from the r5-era tail (next-oldest records):
+    "agg_dau_mau", "agg_gini", "agg_heavy_hitters", "agg_minmax_by",
+    "agg_mode", "agg_quantile_sketch", "agg_rfm_segments",
+    "agg_weighted_median",
     # (a) changed/new code LAST so it runs the gate on a warm session
-    # (the r6 rule). First the new-in-r10 set whose only records are the
-    # r10 judge's vanilla run (never driver-checked):
-    "dedup_minhash_icws", "vec_ann_nsw", "vec_ann_lsh_cp",
-    "stream_sessionize_state", "seq_gsp_triples",
-    # then the r10-changed set the r10 gate couldn't include:
-    "ml_lr_inference", "ml_confusion_matrix", "ml_calibration_bins",
-    "ml_ece", "ml_group_parity", "ml_brier_decomp", "ml_shap_linear",
-    "ml_fairness_eo", "mm_phash_dedup", "vec_ann_lsh_multi",
-    "ml_woe_iv", "sample_coreset",
-    # then changed-in-r11: graph_cc (_cc_loop grew max_rounds/tag —
-    # behavior-neutral defaults), graph_louvain_move (generated oracle
-    # unroll + loud convergence guard), mm_crossmodal_topk (NULL-text
-    # filter both sides):
-    "graph_cc", "graph_louvain_move", "mm_crossmodal_topk",
-    # and NEW in r11, last of all: the foreachBatch persistent-store
-    # dedup and the grouped Arrow exhibit:
-    "stream_dedup_store", "udtf_apply_in_arrow",
+    # (the r6 rule). Changed-in-r12: vec_ann_nsw (IVF-seeded index build
+    # — engine AND oracle graphs changed together), stream_dedup_store
+    # (committed-batch replay idempotency + store compaction —
+    # result-neutral, store mechanics changed); NEW in r12:
+    # stream_sessionize_timer (event-time-timer idle-session flush):
+    "vec_ann_nsw", "stream_dedup_store", "stream_sessionize_timer",
 )
 
-# The r10 gate's 50-name prefix and the r10 _POST_PREFIX_HEAD were
-# retired with the r11 rotation above (git history has both lists;
-# CORRECTNESS_r10.json is 50/50 green on the prefix). _POST_PREFIX_HEAD
-# is empty this round because every changed/new-in-r11 query sits INSIDE
-# the r11 prefix (placed last, warm-session rule) — the r12 rotation
-# rebuilds both from that round's change set.
+# The r11 gate's 50-name prefix was retired with the r12 rotation above
+# (git history has the list; CORRECTNESS_r11.json is 50/50 green on it).
+# _POST_PREFIX_HEAD is empty this round because every changed/new-in-r12
+# query sits INSIDE the r12 prefix (placed last, warm-session rule) —
+# the r13 rotation rebuilds both from that round's change set.
 _POST_PREFIX_HEAD: tuple[str, ...] = ()
 
 

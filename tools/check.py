@@ -127,6 +127,10 @@ SF01_GUARDS = (
     # whose store merge/anti-join occupancy only gets interesting at the
     # 5k-doc/4.8k-signature bench corpus
     "stream_dedup_store",
+    # new in r12: the timer sessionizer's watermark advance, timer-flush
+    # cohort sizes, and sentinel punctuation run over 10x the events and
+    # 6 real micro-batches at bench scale
+    "stream_sessionize_timer",
 )
 
 
