@@ -584,7 +584,7 @@ _NSW_K = 16  # kNN out-degree of the navigable graph
 _NSW_HOPS = 5  # fixed beam-descent unroll (SQL-replayable, like dup_cc)
 _NSW_BEAM = 8  # frontier width (ef in HNSW terms)
 _NSW_QMOD = 25  # queries = every 25th vector (vec_id % 25 == 7)
-_NSW_SEED_MOD = 25  # every 50th vector seeds a coarse cell (IVF n_list)
+_NSW_SEED_MOD = 25  # every 25th vector seeds a coarse cell (IVF n_list)
 _NSW_BUILD_PROBES = 3  # cells each node draws kNN candidates from
 
 
@@ -764,9 +764,9 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11 all-pairs n² fold is gone): coarse-quantize every node against
     the broadcast seed set (vec_ann_ivf's assignment — N × n_list dots),
     then exact kNN only among candidates sharing a probed cell (each
-    node draws from its _NSW_BUILD_PROBES=2 nearest cells; candidates
+    node draws from its _NSW_BUILD_PROBES=3 nearest cells; candidates
     are the nodes ASSIGNED there, so build cost is N × probes ×
-    occupancy dots — never N²; the rank-2 probe IS the cross-cell
+    occupancy dots — never N²; the rank-3 probe IS the cross-cell
     stitching that keeps the graph navigable between cells). At 10⁹
     vectors: seeds stay broadcast-sized (n_list ~ √N), the probe→assign
     join shuffles on cell_id with bounded fan-out, NN-descent refinement

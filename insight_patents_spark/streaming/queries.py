@@ -1434,15 +1434,26 @@ def _dedup_store_merge(
     transactional form at scale is Delta OPTIMIZE)."""
     import glob as _glob
 
-    # finish a compaction that crashed between writing the compacted
-    # file and dropping its inputs (the intent log lists the inputs;
-    # without this, the store would double-count their rows forever)
+    # recover a compaction that crashed mid-flight. The intent log is
+    # written BEFORE the compacted file (first line = target, rest =
+    # inputs) so every crash window is decidable by target existence:
+    # target present (its _write_single_file rename is atomic) ⇒ the
+    # compaction committed, finish dropping its inputs; target absent ⇒
+    # the compaction never landed, abort it (inputs are intact) and
+    # clear any partial tmp dir. Without this ordering, a crash between
+    # writing the compacted file and the log would leave the compacted
+    # rows AND all their inputs with no record — double-counted forever.
     pending = os.path.join(store, "_compact_pending")
     if os.path.exists(pending):
         with open(pending) as fh:
-            for line in fh:
-                if line.strip() and os.path.exists(line.strip()):
-                    os.remove(line.strip())
+            lines = [ln.strip() for ln in fh if ln.strip()]
+        target, inputs = lines[0], lines[1:]
+        if os.path.exists(target):
+            for f in inputs:
+                if f != target and os.path.exists(f):
+                    os.remove(f)
+        else:
+            shutil.rmtree(f"{target}_tmp", ignore_errors=True)
         os.remove(pending)
     if batch_id in _dedup_store_committed(store):
         return  # replayed micro-batch: its winners are already committed
@@ -1461,29 +1472,35 @@ def _dedup_store_merge(
         .agg(F.min("doc_id").alias("doc_id"))
     )
     os.makedirs(store, exist_ok=True)
-    data_files = sorted(_glob.glob(os.path.join(store, "*.parquet")))
+    own = os.path.join(store, f"b{batch_id:06d}.parquet")
+    # exclude this batch's OWN file from `seen`: a crash after the
+    # winners file landed but before the _committed append leaves it
+    # orphaned, and a replay that anti-joined against it would empty the
+    # winners and overwrite the file with nothing — losing those
+    # signatures forever. Skipping it makes the replay recompute the
+    # identical winners (the overwrite is then a byte-identical no-op).
+    data_files = sorted(
+        f for f in _glob.glob(os.path.join(store, "*.parquet")) if f != own
+    )
     if data_files:
         seen = bspark.read.parquet(*data_files).select("sig")
         winners = winners.join(seen, "sig", "left_anti")
-    _write_single_file(
-        winners.select("doc_id", "sig"),
-        os.path.join(store, f"b{batch_id:06d}.parquet"),
-        1_700_000_000 + batch_id,
-    )
-    # the commit point: replay before this line recomputes (same result),
-    # replay after it no-ops
+    _write_single_file(winners.select("doc_id", "sig"), own,
+                       1_700_000_000 + batch_id)
+    # the commit point: replay before this line recomputes (same result,
+    # including the orphaned-own-file window above), replay after it
+    # no-ops
     with open(os.path.join(store, "_committed"), "a") as fh:
         fh.write(f"{batch_id}\n")
     data_files = sorted(_glob.glob(os.path.join(store, "*.parquet")))
     if len(data_files) > max_files:
+        target = os.path.join(store, f"c{batch_id:06d}.parquet")
+        # intent log BEFORE the compacted file: target first, then the
+        # inputs it replaces (see the recovery contract above)
+        with open(pending, "w") as fh:
+            fh.write(target + "\n" + "\n".join(data_files) + "\n")
         compacted = bspark.read.parquet(*data_files).select("doc_id", "sig")
-        _write_single_file(
-            compacted,
-            os.path.join(store, f"c{batch_id:06d}.parquet"),
-            1_700_000_000 + batch_id,
-        )
-        with open(pending, "w") as fh:  # intent log: inputs now stale
-            fh.write("\n".join(data_files) + "\n")
+        _write_single_file(compacted, target, 1_700_000_000 + batch_id)
         for f in data_files:
             os.remove(f)
         os.remove(pending)

@@ -9804,17 +9804,100 @@ def test_dedup_store_compaction_crash_recovery(spark, tmp_path, sf_dir):
     store = str(tmp_path / "store")
     _dedup_store_merge(docs.filter(F.col("doc_id") <= mid), 0, store)
     n_clean = spark.read.parquet(store).count()
-    # simulate the crash window: a stale pre-compaction input survives
-    # alongside the compacted data, listed in the intent log
+    # simulate the crash window: the compacted target landed (atomic
+    # rename) but a stale pre-compaction input survives, both recorded
+    # in the intent log (target first, then inputs)
     data_file = sorted(glob.glob(os.path.join(store, "*.parquet")))[0]
     stale = os.path.join(store, "b999990.parquet")
     shutil.copy(data_file, stale)
+    target = os.path.join(store, "c999990.parquet")
+    shutil.copy(data_file, target)
     with open(os.path.join(store, "_compact_pending"), "w") as fh:
-        fh.write(stale + "\n")
+        fh.write(target + "\n" + data_file + "\n" + stale + "\n")
     _dedup_store_merge(docs.filter(F.col("doc_id") > mid), 1, store)
     assert not os.path.exists(stale)
+    assert not os.path.exists(data_file)
+    assert os.path.exists(target)
     assert not os.path.exists(os.path.join(store, "_compact_pending"))
     # no double-counted rows: winners are unique per signature
     got = spark.read.parquet(store).toPandas()
     assert got["sig"].is_unique
     assert len(got) >= n_clean
+
+
+def test_dedup_store_compaction_crash_before_target_aborts(
+    spark, tmp_path, sf_dir
+):
+    """The OTHER compaction crash window: the intent log exists but the
+    compacted target never landed (crash during the Spark write). The
+    inputs are still the only copy of those rows, so recovery must ABORT
+    the compaction — keep every input, clear the log and any partial tmp
+    dir — instead of deleting inputs against a target that isn't there."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import _dedup_store_merge
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(mn) + int(mx)) // 2
+    store = str(tmp_path / "store")
+    _dedup_store_merge(docs.filter(F.col("doc_id") <= mid), 0, store)
+    inputs = sorted(glob.glob(os.path.join(store, "*.parquet")))
+    rows_before = sorted(map(tuple, spark.read.parquet(store).collect()))
+    target = os.path.join(store, "c999991.parquet")
+    os.makedirs(f"{target}_tmp", exist_ok=True)  # partial Spark write
+    with open(os.path.join(store, "_compact_pending"), "w") as fh:
+        fh.write(target + "\n" + "\n".join(inputs) + "\n")
+    _dedup_store_merge(docs.filter(F.col("doc_id") > mid), 1, store)
+    for f in inputs:
+        assert os.path.exists(f), f"aborted compaction deleted input {f}"
+    assert not os.path.exists(f"{target}_tmp")
+    assert not os.path.exists(os.path.join(store, "_compact_pending"))
+    got = spark.read.parquet(store).toPandas()
+    assert got["sig"].is_unique
+    assert sorted(
+        map(tuple, got[got.doc_id <= mid][["doc_id", "sig"]]
+            .itertuples(index=False))
+    ) == [r for r in rows_before]
+
+
+def test_dedup_store_replay_of_uncommitted_batch_recomputes(
+    spark, tmp_path, sf_dir
+):
+    """Crash window between the winners-file write and the _committed
+    append: the replayed batch must NOT anti-join against its own
+    orphaned file (that would empty the winners and overwrite the file
+    with nothing, losing the signatures forever). The replay recomputes
+    the identical winners and the store converges."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from insight_patents_spark.sources.tables import load
+    from insight_patents_spark.streaming.queries import _dedup_store_merge
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(mn) + int(mx)) // 2
+    store = str(tmp_path / "store")
+    first = docs.filter(F.col("doc_id") <= mid)
+    _dedup_store_merge(first, 0, store)
+    rows_committed = sorted(
+        map(tuple, spark.read.parquet(store).collect())
+    )
+    # simulate the crash: batch 1's winners file landed but its id never
+    # reached _committed — strip the commit record and replay
+    second = docs.filter(F.col("doc_id") > mid)
+    _dedup_store_merge(second, 1, store)
+    rows_full = sorted(map(tuple, spark.read.parquet(store).collect()))
+    with open(os.path.join(store, "_committed"), "w") as fh:
+        fh.write("0\n")  # batch 1's record lost in the crash
+    _dedup_store_merge(second, 1, store)  # the replay
+    assert sorted(
+        map(tuple, spark.read.parquet(store).collect())
+    ) == rows_full, "replay of an uncommitted batch lost its winners"
+    assert rows_full != rows_committed  # batch 1 really contributed rows
