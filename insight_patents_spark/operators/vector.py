@@ -269,35 +269,92 @@ def vec_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embed_cosine",
+    # Candidate pairs are scoped by the same deterministic IVF coarse
+    # quantizer dedup_semantic uses (every-50th-vector seeds, rank-1
+    # assignment at the rounded-9 + cell_id tiebreak contract); within a
+    # cell, same-label pairs at cosine >= 0.3 are emitted. The oracle
+    # mirrors the engine's cell assignment exactly.
     oracle="""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+    ranked AS (
+      SELECT e.vec_id, e.label, e.v, s.cell_id,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY ROUND(list_dot_product(e.v, s.cv), 9) DESC,
+                                         s.cell_id) AS rr
+      FROM e CROSS JOIN seeds s
+    ),
+    assign AS (SELECT vec_id, label, v, cell_id FROM ranked WHERE rr = 1)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
            list_dot_product(a.v, b.v) AS cosine
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM assign a JOIN assign b
+      ON a.cell_id = b.cell_id AND a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.v, b.v) >= 0.3
     """,
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within label blocks at
-    threshold 0.3 (calibrated to this corpus: random unit vectors, p99
-    intra-label cosine ≈ 0.3 — the semantics generalize to any
-    threshold)."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").alias("v")
+    """Embedding-cosine near-duplicate pairs at threshold 0.3,
+    candidate-scoped by the IVF coarse quantizer (the r12 verdict's one
+    scale fix): pairs are only scored when both members are ASSIGNED to
+    the same coarse cell AND share a label, so the pairwise stage is
+    O(cell occupancy²) per cell — never label-block quadratic. A label
+    block has FIXED cardinality (~10 here), so blocking on it alone
+    leaves N²/|labels| pair work at 100 TB; the cell count grows with N
+    (n_list ~ N/50 under the deterministic seed rule, ~sqrt(N) with a
+    trained quantizer), so occupancy — and with it the per-cell pair
+    work — stays bounded as the corpus grows (SemDeDup's scaling
+    argument, same as dedup_semantic).
+
+    Plan: broadcast seed set → N × n_list narrow assignment scoring
+    (the one BroadcastNestedLoopJoin, against the filtered seed side),
+    localCheckpoint the assignment, then ONE shuffle on cell_id for the
+    equi-join pair stage. Threshold 0.3 is calibrated to this corpus
+    (random unit vectors, p99 intra-label cosine ≈ 0.3); semantics
+    generalize to any threshold. Near-dup pairs straddling a cell
+    boundary are not candidates — the documented IVF recall trade
+    (SCALE.md §4); rank-2 probing (the NSW build's cross-cell stitch)
+    is the recall knob if a deployment needs it."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", F.col("embedding").alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    # Same plan shape as vec_cosine_topk: fan the probe side out of its
-    # single input split, broadcast the build side (no shuffle, no
-    # 10-key-join skew).
-    a = e.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    seeds = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("v").alias("vb")
+    ranked = (
+        e.crossJoin(F.broadcast(seeds))
+        .withColumn("cent_cos", F.round(_dot("v", "cv"), 9))
+        .withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cent_cos").desc(), F.col("cell_id")
+                )
+            ),
+        )
+    )
+    assign = (
+        ranked.filter(F.col("rr") == 1)
+        .select("vec_id", "label", "cell_id", "v")
+        .localCheckpoint()  # feeds both sides of the pair join
+    )
+    a = assign.select(
+        F.col("vec_id").alias("vec_a"), "label", "cell_id",
+        F.col("v").alias("va"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("cell_id").alias("cell_b"),
+        F.col("v").alias("vb"),
     )
     return (
         a.join(
-            F.broadcast(b),
-            (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+            b,
+            (F.col("cell_id") == F.col("cell_b"))
+            & (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
         )
         .withColumn("cosine", _dot("va", "vb"))
         .filter(F.col("cosine") >= 0.3)

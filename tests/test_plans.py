@@ -1933,3 +1933,24 @@ def test_vec_ann_nsw_build_is_ivf_seeded_no_all_pairs(spark, sf_dir):
     assert "CartesianProduct" not in assign_plan
     assert assign_plan.count("BroadcastNestedLoopJoin") >= 1
     assert f"% {_NSW_SEED_MOD})" in assign_plan  # broadcast side = seeds
+
+
+def test_dedup_embed_cosine_is_cell_scoped_no_label_block_all_pairs(
+    spark, sf_dir
+):
+    # The r13 scale fix (VERDICT r12 #1): dedup_embed_cosine's pair
+    # stage must be candidate-scoped by the IVF cell assignment, not a
+    # label-block all-pairs broadcast (labels have FIXED cardinality, so
+    # blocking on them alone is corpus-quadratic at 100 TB). The
+    # returned plan reads the checkpointed assignment; its only join is
+    # the cell_id EQUI join — no cartesian, no nested-loop join, and the
+    # join keys include cell_id, not label alone.
+    from insight_patents_spark.operators.vector import dedup_embed_cosine
+
+    plan = formatted_plan(dedup_embed_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0, (
+        "pair candidates must come from the cell_id equi join; the seed "
+        "assignment BNLJ runs eagerly at checkpoint build time"
+    )
+    assert "cell_id" in plan and "cell_b" in plan  # cell-scoped join keys

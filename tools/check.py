@@ -131,6 +131,11 @@ SF01_GUARDS = (
     # cohort sizes, and sentinel punctuation run over 10x the events and
     # 6 real micro-batches at bench scale
     "stream_sessionize_timer",
+    # new in r13 (VERDICT r12 #8): vec_ann_ivf's probe fan-out and cell
+    # occupancy (a standing >5 s bench row) was not yet guard-swept; and
+    # the reworked cell-scoped dedup_embed_cosine's candidate occupancy
+    # only gets interesting at bench-scale cell population
+    "vec_ann_ivf", "dedup_embed_cosine",
 )
 
 
