@@ -1954,3 +1954,51 @@ def test_dedup_embed_cosine_is_cell_scoped_no_label_block_all_pairs(
         "assignment BNLJ runs eagerly at checkpoint build time"
     )
     assert "cell_id" in plan and "cell_b" in plan  # cell-scoped join keys
+
+
+def test_vec_ann_nsw_hop_join_reads_bucketed_index_no_full_broadcast(
+    spark, sf_dir
+):
+    # The r13 read-path fix (VERDICT r12 #2): a search hop must join the
+    # frontier into the BUCKETED index tables — no full-index
+    # BroadcastExchange (broadcasting nodes/edges caps the index at
+    # executor memory). The only broadcast allowed in a hop is the
+    # bounded per-batch query set; both index joins are sort-merge into
+    # the bucketed layout, and the bucketed sides scan with NO Exchange.
+    from insight_patents_spark.operators.vector import (
+        _NSW_QMOD,
+        _nsw_hop,
+        vec_ann_nsw,
+    )
+    from insight_patents_spark.sources.tables import load, src_stamp
+
+    vec_ann_nsw(spark, sf_dir)  # ensures the index tables exist
+    k = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    stamp = src_stamp(sf_dir, "embeddings")
+    edges = spark.table(f"ips_nsw_{k}_edges_{stamp}")
+    nodesb = spark.table(f"ips_nsw_{k}_nodes_{stamp}")
+    nodes = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").alias("v"))
+        .localCheckpoint()
+    )
+    queries = (
+        nodes.filter(F.col("vec_id") % _NSW_QMOD == 7)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .localCheckpoint()
+    )
+    cur = queries.select(
+        "query_id", F.col("query_id").alias("cur_id"),
+        F.lit(0.0).alias("sim"),
+    )
+    plan = formatted_plan(_nsw_hop(cur, edges, nodesb, queries))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") >= 2, plan  # both index joins
+    # formatted explain prints every node twice (tree + detail section),
+    # so ONE BroadcastExchange — the bounded query batch — counts as 2
+    assert plan.count("BroadcastExchange") <= 2, (
+        "only the bounded query batch may broadcast in a hop; the index "
+        "tables must be read through their bucketed layout"
+    )
+    assert plan.count("Bucketed: true") >= 2, plan  # index scans in place
