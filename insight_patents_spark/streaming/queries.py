@@ -1064,7 +1064,7 @@ _SENTINEL_USER = -1  # watermark punctuation rows; never sessionized
 
 
 def _events_stream_dir_ordered(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession, sf_dir: str, n_files: int = 2
 ) -> str:
     """IN-ORDER ts-range-split copy of events for the timer sessionizer:
     file i holds the i-th event-time range with ascending mtimes, so the
@@ -1075,7 +1075,16 @@ def _events_stream_dir_ordered(
     every possible open-session timeout, the second triggers the batch
     in which those timers fire — Spark evaluates event-time timers
     against the watermark computed at the END of the PREVIOUS batch, so
-    one sentinel alone would advance the clock without ever ticking it."""
+    one sentinel alone would advance the clock without ever ticking it.
+
+    n_files=2 data batches (4 micro-batches with the sentinel tail —
+    VERDICT r12 #3): the query's cost is |active users| x batches
+    Python group-state protocol exchanges, so batch count is the lever;
+    2 in-order ranges still exercise every session path (in-batch gap
+    closes, carried-merge across the file boundary, timer flush via the
+    sentinel pair) — the timer-fire semantics need the TWO sentinels,
+    not a particular data-batch count. A real deployment's trigger
+    cadence is a latency/cost knob in exactly this way."""
     from ..sources.tables import src_stamp
 
     import glob as _glob

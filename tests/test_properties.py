@@ -9608,7 +9608,7 @@ def test_events_stream_source_is_ts_ordered_with_sentinel_tail(spark):
         .start()
     )
     q.awaitTermination()
-    assert len(seen) >= 6, f"expected >=6 micro-batches, got {len(seen)}"
+    assert len(seen) >= 4, f"expected >=4 micro-batches, got {len(seen)}"
     for (lo_a, hi_a, _, _), (lo_b, hi_b, _, _) in zip(seen, seen[1:]):
         assert hi_a < lo_b, f"batches out of ts order: {seen}"
     data, tail = seen[:-2], seen[-2:]
