@@ -127,42 +127,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Everything else keeps registration order after the prefix. A name here
 # that is not registered is a bug (asserted in load_all).
 _SHOWCASE_50 = (
-    # --- the r12 gate (steady-state rotation, r8 verdict #7 policy) ---
-    # (b) stale/FAIL first: NONE — after CORRECTNESS_r11 every query's
-    # latest driver record is green (r11 verdict confirms the union).
-    # (c) refresh from the least-recently-checked tail: the full r4-era
-    # cohort (39 queries whose newest driver record is round 4,
-    # recomputed this round from the CORRECTNESS_r01-r11 union):
-    "agg_groupby", "agg_percentile", "agg_pivot", "agg_sketch_cms",
-    "case_when", "cast_null_fns", "dedup_minhash", "filter_pred",
-    "filter_regex", "graph_build", "join_anti", "join_asof",
-    "join_bucketed", "join_dpp", "join_full_outer", "join_left_outer",
-    "join_skew_salted", "join_theta_range", "mm_struct",
-    "project_compute", "scan_binary_files", "scan_json_permissive",
-    "scan_python_datasource", "scan_text_parse", "sink_compaction",
-    "sink_parquet", "sql_exists_correlated", "sql_lateral_topk",
-    "sql_scalar_subquery", "stream_stateful_custom", "stream_tumbling",
-    "text_doc_pack", "text_tfidf", "time_rollup_hier", "topk_per_group",
-    "udtf_apply_in_pandas", "vec_cosine_topk", "win_rank",
-    "win_sessionize",
-    # ...topped up from the r5-era tail (next-oldest records):
-    "agg_dau_mau", "agg_gini", "agg_heavy_hitters", "agg_minmax_by",
-    "agg_mode", "agg_quantile_sketch", "agg_rfm_segments",
-    "agg_weighted_median",
-    # (a) changed/new code LAST so it runs the gate on a warm session
-    # (the r6 rule). Changed-in-r12: vec_ann_nsw (IVF-seeded index build
-    # — engine AND oracle graphs changed together), stream_dedup_store
-    # (committed-batch replay idempotency + store compaction —
-    # result-neutral, store mechanics changed); NEW in r12:
-    # stream_sessionize_timer (event-time-timer idle-session flush):
-    "vec_ann_nsw", "stream_dedup_store", "stream_sessionize_timer",
+    # --- the r13 gate (steady-state rotation, r8 verdict #7 policy) ---
+    # (b) stale/FAIL first: NONE — after CORRECTNESS_r12 every query's
+    # latest driver record is green (r12 verdict confirms the union).
+    # (c) refresh from the least-recently-checked tail: the full r5-era
+    # cohort (40 queries whose newest driver record is round 5,
+    # recomputed this round from the CORRECTNESS_r01-r12 union):
+    "dedup_cdc_chunks", "dedup_simhash", "fn_collation", "fn_map_hof",
+    "fn_try_safe", "graph_degree", "graph_kcore", "graph_modularity",
+    "join_null_safe", "join_range_bucketed", "join_runtime_bloom",
+    "join_star_schema", "limit_topk", "mm_binary_features",
+    "mm_frame_sample", "sample_weighted", "scan_jdbc_partitioned",
+    "scan_schema_evolution", "seq_markov_chain", "set_except_all",
+    "sink_jdbc", "sink_partition_overwrite", "sink_zorder",
+    "split_backtest_folds", "stream_sliding", "stream_stream_join",
+    "text_bm25", "text_langid", "time_calendar_dim",
+    "time_interval_merge", "udtf_map_in_arrow", "udtf_python",
+    "vec_ann_ivf", "vec_ann_recall", "vec_pq_adc",
+    "win_cusum_changepoint", "win_ewma", "win_holt_forecast",
+    "win_retention_cohort", "win_rolling_median",
+    # ...topped up from the r6-era tail (next-oldest records,
+    # alphabetical head):
+    "agg_benford", "agg_bounce_rate", "agg_hll_sketch", "agg_ks_test",
+    "agg_ohlc", "agg_pareto",
+    # (a) changed-in-r13 LAST so it runs the gate on a warm session (the
+    # r6 rule): dedup_embed_cosine (IVF cell-scoped candidates — engine
+    # AND oracle changed together), vec_ann_nsw (bucketed index read
+    # path — result-same), stream_dedup_store (crash-window fixes —
+    # result-neutral), stream_sessionize_timer (2-data-file source —
+    # result-same):
+    "dedup_embed_cosine", "vec_ann_nsw", "stream_dedup_store",
+    "stream_sessionize_timer",
 )
 
-# The r11 gate's 50-name prefix was retired with the r12 rotation above
-# (git history has the list; CORRECTNESS_r11.json is 50/50 green on it).
-# _POST_PREFIX_HEAD is empty this round because every changed/new-in-r12
-# query sits INSIDE the r12 prefix (placed last, warm-session rule) —
-# the r13 rotation rebuilds both from that round's change set.
+# The r12 gate's 50-name prefix was retired with the r13 rotation above
+# (git history has the list; CORRECTNESS_r12.json is 50/50 green on it).
+# _POST_PREFIX_HEAD is empty this round because every changed-in-r13
+# query sits INSIDE the r13 prefix (placed last, warm-session rule) —
+# the r14 rotation rebuilds both from that round's change set.
 _POST_PREFIX_HEAD: tuple[str, ...] = ()
 
 
