@@ -730,7 +730,7 @@ _NSW_INDEX_BUCKETS = 8  # O(cluster cores) in production
 
 
 def _nsw_index_table(
-    spark: SparkSession, sf_dir: str, part: str, df, key: str
+    spark: SparkSession, sf_dir: str, part: str, df_fn: Callable, key: str
 ):
     """Persist one side of the NSW index (nodes or edges) as a
     BUCKETED+SORTED table on the hop-join key — the offline
@@ -753,15 +753,46 @@ def _nsw_index_table(
     tname = f"ips_nsw_{k}_{part}_{stamp}"
     if not spark.catalog.tableExists(tname):
         path = os.path.join(_BUCKET_SCRATCH, "nsw", k, stamp, part)
-        (
-            df.repartition(_NSW_INDEX_BUCKETS, F.col(key))
-            .write.bucketBy(_NSW_INDEX_BUCKETS, key)
-            .sortBy(key)
-            .option("path", path)
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(tname)
-        )
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # a previous process already built this corpus version's
+            # index (same stamp ⇒ same deterministic content): register
+            # the existing bucketed files instead of rebuilding — the
+            # once-per-corpus cadence, same marker-gated reuse as the
+            # stream source dirs. Spark recovers each file's bucket id
+            # from the saveAsTable naming (_0000N), so the registered
+            # table plans identical bucketed scans (join-equality
+            # probe-verified vs a plain parquet read).
+            sch = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.read.parquet(path).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tname} ({sch}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {_NSW_INDEX_BUCKETS} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            # evict superseded corpus versions first (the checkpoint-
+            # cache hygiene rule, applied to on-disk scratch): a
+            # regenerated testdata dir must not accumulate dead indexes
+            import shutil as _shutil
+
+            stamp_root = os.path.join(_BUCKET_SCRATCH, "nsw", k)
+            if os.path.isdir(stamp_root):
+                for d in os.listdir(stamp_root):
+                    if d != stamp:
+                        _shutil.rmtree(
+                            os.path.join(stamp_root, d), ignore_errors=True
+                        )
+            (
+                df_fn().repartition(_NSW_INDEX_BUCKETS, F.col(key))
+                .write.bucketBy(_NSW_INDEX_BUCKETS, key)
+                .sortBy(key)
+                .option("path", path)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tname)
+            )
     return spark.table(tname)
 
 
@@ -936,27 +967,26 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     never |nodes|.
     The exact-NN grounding column is test-SF-only (quadratic,
     documented; drop it in production searches)."""
-    nodes = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("embedding").alias("v"))
-        .localCheckpoint()
+    # `base` stays a plain pruned parquet scan (cheap to re-read): the
+    # hops read the BUCKETED tables, not this, so only the index BUILD
+    # materializes a nodes checkpoint (inside _edges_df). queries is
+    # checkpointed — every hop broadcasts it.
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
     )
     queries = (
-        nodes.filter(F.col("vec_id") % _NSW_QMOD == 7)
+        base.filter(F.col("vec_id") % _NSW_QMOD == 7)
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
         .localCheckpoint()
     )
     # the index: bucketed+sorted tables on the hop-join keys, built once
-    # per corpus version (stamp-keyed — a rerun in this process skips
-    # straight to the search). Replaces the r12 localCheckpoint+broadcast
-    # read path: broadcasting nodes/edges caps the index at memory;
-    # bucketed scans don't (VERDICT r12 #2).
-    from ..sources.tables import src_stamp
-
-    k = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    etname = f"ips_nsw_{k}_edges_{src_stamp(sf_dir, 'embeddings')}"
-    if not spark.catalog.tableExists(etname):
-        sims = _nsw_build_sims(spark, nodes)
+    # per corpus version (stamp-keyed; reused ACROSS processes via the
+    # _SUCCESS-gated registration — a rerun skips straight to the
+    # search). Replaces the r12 localCheckpoint+broadcast read path:
+    # broadcasting nodes/edges caps the index at memory; bucketed scans
+    # don't (VERDICT r12 #2).
+    def _edges_df():
+        sims = _nsw_build_sims(spark, base.localCheckpoint())
         wk = Window.partitionBy("src").orderBy(
             F.col("sim").desc(), F.col("dst")
         )
@@ -965,22 +995,19 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= _NSW_K)
             .select("src", "dst")
         )
-        _nsw_index_table(
-            spark, sf_dir, "edges",
-            knn.unionByName(
-                knn.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst")
-                )
-            ).distinct(),
-            "src",
-        )
-    edges = spark.table(etname)
+        return knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    edges = _nsw_index_table(spark, sf_dir, "edges", _edges_df, "src")
     nodesb = _nsw_index_table(
         spark, sf_dir, "nodes",
-        nodes.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")),
+        lambda: base.select(
+            F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+        ),
         "cand_id",
     )
-    entry = nodes.agg(F.min("vec_id").alias("cur_id"))
+    entry = base.agg(F.min("vec_id").alias("cur_id"))
     cur = queries.select("query_id").crossJoin(F.broadcast(entry))
     for _ in range(_NSW_HOPS):
         # one hop (see _nsw_hop), then checkpoint the frontier: without
@@ -1004,7 +1031,7 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ground-truth arm, SCALE.md §4 posture: test-SF exhibit, broadcast
     # of nodes is fine HERE because the exact arm never ships)
     nb = F.broadcast(
-        nodes.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+        base.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("cand_id")

@@ -1796,15 +1796,21 @@ def test_icws_band_join_reads_materialized_signatures(spark, sf_dir):
 
 
 def test_vec_ann_nsw_search_reads_materialized_index(spark, sf_dir):
-    # The returned plan is the SEARCH (+ grounding): it must consume the
-    # checkpointed frontier/edges/nodes tables (ExistingRDD), never
-    # re-scan embeddings.parquet (the index build ran once, eagerly),
-    # and contain no CartesianProduct (the exact-NN grounding is a
-    # broadcast nested-loop, not a cartesian).
+    # The returned plan is the SEARCH (+ grounding): the frontier
+    # arrives checkpointed (ExistingRDD — the hop loop ran eagerly, each
+    # hop reading the BUCKETED index tables, gated separately below),
+    # and nothing is cartesian (the exact-NN grounding is a broadcast
+    # nested-loop, not a cartesian). Since r13 the ONLY corpus scans
+    # allowed are the entry-point min and the exact-grounding arm
+    # (both column-pruned; the grounding arm is the test-SF-only
+    # sampled-probe exhibit) — the hop/search path itself must not
+    # re-derive anything from embeddings.parquet.
     from insight_patents_spark.operators.vector import vec_ann_nsw
 
     plan = formatted_plan(vec_ann_nsw(spark, sf_dir))
-    assert plan.count("embeddings.parquet") == 0
+    # formatted explain lists each node twice (tree + detail): <= 2
+    # distinct scans of the corpus (entry min + exact arm)
+    assert plan.count("embeddings.parquet") <= 4
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
