@@ -4903,9 +4903,9 @@ def test_bpe_pairs_match_python_counts(spark, sf_dir):
 
 def test_dedup_vector_and_signature_families_match_python(spark, sf_dir):
     """dedup_groups (token-set fingerprint groups), dedup_simhash (exact
-    half-step sign bits), dedup_embed_cosine (label-blocked cosine
-    pairs), dedup_semantic (SemDeDup cell-scoped removal) vs Python /
-    NumPy replays."""
+    half-step sign bits), dedup_embed_cosine (IVF cell-scoped same-label
+    cosine pairs — the r13 contract), dedup_semantic (SemDeDup
+    cell-scoped removal) vs Python / NumPy replays."""
     import hashlib
 
     import numpy as np
@@ -4954,25 +4954,7 @@ def test_dedup_vector_and_signature_families_match_python(spark, sf_dir):
         "vec_id", "label", "embedding"
     ).collect()
     vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
-    by_label = {}
-    for r in rows:
-        by_label.setdefault(r.label, []).append(r.vec_id)
-    want = {}
-    for lab, ids in by_label.items():
-        ids = sorted(ids)
-        for i, a in enumerate(ids):
-            for b in ids[i + 1 :]:
-                cos = float(vecs[a] @ vecs[b])
-                if cos >= 0.3:
-                    want[(a, b)] = (lab, cos)
-    got = {
-        (r.vec_a, r.vec_b): (r.label, r.cosine)
-        for r in dedup_embed_cosine(spark, sf_dir).collect()
-    }
-    assert set(got) == set(want) and len(got) > 0
-    for k, (lab, cos) in got.items():
-        assert lab == want[k][0] and abs(cos - want[k][1]) < 1e-12
-
+    label_of = {r.vec_id: r.label for r in rows}
     seeds = {vid: v for vid, v in vecs.items() if vid % 50 == 0}
     assign = {}
     for vid, v in vecs.items():
@@ -4983,6 +4965,26 @@ def test_dedup_vector_and_signature_families_match_python(spark, sf_dir):
     cells = {}
     for vid, (cid, cc) in assign.items():
         cells.setdefault(cid, []).append(vid)
+
+    # dedup_embed_cosine (r13 contract): candidate pairs share an IVF
+    # assignment cell AND a label; exact cosine >= 0.3
+    want = {}
+    for cid, ids in cells.items():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if label_of[a] != label_of[b]:
+                    continue
+                cos = float(vecs[a] @ vecs[b])
+                if cos >= 0.3:
+                    want[(a, b)] = (label_of[a], cos)
+    got = {
+        (r.vec_a, r.vec_b): (r.label, r.cosine)
+        for r in dedup_embed_cosine(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k, (lab, cos) in got.items():
+        assert lab == want[k][0] and abs(cos - want[k][1]) < 1e-12
     dominators = {}
     for cid, ids in cells.items():
         ids = sorted(ids)
