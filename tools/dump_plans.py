@@ -136,9 +136,15 @@ SHOWCASE = [
      "(ExistingRDD signature table on both sides — no corpus re-join, "
      "no per-key map scans)"),
     ("vec_ann_nsw", "graph-ANN beam search: the returned plan is the "
-     "LAST hop + grounding over checkpointed frontier/edges/nodes "
-     "(ExistingRDD) — embeddings.parquet absent; exact-NN grounding is "
-     "a BroadcastNestedLoopJoin, never CartesianProduct"),
+     "LAST hop's frontier (ExistingRDD — each hop merge-joined into the "
+     "BUCKETED index tables, gated in test_plans) + grounding; the only "
+     "corpus scans are the entry-point min and the test-SF exact arm "
+     "(BroadcastNestedLoopJoin, never CartesianProduct)"),
+    ("dedup_embed_cosine", "IVF cell-scoped near-dup pairs (r13): the "
+     "pair stage is ONE cell_id equi-join over the checkpointed "
+     "assignment (ExistingRDD on both sides) — no label-block "
+     "broadcast, no CartesianProduct; label equality is an in-cell "
+     "filter"),
     ("graph_louvain_move", "Louvain level-1 scoring stage: checkpointed "
      "label + edge tables (ExistingRDD — gain pass and contraction loop "
      "ran eagerly), |nodes|-sized label table broadcast into both w_in "
