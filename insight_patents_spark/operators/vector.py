@@ -742,8 +742,10 @@ def _nsw_index_table(
     nodes/edges caps the index at driver/executor memory; bucketed
     scans cap nothing). Stamp-keyed like every scratch cache
     (src_stamp), so a regenerated corpus invalidates it and reruns
-    within a process reuse it — the index is built once per corpus
-    version, exactly the production cadence."""
+    within a process/session reuse it — the same session-catalog
+    contract as join_bucketed's scratch tables. A FRESH process always
+    rebuilds from the parquet inputs (mode=overwrite): nothing computed
+    by one bench/oracle invocation is consumed by the next."""
     from ..sources.tables import src_stamp
 
     from .joins import _BUCKET_SCRATCH
@@ -753,46 +755,27 @@ def _nsw_index_table(
     tname = f"ips_nsw_{k}_{part}_{stamp}"
     if not spark.catalog.tableExists(tname):
         path = os.path.join(_BUCKET_SCRATCH, "nsw", k, stamp, part)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            # a previous process already built this corpus version's
-            # index (same stamp ⇒ same deterministic content): register
-            # the existing bucketed files instead of rebuilding — the
-            # once-per-corpus cadence, same marker-gated reuse as the
-            # stream source dirs. Spark recovers each file's bucket id
-            # from the saveAsTable naming (_0000N), so the registered
-            # table plans identical bucketed scans (join-equality
-            # probe-verified vs a plain parquet read).
-            sch = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in spark.read.parquet(path).schema.fields
-            )
-            spark.sql(
-                f"CREATE TABLE {tname} ({sch}) USING parquet "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                f"INTO {_NSW_INDEX_BUCKETS} BUCKETS LOCATION '{path}'"
-            )
-        else:
-            # evict superseded corpus versions first (the checkpoint-
-            # cache hygiene rule, applied to on-disk scratch): a
-            # regenerated testdata dir must not accumulate dead indexes
-            import shutil as _shutil
+        # evict superseded corpus versions first (the checkpoint-cache
+        # hygiene rule, applied to on-disk scratch): a regenerated
+        # testdata dir must not accumulate dead indexes
+        import shutil as _shutil
 
-            stamp_root = os.path.join(_BUCKET_SCRATCH, "nsw", k)
-            if os.path.isdir(stamp_root):
-                for d in os.listdir(stamp_root):
-                    if d != stamp:
-                        _shutil.rmtree(
-                            os.path.join(stamp_root, d), ignore_errors=True
-                        )
-            (
-                df_fn().repartition(_NSW_INDEX_BUCKETS, F.col(key))
-                .write.bucketBy(_NSW_INDEX_BUCKETS, key)
-                .sortBy(key)
-                .option("path", path)
-                .mode("overwrite")
-                .format("parquet")
-                .saveAsTable(tname)
-            )
+        stamp_root = os.path.join(_BUCKET_SCRATCH, "nsw", k)
+        if os.path.isdir(stamp_root):
+            for d in os.listdir(stamp_root):
+                if d != stamp:
+                    _shutil.rmtree(
+                        os.path.join(stamp_root, d), ignore_errors=True
+                    )
+        (
+            df_fn().repartition(_NSW_INDEX_BUCKETS, F.col(key))
+            .write.bucketBy(_NSW_INDEX_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(tname)
+        )
     return spark.table(tname)
 
 
@@ -980,9 +963,9 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     # the index: bucketed+sorted tables on the hop-join keys, built once
-    # per corpus version (stamp-keyed; reused ACROSS processes via the
-    # _SUCCESS-gated registration — a rerun skips straight to the
-    # search). Replaces the r12 localCheckpoint+broadcast read path:
+    # per session (stamp-keyed; a FRESH process always rebuilds from the
+    # parquet inputs — no cross-run reuse).
+    # Replaces the r12 localCheckpoint+broadcast read path:
     # broadcasting nodes/edges caps the index at memory; bucketed scans
     # don't (VERDICT r12 #2).
     def _edges_df():
