@@ -1313,40 +1313,52 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     date renderings in min_str/max_str, the other pair NULL — no
     cross-engine float-formatting games).
 
-    ONE pass over the table: all 6 columns' metrics are aggregated in a
-    single agg (Catalyst plans the multi-DISTINCT via Expand — a 6x
-    map-side row multiplication, the standard exact-profiling cost; swap
-    COUNT(DISTINCT) for approx_count_distinct when 2% error is
-    acceptable and the Expand disappears), then the 1-row x 36-metric
-    result unpivots driver-free via stack()."""
+    Scale shape (r13): one independent per-column branch per profiled
+    column, unioned. Each branch is groupBy(col).count() — map-side
+    combinable, so the shuffle carries only that column's DISTINCT
+    values — followed by a second aggregate over the distinct-value
+    table (n_rows = Σcnt, n_null = Σcnt where NULL, n_distinct = count
+    of non-null values, min/max over the rendered value). This replaces
+    the r5-r12 single-agg form whose multi-column COUNT(DISTINCT)
+    planned as a 7x Expand feeding two all-column SortAggregates
+    (1.05M sorted wide rows at sf0.1; measured 5.3-6.3 s → see
+    OPTIMIZATION_r13.md). Per-branch shuffles are |distinct|-sized and
+    each branch scans exactly one parquet column — at 100 TB the six
+    branches are six column-pruned scans with combine-reduced
+    exchanges, strictly less data motion than one 7x-expanded pass."""
     o = load(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    branches = []
     for name, kind, expr in _PROFILE_COLS:
         e = F.expr(expr)
-        aggs += [
-            F.count(F.when(F.col(name).isNull(), 1)).alias(f"null_{name}"),
-            F.countDistinct(F.col(name)).alias(f"nd_{name}"),
-            F.min(e).alias(f"mn_{name}"),
-            F.max(e).alias(f"mx_{name}"),
-        ]
-    row = o.agg(*aggs)
-    stack_args = []
-    for name, kind, _ in _PROFILE_COLS:
-        mn_num = f"mn_{name}" if kind == "num" else "CAST(NULL AS DOUBLE)"
-        mx_num = f"mx_{name}" if kind == "num" else "CAST(NULL AS DOUBLE)"
-        mn_str = f"mn_{name}" if kind == "str" else "CAST(NULL AS STRING)"
-        mx_str = f"mx_{name}" if kind == "str" else "CAST(NULL AS STRING)"
-        stack_args.append(
-            f"'{name}', null_{name}, nd_{name}, {mn_num}, {mx_num}, {mn_str}, {mx_str}"
+        per_val = (
+            o.groupBy(name)
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-    return row.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
-        "(col_name, n_null, n_distinct, min_num, max_num, min_str, max_str)",
-        "n_rows",
-    ).select(
-        "col_name", "n_rows", "n_null", "n_distinct",
-        "min_num", "max_num", "min_str", "max_str",
-    )
+        mn_num = F.min(e).cast("double") if kind == "num" else F.lit(None).cast("double")
+        mx_num = F.max(e).cast("double") if kind == "num" else F.lit(None).cast("double")
+        mn_str = F.min(e) if kind == "str" else F.lit(None).cast("string")
+        mx_str = F.max(e) if kind == "str" else F.lit(None).cast("string")
+        branches.append(
+            per_val.agg(
+                F.sum("cnt").alias("n_rows"),
+                F.sum(
+                    F.when(F.col(name).isNull(), F.col("cnt")).otherwise(F.lit(0))
+                ).alias("n_null"),
+                F.count(F.col(name)).alias("n_distinct"),
+                mn_num.alias("min_num"),
+                mx_num.alias("max_num"),
+                mn_str.alias("min_str"),
+                mx_str.alias("max_str"),
+            ).select(
+                F.lit(name).alias("col_name"),
+                "n_rows", "n_null", "n_distinct",
+                "min_num", "max_num", "min_str", "max_str",
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 @query(
