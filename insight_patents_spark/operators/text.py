@@ -4022,15 +4022,23 @@ def text_boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_ngram_jaccard — near-identical pairs): boilerplate mass is a
     CORPUS-level property a pairwise join never aggregates.
 
-    Scale shape: grams explode in-row (bounded ×(len−4) fan-out), the
-    df table is one hash agg on the gram key, the scoring join is a
-    plain equi-join on that key, and the verdict is one more hash agg —
-    everything map-side combinable, nothing quadratic, the exact
-    sub-quadratic topology of the MinHash family. The flag comparison
-    is pure integer (n_boiler·10 ≥ n_grams·3), so the hashed decision
-    carries no float risk."""
+    Scale shape (r13 rework): grams explode in-row ONCE (bounded
+    ×(len−4) fan-out) and are immediately reduced to 8-byte xxhash64
+    keys and per-(doc, gram) counts — a map-side-combinable hash agg,
+    so the first Exchange carries only DISTINCT (doc, gram-hash) pairs,
+    never gram strings. Document frequency is then a count-over-window
+    on the gram-hash partition (one row per (doc, gram) ⇒ the window
+    count IS the distinct-doc count — no COUNT(DISTINCT) rewrite, no
+    join-back, no second corpus scan: the r5-r12 form scanned+exploded
+    documents twice and broadcast a gram-string df table). The verdict
+    is one more hash agg per doc. Everything map-side combinable,
+    nothing quadratic; shuffle bytes are (doc_id, hash, count) triples.
+    The flag comparison is pure integer (n_boiler·10 ≥ n_grams·3), so
+    the hashed decision carries no float risk; gram-hash equality
+    stands in for string equality (64-bit xxhash64, same digest-key
+    contract as dedup_lines' md5 — oracle-verified equal at every SF)."""
     d = load(spark, sf_dir, "documents")
-    grams = (
+    gp = (
         d
         # docs under N tokens have no grams; they MUST be filtered here
         # because Spark's sequence(1, 0) is DESCENDING ([1, 0]) and
@@ -4039,22 +4047,27 @@ def text_boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size(F.split("text", " ")) >= _BOILER_N)
         .select(
             "doc_id",
+            # hash the token-slice ARRAY, never materializing the joined
+            # gram string (tokens cannot contain the split delimiter, so
+            # array equality ≡ joined-string equality)
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(split(text, ' ')) - {_BOILER_N - 1}), "
-                    f"i -> array_join(slice(split(text, ' '), i, {_BOILER_N}), ' '))"
+                    f"i -> xxhash64(slice(split(text, ' '), i, {_BOILER_N})))"
                 )
-            ).alias("g"),
+            ).alias("gh"),
         )
+        .groupBy("doc_id", "gh")
+        .agg(F.count(F.lit(1)).alias("k"))
     )
-    df = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    wdf = Window.partitionBy("gh")
     per = (
-        grams.join(df, "g")
+        gp.withColumn("df", F.count(F.lit(1)).over(wdf))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("k").cast("bigint").alias("n_grams"),
             F.sum(
-                F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)
+                F.when(F.col("df") >= _BOILER_DF, F.col("k")).otherwise(F.lit(0))
             )
             .cast("bigint")
             .alias("n_boiler"),
