@@ -2656,11 +2656,17 @@ def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUTER joined on the canonical (src < dst) edge key, reporting
     stable/removed/added masses and Jaccard stability.
 
-    Scale shape: each half is the standard pair build (self-join
-    within order, canonical direction, distinct), the diff is ONE
-    equi-join on the edge key — never an edge-list cross product;
-    counts are exact integers with one 9dp ratio. At 10^12 edges the
-    FULL OUTER shuffles both sets once on the same key."""
+    Scale shape (r13 rework): each half is the standard pair build
+    (self-join within order, canonical direction); the per-half
+    DISTINCT, the snapshot diff and the presence flags then all ride
+    ONE map-side-combinable groupBy on the canonical edge key
+    (in_a = max(h=0), in_b = max(h=1) per edge — exactly the
+    full-outer-join presence semantics, without materializing either
+    half or shuffling the edge sets twice; the r5-r12 form was
+    distinct → localCheckpoint → filter ×2 → FULL OUTER join → agg).
+    Never an edge-list cross product; counts are exact integers with
+    one 9dp ratio. At 10^12 edges the diff is one edge-key shuffle of
+    combine-reduced flag partials."""
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("pk"),
         F.col("l_orderkey").alias("ok"),
@@ -2668,28 +2674,13 @@ def graph_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.alias("a")
     b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .select("a.h", F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    ea = pairs.filter(F.col("h") == 0).select("src", "dst")
-    eb = pairs.filter(F.col("h") == 1).select(
-        F.col("src").alias("src_b"), F.col("dst").alias("dst_b")
-    )
-    fo = ea.join(
-        eb,
-        (F.col("src") == F.col("src_b")) & (F.col("dst") == F.col("dst_b")),
-        "full_outer",
-    ).select(
-        F.col("src").isNotNull().alias("in_a"),
-        F.col("src_b").isNotNull().alias("in_b"),
+    pairs = a.join(
+        b,
+        (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+    ).select("a.h", F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+    fo = pairs.groupBy("src", "dst").agg(
+        F.max(F.col("h") == 0).alias("in_a"),
+        F.max(F.col("h") == 1).alias("in_b"),
     )
     return fo.agg(
         F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0))
