@@ -3298,16 +3298,23 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the shared-token equi-join, which is then genuinely
     sub-quadratic."""
     d = load(spark, sf_dir, "documents")
-    # ONE strategy probe (vocab size + class count in the same scan+agg
-    # — r7 VERDICT #6 halved the probe latency here too)
+    # Strategy probe, two narrow single-distinct jobs (r13): the r7-r12
+    # combined form attached the 32-char md5 class sig to every exploded
+    # token row and paid a 2-column Expand multi-distinct over the full
+    # token stream; vocab needs only the bare exploded token (8-40 B
+    # rows, one distinct agg) and the class count needs only one sig
+    # row PER DOC (never exploded) — together strictly less data than
+    # either pass of the old probe.
     toks = F.array_distinct(_tokens())
-    vocab_size, n_classes = (
-        d.select(
-            F.explode_outer(toks).alias("t"),
-            F.md5(F.array_join(F.sort_array(toks), "|")).alias("sig"),
-        )
-        .agg(F.countDistinct("t"), F.countDistinct("sig"))
-        .collect()[0]
+    vocab_size = (
+        d.select(F.explode_outer(toks).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    n_classes = (
+        d.select(F.md5(F.array_join(F.sort_array(toks), "|")).alias("sig"))
+        .agg(F.countDistinct("sig"))
+        .collect()[0][0]
     )
     if vocab_size <= 63 and n_classes <= _JACCARD_CLASS_CAP:
         truth = _jaccard_bitmask(d, threshold=0.7).select(
@@ -3315,7 +3322,12 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         truth = _truth_pairs_token_join(spark, d, threshold=0.7)
-    pred = dedup_minhash_pairs(spark, sf_dir).select(
+    # the predicted side IS the shared verified-pair table (r13: read
+    # the checkpointed cache that dedup_cluster_cc and the curation
+    # pipeline already consume, instead of re-running LSH banding +
+    # verification a second time inside this query — at 100 TB the
+    # pair table is written once and every consumer reads it)
+    pred = verified_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("p_a"), F.col("doc_b").alias("p_b")
     )
     hit = truth.join(
