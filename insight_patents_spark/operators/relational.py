@@ -1987,8 +1987,13 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the dq family: values (dq_expectations), shape
     (profile_table), time (dq_freshness), now LINKS.
 
-    Scale shape: each edge is one LEFT ANTI join (orphans) + one LEFT
-    SEMI join (coverage), both on the FK key — dimension-sized parents
+    Scale shape (r13 rework): each edge is ONE LEFT OUTER join on the
+    FK key (parents are PK-unique, so outer-join output rows == child
+    rows) feeding ONE aggregate that reads orphan mass, orphan keys and
+    referenced-parent keys off the matched/null split — the r7-r12 form
+    ran three separate join subtrees per edge (LEFT ANTI + LEFT SEMI +
+    raw stats), scanning the child table three times per edge (the
+    lineitem fact 9x across its three edges). Dimension-sized parents
     broadcast, the single fact-sized parent (orders) takes a standard
     shuffled equi-join; counts are map-side-combinable. No window, no
     sort, nothing quadratic. The four per-edge result rows union."""
@@ -2001,29 +2006,33 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load(spark, sf_dir, "supplier").select("s_suppkey")
 
     def edge(name, child, fk, parent, pk, broadcast_parent):
+        # child collapses to (fk, occurrence count) BEFORE the join —
+        # map-side combinable, so the join and everything after it see
+        # only DISTINCT FK values, never fact rows (and the per-key
+        # grain makes every distinct-key stat a plain filtered count —
+        # no multi-distinct Expand anywhere)
+        ck = child.groupBy(child[fk].alias("fk")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
         par = F.broadcast(parent) if broadcast_parent else parent
-        orphans = child.join(par, child[fk] == parent[pk], "left_anti")
-        used = child.join(par, child[fk] == parent[pk], "left_semi")
+        joined = ck.join(par, ck["fk"] == parent[pk], "left_outer")
+        matched = parent[pk].isNotNull()
         stats = (
-            child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_orphan"),
-                    F.count_distinct(F.col(fk))
-                    .cast("bigint")
-                    .alias("n_orphan_keys"),
-                )
+            joined.agg(
+                F.sum("cnt").cast("bigint").alias("n_child"),
+                F.sum(F.when(~matched, F.col("cnt")).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("n_orphan"),
+                F.count(F.when(~matched & F.col("fk").isNotNull(), 1))
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+                F.count(F.when(matched, 1))
+                .cast("bigint")
+                .alias("n_parent_used"),
             )
             .crossJoin(
                 parent.agg(
                     F.count(F.lit(1)).cast("bigint").alias("n_parent")
-                )
-            )
-            .crossJoin(
-                used.agg(
-                    F.count_distinct(F.col(fk))
-                    .cast("bigint")
-                    .alias("n_parent_used")
                 )
             )
         )
