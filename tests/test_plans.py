@@ -831,14 +831,22 @@ def test_iterative_graph_folds_are_quantized_sums(spark, sf_dir):
         assert "sort_array" not in plan, op.__name__
 
 
-def test_profile_single_scan_with_expand(spark, sf_dir):
-    # All 6 columns' metrics must come from ONE scan of orders; the
-    # exact multi-DISTINCT shows up as an Expand (the documented cost).
-    from insight_patents_spark.operators.relational import profile_table
+def test_profile_per_column_branches_no_expand(spark, sf_dir):
+    # r13 shape: one independent column-pruned branch per profiled
+    # column (6 scans, each reading exactly one column), distinct
+    # counting via groupBy-then-count — NO multi-distinct Expand and no
+    # all-column SortAggregate anywhere (the r5-r12 single-agg form
+    # paid a 7x Expand feeding two wide sort aggregates).
+    from insight_patents_spark.operators.relational import (
+        _PROFILE_COLS,
+        profile_table,
+    )
 
     plan = formatted_plan(profile_table(spark, sf_dir))
-    assert plan.count("orders.parquet") == 1
-    assert "Expand" in plan
+    assert plan.count("Location") == len(_PROFILE_COLS)  # one scan per branch
+    assert "Expand" not in plan
+    # every branch's distinct stage is the map-side-combinable hash agg
+    assert "HashAggregate" in plan
 
 
 def test_dq_fk_checks_are_anti_joins(spark, sf_dir):
