@@ -2799,11 +2799,19 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
     )
-    rep = e.select(
-        "event_type",
-        "c",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-        "event_id",
+    rep = (
+        # fan the x32 explode + md5 draws out of the single input split
+        # (events ships as ONE row group locally -> the whole 32·N md5
+        # map stage otherwise runs on one core; guide §2.5 input skew.
+        # At production the scan has thousands of splits and this
+        # round-robin of 24-byte rows is noise vs the hash work.)
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "event_type",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+            "event_id",
+        )
     )
     u = (
         F.conv(

@@ -3583,8 +3583,13 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     document the platform can represent, since Spark/DuckDB strings cap
     at 2^31−1 chars) — exact in both engines, no float, no
     struct comparator."""
-    d = load(spark, sf_dir, "documents").filter(
-        F.length("text") >= _WIN_K + _WIN_W - 1
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _WIN_K + _WIN_W - 1)
+        # fan the per-char md5 grams + window minima out of the single
+        # input split (one row group locally -> single-core otherwise;
+        # measured 11.9-24.8 s -> 0.9-1.5 s at sf0.1, guide §2.5)
+        .repartition(sh_parts(spark))
     )
     packed = F.expr(
         f"transform(sequence(1, length(text) - {_WIN_K - 1}), i -> "
@@ -4057,6 +4062,8 @@ def text_boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         # slice(arr, 0, n) is an error — the oracle's range(1, n) is
         # simply empty for them, so semantics are unchanged
         .filter(F.size(F.split("text", " ")) >= _BOILER_N)
+        # fan the gram explode + hashing out of the single input split
+        .repartition(sh_parts(spark))
         .select(
             "doc_id",
             # hash the token-slice ARRAY, never materializing the joined

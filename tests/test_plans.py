@@ -1371,12 +1371,15 @@ def test_geo_knn_broadcasts_probes_two_stage_topk(spark, sf_dir):
 
 def test_winnowing_is_narrow_scan_speed(spark, sf_dir):
     # the whole fingerprint selection (gram hashes, window minima,
-    # per-doc dedup) runs inside array expressions per row: the plan
-    # must contain NO exchange at all — scan, filter, project, explode.
+    # per-doc dedup) runs inside array expressions per row: the ONLY
+    # exchange allowed is the input-split round-robin that fans the
+    # per-row work out of the single local parquet split (r13, guide
+    # §2.5) — no keyed shuffle, no join, no aggregation anywhere.
     from insight_patents_spark.operators.text import text_winnowing
 
     plan = formatted_plan(text_winnowing(spark, sf_dir))
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 2  # tree + detail of the one round-robin
+    assert "hashpartitioning" not in plan
     assert "Generate" in plan  # the final fingerprint explode
     assert "Join" not in plan
 
