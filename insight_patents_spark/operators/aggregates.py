@@ -2081,15 +2081,24 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable hash agg. Nothing sorts globally; nothing
     shuffles except the two aggs."""
     o = load(spark, sf_dir, "orders")
+    # fan both passes (percentile partials, bucket-assign map) out of
+    # the single input split (orders ships as one row group locally;
+    # guide §2.5) — the exchange carries one bigint per row
     c = o.select(
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # ONE array-percentile instead of 7 scalar ones: each scalar
+    # F.percentile maintains (and single-task-merges) its OWN copy of
+    # the full value buffer — the array form accumulates one buffer
+    # and reads all 7 boundaries from it (7x less partial/merge work)
     q = c.agg(
-        *[
-            F.percentile("cents", F.lit(k / _EQD_BUCKETS)).alias(f"q{k}")
-            for k in range(1, _EQD_BUCKETS)
-        ]
-    )
+        F.percentile(
+            "cents",
+            F.array(
+                *[F.lit(k / _EQD_BUCKETS) for k in range(1, _EQD_BUCKETS)]
+            ),
+        ).alias("qs")
+    ).select(*[F.col("qs")[k - 1].alias(f"q{k}") for k in range(1, _EQD_BUCKETS)])
     bucket = F.lit(1)
     for k in range(1, _EQD_BUCKETS):
         bucket = bucket + (F.col("cents") > F.col(f"q{k}")).cast("int")
@@ -3954,7 +3963,11 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(ea).cast("decimal(38,0)") * F.expr(eb)
                 ).alias(f"s_{na}_{nb}")
             )
-    g = li.agg(*aggs)
+    # materialize the ONE moment row: the 10-cell union below selects
+    # from g ten times, and without this the full lineitem moment agg
+    # re-ran once per cell (10 scans; guide §1.2 — don't compute
+    # things twice). The checkpoint is a 1-row frame.
+    g = li.agg(*aggs).localCheckpoint()
     nd = F.col("n").cast("double")
 
     def cov(a, b):

@@ -434,7 +434,9 @@ def text_jaccard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~40× faster on this corpus where uniform high-df tokens defeat prefix
     pruning; large vocabularies take the PPJoin prefix path below. Both
     paths produce identical results and share the oracle."""
-    d = load(spark, sf_dir, "documents")
+    # fan the probe's explode+md5 map and the per-doc sig/mask maps out
+    # of the single input split (guide §2.5); 5k-row round-robin
+    d = load(spark, sf_dir, "documents").repartition(sh_parts(spark))
     # ONE strategy probe (r7 VERDICT #6: the vocab-size and class-count
     # probes were two serial driver round-trips): distinct-token count
     # and token-SET class count ride the same scan+agg. The class guard
@@ -600,7 +602,9 @@ def _doc_sig_mask_chunks(
     )
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
-    d = load(spark, sf_dir, "documents")
+    # fan the explode + hash-join + 16-way min partial agg out of the
+    # single input split (documents is one row group locally; guide §2.5)
+    d = load(spark, sf_dir, "documents").repartition(sh_parts(spark))
     tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
     vocab = (
         tok.select("token")
@@ -747,7 +751,13 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[f"k{b}" for b in range(n_bands)])).alias(
             "band_id", "band_key"
         ),
-    )
+    ).repartition(sh_parts(spark), "band_id", "band_key")
+    # ^ pin the band shuffle width: the join's input is a few MB of
+    # bitsets, so AQE's byte heuristic coalesces the verify stage to
+    # 1-4 tasks while the popcount work is per-PAIR (bucket fan-out),
+    # not per-byte — a user repartition is not coalescable, keeping the
+    # verify on all cores (guide §2.2/§2.5); partitioning matches the
+    # join keys so no extra exchange is added.
     pair = bands.alias("a").join(
         bands.alias("b"),
         (F.col("a.band_id") == F.col("b.band_id"))
@@ -976,7 +986,10 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[f"k{b}" for b in range(n_bands)])).alias(
             "band_id", "band_key"
         ),
-    )
+    ).repartition(sh_parts(spark), "band_id", "band_key")
+    # ^ pin the band shuffle width (same rationale as
+    # _lsh_candidate_pairs): the array_intersect verify is per-PAIR
+    # work that AQE's byte heuristic otherwise coalesces onto 3-4 tasks.
     pair = bands.alias("a").join(
         bands.alias("b"),
         (F.col("a.band_id") == F.col("b.band_id"))
@@ -1293,7 +1306,10 @@ def dedup_minhash_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*[f"k{b}" for b in range(n_bands)])).alias(
             "band_id", "band_key"
         ),
-    )
+    ).repartition(sh_parts(spark), "band_id", "band_key")
+    # ^ pin the band shuffle width (same rationale as
+    # _lsh_candidate_pairs): the map_zip_with verify is per-PAIR work
+    # that AQE's byte heuristic otherwise coalesces onto 2 tasks.
     probes = bands.filter(F.col("doc_id") % _ICWS_PROBE_MOD == 3)
     pair = probes.alias("a").join(
         bands.alias("b"),
@@ -1798,10 +1814,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("doc_id"))
         .alias("n"),
     )
-    pref = ranked.filter(
-        (F.col("i") <= F.floor(F.col("n") / 2) + 1)
-        & (F.col("df") <= F.lit(DEDUP_DF_CAP))
-    ).select("doc_id", "s", "i", "n")
+    pref = (
+        ranked.filter(
+            (F.col("i") <= F.floor(F.col("n") / 2) + 1)
+            & (F.col("df") <= F.lit(DEDUP_DF_CAP))
+        )
+        .select("doc_id", "s", "i", "n")
+        # pin the prefix self-join's shuffle width: candidate fan-out +
+        # positional filters are per-PAIR work AQE otherwise coalesces
+        # onto ~5 tasks (byte heuristic; guide §2.2)
+        .repartition(sh_parts(spark), "s")
+    )
     # Length + positional filters (Xiao et al., PPJoin): both prune only
     # provably-infeasible occurrences. Length: inter <= min(na,nb) and
     # J>=0.5 needs inter >= ceil((na+nb)/3), so 2*min < max kills the
@@ -1835,6 +1858,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
+        # pin the verify width: array_intersect over shingle arrays is
+        # per-PAIR work; the candidate table is small in bytes so AQE
+        # otherwise coalesces the verify joins onto ~5 tasks
+        .repartition(sh_parts(spark), "doc_a")
     )
     return (
         cand.join(
@@ -3686,7 +3713,11 @@ def text_dsir_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST back, so the per-doc score join never shuffles the
     corpus; the final division is the only float op. Swapping the
     target proxy for a real trusted corpus changes one filter."""
-    return _dsir_weight(load(spark, sf_dir, "documents"))
+    # fan the gram explode + md5 bucketing out of the single input
+    # split (documents is one row group locally; guide §2.5)
+    return _dsir_weight(
+        load(spark, sf_dir, "documents").repartition(sh_parts(spark))
+    )
 
 
 def _dsir_weight(d: DataFrame) -> DataFrame:
@@ -3859,7 +3890,12 @@ def text_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = (
-        arrs.select(F.explode(pair_structs).alias("p"))
+        # fan the in-row |toks|² pair enumeration across cores: the
+        # ≤|docs|-row array table is tiny in bytes, so AQE coalesces
+        # the agg output to 1 task while the explode work is per-PAIR
+        # (guide §2.2/§2.5); round-robin of 5k array rows is noise
+        arrs.repartition(sh_parts(spark))
+        .select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
         .filter(F.col("c_xy") >= _PMI_MIN_DOCS)

@@ -3118,10 +3118,16 @@ def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster majority counts; MI/entropy terms are 9dp-rounded per
     cell then nano-quantized into order-independent integer sums (the
     agg_mutual_info posture), one sqrt at the end."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        # fan the N x k centroid-distance map out of the single input
+        # split (embeddings is one row group locally; guide §2.5)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     c0 = e.filter(F.col("vec_id") % 64 == 0).select(
         F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
