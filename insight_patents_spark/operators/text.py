@@ -354,7 +354,12 @@ def _jaccard_bitmask(d: DataFrame, threshold: float) -> DataFrame:
         .select("sig", "n", "mask")
         .localCheckpoint()
     )
-    ca = classes.select(
+    # fan the class x class nested-loop join: the checkpointed classes
+    # table keeps the agg's 1-2 AQE-coalesced partitions, so the
+    # quadratic popcount filter otherwise runs on 1-2 tasks (guide §2.2)
+    ca = classes.repartition(
+        d.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col("sig").alias("sig_a"), F.col("n").alias("na"), F.col("mask").alias("ma")
     )
     cb = classes.select(
@@ -3324,7 +3329,9 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1; the class path is seconds). Sparse/high-class corpora fall
     back to the shared-token equi-join, which is then genuinely
     sub-quadratic."""
-    d = load(spark, sf_dir, "documents")
+    # fan the probe scans and the truth build's per-doc maps out of the
+    # single input split (guide §2.5)
+    d = load(spark, sf_dir, "documents").repartition(sh_parts(spark))
     # Strategy probe, two narrow single-distinct jobs (r13): the r7-r12
     # combined form attached the 32-char md5 class sig to every exploded
     # token row and paid a 2-column Expand multi-distinct over the full

@@ -447,7 +447,12 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id",
         F.col("v").alias("vn"),
     )
-    probe = top2.select("vec_id", "cell_id", F.col("v").alias("vq"))
+    # pin the cell join's shuffle width: the checkpointed index is a few
+    # MB so AQE coalesces the pair-scoring stage to 1 task while the
+    # work is a 64-dim dot per CANDIDATE PAIR (guide §2.2)
+    probe = top2.repartition(
+        spark.sparkContext.defaultParallelism, "cell_id"
+    ).select("vec_id", "cell_id", F.col("v").alias("vq"))
     scored = (
         probe.join(assign, "cell_id")
         .filter(F.col("vec_id") != F.col("neighbor_id"))
