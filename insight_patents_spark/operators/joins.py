@@ -187,7 +187,13 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi join blocked by brand: planner gets an equi key (brand) to
     hash/shuffle on, the `<` stays a join-condition filter — the pattern
     that keeps theta joins sub-quadratic at scale."""
-    a = load(spark, sf_dir, "part").alias("a")
+    # fan the probe side out of the single input split: part broadcasts,
+    # so the per-pair fan-out otherwise runs on ONE task (guide §2.5)
+    a = (
+        load(spark, sf_dir, "part")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .alias("a")
+    )
     b = load(spark, sf_dir, "part").alias("b")
     return a.join(
         b,
