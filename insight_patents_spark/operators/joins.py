@@ -220,7 +220,14 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event pairs within a 5-minute forward window per user (interval
     join; user_id is the equi blocking key)."""
-    e1 = load(spark, sf_dir, "events").alias("e1")
+    # fan the probe side's per-pair window filtering out of the single
+    # events split (guide §2.5); keyed so a merge join needs no extra
+    # exchange
+    e1 = (
+        load(spark, sf_dir, "events")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+        .alias("e1")
+    )
     e2 = load(spark, sf_dir, "events").alias("e2")
     return e1.join(
         e2,

@@ -474,6 +474,10 @@ def mm_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # predicate pushes to the parquet scan.
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        # fan the Arrow-batched encoder + broadcast scoring pass out of
+        # the single input split — "embarrassingly parallel over item
+        # partitions" needs more than ONE item partition (guide §2.5)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     items = d.mapInPandas(_encode_image_batches, schema=_XM_SCHEMA)
     q = (

@@ -2523,6 +2523,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit (fn_hash shows the xxhash64 path) to shrink the broadcast."""
     d = (
         load(spark, sf_dir, "documents")
+        # fan BEFORE the gram explode: the gram-string materialization
+        # (array_join per 4-gram) is the heavy map work, and it ran on
+        # the single input split when the repartition sat after the
+        # explode (r13 stage probe: 8.3s single-task stage; guide §2.5)
+        .repartition(sh_parts(spark))
         .withColumn("toks", _tokens())
         # sub-4-token docs have no 4-grams (and sequence(1, <=0) is
         # descending -> slice(toks, 0, 4) errors); the oracle's range
@@ -2533,9 +2538,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(toks) - 3), "
         "i -> array_join(slice(toks, i, 4), ' '))"
     )
-    g = d.select("doc_id", F.explode(grams).alias("g")).repartition(
-        sh_parts(spark)
-    )
+    g = d.select("doc_id", F.explode(grams).alias("g"))
     bench = (
         g.filter(F.col("doc_id") % 100 == 0).select("g").distinct()
     )
@@ -3016,7 +3019,9 @@ def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dense 16-wide vector is emitted as a '|'-joined string per the
     scalar-only results contract; densification is an in-row sequence
     join, not a pivot shuffle."""
-    d = load(spark, sf_dir, "documents")
+    # fan the explode + md5 bucketing out of the single input split
+    # (guide §2.5)
+    d = load(spark, sf_dir, "documents").repartition(sh_parts(spark))
     tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint") % 16

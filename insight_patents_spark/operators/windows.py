@@ -1247,16 +1247,27 @@ def win_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the result is schedule-independent by construction."""
     import pandas as pd
 
-    m = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
-        F.size(F.array_distinct(F.split("text", " ")))
-        .cast("bigint")
-        .alias("n_uniq"),
-        F.length("text").cast("bigint").alias("len_c"),
-        F.pmod(F.crc32(F.col("doc_id").cast("string")), _SKY3_BUCKETS).alias(
-            "bkt"
-        ),
+    m = (
+        load(spark, sf_dir, "documents")
+        # fan the tokenize/distinct metric map out of the single input
+        # split (guide §2.5)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("bigint")
+            .alias("n_uniq"),
+            F.length("text").cast("bigint").alias("len_c"),
+            F.pmod(
+                F.crc32(F.col("doc_id").cast("string")), _SKY3_BUCKETS
+            ).alias("bkt"),
+        )
+        # pin the bucket shuffle width so the per-bucket Python skylines
+        # don't all land on the ONE task AQE coalesces the tiny metric
+        # exchange to (guide §2.2); satisfies applyInPandas's required
+        # distribution, so no extra exchange
+        .repartition(spark.sparkContext.defaultParallelism, "bkt")
     )
 
     def local_skyline(pdf: pd.DataFrame) -> pd.DataFrame:
