@@ -4300,9 +4300,15 @@ def agg_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (interpreted lambda structs; measured 7.5 s -> 3.9 s at sf0.1) —
     # the OPPOSITE of the bounded 7-line order baskets where graph._pairs'
     # in-row form wins. Both shuffle the item table by basket once.
-    b2 = items.select(F.col("bk").alias("bk2"), F.col("item").alias("item2"))
+    # Pin the basket-join shuffle width: the item table is a few MB so
+    # AQE's byte heuristic coalesces the C(n,2) pair fan-out to ~10
+    # tasks while the work is per-PAIR; a user repartition on the join
+    # key keeps the enumeration on all cores with no extra exchange
+    # (guide §2.2; both sides reuse the same pinned exchange).
+    iw = items.repartition(spark.sparkContext.defaultParallelism, "bk")
+    b2 = iw.select(F.col("bk").alias("bk2"), F.col("item").alias("item2"))
     l2 = (
-        items.join(
+        iw.join(
             b2, (F.col("bk") == F.col("bk2")) & (F.col("item") < F.col("item2"))
         )
         .groupBy(F.col("item").alias("x"), F.col("item2").alias("y"))

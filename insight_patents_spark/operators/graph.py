@@ -102,7 +102,14 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(1) per order at any table size). Equivalent to the self-join
         # on (same order, pa < pb): entries with equal part keys are
         # excluded by the strict <, duplicates keep their multiplicity.
-        parts = li.groupBy("l_orderkey").agg(
+        # Pin the order-grouping shuffle width: its byte size is a few MB
+        # (AQE coalesces the read to 3-4 tasks) but the stage it feeds is
+        # compute-dense (in-row pair enumeration + the partial pair-count
+        # agg), so a user repartition on the SAME key keeps it on all
+        # cores without adding an exchange (guide §2.2/§2.5).
+        parts = li.repartition(
+            spark.sparkContext.defaultParallelism, "l_orderkey"
+        ).groupBy("l_orderkey").agg(
             F.sort_array(F.collect_list("l_partkey")).alias("arr")
         )
         pair_structs = F.flatten(

@@ -692,23 +692,36 @@ def _nsw_build_sims(spark: SparkSession, nodes: DataFrame) -> DataFrame:
     seeds = nodes.filter(F.col("vec_id") % _NSW_SEED_MOD == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
-    ranked = (
-        nodes.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(F.broadcast(seeds))
-        .withColumn("score", _dot("v", "cv"))
-        .withColumn(
-            "cell_rank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.round("score", 9).desc(), F.col("cell_id")
-                )
-            ),
-        )
+    # The seed set rides ONE broadcast array row and every node picks its
+    # top-_NSW_BUILD_PROBES cells IN-ROW: array_sort over struct
+    # (-round(dot, 9), cell_id) is exactly the former window's ordering
+    # (round desc, cell_id tiebreak; the sequential fold cannot produce
+    # -0.0, so negation is order-exact), but the N x n_list scoring never
+    # materializes as rows and no exchange carries the vectors through a
+    # window (guide §2.3/§2.4 — measured 1.46 -> 0.57 s warm at sf0.1).
+    # Broadcast ceiling is unchanged: the row-broadcast form shipped the
+    # same seed set.
+    seeds_arr = seeds.agg(
+        F.collect_list(F.struct("cell_id", "cv")).alias("sa")
+    )
+    top = F.expr(
+        "slice(array_sort(transform(sa, s -> struct("
+        "-round(aggregate(zip_with(v, s.cv, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t), 9) AS nscore, "
+        f"s.cell_id AS cell_id))), 1, {_NSW_BUILD_PROBES})"
     )
     # materialize the cell index once (probe and assign both read it)
     cells = (
-        ranked.filter(F.col("cell_rank") <= _NSW_BUILD_PROBES)
-        .select("vec_id", "cell_id", "cell_rank", "v")
+        nodes.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(seeds_arr))
+        .select("vec_id", "v", F.posexplode(top).alias("r", "t"))
+        .select(
+            "vec_id",
+            F.col("t.cell_id").alias("cell_id"),
+            (F.col("r") + 1).alias("cell_rank"),
+            "v",
+        )
         .localCheckpoint()
     )
     probe = cells.select(
