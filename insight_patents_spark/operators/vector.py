@@ -42,6 +42,54 @@ def _dot(a: str, b: str) -> F.Column:
     )
 
 
+def _cent_array(
+    cents: DataFrame, id_col: str, vec_col: str, with_self_dot: bool = False
+) -> DataFrame:
+    """The centroid/seed table as ONE array row ``ca: array<struct<cid,
+    cv[, cc]>>`` for broadcast into an in-row argmin/top-k (see
+    :func:`_inrow_topk`). Ships the same bytes as broadcasting the rows —
+    the memory ceiling is unchanged — but lets each big-side row rank all
+    centroids WITHOUT materializing the cross join as rows or paying a
+    window exchange that carries the vectors (guide §2.3/§2.4).
+    ``with_self_dot`` precomputes each centroid's self-dot once (the d2
+    identity needs it per pair otherwise)."""
+    fields = [F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")]
+    if with_self_dot:
+        fields.append(_dot(vec_col, vec_col).alias("cc"))
+    return cents.agg(F.collect_list(F.struct(*fields)).alias("ca"))
+
+
+def _inrow_topk(v_col: str, k: int, mode: str) -> F.Column:
+    """Top-``k`` centroids of the broadcast ``ca`` array for one row's
+    vector ``v_col``: array<struct<score, cid>>, ordered exactly like the
+    window form it replaces — (round(score, 9) DESC|ASC, cid ASC) via an
+    array_sort comparator, so the score fold runs ONCE per candidate
+    (the d2 identity additionally hoists v.v to a ``vv`` column and reads
+    the precomputed c.cc — same expression tree as the per-pair form,
+    hence bit-identical doubles). Comparator doubles compare with IEEE
+    semantics (-0.0 == 0.0), matching the window sort's normalized keys."""
+    dot = (
+        f"aggregate(zip_with({v_col}, c.cv, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    if mode == "dot_desc":
+        score, flip = dot, ">"
+    elif mode == "d2_asc":
+        score, flip = f"(vv - 2 * {dot} + c.cc)", "<"
+    else:  # pragma: no cover - internal contract
+        raise ValueError(mode)
+    return F.expr(
+        f"slice(array_sort(transform(ca, c -> "
+        f"struct({score} AS score, c.cid AS cid)), "
+        f"(l, r) -> CASE "
+        f"WHEN round(l.score, 9) {flip} round(r.score, 9) THEN -1 "
+        "WHEN round(l.score, 9) <> round(r.score, 9) THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 "
+        f"ELSE 0 END), 1, {k})"
+    )
+
+
 # Measured r4 (sf0.1, interleaved A/B on the dedup_embed_cosine pair
 # workload, 2.5M pairs): warm interpreted-HOF fold 0.9-1.2 s vs an
 # Arrow-batched numpy cumsum pandas_udf 2.2-5.2 s — the Arrow transfer
@@ -253,18 +301,16 @@ def vec_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    scored = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "dist2",
-            _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.round("dist2", 9), F.col("clabel"))
+    # In-row argmin over the one-row broadcast centroid array (no N x k
+    # row materialization, no window exchange; one fold per candidate —
+    # bit-identical d2, same (round(d2, 9), clabel) ordering).
     pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("label", F.col("clabel").alias("pred_label"))
+        e.withColumn("vv", _dot("v", "v"))
+        .crossJoin(F.broadcast(_cent_array(cent, "clabel", "cv", True)))
+        .select(
+            "label",
+            _inrow_topk("v", 1, "d2_asc")[0]["cid"].alias("pred_label"),
+        )
     )
     return pred.groupBy("label", "pred_label").agg(F.count(F.lit(1)).alias("n"))
 
@@ -324,21 +370,17 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
-    ranked = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("cent_cos", F.round(_dot("v", "cv"), 9))
-        .withColumn(
-            "rr",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("cent_cos").desc(), F.col("cell_id")
-                )
-            ),
-        )
-    )
+    # In-row argmax over the one-row broadcast seed array (no N x n_list
+    # row materialization, no window exchange carrying v; ordering ==
+    # the former window's (round(dot, 9) desc, cell_id asc)).
     assign = (
-        ranked.filter(F.col("rr") == 1)
-        .select("vec_id", "label", "cell_id", "v")
+        e.crossJoin(F.broadcast(_cent_array(seeds, "cell_id", "cv")))
+        .select(
+            "vec_id",
+            "label",
+            _inrow_topk("v", 1, "dot_desc")[0]["cid"].alias("cell_id"),
+            "v",
+        )
         .localCheckpoint()  # feeds both sides of the pair join
     )
     a = assign.select(
@@ -423,23 +465,20 @@ def vec_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
-    ranked = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("score", _dot("v", "cv"))
-        .withColumn(
-            "cell_rank",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.round("score", 9).desc(), F.col("cell_id")
-                )
-            ),
-        )
-    )
+    # In-row top-2 over the one-row broadcast seed array (no N x n_list
+    # row materialization, no window exchange carrying v; ordering ==
+    # the former window's (round(dot, 9) desc, cell_id asc)).
     # Materialize the index once (assign ⊂ probe both read it) — the IVF
     # build step; without this both branches recompute the N×n_list scan.
     top2 = (
-        ranked.filter(F.col("cell_rank") <= 2)
-        .select("vec_id", "cell_id", "cell_rank", "v")
+        e.crossJoin(F.broadcast(_cent_array(seeds, "cell_id", "cv")))
+        .select("vec_id", "v", F.posexplode(_inrow_topk("v", 2, "dot_desc")).alias("r", "t"))
+        .select(
+            "vec_id",
+            F.col("t.cid").alias("cell_id"),
+            (F.col("r") + 1).alias("cell_rank"),
+            "v",
+        )
         .localCheckpoint()
     )
     assign = top2.filter(F.col("cell_rank") == 1).select(
@@ -1685,21 +1724,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
-    ranked = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("cent_cos", F.round(_dot("v", "cv"), 9))
-        .withColumn(
-            "rr",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("cent_cos").desc(), F.col("cell_id")
-                )
-            ),
-        )
-    )
+    # In-row argmax over the one-row broadcast seed array (no N x n_list
+    # row materialization, no window exchange carrying v; ordering ==
+    # the former window's (round(dot, 9) desc, cell_id asc)).
+    best = _inrow_topk("v", 1, "dot_desc")[0]
     assign = (
-        ranked.filter(F.col("rr") == 1)
-        .select("vec_id", "cell_id", "v", "cent_cos")
+        e.crossJoin(F.broadcast(_cent_array(seeds, "cell_id", "cv")))
+        .select(
+            "vec_id",
+            best["cid"].alias("cell_id"),
+            "v",
+            F.round(best["score"], 9).alias("cent_cos"),
+        )
         .localCheckpoint()  # feeds both sides of the pair join
     )
     a = assign.select(
@@ -1942,16 +1978,26 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(centroids)).withColumn(
-            "d2", _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv")
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.round("d2", 9), F.col("cluster_id")
-        )
+        # In-row argmin over the ONE-row broadcast centroid array: the
+        # assignment is a narrow map (no N x k row materialization, no
+        # window exchange carrying v) and the d2 identity computes ONE
+        # fold per candidate (v.v hoisted per row, cv.cv precomputed per
+        # centroid; same expression tree as the per-pair form, so the
+        # doubles are bit-identical). Ordering == the former window's
+        # (round(d2, 9) asc, cluster_id asc).
+        best = F.col("best")[0]
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster_id", "d2")
+            e.withColumn("vv", _dot("v", "v"))
+            .crossJoin(
+                F.broadcast(_cent_array(centroids, "cluster_id", "cv", True))
+            )
+            .withColumn("best", _inrow_topk("v", 1, "d2_asc"))
+            .select(
+                "vec_id",
+                "v",
+                best["cid"].alias("cluster_id"),
+                best["score"].alias("d2"),
+            )
         )
 
     a = assign(cent)
@@ -2254,14 +2300,18 @@ def vec_cell_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") % 64 == 0).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "d2", _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("cell"))
+    # In-row argmin over the one-row broadcast centroid array (no N x k
+    # row materialization, no window exchange carrying v; one fold per
+    # candidate via the hoisted v.v / precomputed cv.cv — bit-identical
+    # d2, same (round(d2, 9), cell) ordering as the former window).
     a1 = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
+        e.withColumn("vv", _dot("v", "v"))
+        .crossJoin(F.broadcast(_cent_array(cent, "cell", "cv", True)))
+        .select(
+            "vec_id",
+            "v",
+            _inrow_topk("v", 1, "d2_asc")[0]["cid"].alias("cell"),
+        )
     )
     seeds = a1.groupBy("cell").agg(
         F.min("vec_id").alias("s0"), F.max("vec_id").alias("s1")
@@ -2393,14 +2443,18 @@ def vec_cell_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") % 64 == 0).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "d2", _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 9), F.col("cell"))
+    # In-row argmin over the one-row broadcast centroid array (no N x k
+    # row materialization, no window exchange carrying v; one fold per
+    # candidate via the hoisted v.v / precomputed cv.cv — bit-identical
+    # d2, same (round(d2, 9), cell) ordering as the former window).
     a1 = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
+        e.withColumn("vv", _dot("v", "v"))
+        .crossJoin(F.broadcast(_cent_array(cent, "cell", "cv", True)))
+        .select(
+            "vec_id",
+            "v",
+            _inrow_topk("v", 1, "d2_asc")[0]["cid"].alias("cell"),
+        )
     )
     seeds = a1.groupBy("cell").agg(
         F.min("vec_id").alias("s0"), F.max("vec_id").alias("s1")
@@ -3150,15 +3204,17 @@ def vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = e.filter(F.col("vec_id") % 64 == 0).select(
         F.col("vec_id").alias("cluster_id"), F.col("v").alias("cv")
     )
-    d2 = F.round(
-        _dot("v", "v") - 2 * _dot("v", "cv") + _dot("cv", "cv"), 9
-    )
-    w = Window.partitionBy("vec_id").orderBy(d2, "cluster_id")
+    # In-row argmin over the one-row broadcast centroid array (no N x k
+    # row materialization, no window exchange; one fold per candidate —
+    # bit-identical d2, same (round(d2, 9), cluster_id) ordering).
     a1 = (
-        e.crossJoin(F.broadcast(c0))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "cluster_id")
+        e.withColumn("vv", _dot("v", "v"))
+        .crossJoin(F.broadcast(_cent_array(c0, "cluster_id", "cv", True)))
+        .select(
+            "vec_id",
+            "label",
+            _inrow_topk("v", 1, "d2_asc")[0]["cid"].alias("cluster_id"),
+        )
     )
     grid = a1.groupBy("cluster_id", "label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
