@@ -314,12 +314,73 @@ def _jaccard_docs_cte(threshold: float) -> str:
     """
 
 
-def _jaccard_bitmask(d: DataFrame, threshold: float) -> DataFrame:
-    """Dense-domain Jaccard join: token sets → 63-bit masks; dedupe docs
-    into set classes; all-pairs over the (small) class domain with
-    popcount arithmetic; expand qualifying class pairs back to doc pairs.
-    |classes| is bounded by the set-structure of the corpus, not |docs|,
-    so the quadratic step runs on the compressed domain."""
+# (app, sf, stamp) -> (classes, ids): the threshold-INDEPENDENT half of
+# the dense-domain Jaccard join — the token-set class table (sig, n,
+# 63-bit mask) and the doc_id -> sig map. text_jaccard_tokens (J>=0.9)
+# and dedup_eval's truth arm (J>=0.7) build the identical tables; at
+# 100 TB the class table is written once and every threshold query
+# reads it (the verified_pairs contract). First touch stays charged to
+# whichever query the rotation runs first.
+_JACCARD_CLASS_CACHE: dict[
+    tuple[str, str, str], tuple[DataFrame, DataFrame]
+] = register_shared_cache({})
+
+# (app, sf, stamp) -> (vocab_size, n_classes): the strategy-probe pair
+# both adaptive Jaccard operators collect before choosing the bitmask
+# vs PPJoin path — two bounded driver scalars, same for both.
+_JACCARD_PROBE_CACHE: dict[tuple[str, str, str], tuple[int, int]] = (
+    register_shared_cache({})
+)
+
+
+def _jaccard_probe(
+    spark: SparkSession, sf_dir: str, d: DataFrame
+) -> tuple[int, int]:
+    """Distinct-token count and token-SET class count for the adaptive
+    Jaccard strategy pick — two narrow single-distinct jobs (the r13
+    split form: vocab needs only bare exploded tokens, the class count
+    one md5 sig per doc; never a 2-column Expand multi-distinct over the
+    token stream), cached per (app, sf, stamp) so the second consumer
+    pays no driver round-trips."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        src_stamp(sf_dir, "documents"),
+    )
+    if key not in _JACCARD_PROBE_CACHE:
+        toks = F.array_distinct(_tokens())
+        vocab_size = (
+            d.select(F.explode_outer(toks).alias("t"))
+            .agg(F.countDistinct("t"))
+            .collect()[0][0]
+        )
+        n_classes = (
+            d.select(
+                F.md5(F.array_join(F.sort_array(toks), "|")).alias("sig")
+            )
+            .agg(F.countDistinct("sig"))
+            .collect()[0][0]
+        )
+        _evict_stale(_JACCARD_PROBE_CACHE, key)
+        _JACCARD_PROBE_CACHE[key] = (vocab_size, n_classes)
+    return _JACCARD_PROBE_CACHE[key]
+
+
+def _jaccard_class_tables(
+    spark: SparkSession, sf_dir: str, d: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The (classes, ids) pair backing :func:`_jaccard_bitmask`, built
+    once per (app, sf, stamp): classes = (sig, n, mask) checkpointed,
+    ids = (doc_id, sig) checkpointed (it feeds two expansion joins per
+    consumer — without the checkpoint the per-doc md5 scan re-runs for
+    each)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        src_stamp(sf_dir, "documents"),
+    )
+    if key in _JACCARD_CLASS_CACHE:
+        return _JACCARD_CLASS_CACHE[key]
     toks = F.array_distinct(F.split(F.col("text"), " "))
     docs = d.select(
         "doc_id",
@@ -328,7 +389,6 @@ def _jaccard_bitmask(d: DataFrame, threshold: float) -> DataFrame:
         F.md5(F.array_join(F.sort_array(toks), "|")).alias("sig"),
     )
     # global vocab index (driver-side: ≤63 entries by construction)
-    spark = d.sparkSession
     vocab = sorted(
         r["t"] for r in d.select(F.explode(toks).alias("t")).distinct().collect()
     )
@@ -354,6 +414,23 @@ def _jaccard_bitmask(d: DataFrame, threshold: float) -> DataFrame:
         .select("sig", "n", "mask")
         .localCheckpoint()
     )
+    ids = docs.select("doc_id", "sig").localCheckpoint()
+    _evict_stale(_JACCARD_CLASS_CACHE, key)
+    _JACCARD_CLASS_CACHE[key] = (classes, ids)
+    return classes, ids
+
+
+def _jaccard_bitmask(
+    spark: SparkSession, sf_dir: str, d: DataFrame, threshold: float
+) -> DataFrame:
+    """Dense-domain Jaccard join: token sets → 63-bit masks; dedupe docs
+    into set classes; all-pairs over the (small) class domain with
+    popcount arithmetic; expand qualifying class pairs back to doc pairs.
+    |classes| is bounded by the set-structure of the corpus, not |docs|,
+    so the quadratic step runs on the compressed domain. The class/id
+    tables are threshold-independent and shared across consumers
+    (:func:`_jaccard_class_tables`)."""
+    classes, ids = _jaccard_class_tables(spark, sf_dir, d)
     # fan the class x class nested-loop join: the checkpointed classes
     # table keeps the agg's 1-2 AQE-coalesced partitions, so the
     # quadratic popcount filter otherwise runs on 1-2 tasks (guide §2.2)
@@ -374,7 +451,6 @@ def _jaccard_bitmask(d: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("jaccard") >= threshold)
         .select("sig_a", "sig_b", "inter", "uni", "jaccard")
     )
-    ids = docs.select("doc_id", "sig")
     same = (
         qualifying.filter(F.col("sig_a") == F.col("sig_b"))
         .join(ids.alias("x"), F.col("sig_a") == F.col("x.sig"))
@@ -442,25 +518,15 @@ def text_jaccard_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan the probe's explode+md5 map and the per-doc sig/mask maps out
     # of the single input split (guide §2.5); 5k-row round-robin
     d = load(spark, sf_dir, "documents").repartition(sh_parts(spark))
-    # ONE strategy probe (r7 VERDICT #6: the vocab-size and class-count
-    # probes were two serial driver round-trips): distinct-token count
-    # and token-SET class count ride the same scan+agg. The class guard
-    # matters because the bitmask path is all-pairs over token-SET
-    # classes — usually tiny for a 63-token vocabulary, but an
-    # adversarial corpus can push it toward min(|docs|, 2^63); past
-    # _JACCARD_CLASS_CAP the quadratic class join loses to PPJoin's
-    # prefix filtering, so fall back.
-    toks = F.array_distinct(_tokens())
-    vocab_size, n_classes = (
-        d.select(
-            F.explode_outer(toks).alias("t"),
-            F.md5(F.array_join(F.sort_array(toks), "|")).alias("sig"),
-        )
-        .agg(F.countDistinct("t"), F.countDistinct("sig"))
-        .collect()[0]
-    )
+    # Strategy probe (cached per app/sf/stamp — dedup_eval's truth arm
+    # runs the identical probe): the class guard matters because the
+    # bitmask path is all-pairs over token-SET classes — usually tiny
+    # for a 63-token vocabulary, but an adversarial corpus can push it
+    # toward min(|docs|, 2^63); past _JACCARD_CLASS_CAP the quadratic
+    # class join loses to PPJoin's prefix filtering, so fall back.
+    vocab_size, n_classes = _jaccard_probe(spark, sf_dir, d)
     if vocab_size <= 63 and n_classes <= _JACCARD_CLASS_CAP:
-        return _jaccard_bitmask(d, threshold=0.9)
+        return _jaccard_bitmask(spark, sf_dir, d, threshold=0.9)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("token")
     )
@@ -3337,26 +3403,13 @@ def dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan the probe scans and the truth build's per-doc maps out of the
     # single input split (guide §2.5)
     d = load(spark, sf_dir, "documents").repartition(sh_parts(spark))
-    # Strategy probe, two narrow single-distinct jobs (r13): the r7-r12
-    # combined form attached the 32-char md5 class sig to every exploded
-    # token row and paid a 2-column Expand multi-distinct over the full
-    # token stream; vocab needs only the bare exploded token (8-40 B
-    # rows, one distinct agg) and the class count needs only one sig
-    # row PER DOC (never exploded) — together strictly less data than
-    # either pass of the old probe.
-    toks = F.array_distinct(_tokens())
-    vocab_size = (
-        d.select(F.explode_outer(toks).alias("t"))
-        .agg(F.countDistinct("t"))
-        .collect()[0][0]
-    )
-    n_classes = (
-        d.select(F.md5(F.array_join(F.sort_array(toks), "|")).alias("sig"))
-        .agg(F.countDistinct("sig"))
-        .collect()[0][0]
-    )
+    # Strategy probe (r13: two narrow single-distinct jobs — vocab needs
+    # only the bare exploded token, the class count one sig row PER DOC,
+    # never a 2-column Expand multi-distinct over the token stream) —
+    # cached per app/sf/stamp and shared with text_jaccard_tokens.
+    vocab_size, n_classes = _jaccard_probe(spark, sf_dir, d)
     if vocab_size <= 63 and n_classes <= _JACCARD_CLASS_CAP:
-        truth = _jaccard_bitmask(d, threshold=0.7).select(
+        truth = _jaccard_bitmask(spark, sf_dir, d, threshold=0.7).select(
             "doc_a", "doc_b", "jaccard"
         )
     else:
