@@ -999,51 +999,84 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights.
 
     Scale shape (the dedup_minhash_pairs contract): the element stream
-    is one explode + one per-(doc,token) window; signatures collapse in
-    ONE hash agg (8 md5s per element row — the element-vocab broadcast
-    variant of _doc_sig_mask applies when element re-use across docs is
-    high); 2x4 banding buckets candidates via equi-join (never
-    all-pairs, salted_band_pairs above for degenerate bands); each pair
-    is emitted once from its first colliding band; verification runs on
-    carried element arrays only — the corpus is never re-joined."""
+    is one explode + one per-(doc,token) window; md5(seed‖elem) is
+    computed once per DISTINCT element (the _doc_sig_mask vocabulary
+    trick — element re-use across docs is high, so 8·|elem-vocab|
+    hashes replace 8·|elements|), signatures + a dictionary-encoded
+    element BITSET collapse in ONE hash agg; 2x4 banding buckets
+    candidates via equi-join (never all-pairs, salted_band_pairs above
+    for degenerate bands); each pair is emitted once from its first
+    colliding band; verification is exact element-set intersection via
+    AND+popcount on the carried bitsets — the corpus is never re-joined
+    and no element array rides the band shuffle. If the element
+    dictionary ever exceeds broadcast size, both legs degrade
+    gracefully to per-element hashing + sorted-array intersection (the
+    documented _doc_sig_mask posture)."""
     tok = (
         load(spark, sf_dir, "documents")
         .repartition(sh_parts(spark))
-        .select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("pos", "token"),
-        )
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     )
-    w = Window.partitionBy("doc_id", "token").orderBy("pos")
-    el = tok.select(
+    # The element SET per doc is {token#1 .. token#tf}, so a map-side
+    # combinable (doc, token) -> tf count replaces the per-occurrence
+    # row_number window (no (doc,token)-keyed sort of the full token
+    # stream); elements re-derive from the checkpointed count table on
+    # both consuming passes (vocab and signatures).
+    ct = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .localCheckpoint()
+    )
+    el = ct.select(
         "doc_id",
-        F.concat(
-            F.col("token"),
-            F.lit("#"),
-            F.row_number().over(w).cast("string"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, tf), "
+                "i -> concat(token, '#', CAST(i AS STRING)))"
+            )
         ).alias("elem"),
     )
-    hashed = el.select(
-        "doc_id",
+    # Vocabulary trick (the _doc_sig_mask shape): hash each DISTINCT
+    # element once, broadcast the (elem, tid, h0..h7) dictionary, and
+    # fold per-doc minima + the dictionary bitset in one hash agg.
+    vocab = (
+        el.select("elem")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("elem")) - 1)
+    )
+    n_vocab = vocab.count()
+    n_chunks = max(1, (n_vocab + 63) // 64)
+    vocab_h = vocab.select(
         "elem",
+        "tid",
         *[
             F.md5(F.concat(F.lit(s), F.lit(":"), F.col("elem"))).alias(f"h{i}")
             for i, s in enumerate(_WMH_SEEDS)
         ],
     )
-    # materialize signatures+elements ONCE: the band self-join below
+    # materialize signatures+bitsets ONCE: the band self-join below
     # would otherwise rebuild the scan->window->agg chain on BOTH sides
     # (the _SIG_CACHE lesson from the unweighted family)
-    sig = hashed.groupBy("doc_id").agg(
+    sig = el.join(F.broadcast(vocab_h), "elem").groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(len(_WMH_SEEDS))],
-        F.sort_array(F.collect_list("elem")).alias("els"),
+        *[
+            F.bit_or(
+                F.when(
+                    F.expr(f"tid DIV 64 = {c}"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))"
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias(f"m{c}")
+            for c in range(n_chunks)
+        ],
         F.count(F.lit(1)).alias("n"),
     ).localCheckpoint()
     n_bands = len(_WMH_SEEDS) // 4
     bands = sig.select(
         "doc_id",
-        "els",
         "n",
+        *[f"m{c}" for c in range(n_chunks)],
         *[
             F.md5(
                 F.concat_ws(
@@ -1076,7 +1109,13 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_earlier = dup_earlier | (
             (F.col("a.band_id") > i) & (F.col(f"a.k{i}") == F.col(f"b.k{i}"))
         )
-    inter = F.size(F.array_intersect(F.col("a.els"), F.col("b.els")))
+    # Exact element-set intersection = popcount of ANDed dictionary
+    # bitsets (elements are distinct within a doc by construction, so
+    # |rep(A) ∩ rep(B)| IS the bitset popcount) — statically unrolled
+    # over chunks, no string arrays cross the band shuffle.
+    inter = sum(
+        F.expr(f"bit_count(a.m{c} & b.m{c})") for c in range(n_chunks)
+    )
     wj = inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter)
     return (
         pair.filter(~dup_earlier)

@@ -1759,16 +1759,19 @@ def test_llm_curation_packed_plan_shape(spark, sf_dir):
 
 def test_weighted_minhash_band_join_reads_materialized_signatures(spark, sf_dir):
     # The band self-join must consume the CHECKPOINTED signature table
-    # on both sides (one scan->window->agg build total, ExistingRDD in
-    # the join plan) and verify on carried element arrays — documents
-    # never re-enters, nothing is cartesian.
+    # on both sides (one count->hash-agg build total, ExistingRDD in
+    # the join plan) and verify by bitset popcount on carried dictionary
+    # masks (r13: the _doc_sig_mask element-vocab variant) — documents
+    # never re-enters, no element string array rides the band shuffle,
+    # nothing is cartesian.
     from insight_patents_spark.operators.text import dedup_minhash_weighted
 
     plan = formatted_plan(dedup_minhash_weighted(spark, sf_dir))
     assert plan.count("documents.parquet") == 0
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
-    assert "array_intersect" in plan
+    assert "bit_count" in plan
+    assert "array_intersect" not in plan
 
 
 def test_apriori_chain_shape(spark, sf_dir):
