@@ -337,11 +337,13 @@ def _jaccard_probe(
     spark: SparkSession, sf_dir: str, d: DataFrame
 ) -> tuple[int, int]:
     """Distinct-token count and token-SET class count for the adaptive
-    Jaccard strategy pick — two narrow single-distinct jobs (the r13
-    split form: vocab needs only bare exploded tokens, the class count
-    one md5 sig per doc; never a 2-column Expand multi-distinct over the
-    token stream), cached per (app, sf, stamp) so the second consumer
-    pays no driver round-trips."""
+    Jaccard strategy pick — one bounded limit-64 distinct collect for
+    the vocab (the decision only asks "fits 63 bits?"), and the class
+    count read off the shared checkpointed class table that every
+    dense-path consumer builds next anyway (never a full token-stream
+    pass per scalar, never a 2-column Expand multi-distinct). Cached
+    per (app, sf, stamp) so the second consumer pays no driver
+    round-trips."""
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
@@ -349,18 +351,32 @@ def _jaccard_probe(
     )
     if key not in _JACCARD_PROBE_CACHE:
         toks = F.array_distinct(_tokens())
-        vocab_size = (
+        # Bounded vocab probe (r13): the strategy only asks "<= 63?",
+        # so collect at most 64 distinct tokens in ONE job instead of a
+        # full countDistinct pass — 64 is the "wider than the mask"
+        # sentinel (the exact count past 63 never matters to a caller).
+        vocab_rows = (
             d.select(F.explode_outer(toks).alias("t"))
-            .agg(F.countDistinct("t"))
-            .collect()[0][0]
+            .where(F.col("t").isNotNull())
+            .distinct()
+            .limit(64)
+            .collect()
         )
-        n_classes = (
-            d.select(
-                F.md5(F.array_join(F.sort_array(toks), "|")).alias("sig")
-            )
-            .agg(F.countDistinct("sig"))
-            .collect()[0][0]
-        )
+        vocab_size = len(vocab_rows)
+        if vocab_size <= 63:
+            # Every dense-path consumer builds the class tables next
+            # anyway; count classes on the checkpointed table (bounded
+            # by |docs| rows) instead of a second full token-stream
+            # pass with a per-doc md5 sort. On an adversarial corpus
+            # that fails the class cap this builds tables the PPJoin
+            # fallback won't read — one linear pass, the same order of
+            # work as the probe pass it replaces.
+            classes, _ids = _jaccard_class_tables(spark, sf_dir, d)
+            n_classes = classes.count()
+        else:
+            # PPJoin path: the cap conjunct is short-circuited by
+            # vocab_size > 63; carry an over-cap sentinel.
+            n_classes = _JACCARD_CLASS_CAP + 1
         _evict_stale(_JACCARD_PROBE_CACHE, key)
         _JACCARD_PROBE_CACHE[key] = (vocab_size, n_classes)
     return _JACCARD_PROBE_CACHE[key]
