@@ -182,6 +182,9 @@ def test_unpartitioned_windows_are_the_disclosed_set():
         ("operators/sequences.py", "agg_survival_curve"),  # lifetime grid
         ("operators/sequences.py", "agg_survival_km"),  # lifetime grid
         ("operators/text.py", "_doc_sig_mask_chunks"),  # vocab dict ids
+        # element-vocab dict ids (bounded: distinct token#occ strings,
+        # 315 at sf0.1 — the r13 weighted-minhash _doc_sig_mask variant)
+        ("operators/text.py", "dedup_minhash_weighted"),
         ("operators/text.py", "text_bpe_pairs"),  # distinct-pair grid
         # (b) the disclosed global-total-order exhibits (SCALE.md §3:
         # range-partition + per-range window + offset merge at 100x):
