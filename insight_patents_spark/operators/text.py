@@ -952,6 +952,39 @@ def text_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (app, sf, stamp) -> checkpointed (doc_id, token, tf) counts: the
+# token-frequency table BOTH weighted-minhash variants build signatures
+# from (integer copy-replication for dedup_minhash_weighted, sublinear
+# 1+ln(tf) weights for dedup_minhash_icws) — built once per session,
+# every consumer reads it (the verified_pairs contract; first touch
+# charged to whichever query runs first). At 100 TB this is "write the
+# tf table, sign over the table".
+_TF_CACHE: dict[tuple[str, str, str], DataFrame] = register_shared_cache({})
+
+
+def _doc_token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        src_stamp(sf_dir, "documents"),
+    )
+    if key in _TF_CACHE:
+        return _TF_CACHE[key]
+    tf = (
+        load(spark, sf_dir, "documents")
+        # fan the explode + partial count out of the single input split
+        # (guide §2.5; a real corpus scan has many splits)
+        .repartition(sh_parts(spark))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    _evict_stale(_TF_CACHE, key)
+    _TF_CACHE[key] = tf
+    return tf
+
+
 _WMH_SEEDS = MINHASH_SEEDS[:8]  # 2 bands x 4 rows
 _WMH_SEEDS_SQL = ", ".join(f"('{s}', {i})" for i, s in enumerate(_WMH_SEEDS))
 _WMH_THRESH = 0.6
@@ -1028,21 +1061,13 @@ def dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary ever exceeds broadcast size, both legs degrade
     gracefully to per-element hashing + sorted-array intersection (the
     documented _doc_sig_mask posture)."""
-    tok = (
-        load(spark, sf_dir, "documents")
-        .repartition(sh_parts(spark))
-        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    )
-    # The element SET per doc is {token#1 .. token#tf}, so a map-side
-    # combinable (doc, token) -> tf count replaces the per-occurrence
-    # row_number window (no (doc,token)-keyed sort of the full token
-    # stream); elements re-derive from the checkpointed count table on
-    # both consuming passes (vocab and signatures).
-    ct = (
-        tok.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-        .localCheckpoint()
-    )
+    # The element SET per doc is {token#1 .. token#tf}, so the shared
+    # map-side-combinable (doc, token) -> tf table replaces the
+    # per-occurrence row_number window (no (doc,token)-keyed sort of the
+    # full token stream); elements re-derive from the checkpointed count
+    # table on both consuming passes (vocab and signatures), and the
+    # table itself is session-shared with dedup_minhash_icws.
+    ct = _doc_token_tf(spark, sf_dir)
     el = ct.select(
         "doc_id",
         F.explode(
@@ -1240,13 +1265,10 @@ def _icws_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. localCheckpointed — the probe band join consumes it
     on both sides (the _SIG_CACHE lesson). Exposed for the
     exact-Python-replay test."""
-    tf = (
-        load(spark, sf_dir, "documents")
-        .repartition(sh_parts(spark))
-        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # shared, checkpointed (doc, token, tf) table (see _doc_token_tf):
+    # it feeds BOTH the sampler-vocab distinct and the per-row keys
+    # below — without the checkpoint the tokenize+count ran twice here
+    tf = _doc_token_tf(spark, sf_dir)
     vocab = tf.select("token").distinct().select(
         "token", *_icws_token_samples()
     )
