@@ -1283,22 +1283,38 @@ _GEO_KNN_K = 5
 def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-nearest-neighbor join — each supplier depot (probe) finds
     its 5 closest customers — computed the way exact spatial kNN must
-    run at corpus scale: the tiny probe side BROADCASTS (items never
-    shuffle for the distance pass), and top-k is a TWO-STAGE refinement
-    — stage 1 keeps the 5 best per (probe, grid cell) with window
-    partitions of bounded cell occupancy, stage 2 ranks only those
-    ≤ 5·cells survivors per probe. A single per-probe window over all
-    |probes|·|items| distance rows (the sklearn shape) would shuffle
-    the whole cross product to |probes| partitions; the refinement
-    keeps stage-1 parallelism at the (probe × cell) grain and is
-    provably exact — a global top-5 row is necessarily a top-5 row of
-    its own cell. Same md5 coordinate space + exact-integer
-    cross-multiplied metric as geo_grid_join (no division, no floats
-    until the reporting column).
+    run at corpus scale: the bounded probe side ships ONCE to every
+    worker (a Spark broadcast variable — the same memory ceiling as the
+    former `F.broadcast(probes)` plan), and each item partition computes
+    its distance matrix against all probes in vectorized NumPy inside
+    one Arrow batch pass, emitting only its per-probe top-5 — the
+    |probes|·|items| distance stream never materializes as rows
+    anywhere. A tiny exact merge (≤ 5·partitions survivors per probe)
+    finishes the refinement: a global top-5 row is necessarily a top-5
+    row of its own partition, and the merge re-sorts with the identical
+    (d2q, item_id) total order, so the answer is exactly the one-window
+    sklearn shape. All arithmetic is int64 (the md5-derived coordinates
+    come from Spark expressions; 4·dlat²+dlon² < 2⁴⁴ so no overflow,
+    no floats until the reporting column).
 
-    At 10⁹ items the plan is unchanged: broadcast probes, narrow
-    distance map, two bounded windows. Swap the metric for haversine
-    and k for a radius guard without touching the topology."""
+    Measured at sf0.1/local[32] (r14): the r13 two-window cell
+    refinement comparator-sorted the full 15M-row cross product twice —
+    110 s of executor CPU, the single most CPU-expensive query in the
+    suite and the standing "burst magnet" row; a JVM hash-aggregate
+    top-k (collect_list + array_sort per bucket) was A/B'd and is WORSE
+    (object-agg allocation: 75-115 s CPU, 12-14 s wall); this NumPy
+    batch form is ~2 s CPU total (guide §4.2 — hand whole batches to
+    vectorized native code; §8 — decide with small rows, never move the
+    heavy stream).
+
+    At 10⁹ items the plan is unchanged: one narrow shuffle of the bare
+    item rows fans the scan (partition count = cluster parallelism; the
+    per-task matrix is |partition|×|probes|, bounded by the split
+    size), one Arrow pass, one survivor merge. Swap the metric for
+    haversine and k for a radius guard without touching the topology."""
+    import numpy as np
+    import pandas as pd
+
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
 
@@ -1311,46 +1327,77 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint")
 
+    probes = s.select(
+        F.col("s_suppkey").alias("probe_id"),
+        (h("plat", "s_suppkey") % 1200001 - 600000).alias("plat"),
+        (h("plon", "s_suppkey") % 3600001 - 1800000).alias("plon"),
+    ).toPandas()
+    bc = spark.sparkContext.broadcast(
+        (
+            probes["probe_id"].to_numpy(),
+            probes["plat"].to_numpy(),
+            probes["plon"].to_numpy(),
+        )
+    )
+    k = _GEO_KNN_K
+
+    def part_topk(batches):
+        pid, plat, plon = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # pre-sort items by id so a STABLE argsort on d2q breaks
+            # ties by item_id asc — the exact (d2q, item_id) order
+            pdf = pdf.sort_values("item_id")
+            iid = pdf["item_id"].to_numpy()
+            dlat = plat[:, None] - pdf["lat"].to_numpy()[None, :]
+            dlon = plon[:, None] - pdf["lon"].to_numpy()[None, :]
+            d2 = 4 * dlat * dlat + dlon * dlon  # int64 exact
+            kk = min(k, d2.shape[1])
+            top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.repeat(pid, kk),
+                    "d2q": np.take_along_axis(d2, top, axis=1).ravel(),
+                    "item_id": iid[top.ravel()],
+                }
+            )
+
     items = c.select(
         F.col("c_custkey").alias("item_id"),
         (h("lat", "c_custkey") % 1200001 - 600000).alias("lat"),
         (h("lon", "c_custkey") % 3600001 - 1800000).alias("lon"),
     ).repartition(spark.sparkContext.defaultParallelism)
-    probes = s.select(
-        F.col("s_suppkey").alias("probe_id"),
-        (h("plat", "s_suppkey") % 1200001 - 600000).alias("plat"),
-        (h("plon", "s_suppkey") % 3600001 - 1800000).alias("plon"),
+    part = items.mapInPandas(
+        part_topk, "probe_id bigint, d2q bigint, item_id bigint"
     )
-    dlat = F.col("plat") - F.col("lat")
-    dlon = F.col("plon") - F.col("lon")
-    dist = items.join(F.broadcast(probes)).select(
+    # exact merge of the ≤ k·partitions survivors per probe: one narrow
+    # exchange; array_sort on struct(d2q, item_id) is the same total
+    # order, rank = position in the merged top-k.
+    top = part.groupBy("probe_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("d2q").alias("d2q"),
+                        F.col("item_id").alias("item_id"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return top.select(
+        "probe_id", F.posexplode("top").alias("pos", "t")
+    ).select(
         "probe_id",
-        "item_id",
-        (4 * dlat * dlat + dlon * dlon).alias("d2q"),
-        F.floor(F.col("lat") / _GEO_LAT_CELL).alias("cy"),
-        F.floor(F.col("lon") / _GEO_LON_CELL).alias("cx"),
-    )
-    w_cell = Window.partitionBy("probe_id", "cy", "cx").orderBy(
-        "d2q", "item_id"
-    )
-    survivors = (
-        dist.withColumn("rc", F.row_number().over(w_cell))
-        .filter(F.col("rc") <= _GEO_KNN_K)
-        .drop("rc", "cy", "cx")
-    )
-    w_probe = Window.partitionBy("probe_id").orderBy("d2q", "item_id")
-    return (
-        survivors.withColumn("rank", F.row_number().over(w_probe))
-        .filter(F.col("rank") <= _GEO_KNN_K)
-        .select(
-            "probe_id",
-            F.col("rank").cast("bigint").alias("rank"),
-            "item_id",
-            F.col("d2q").cast("bigint").alias("d2q_units"),
-            F.round(F.sqrt(F.col("d2q").cast("double")) * 0.00555225, 9)
-            .cast("double")
-            .alias("approx_km"),
-        )
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        F.col("t.item_id").alias("item_id"),
+        F.col("t.d2q").cast("bigint").alias("d2q_units"),
+        F.round(F.sqrt(F.col("t.d2q").cast("double")) * 0.00555225, 9)
+        .cast("double")
+        .alias("approx_km"),
     )
 
 

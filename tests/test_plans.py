@@ -1355,18 +1355,25 @@ def test_psi_and_chi_square_windows_after_one_fact_agg(spark, sf_dir):
 
 
 def test_geo_knn_broadcasts_probes_two_stage_topk(spark, sf_dir):
-    # exact kNN at scale: the tiny probe side broadcasts (items never
-    # shuffle for the distance pass — the only non-broadcast exchanges
-    # are the window partitionings), and top-k refines in TWO window
-    # stages (per-cell partial, per-probe final), both eligible for
-    # WindowGroupLimit pushdown.
+    # exact kNN at scale: the bounded probe side ships as a broadcast
+    # variable into ONE vectorized Arrow batch pass over the item
+    # partitions, which emits only per-partition top-k — the
+    # |probes|x|items| distance stream never materializes as JVM rows
+    # (no cross join, no Window, no Sort of the heavy stream); a tiny
+    # per-probe merge finishes. (r14 — the former two-window cell
+    # refinement comparator-sorted the full 15M-row cross product
+    # twice, 110 s CPU at sf0.1; a JVM collect_list hash-agg top-k was
+    # A/B'd WORSE at 75-115 s CPU.)
     from insight_patents_spark.operators.joins import geo_knn
 
     plan = formatted_plan(geo_knn(spark, sf_dir))
-    assert "BroadcastExchange" in plan
-    assert "CartesianProduct" not in plan
-    assert len(re.findall(r"^\(\d+\) Window$", plan, re.M)) == 2
-    assert "WindowGroupLimit" in plan
+    assert "MapInPandas" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 0
+    # no Sort anywhere: top-k is vectorized in the batch pass, the
+    # merge is an in-row array_sort over bounded survivor groups
+    assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 0
+    assert plan.count("ObjectHashAggregate") >= 1
 
 
 def test_winnowing_is_narrow_scan_speed(spark, sf_dir):
