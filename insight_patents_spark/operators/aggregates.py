@@ -3574,19 +3574,27 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: broadcast part dim into the fact scan + ONE
     map-side-combinable hash agg to |brands| cells. Zero-quantity
     lines are excluded before any log (ln(0) guard, both engines
-    identically)."""
+    identically). The narrow (brand, a, b) projection round-robins
+    out of the scan before the agg: the local fact file is 3 input
+    splits, and the per-row log/round + five decimal nano-sum partials
+    are the dominant cost (~30 s CPU at sf0.1 measured serial on the
+    3 scan tasks; an 18 MB shuffle of 3 narrow columns fans it across
+    every core — guide §2.5, the r13 single-split finding applied to a
+    few-split fact scan)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     qint = F.expr("CAST(ROUND(l_quantity, 0) AS BIGINT)")
     pc = F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
-    j = (
+    raw = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(qint >= 1)
-        .select(
-            F.col("p_brand").alias("brand"),
-            F.round(F.log(pc / (100.0 * qint)), 9).alias("a"),
-            F.round(F.log(qint.cast("double")), 9).alias("b"),
-        )
+        .select(F.col("p_brand").alias("brand"), pc.alias("pc"), qint.alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    j = raw.select(
+        "brand",
+        F.round(F.log(F.col("pc") / (100.0 * F.col("q"))), 9).alias("a"),
+        F.round(F.log(F.col("q").cast("double")), 9).alias("b"),
     )
     def nano(c):
         return F.round(c * F.lit(1e9), 0).cast("long").cast("decimal(38,0)")
