@@ -119,8 +119,107 @@ def _inrow_topk(v_col: str, k: int, mode: str) -> F.Column:
 # of BOTH 64-double vectors per PAIR row is O(pairs x dim) and dominates,
 # so pairwise scoring stays on the JVM-side `_dot` fold. The numpy path
 # wins only where transfer is O(N x dim), i.e. the per-vector bucket
-# assignment below (`_bucket_assign_udf`), where it replaced L x P
-# interpreted folds recomputed across five plan branches.
+# assignment below (`_bucket_assign_udf`), and (r14) the broadcast-
+# candidate scoring below (`_np_cand_scores`), where each vector crosses
+# the boundary ONCE and is scored against the whole candidate set in
+# one vectorized pass — the interpreted fold costs ~70 us per 64-dim
+# candidate (measured via cpu_probe: vec_cell_kmeans 37 s CPU,
+# vec_ann_nsw ~35 s CPU, dominated by fold counts), vs ~microseconds
+# vectorized.
+
+
+def _np_cand_scores(spark: SparkSession, cents: list, mode: str):
+    """Arrow-batched scores of each row's vector against a bounded
+    COLLECTED candidate set: returns a pandas_udf(array<double>) whose
+    output[i] is this row's score against candidate i (candidate order
+    = the `cents` list order). Ships the same bytes as the former
+    one-row-broadcast candidate array (`_cent_array`) — the memory
+    ceiling is unchanged, the set rides a SparkContext broadcast — but
+    the score folds run vectorized instead of ~70 us/candidate in the
+    interpreted HOF.
+
+    Bit-exactness contract (the `_bucket_assign_udf` argument, judged
+    r4, re-verified value-exact on 6000 rows in the r13 ivf A/B): every
+    accumulation below is a SEQUENTIAL loop over the dimension axis of
+    vectorized elementwise ops, so each row's additions happen in the
+    exact index order of the interpreted ``aggregate(zip_with(...))``
+    fold (seed 0.0, acc + x_d*y_d for d = 0..D-1) and of DuckDB's
+    list_dot_product; the d2 identity composes as the identical
+    ((vv - 2*dot) + cc) tree. float32 inputs widen exactly, like the
+    fold's CAST(x AS DOUBLE). The 9dp-rounded comparison/tiebreak stays
+    on the JVM (`_np_topk_expr`) with the same F.round comparator as
+    `_inrow_topk`, so no Python float-formatting is ever involved in
+    ordering. ``cents``: list of (cid, vector) rows."""
+    import numpy as np
+
+    C = np.array([list(c[1]) for c in cents], dtype=np.float64)  # (kc, D)
+    cc = np.zeros(C.shape[0])
+    for d in range(C.shape[1]):  # sequential self-dot, fold order
+        cc = cc + C[:, d] * C[:, d]
+    bc = spark.sparkContext.broadcast((C, cc))
+    want_d2 = mode == "d2_asc"
+    if not want_d2 and mode != "dot_desc":  # pragma: no cover
+        raise ValueError(mode)
+
+    @F.pandas_udf("array<double>")
+    def scores(v: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        Cm, ccv = bc.value
+        X = _np.array(v.tolist(), dtype=_np.float64)  # (n, D)
+        acc = _np.zeros((X.shape[0], Cm.shape[0]))
+        for d in range(Cm.shape[1]):  # sequential fold order per pair
+            acc += X[:, d : d + 1] * Cm[None, :, d]
+        if want_d2:
+            vv = _np.zeros(X.shape[0])
+            for d in range(X.shape[1]):
+                vv = vv + X[:, d] * X[:, d]
+            acc = (vv[:, None] - 2 * acc) + ccv[None, :]
+        return pd.Series(list(acc))
+
+    return scores
+
+
+def _np_topk_expr(scores_col: str, cids: list, k: int, mode: str) -> F.Column:
+    """Top-``k`` of a `_np_cand_scores` array: zip scores with the
+    candidate-id literal array (index-aligned by construction) and sort
+    with the EXACT `_inrow_topk` comparator — (round(score, 9)
+    DESC|ASC, cid ASC) — on the JVM."""
+    flip = "<" if mode == "d2_asc" else ">"
+    cid_arr = ",".join(f"{int(c)}L" for c in cids)
+    return F.expr(
+        f"slice(array_sort(zip_with({scores_col}, array({cid_arr}), "
+        "(s, c) -> struct(s AS score, c AS cid)), "
+        f"(l, r) -> CASE "
+        f"WHEN round(l.score, 9) {flip} round(r.score, 9) THEN -1 "
+        "WHEN round(l.score, 9) <> round(r.score, 9) THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 "
+        f"ELSE 0 END), 1, {k})"
+    )
+
+
+def _np_inrow_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    cents_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    v_col: str,
+    k: int,
+    mode: str,
+    alias: str,
+) -> DataFrame:
+    """`df` + column ``alias`` = top-k array<struct<score, cid>> of the
+    candidate table for each row's ``v_col`` — the `_inrow_topk` shape
+    with the score folds vectorized (see `_np_cand_scores`). The
+    candidate collect is the same bounded set the former one-row
+    broadcast shipped (ceiling unchanged; evaluated once here instead
+    of once per downstream broadcast)."""
+    cents = [(r[0], r[1]) for r in cents_df.select(id_col, vec_col).collect()]
+    scorer = _np_cand_scores(spark, cents, mode)
+    return df.withColumn("_cs", scorer(F.col(v_col))).withColumn(
+        alias, _np_topk_expr("_cs", [c[0] for c in cents], k, mode)
+    ).drop("_cs")
 
 
 # Materialized-DataFrame cache shared across queries in one application
@@ -2016,16 +2115,23 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a = assign(cent)
-    # one update + one reassignment (iteration 2)
+    # one update + one reassignment (iteration 2). The update is 64
+    # per-dim quantized-mean columns in ONE hash agg (the former
+    # posexplode form materialized |members| x 64 rows, shuffled them
+    # to a (cluster, pos) agg and re-assembled via collect_list — two
+    # extra stages for identical per-dim sums; r14, same fusion as
+    # vec_cell_kmeans).
     cent = (
-        a.select("cluster_id", F.posexplode("v").alias("pos0", "x"))
-        .groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
-        .agg(_quantized_mean(F.col("x")).alias("m"))
-        .groupBy("cluster_id")
+        a.groupBy("cluster_id")
         .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos AS p, m AS c))), x -> x.c)"
-            ).alias("cv")
+            *[
+                _quantized_mean(F.col("v")[i]).alias(f"m{i}")
+                for i in range(64)
+            ]
+        )
+        .select(
+            "cluster_id",
+            F.array(*[F.col(f"m{i}") for i in range(64)]).alias("cv"),
         )
     )
     a = assign(cent)
@@ -2304,7 +2410,9 @@ def vec_cell_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # In-row argmin over the one-row broadcast centroid array (no N x k
     # row materialization, no window exchange carrying v; one fold per
     # candidate via the hoisted v.v / precomputed cv.cv — bit-identical
-    # d2, same (round(d2, 9), cell) ordering as the former window).
+    # d2, same (round(d2, 9), cell) ordering as the former window),
+    # MATERIALIZED once (r14): unchekpointed, the argmin pass
+    # re-evaluated for seeds, sv's broadcast AND a2's stream.
     a1 = (
         e.withColumn("vv", _dot("v", "v"))
         .crossJoin(F.broadcast(_cent_array(cent, "cell", "cv", True)))
@@ -2313,6 +2421,7 @@ def vec_cell_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             _inrow_topk("v", 1, "d2_asc")[0]["cid"].alias("cell"),
         )
+        .localCheckpoint()
     )
     seeds = a1.groupBy("cell").agg(
         F.min("vec_id").alias("s0"), F.max("vec_id").alias("s1")
@@ -2444,10 +2553,12 @@ def vec_cell_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = e.filter(F.col("vec_id") % 64 == 0).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    # In-row argmin over the one-row broadcast centroid array (no N x k
-    # row materialization, no window exchange carrying v; one fold per
-    # candidate via the hoisted v.v / precomputed cv.cv — bit-identical
-    # d2, same (round(d2, 9), cell) ordering as the former window).
+    # In-row argmin over the one-row broadcast centroid array
+    # (bit-identical d2, same (round(d2, 9), cell) ordering as the
+    # former window), MATERIALIZED once: unchekpointed, the argmin pass
+    # re-evaluated for every consumer (seeds, sv's broadcast, a2's
+    # stream — 3x at 70 us/candidate/row, the bulk of the measured
+    # 37 s CPU at sf0.1/32 cores).
     a1 = (
         e.withColumn("vv", _dot("v", "v"))
         .crossJoin(F.broadcast(_cent_array(cent, "cell", "cv", True)))
@@ -2456,6 +2567,7 @@ def vec_cell_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             _inrow_topk("v", 1, "d2_asc")[0]["cid"].alias("cell"),
         )
+        .localCheckpoint()
     )
     seeds = a1.groupBy("cell").agg(
         F.min("vec_id").alias("s0"), F.max("vec_id").alias("s1")
@@ -2484,22 +2596,32 @@ def vec_cell_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # feeds the update AND the re-assignment
     )
     # Lloyd update: nano-quantized integer mean per (cell, subcell, dim)
-    upd = (
-        a2.select("cell", "subcell", F.posexplode("v").alias("pos0", "x"))
-        .groupBy("cell", "subcell", (F.col("pos0") + 1).alias("pos"))
-        .agg(
-            (
-                F.sum(F.floor(F.col("x") * 1_000_000_000).cast("bigint"))
-                .cast("double")
-                / F.lit(1_000_000_000.0)
-                / F.count(F.lit(1))
-            ).alias("m")
-        )
+    # — 64 per-dim sum columns in ONE hash agg over the member rows (the
+    # former posexplode form materialized |members| x 64 (pos, x) rows,
+    # shuffled them to a (cell, subcell, pos) agg and re-assembled the
+    # array via a second collect_list agg: 2 extra stages and ~10 s CPU
+    # at sf0.1 for identical per-dim sums; element references produce
+    # the same FLOOR(x*1e9) terms in the same per-group order).
+    sums = a2.groupBy("cell", "subcell").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[
+            F.sum(
+                F.floor(F.col("v")[i] * 1_000_000_000).cast("bigint")
+            ).alias(f"s{i}")
+            for i in range(64)
+        ],
     )
-    newc = upd.groupBy("cell", "subcell").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos AS p, m AS c))), x -> x.c)"
-        ).alias("c")
+    newc = sums.select(
+        "cell",
+        "subcell",
+        F.array(
+            *[
+                F.col(f"s{i}").cast("double")
+                / F.lit(1_000_000_000.0)
+                / F.col("cnt")
+                for i in range(64)
+            ]
+        ).alias("c"),
     )
     n0 = newc.filter(F.col("subcell") == 0).select("cell", F.col("c").alias("nc0"))
     n1 = newc.filter(F.col("subcell") == 1).select(
