@@ -128,15 +128,23 @@ def _inrow_topk(v_col: str, k: int, mode: str) -> F.Column:
 # vectorized.
 
 
-def _np_cand_scores(spark: SparkSession, cents: list, mode: str):
-    """Arrow-batched scores of each row's vector against a bounded
-    COLLECTED candidate set: returns a pandas_udf(array<double>) whose
-    output[i] is this row's score against candidate i (candidate order
-    = the `cents` list order). Ships the same bytes as the former
-    one-row-broadcast candidate array (`_cent_array`) — the memory
-    ceiling is unchanged, the set rides a SparkContext broadcast — but
-    the score folds run vectorized instead of ~70 us/candidate in the
-    interpreted HOF.
+def _np_cand_shortlist(spark: SparkSession, cents: list, mode: str, k: int):
+    """Arrow-batched top-k SHORTLIST of each row's vector against a
+    bounded COLLECTED candidate set: returns a
+    pandas_udf(array<struct<score, cid>>) emitting, per row, every
+    candidate whose RAW score is within 2e-9 of the raw k-th best —
+    a provable superset of the 9dp-ROUNDED top-k (|round(x,9) - x| <=
+    5e-10, so no candidate outside the band can enter the rounded
+    order's top-k), cid-ascending. The exact (round(score, 9), cid)
+    ranking happens on the JVM over this tiny list (`_np_topk_expr`);
+    a full interpreted-comparator sort of ALL candidates was measured
+    at ~12 s CPU for 80 x 2000 candidates — the shortlist keeps the
+    comparator work O(k).
+
+    Ships the same bytes as the former one-row-broadcast candidate
+    array (`_cent_array`) — the memory ceiling is unchanged, the set
+    rides a SparkContext broadcast — and the score folds run vectorized
+    instead of ~70 us/candidate in the interpreted HOF.
 
     Bit-exactness contract (the `_bucket_assign_udf` argument, judged
     r4, re-verified value-exact on 6000 rows in the r13 ivf A/B): every
@@ -146,28 +154,30 @@ def _np_cand_scores(spark: SparkSession, cents: list, mode: str):
     fold (seed 0.0, acc + x_d*y_d for d = 0..D-1) and of DuckDB's
     list_dot_product; the d2 identity composes as the identical
     ((vv - 2*dot) + cc) tree. float32 inputs widen exactly, like the
-    fold's CAST(x AS DOUBLE). The 9dp-rounded comparison/tiebreak stays
-    on the JVM (`_np_topk_expr`) with the same F.round comparator as
-    `_inrow_topk`, so no Python float-formatting is ever involved in
-    ordering. ``cents``: list of (cid, vector) rows."""
+    fold's CAST(x AS DOUBLE). No Python float-formatting is ever
+    involved in ordering. ``cents``: list of (cid, vector) rows."""
     import numpy as np
 
     C = np.array([list(c[1]) for c in cents], dtype=np.float64)  # (kc, D)
+    cids = np.array([int(c[0]) for c in cents], dtype=np.int64)
+    order = np.argsort(cids, kind="stable")
+    C, cids = C[order], cids[order]  # cid-ascending output for free
     cc = np.zeros(C.shape[0])
     for d in range(C.shape[1]):  # sequential self-dot, fold order
         cc = cc + C[:, d] * C[:, d]
-    bc = spark.sparkContext.broadcast((C, cc))
+    bc = spark.sparkContext.broadcast((C, cids, cc))
     want_d2 = mode == "d2_asc"
     if not want_d2 and mode != "dot_desc":  # pragma: no cover
         raise ValueError(mode)
 
-    @F.pandas_udf("array<double>")
-    def scores(v: pd.Series) -> pd.Series:
+    @F.pandas_udf("array<struct<score:double,cid:bigint>>")
+    def shortlist(v: pd.Series) -> pd.Series:
         import numpy as _np
 
-        Cm, ccv = bc.value
+        Cm, cid_a, ccv = bc.value
+        kc = Cm.shape[0]
         X = _np.array(v.tolist(), dtype=_np.float64)  # (n, D)
-        acc = _np.zeros((X.shape[0], Cm.shape[0]))
+        acc = _np.zeros((X.shape[0], kc))
         for d in range(Cm.shape[1]):  # sequential fold order per pair
             acc += X[:, d : d + 1] * Cm[None, :, d]
         if want_d2:
@@ -175,21 +185,32 @@ def _np_cand_scores(spark: SparkSession, cents: list, mode: str):
             for d in range(X.shape[1]):
                 vv = vv + X[:, d] * X[:, d]
             acc = (vv[:, None] - 2 * acc) + ccv[None, :]
-        return pd.Series(list(acc))
+        sgn = acc if want_d2 else -acc  # ascending = preferred first
+        if kc > k:
+            kth = _np.partition(sgn, k - 1, axis=1)[:, k - 1]
+            keep = sgn <= kth[:, None] + 2e-9
+        else:
+            keep = _np.ones(sgn.shape, dtype=bool)
+        return pd.Series(
+            [
+                [
+                    {"score": float(s), "cid": int(c)}
+                    for s, c in zip(acc[i][keep[i]], cid_a[keep[i]])
+                ]
+                for i in range(X.shape[0])
+            ]
+        )
 
-    return scores
+    return shortlist
 
 
-def _np_topk_expr(scores_col: str, cids: list, k: int, mode: str) -> F.Column:
-    """Top-``k`` of a `_np_cand_scores` array: zip scores with the
-    candidate-id literal array (index-aligned by construction) and sort
+def _np_topk_expr(short_col: str, k: int, mode: str) -> F.Column:
+    """Top-``k`` of a `_np_cand_shortlist` array: sort the shortlist
     with the EXACT `_inrow_topk` comparator — (round(score, 9)
-    DESC|ASC, cid ASC) — on the JVM."""
+    DESC|ASC, cid ASC) — on the JVM and slice k."""
     flip = "<" if mode == "d2_asc" else ">"
-    cid_arr = ",".join(f"{int(c)}L" for c in cids)
     return F.expr(
-        f"slice(array_sort(zip_with({scores_col}, array({cid_arr}), "
-        "(s, c) -> struct(s AS score, c AS cid)), "
+        f"slice(array_sort({short_col}, "
         f"(l, r) -> CASE "
         f"WHEN round(l.score, 9) {flip} round(r.score, 9) THEN -1 "
         "WHEN round(l.score, 9) <> round(r.score, 9) THEN 1 "
@@ -211,14 +232,15 @@ def _np_inrow_topk(
 ) -> DataFrame:
     """`df` + column ``alias`` = top-k array<struct<score, cid>> of the
     candidate table for each row's ``v_col`` — the `_inrow_topk` shape
-    with the score folds vectorized (see `_np_cand_scores`). The
+    with the score folds vectorized and the candidate field pre-pruned
+    to a provable superset shortlist (see `_np_cand_shortlist`). The
     candidate collect is the same bounded set the former one-row
     broadcast shipped (ceiling unchanged; evaluated once here instead
     of once per downstream broadcast)."""
     cents = [(r[0], r[1]) for r in cents_df.select(id_col, vec_col).collect()]
-    scorer = _np_cand_scores(spark, cents, mode)
+    scorer = _np_cand_shortlist(spark, cents, mode, k)
     return df.withColumn("_cs", scorer(F.col(v_col))).withColumn(
-        alias, _np_topk_expr("_cs", [c[0] for c in cents], k, mode)
+        alias, _np_topk_expr("_cs", k, mode)
     ).drop("_cs")
 
 
@@ -853,43 +875,33 @@ def _nsw_build_sims(spark: SparkSession, nodes: DataFrame) -> DataFrame:
     seeds = nodes.filter(F.col("vec_id") % _NSW_SEED_MOD == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
     )
-    # The seed set rides ONE broadcast array row and every node picks its
-    # top-_NSW_BUILD_PROBES cells IN-ROW: array_sort over struct
-    # (-round(dot, 9), cell_id) is exactly the former window's ordering
-    # (round desc, cell_id tiebreak; the sequential fold cannot produce
-    # -0.0, so negation is order-exact), but the N x n_list scoring never
-    # materializes as rows and no exchange carries the vectors through a
-    # window (guide §2.3/§2.4 — measured 1.46 -> 0.57 s warm at sf0.1).
-    # Broadcast ceiling is unchanged: the row-broadcast form shipped the
-    # same seed set.
-    seeds_arr = seeds.agg(
-        F.collect_list(F.struct("cell_id", "cv")).alias("sa")
-    )
-    top = F.expr(
-        "slice(array_sort(transform(sa, s -> struct("
-        "-round(aggregate(zip_with(v, s.cv, "
-        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t), 9) AS nscore, "
-        f"s.cell_id AS cell_id))), 1, {_NSW_BUILD_PROBES})"
-    )
-    # materialize the cell index once (probe and assign both read it)
+    # Every node picks its top-_NSW_BUILD_PROBES cells against the
+    # bounded seed set via the vectorized `_np_cand_scores` kernel
+    # (fold-order-exact dots, same (round(dot, 9) DESC, cell_id) JVM
+    # comparator as the former in-row array_sort — r14: the interpreted
+    # N x n_list fold cost ~13.6 s CPU at sf0.1/32 cores, the kernel
+    # ~0.1 s; the collected seed set is the same bytes the one-row
+    # broadcast shipped, ceiling unchanged).
     cells = (
-        nodes.repartition(spark.sparkContext.defaultParallelism)
-        .crossJoin(F.broadcast(seeds_arr))
-        .select("vec_id", "v", F.posexplode(top).alias("r", "t"))
+        _np_inrow_topk(
+            spark,
+            nodes.repartition(spark.sparkContext.defaultParallelism),
+            seeds,
+            "cell_id",
+            "cv",
+            "v",
+            _NSW_BUILD_PROBES,
+            "dot_desc",
+            "top",
+        )
+        .select("vec_id", "v", F.posexplode("top").alias("r", "t"))
         .select(
             "vec_id",
-            F.col("t.cell_id").alias("cell_id"),
+            F.col("t.cid").alias("cell_id"),
             (F.col("r") + 1).alias("cell_rank"),
             "v",
         )
         .localCheckpoint()
-    )
-    probe = cells.select(
-        F.col("vec_id").alias("src"), "cell_id", F.col("v").alias("va")
-    )
-    assign = cells.filter(F.col("cell_rank") == 1).select(
-        F.col("vec_id").alias("dst"), "cell_id", F.col("v").alias("vb")
     )
     # each (src, dst) pair appears at most once: dst's assign cell is
     # unique and src's probe cells are distinct — no dedup needed.
@@ -898,10 +910,59 @@ def _nsw_build_sims(spark: SparkSession, nodes: DataFrame) -> DataFrame:
     # candidate set clusters the graph and costs navigability) and
     # +1-2 s (the distinct shuffle outweighs the halved dot work) — so
     # the one-way probe->assign set stays.)
+    # The per-pair scoring runs as ONE grouped Arrow kernel per cell
+    # (r14): probe and assign rows union with a side tag, group by
+    # cell_id, and each group's probes x members dot matrix accumulates
+    # one dimension at a time — the sequential index-order fold of
+    # `_dot` (the _score_bucket_pdf contract), so every RAW dot is
+    # bit-identical; the 9dp rounding stays a JVM expression. Transfer
+    # is O(N x probes x dim) vector rows in, skinny (src, dst, sim)
+    # rows out — never a vector per PAIR (the regime where r4 measured
+    # Arrow losing). Replaces 150k interpreted folds through the
+    # cell_id equi-join: build-sims stage 15.3 -> ~2 s CPU at sf0.1.
+    tagged = cells.select(
+        "cell_id",
+        F.lit(0).alias("side"),
+        F.col("vec_id").alias("vid"),
+        "v",
+    ).unionByName(
+        cells.filter(F.col("cell_rank") == 1).select(
+            "cell_id",
+            F.lit(1).alias("side"),
+            F.col("vec_id").alias("vid"),
+            "v",
+        )
+    )
+
+    def cell_sims(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pr = pdf[pdf["side"] == 0]
+        asg = pdf[pdf["side"] == 1]
+        if pr.empty or asg.empty:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "sim": pd.Series(dtype="float64"),
+                }
+            )
+        P = np.array(pr["v"].tolist(), dtype=np.float64)
+        A = np.array(asg["v"].tolist(), dtype=np.float64)
+        acc = np.zeros((P.shape[0], A.shape[0]))
+        for d in range(P.shape[1]):  # sequential fold order per pair
+            acc += P[:, d : d + 1] * A[None, :, d]
+        src = np.repeat(pr["vid"].to_numpy(), A.shape[0])
+        dst = np.tile(asg["vid"].to_numpy(), P.shape[0])
+        keep = src != dst
+        return pd.DataFrame(
+            {"src": src[keep], "dst": dst[keep], "sim": acc.ravel()[keep]}
+        )
+
     return (
-        probe.join(assign, "cell_id")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", F.round(_dot("va", "vb"), 9).alias("sim"))
+        tagged.groupBy("cell_id")
+        .applyInPandas(cell_sims, "src bigint, dst bigint, sim double")
+        .select("src", "dst", F.round("sim", 9).alias("sim"))
     )
 
 
@@ -1149,26 +1210,54 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     # don't (VERDICT r12 #2).
     def _edges_df():
         sims = _nsw_build_sims(spark, base.localCheckpoint())
-        wk = Window.partitionBy("src").orderBy(
-            F.col("sim").desc(), F.col("dst")
-        )
+        # per-src top-_NSW_K in ONE hash agg: collect the (bounded —
+        # probes x cell occupancy) candidate set per src, in-row
+        # dedupe-free sort on (negsim, dst) == the former window's
+        # (sim desc, dst asc), slice K (the _nsw_hop idiom; r14 —
+        # replaces a Sort+Window pass over the full sims stream).
         knn = (
-            sims.withColumn("rn", F.row_number().over(wk))
-            .filter(F.col("rn") <= _NSW_K)
-            .select("src", "dst")
+            sims.groupBy("src")
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("sim")).alias("negsim"),
+                                F.col("dst").alias("dst"),
+                            )
+                        )
+                    ),
+                    1,
+                    _NSW_K,
+                ).alias("top")
+            )
+            .select("src", F.explode("top.dst").alias("dst"))
         )
         return knn.unionByName(
             knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
 
-    edges = _nsw_index_table(spark, sf_dir, "edges", _edges_df, "src")
-    nodesb = _nsw_index_table(
-        spark, sf_dir, "nodes",
-        lambda: base.select(
-            F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
-        ),
-        "cand_id",
-    )
+    # the two index-table builds are independent jobs: overlap them so
+    # the nodes write (a bare projection) back-fills executors idled by
+    # the edges build's tail (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_edges = pool.submit(
+            _nsw_index_table, spark, sf_dir, "edges", _edges_df, "src"
+        )
+        f_nodes = pool.submit(
+            _nsw_index_table,
+            spark,
+            sf_dir,
+            "nodes",
+            lambda: base.select(
+                F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+            ),
+            "cand_id",
+        )
+        edges = f_edges.result()
+        nodesb = f_nodes.result()
     entry = base.agg(F.min("vec_id").alias("cur_id"))
     cur = queries.select("query_id").crossJoin(F.broadcast(entry))
     for _ in range(_NSW_HOPS):
@@ -1190,28 +1279,37 @@ def vec_ann_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cur_id", "sim")
     )
     # exact-NN grounding (brute force over all nodes — the sampled-probe
-    # ground-truth arm, SCALE.md §4 posture: test-SF exhibit, broadcast
-    # of nodes is fine HERE because the exact arm never ships)
-    nb = F.broadcast(
-        base.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("cand_id")
+    # ground-truth arm, SCALE.md §4 posture: test-SF exhibit; the node
+    # set ships to the workers once, the same bytes the former
+    # `F.broadcast(nodes)` moved). Vectorized top-2 per query via the
+    # `_np_cand_scores` kernel (fold-order-exact dots, the former
+    # (round(dot,9) DESC, cand_id) order — r14: the per-pair fold +
+    # window cost ~8 s CPU at sf0.1/32 cores); self is excluded AFTER
+    # ranking — the best non-self candidate is rank 1 or 2 overall, so
+    # filter(top2)[0] IS the exact neighbor.
+    cands = base.select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
     )
     exact = (
-        queries.repartition(spark.sparkContext.defaultParallelism)
-        .join(nb, F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
+        _np_inrow_topk(
+            spark,
+            queries.repartition(spark.sparkContext.defaultParallelism),
+            cands,
             "cand_id",
-            F.round(_dot("qv", "cv"), 9).alias("sim"),
+            "cv",
+            "qv",
+            2,
+            "dot_desc",
+            "top2",
         )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") == 1)
         .select(
             "query_id",
-            F.col("cand_id").alias("exact_id"),
-            F.col("sim").alias("exact_sim"),
+            F.expr("filter(top2, t -> t.cid != query_id)[0]").alias("t"),
+        )
+        .select(
+            "query_id",
+            F.col("t.cid").alias("exact_id"),
+            F.round(F.col("t.score"), 9).alias("exact_sim"),
         )
     )
     return cur.join(exact, "query_id").select(
