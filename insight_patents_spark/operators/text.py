@@ -689,10 +689,18 @@ def _doc_sig_mask_chunks(
     )
     if key in _SIG_CACHE:
         return _SIG_CACHE[key]
-    # fan the explode + hash-join + 16-way min partial agg out of the
-    # single input split (documents is one row group locally; guide §2.5)
-    d = load(spark, sf_dir, "documents").repartition(sh_parts(spark))
-    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    # ONE corpus tokenization for the whole minhash family (r14,
+    # VERDICT r13 #2): the shared (doc, token, tf) table's rows ARE the
+    # distinct (doc, token) pairs, so signatures + bitsets build from
+    # the checkpointed table instead of re-exploding documents — the
+    # weighted/ICWS variants and every LSH consumer now ride the same
+    # single tokenize pass. The doc_id-keyed repartition fans the
+    # hash-join + 16-way min agg out of the table's few coalesced
+    # checkpoint partitions AND lets the groupBy ride the same
+    # partitioning with no further exchange (guide §2.2/§2.4).
+    tok = _doc_token_tf(spark, sf_dir).repartition(
+        sh_parts(spark), "doc_id"
+    ).select("doc_id", "token")
     vocab = (
         tok.select("token")
         .distinct()
