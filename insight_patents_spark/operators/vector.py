@@ -2801,22 +2801,25 @@ def vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    scored = (
-        e.crossJoin(F.broadcast(probes))
-        .where(F.col("vec_id") != F.col("q_id"))
+    # exact arm via the vectorized shortlist kernel (r14): top-4 per
+    # probe over the collected node set (the same bytes the former
+    # probe-broadcast x items pass moved, opposite direction), self
+    # excluded AFTER ranking — the non-self top-3 is a subset of the
+    # overall top-4. Ordering is the same (round(cosine, 9) DESC,
+    # neighbor_id) comparator; the former per-pair interpreted folds +
+    # window cost ~7 s CPU at sf0.1/32 cores.
+    cands = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    exact = (
+        _np_inrow_topk(
+            spark, probes, cands, "cand_id", "cv", "qv", 4, "dot_desc", "top4"
+        )
         .select(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _dot("qv", "v").alias("cosine"),
+            F.explode(
+                F.expr("slice(filter(top4, t -> t.cid != q_id), 1, 3)")
+            ).alias("t"),
         )
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.round("cosine", 9).desc(), F.col("neighbor_id")
-    )
-    exact = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("q_id", "neighbor_id")
+        .select("q_id", F.col("t.cid").alias("neighbor_id"))
     )
     sl = _lsh_shortlist(spark, sf_dir).select(
         F.col("vec_id").alias("l_id"), F.col("neighbor_id").alias("l_nb")
