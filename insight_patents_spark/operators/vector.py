@@ -176,6 +176,8 @@ def _np_cand_shortlist(spark: SparkSession, cents: list, mode: str, k: int):
 
         Cm, cid_a, ccv = bc.value
         kc = Cm.shape[0]
+        if not len(v):  # zero-row Arrow batch: keep the 2-D shape math out
+            return pd.Series([], dtype=object)
         X = _np.array(v.tolist(), dtype=_np.float64)  # (n, D)
         acc = _np.zeros((X.shape[0], kc))
         for d in range(Cm.shape[1]):  # sequential fold order per pair
