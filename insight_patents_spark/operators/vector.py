@@ -2215,23 +2215,22 @@ def vec_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a = assign(cent)
-    # one update + one reassignment (iteration 2). The update is 64
-    # per-dim quantized-mean columns in ONE hash agg (the former
-    # posexplode form materialized |members| x 64 rows, shuffled them
-    # to a (cluster, pos) agg and re-assembled via collect_list — two
-    # extra stages for identical per-dim sums; r14, same fusion as
-    # vec_cell_kmeans).
+    # one update + one reassignment (iteration 2). (r14 note: a fused
+    # form — 64 per-dim quantized-mean agg COLUMNS in one hash agg —
+    # was A/B'd and REVERTED: 129 aggregate expressions exceed
+    # spark.sql.codegen.maxFields=100, the stage loses whole-stage
+    # codegen, and warm wall regressed 1.4-2.3 -> 2.9-3.3 s at sf0.1
+    # even though executor CPU dropped; the posexplode form keeps
+    # codegen and wins on wall.)
     cent = (
-        a.groupBy("cluster_id")
+        a.select("cluster_id", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("cluster_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(_quantized_mean(F.col("x")).alias("m"))
+        .groupBy("cluster_id")
         .agg(
-            *[
-                _quantized_mean(F.col("v")[i]).alias(f"m{i}")
-                for i in range(64)
-            ]
-        )
-        .select(
-            "cluster_id",
-            F.array(*[F.col(f"m{i}") for i in range(64)]).alias("cv"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos AS p, m AS c))), x -> x.c)"
+            ).alias("cv")
         )
     )
     a = assign(cent)
@@ -2695,33 +2694,27 @@ def vec_cell_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # feeds the update AND the re-assignment
     )
-    # Lloyd update: nano-quantized integer mean per (cell, subcell, dim)
-    # — 64 per-dim sum columns in ONE hash agg over the member rows (the
-    # former posexplode form materialized |members| x 64 (pos, x) rows,
-    # shuffled them to a (cell, subcell, pos) agg and re-assembled the
-    # array via a second collect_list agg: 2 extra stages and ~10 s CPU
-    # at sf0.1 for identical per-dim sums; element references produce
-    # the same FLOOR(x*1e9) terms in the same per-group order).
-    sums = a2.groupBy("cell", "subcell").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[
-            F.sum(
-                F.floor(F.col("v")[i] * 1_000_000_000).cast("bigint")
-            ).alias(f"s{i}")
-            for i in range(64)
-        ],
-    )
-    newc = sums.select(
-        "cell",
-        "subcell",
-        F.array(
-            *[
-                F.col(f"s{i}").cast("double")
+    # Lloyd update: nano-quantized integer mean per (cell, subcell, dim).
+    # (r14 note: a fused 64-column single-agg form was A/B'd and
+    # REVERTED — see vec_kmeans: >100 agg expressions disable
+    # whole-stage codegen and the warm wall regressed ~+1 s despite
+    # lower executor CPU.)
+    upd = (
+        a2.select("cell", "subcell", F.posexplode("v").alias("pos0", "x"))
+        .groupBy("cell", "subcell", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * 1_000_000_000).cast("bigint"))
+                .cast("double")
                 / F.lit(1_000_000_000.0)
-                / F.col("cnt")
-                for i in range(64)
-            ]
-        ).alias("c"),
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    newc = upd.groupBy("cell", "subcell").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos AS p, m AS c))), x -> x.c)"
+        ).alias("c")
     )
     n0 = newc.filter(F.col("subcell") == 0).select("cell", F.col("c").alias("nc0"))
     n1 = newc.filter(F.col("subcell") == 1).select(
