@@ -2526,45 +2526,52 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     2021, public): duplicate-token fraction and most-frequent-bigram
     share, plus the combined repetitive flag.
 
-    Plan: bigram counting is explode -> hash-agg on (doc_id, gram) ->
-    hash-agg on doc_id — two map-side-combinable shuffles keyed by doc,
-    no skew (keys are per-document). The token-level features are pure
-    in-row array expressions. At 100 TB this is scan + two narrow
-    partial aggs; nothing is corpus-global."""
+    Plan: every statistic is a per-document exact INTEGER (token count,
+    distinct-token count, max bigram multiplicity, bigram count =
+    n_tokens - 1), so the whole feature pass is one narrow Arrow kernel
+    — a Counter over the token pairs per doc, C-speed — and only the
+    two final ratios (computed in JVM expressions, identical trees to
+    the former form) touch floating point. Nothing is corpus-global.
+    (r14: the former interpreted transform+concat_ws bigram
+    materialization -> explode -> two hash aggs -> self-join measured
+    19-21 s executor CPU at sf0.1 for what the kernel does in ~0.2 s;
+    guide §4.2. No float crosses the Python boundary.)"""
+    import pandas as pd
+
     d = (
         load(spark, sf_dir, "documents")
-        .withColumn("toks", _tokens())
-        .filter(F.size("toks") >= 2)
-        # heavy per-doc explode; escape the single input split
+        .select("doc_id", "text")
         .repartition(sh_parts(spark))
-        .localCheckpoint()
     )
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) - 2), "
-                "i -> concat_ws(' ', toks[i], toks[i+1]))"
-            )
-        ).alias("gram"),
-    )
-    top = (
-        grams.groupBy("doc_id", "gram")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.max("count").alias("top_2gram_count"),
-            F.sum("count").cast("bigint").alias("n_2grams"),
-        )
-    )
-    tok = d.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+
+    def rep_stats(batches):
+        from collections import Counter
+
+        cols = ("doc_id", "n_tokens", "n_distinct", "top_2gram_count", "n_2grams")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    continue
+                # split(" ") keeps empty tokens, like Spark's split
+                toks = t.split(" ")
+                n = len(toks)
+                if n < 2:  # no bigrams; the filter the old form had
+                    continue
+                top = max(Counter(zip(toks, toks[1:])).values())
+                rows.append((int(i), n, len(set(toks)), top, n - 1))
+            yield pd.DataFrame(rows, columns=cols).astype("int64")
+
+    tok = d.mapInPandas(
+        rep_stats,
+        "doc_id bigint, n_tokens bigint, n_distinct bigint, "
+        "top_2gram_count bigint, n_2grams bigint",
     )
     dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens")
     top_frac = F.col("top_2gram_count").cast("double") / F.col("n_2grams")
-    return tok.join(top, "doc_id").select(
+    return tok.select(
         "doc_id",
         "n_tokens",
         F.round(dup_frac, 9).alias("dup_token_frac"),
@@ -2610,19 +2617,50 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-entropy quality feature.
 
-    Plan: char histogram via explode -> hash-agg on (doc_id, ch) — the
-    char domain caps group count at |docs| x |alphabet|, partial
-    aggregation absorbs the explode fan-out map-side. The entropy fold
-    runs over the sorted (char, count) list so the floating-point
-    accumulation order is canonical across engines and partitionings —
-    the same trick as vec_centroid's sorted mean."""
+    Plan: the per-doc char histogram is computed in one narrow Arrow
+    pass (collections.Counter over the text — C-speed codepoint
+    iteration, exactly the oracle's [\\s\\S] per-codepoint domain and
+    integer-exact counts), emitting the same (doc_id, ch, count) rows
+    the former explode -> hash-agg produced; the group count stays
+    capped at |docs| x |alphabet|. The entropy fold stays a JVM
+    expression over the sorted (char, count) list so the
+    floating-point accumulation order is canonical across engines and
+    partitionings — the same trick as vec_centroid's sorted mean.
+    (r14: the per-CHARACTER explode materialized ~1.5M single-char rows
+    through a partial agg — 26 s executor CPU at sf0.1 for a histogram
+    a Counter builds in ~0.1 s; guide §4.2. No float ever crosses the
+    Python boundary.)"""
+    import pandas as pd
+
     d = (
         load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
         .repartition(sh_parts(spark))
-        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
-        .filter(F.col("ch") != "")
     )
-    counts = d.groupBy("doc_id", "ch").count()
+
+    def char_hist(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, chs, cnts = [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                if not t:
+                    continue
+                for ch, n in Counter(t).items():
+                    ids.append(i)
+                    chs.append(ch)
+                    cnts.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ch": pd.Series(chs, dtype=object),
+                    "count": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    counts = d.mapInPandas(char_hist, "doc_id bigint, ch string, count bigint")
     ent = counts.groupBy("doc_id").agg(
         F.sum("count").cast("bigint").alias("n_chars_counted"),
         F.count("*").cast("bigint").alias("n_distinct_chars"),
@@ -3180,31 +3218,58 @@ def text_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted trade (production uses 2^18+ buckets where they're rare).
     The dense 16-wide vector is emitted as a '|'-joined string per the
     scalar-only results contract; densification is an in-row sequence
-    join, not a pivot shuffle."""
-    # fan the explode + md5 bucketing out of the single input split
-    # (guide §2.5)
-    d = load(spark, sf_dir, "documents").repartition(sh_parts(spark))
-    tok = d.select("doc_id", F.explode(_tokens()).alias("token"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint") % 16
+    join, not a pivot shuffle.
+
+    Physical form (r14): one narrow Arrow pass — per document the
+    bucket histogram is a 16-slot int array filled at C speed, with the
+    token -> bucket md5 memoized per task over the (Zipf-small) vocab.
+    md5 is a bytes -> bytes contract (Spark hashes the UTF-8 bytes of
+    the token, hashlib the same), the bucket index and counts are exact
+    integers and the feature string is their decimal join — no floating
+    point anywhere, so the Arrow path is bit-identical by construction.
+    Replaces the explode -> md5-per-OCCURRENCE -> two hash aggs -> 16x
+    densify join (measured 27-30 s executor CPU at sf0.1: the md5 ran
+    per token occurrence and every (doc, bucket) pair crossed two
+    exchanges; guide §4.2). Zero shuffles beyond the scan fan-out."""
+    import hashlib
+
+    import pandas as pd
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # fan the per-doc hashing out of the single input split (§2.5)
+        .repartition(sh_parts(spark))
     )
-    c = (
-        tok.select("doc_id", bucket.alias("bucket"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    g = d.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bucket")
-    ).withColumn("bucket", F.col("bucket").cast("bigint"))
-    joined = g.join(c, ["doc_id", "bucket"], "left").select(
-        "doc_id", "bucket", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
-    )
-    return joined.groupBy("doc_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(bucket, cnt))), "
-            "x -> CAST(x.cnt AS STRING)), '|')"
-        ).alias("features")
-    )
+
+    def feat(batches):
+        memo: dict = {}
+
+        def bucket(tok: str) -> int:
+            b = memo.get(tok)
+            if b is None:
+                # == conv(substring(md5(token), 1, 8), 16, 10) % 16
+                b = (
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                    % 16
+                )
+                memo[tok] = b
+            return b
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = []
+            for t in pdf["text"]:
+                counts = [0] * 16
+                if t is not None:
+                    # split(" ") keeps empty tokens, like Spark's split
+                    for tok in t.split(" "):
+                        counts[bucket(tok)] += 1
+                feats.append("|".join(map(str, counts)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return d.mapInPandas(feat, "doc_id bigint, features string")
 
 
 _BM25_K1 = 1.2

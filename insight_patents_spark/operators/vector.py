@@ -316,36 +316,99 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 most-similar embeddings per vector within its label block
     (brute-force cosine = dot, vectors are unit-normalized). Ranking on
     the rounded score with vec_id tiebreak keeps order cross-engine
-    deterministic."""
+    deterministic.
+
+    Physical form (r14): the label-blocked `_np_cand_shortlist` shape —
+    the corpus ships ONCE as per-label candidate matrices on a
+    SparkContext broadcast (the same bytes/memory ceiling as the former
+    F.broadcast(b) build side), each probe partition scores its rows
+    against their own label's matrix with the sequential
+    per-dimension accumulation (bit-identical raw dots — the
+    `_bucket_assign_udf` contract), and only the 2e-9 band superset of
+    the rounded top-3 leaves the kernel; the exact
+    (round(score, 9) DESC, cid) ranking is the JVM `_np_topk_expr`
+    comparator. Replaces ~400k interpreted 64-dim `_dot` folds through
+    the broadcast join + a 400k-row window exchange (measured
+    15-17 s executor CPU at sf0.1 -> ~1 s; guide §4.2). Zero shuffles
+    beyond the probe fan-out."""
+    import numpy as np
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").alias("v")
     )
+    # bounded candidate collect: the same rows the former build-side
+    # broadcast shipped, grouped by label, vec_id-ascending so kernel
+    # shortlists come out cid-ascending
+    by_label: dict = {}
+    for r in e.collect():
+        by_label.setdefault(int(r["label"]), []).append(
+            (int(r["vec_id"]), list(r["v"]))
+        )
+    cands = {}
+    for lab, rows in by_label.items():
+        rows.sort()
+        cands[lab] = (
+            np.array([t[0] for t in rows], dtype=np.int64),
+            np.array([t[1] for t in rows], dtype=np.float64),
+        )
+    bc = spark.sparkContext.broadcast(cands)
+
+    @F.pandas_udf("array<struct<score:double,cid:bigint>>")
+    def shortlist(vid_s: pd.Series, lab_s: pd.Series, v_s: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        B = bc.value
+        n = len(v_s)
+        if not n:  # zero-row Arrow batch
+            return pd.Series([], dtype=object)
+        out = [None] * n
+        pdf = pd.DataFrame(
+            {
+                "i": _np.arange(n),
+                "vid": vid_s.to_numpy(),
+                "lab": lab_s.to_numpy(),
+                "v": v_s,
+            }
+        )
+        for lab, grp in pdf.groupby("lab", sort=False):
+            ids, C = B[int(lab)]
+            X = _np.array(grp["v"].tolist(), dtype=_np.float64)
+            acc = _np.zeros((X.shape[0], C.shape[0]))
+            for d in range(C.shape[1]):  # sequential fold order per pair
+                acc += X[:, d : d + 1] * C[None, :, d]
+            sgn = -acc  # ascending = preferred first
+            self_mask = ids[None, :] == grp["vid"].to_numpy()[:, None]
+            sgn[self_mask] = _np.inf  # self never ranks
+            if sgn.shape[1] > 3:
+                kth = _np.partition(sgn, 2, axis=1)[:, 2]
+                keep = sgn <= kth[:, None] + 2e-9
+            else:
+                keep = _np.ones(sgn.shape, dtype=bool)
+            keep &= ~self_mask
+            for r_i, bi in enumerate(grp["i"]):
+                sel = _np.nonzero(keep[r_i])[0]
+                out[bi] = [
+                    {"score": float(acc[r_i, j]), "cid": int(ids[j])}
+                    for j in sel
+                ]
+        return pd.Series(out)
+
     # Probe side repartitioned (the parquet ships as one input split —
-    # without this the O(n²/blocks) dot-product work runs on ONE core);
-    # build side broadcast so the label-blocked join needs no shuffle and
-    # parallelism stays at the probe partitioning. Measured 3.5x at sf0.1.
-    a = e.repartition(spark.sparkContext.defaultParallelism).select(
-        F.col("vec_id").alias("vec_id"),
-        "label",
-        F.col("v").alias("va"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("label_b"),
-        F.col("v").alias("vb"),
-    )
-    pairs = a.join(
-        F.broadcast(b),
-        (F.col("label") == F.col("label_b"))
-        & (F.col("vec_id") != F.col("neighbor_id")),
-    ).withColumn("cosine", _dot("va", "vb"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id")
-    )
+    # without this the per-row scoring runs on ONE core).
+    a = e.repartition(spark.sparkContext.defaultParallelism)
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("vec_id", "label", "neighbor_id", "cosine")
+        a.withColumn("_cs", shortlist("vec_id", "label", "v"))
+        .select(
+            "vec_id",
+            "label",
+            F.explode(_np_topk_expr("_cs", 3, "dot_desc")).alias("t"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("t.cid").alias("neighbor_id"),
+            F.col("t.score").alias("cosine"),
+        )
     )
 
 
